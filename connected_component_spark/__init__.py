@@ -1,0 +1,35 @@
+"""connected_component_spark — a PySpark-native graph-analytics engine.
+
+Brand-new DataFrame-first implementation of the capabilities of
+kwartile/connected-component (alternating Large-Star/Small-Star
+connected components at extreme scale), plus the relational query
+surface and LLM-data-pipeline operators (dedup, similarity search,
+text analysis, multimodal plumbing) that reuse CC as their
+clustering backbone.
+"""
+
+from connected_component_spark.graph.cc import (
+    CCResult,
+    component_rosters,
+    connected_components,
+)
+from connected_component_spark.graph.cliques import (
+    cliques_to_edges,
+    cliques_to_edges_pairwise,
+    format_rosters_text,
+    read_cliques_text,
+)
+from connected_component_spark.session import get_spark
+
+__all__ = [
+    "CCResult",
+    "connected_components",
+    "component_rosters",
+    "cliques_to_edges",
+    "cliques_to_edges_pairwise",
+    "read_cliques_text",
+    "format_rosters_text",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,303 @@
+"""Connected components via alternating Large-Star / Small-Star.
+
+DataFrame-native re-expression of the reference RDD implementation
+(reference: ConnectedComponent.scala:42-279; algorithm: Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014).
+
+Key deviations from the reference — all CC-result-preserving, chosen
+for 100 TB scale (SURVEY.md §4.3, §7.3):
+
+* **Join-based stars.** The reference groups neighbors into a
+  ``mutable.HashSet`` per node (ConnectedComponent.scala:65-69,
+  139-141), which puts per-node adjacency arrays on the shuffle and
+  inherits the degree-skew memory hazard its own comments warn about
+  (ConnectedComponent.scala:62-63,135-136).  We instead compute the
+  neighborhood minimum as a scalar ``min()`` aggregation and join it
+  back — pure joins/aggregations, whole-stage-codegen'd, map-side
+  partial aggregation for free, and AQE splits skewed reducers.
+* **Per-round checkpointing.** The reference never checkpoints and
+  its lineage grows ~6 stages per round (SURVEY.md §4.4).  We
+  ``localCheckpoint`` (or reliable ``checkpoint``) each round.
+* **No null results.** The reference returns a null RDD when it hits
+  the iteration cap (ConnectedComponent.scala:277); we return an
+  explicit :class:`CCResult` with ``converged=False``.
+* **Set-stability convergence.** The reference counts per-group
+  "changed pairs" (ConnectedComponent.scala:91,160) and stops on a
+  count plateau or double-zero (ConnectedComponent.scala:247-249).
+  The plateau exists because that metric compares ``(neighbor, min)``
+  tuples against reversed ``(self, neighbor)`` tuples and therefore
+  never reaches zero on some stable graphs.  Our default detects the
+  true fixpoint — the edge *set* is unchanged after a full round —
+  with an O(1)-driver-side (count, checksum) comparison: no join, no
+  set-equality shuffle.  ``convergence="reference-counts"`` replicates
+  the literal reference metric + plateau rule for parity testing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Literal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "CCResult",
+    "connected_components",
+    "large_star",
+    "small_star",
+    "component_rosters",
+]
+
+
+@dataclass
+class CCResult:
+    """Result of a connected-components run.
+
+    ``assignments`` is a deduplicated ``(node: long, component: long)``
+    DataFrame where ``component`` is the minimum node id of the
+    component (reference output invariant, README.md:28-30).
+    """
+
+    assignments: DataFrame
+    converged: bool
+    iterations: int
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Normalize an arbitrary 2-column edge list to long (src, dst).
+
+    Self-loops are preserved — they are how singleton nodes ride
+    through the algorithm (reference ConnectedComponent.scala:193-197).
+    """
+    src, dst = edges.columns[0], edges.columns[1]
+    return edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+
+def large_star(edges: DataFrame) -> DataFrame:
+    """One Large-Star round (reference ConnectedComponent.scala:114-176).
+
+    For each node ``v`` with neighborhood ``N`` (edges viewed in both
+    directions, self-loops emitted once, :122-128): let
+    ``m = min(v ∪ N)``; emit ``(n, m)`` for every ``n ∈ v ∪ N`` with
+    ``n >= v`` (:147-159), deduplicated.
+
+    Join formulation: ``m`` is a scalar ``min`` aggregation joined
+    back onto the directed edges; the ``n >= v`` predicate becomes a
+    ``WHERE`` on the directed edge before the join, and the ``n = v``
+    member of the emit set is exactly one row per group — the min-map
+    itself.
+    """
+    und = edges.where(F.col("src") != F.col("dst"))
+    directed = (
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(edges.where(F.col("src") == F.col("dst")))
+    )
+    mins = (
+        directed.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("src", "_mn").alias("m"))
+    )
+    from_neighbors = (
+        directed.where(F.col("dst") >= F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    from_self = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return from_neighbors.union(from_self).distinct()
+
+
+def small_star(edges: DataFrame) -> DataFrame:
+    """One Small-Star round (reference ConnectedComponent.scala:42-107).
+
+    Orient each pair (larger, smaller) (:49-55); group by the larger
+    end; ``m = min(v ∪ N)``; emit ``(n, m)`` for
+    ``(n <= v ∧ n != m) ∨ n = v`` (:75-86), deduplicated.  After
+    orientation every grouped neighbor satisfies ``n <= v``, so the
+    predicate reduces to ``n != m`` on neighbors plus the ``(v, m)``
+    self row — again exactly the min-map.
+    """
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    )
+    mins = (
+        oriented.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("src", "_mn").alias("m"))
+    )
+    from_neighbors = (
+        oriented.join(mins, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    from_self = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return from_neighbors.union(from_self).distinct()
+
+
+def _set_fingerprint(pairs: DataFrame) -> tuple[int, int]:
+    """(row count, order-insensitive checksum) of a distinct pair set.
+
+    Replaces the reference's per-group change counting
+    (ConnectedComponent.scala:91-106,160-168) with a single partial+
+    final aggregation; decimal sum leaves ~10^18× headroom before any
+    overflow at 100 B-edge scale.
+    """
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(20,0)")), F.lit(0)
+        ).cast("decimal(38,0)").alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def _reference_change_count(new_pairs_grouped: DataFrame, directed_old: DataFrame) -> int:
+    """Literal port of the reference change metric for one star step.
+
+    Reference (ConnectedComponent.scala:91,160): per group ``self``,
+    ``|uniqueNewPairs diff oldNeighbors.map((self, _))|`` — i.e. new
+    ``(n, m)`` tuples not literally equal to some ``(self, neighbor)``
+    tuple of the same group.  ``new_pairs_grouped`` must carry the
+    originating group key as column ``grp``.
+    """
+    matched = (
+        new_pairs_grouped.alias("n")
+        .join(
+            directed_old.alias("o"),
+            (F.col("n.grp") == F.col("o.src"))
+            & (F.col("n.src") == F.col("o.src"))
+            & (F.col("n.dst") == F.col("o.dst")),
+            "left_anti",
+        )
+    )
+    return matched.count()
+
+
+def _large_star_counted(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Large-star + literal reference change count (parity mode)."""
+    und = edges.where(F.col("src") != F.col("dst"))
+    directed = (
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(edges.where(F.col("src") == F.col("dst")))
+    )
+    mins = (
+        directed.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("src", "_mn").alias("m"))
+    )
+    grouped = (
+        directed.where(F.col("dst") >= F.col("src"))
+        .join(mins, "src")
+        .select(F.col("src").alias("grp"), F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(mins.select(F.col("src").alias("grp"), F.col("src"), F.col("m").alias("dst")))
+        .distinct()
+    )
+    change = _reference_change_count(grouped, directed)
+    return grouped.select("src", "dst").distinct(), change
+
+
+def _small_star_counted(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Small-star + literal reference change count (parity mode)."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    )
+    mins = (
+        oriented.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("src", "_mn").alias("m"))
+    )
+    grouped = (
+        oriented.join(mins, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("src").alias("grp"), F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(mins.select(F.col("src").alias("grp"), F.col("src"), F.col("m").alias("dst")))
+        .distinct()
+    )
+    change = _reference_change_count(grouped, oriented)
+    return grouped.select("src", "dst").distinct(), change
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    convergence: Literal["stable-set", "reference-counts"] = "stable-set",
+    checkpoint_dir: str | None = None,
+) -> CCResult:
+    """Compute connected components of an undirected edge list.
+
+    Engine equivalent of ``ConnectedComponent.run``
+    (reference ConnectedComponent.scala:266-279) minus its null-RDD
+    quirk.  ``edges`` is any 2-column DataFrame of node ids
+    (castable to long); direction and duplication are irrelevant;
+    self-loops register singleton nodes.
+
+    The fixpoint loop is driver-side Python (Catalyst has no iterate
+    operator); each round runs Large-Star then Small-Star
+    (reference alternatingAlgo, ConnectedComponent.scala:230-258),
+    checkpoints to truncate lineage, and spends exactly one action on
+    the convergence scalar.
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    pairs = _checkpoint(_canonical_edges(edges).distinct())
+    converged = False
+    iterations = 0
+
+    if convergence == "reference-counts":
+        # sentinel-free port of the plateau rule
+        # (reference ConnectedComponent.scala:247-249,272)
+        prev_counts: tuple[int, int] | None = None
+        for iterations in range(1, max_iterations + 1):
+            after_large, large_count = _large_star_counted(pairs)
+            after_large = _checkpoint(after_large)
+            after_small, small_count = _small_star_counted(after_large)
+            pairs = _checkpoint(after_small)
+            counts = (large_count, small_count)
+            if counts == prev_counts or counts == (0, 0):
+                converged = True
+                break
+            prev_counts = counts
+    else:
+        prev_fp: tuple[int, int] | None = None
+        for iterations in range(1, max_iterations + 1):
+            pairs = _checkpoint(small_star(large_star(pairs)))
+            fp = _set_fingerprint(pairs)
+            if fp == prev_fp:
+                converged = True
+                break
+            prev_fp = fp
+
+    assignments = (
+        pairs.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("component"))
+    )
+    return CCResult(assignments=assignments, converged=converged, iterations=iterations)
+
+
+def component_rosters(assignments: DataFrame) -> DataFrame:
+    """(component, size, members[]) per component, members sorted.
+
+    Engine equivalent of the reference driver's post-processing
+    (reference CCDriver.scala:56-74: RangePartitioner + reduceByKey
+    list-concat + per-group sort).  AQE handles the skew the
+    RangePartitioner was inserted for.
+    """
+    return (
+        assignments.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+    )

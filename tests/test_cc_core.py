@@ -1,0 +1,138 @@
+"""Core CC kernel tests.
+
+Canonical smoke case is the reference README's worked example
+(reference README.md:13-24): cliques
+``[1,2,3] [3,4] [1,5] [2] [6] [7,8] [6,8] [9]`` →
+components ``{1..5} (min 1)``, ``{6,7,8} (min 6)``, ``{9} (min 9)``.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from connected_component_spark.graph.cc import (
+    component_rosters,
+    connected_components,
+)
+from connected_component_spark.graph.cliques import (
+    cliques_to_edges,
+    cliques_to_edges_pairwise,
+    format_rosters_text,
+)
+
+README_CLIQUES = [[1, 2, 3], [3, 4], [1, 5], [2], [6], [7, 8], [6, 8], [9]]
+README_EXPECTED = {1: [1, 2, 3, 4, 5], 6: [6, 7, 8], 9: [9]}
+
+
+def _cliques_df(spark, cliques):
+    return spark.createDataFrame(
+        [(i, [int(n) for n in c]) for i, c in enumerate(cliques)],
+        "clique_id long, nodes array<long>",
+    )
+
+
+def _rosters(result):
+    rows = component_rosters(result.assignments).collect()
+    return {r["component"]: list(r["members"]) for r in rows}
+
+
+@pytest.mark.parametrize("expand", [cliques_to_edges, cliques_to_edges_pairwise])
+@pytest.mark.parametrize("convergence", ["stable-set", "reference-counts"])
+def test_readme_example(spark, expand, convergence):
+    edges = expand(_cliques_df(spark, README_CLIQUES))
+    result = connected_components(edges, convergence=convergence)
+    assert result.converged
+    assert _rosters(result) == README_EXPECTED
+    # reference observed <= 5-6 iterations at 100B nodes (README.md:56,72)
+    assert result.iterations <= 6
+
+
+def test_two_node_edge(spark):
+    edges = spark.createDataFrame([(2, 1)], "src long, dst long")
+    result = connected_components(edges)
+    assert result.converged
+    assert _rosters(result) == {1: [1, 2]}
+
+
+def test_chain_graph(spark):
+    n = 50
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    result = connected_components(edges)
+    assert result.converged
+    assert _rosters(result) == {0: list(range(n + 1))}
+
+
+def test_star_graph_reversed_ids(spark):
+    # hub has the LARGEST id: exercises min propagation against degree skew
+    edges = spark.createDataFrame(
+        [(100, i) for i in range(10)], "src long, dst long"
+    )
+    result = connected_components(edges)
+    assert result.converged
+    assert _rosters(result) == {0: list(range(10)) + [100]}
+
+
+def test_singleton_self_loop(spark):
+    edges = spark.createDataFrame([(7, 7)], "src long, dst long")
+    result = connected_components(edges)
+    assert result.converged
+    assert _rosters(result) == {7: [7]}
+
+
+def test_already_converged_input(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (1, 1)], "src long, dst long"
+    )
+    result = connected_components(edges)
+    assert result.converged
+    assert _rosters(result) == {1: [1, 2, 3]}
+
+
+def test_max_iteration_cap(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], "src long, dst long")
+    result = connected_components(edges, max_iterations=1)
+    # no null results (reference quirk ConnectedComponent.scala:277 removed)
+    assert result.converged is False
+    assert result.iterations == 1
+    assert result.assignments.count() > 0
+
+
+def test_assignment_is_function(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5)], "src long, dst long"
+    )
+    result = connected_components(edges)
+    counts = result.assignments.groupBy("node").count().where("count > 1").count()
+    assert counts == 0
+
+
+def test_roster_text_format(spark):
+    edges = spark.createDataFrame([(2, 1), (9, 9)], "src long, dst long")
+    result = connected_components(edges)
+    lines = {
+        r["value"]
+        for r in format_rosters_text(component_rosters(result.assignments)).collect()
+    }
+    # reference output line format "<size> <min> <members...>" (CCDriver.scala:74)
+    assert lines == {"2 1 1 2", "1 9 9"}
+
+
+def test_duplicate_and_reversed_edges(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    result = connected_components(edges)
+    assert _rosters(result) == {1: [1, 2, 3]}
+
+
+def test_cliques_text_roundtrip(spark, tmp_path):
+    from connected_component_spark.graph.cliques import read_cliques_text
+
+    p = tmp_path / "cliques.txt"
+    p.write_text("1 2 3\n3 4\n1 5\n2\n6\n7 8\n6 8\n9\n")
+    cliques = read_cliques_text(spark, str(p))
+    result = connected_components(cliques_to_edges(cliques))
+    assert _rosters(result) == README_EXPECTED
