@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the scale path is a
+random-hyperplane-LSH bucketed variant that turns the O(n·m) cross
+join into a bucket-key equi-join (AQE-skew-handled).  All vector
+math is Catalyst higher-order functions (functions/vectors.py) —
+JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from connected_component_spark.functions.hashing import seeded_hash64
+from connected_component_spark.functions.vectors import as_double, cosine
+from connected_component_spark.graph.cc import connected_components
+
+__all__ = [
+    "cosine_topk",
+    "lsh_bucketed_topk",
+    "knn_edges",
+    "similarity_clusters",
+]
+
+
+def _normed(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(F.col(id_col), as_double(vec_col).alias(vec_col))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, neighbor_id, cos).
+
+    Cross join queries × corpus; the similarity is rounded *before*
+    ranking so rank order is reproducible across engines, with
+    neighbor id as the deterministic tie-break.  Self-matches are
+    excluded.  At scale the query side is the small one — Spark
+    broadcasts it under AQE; the corpus side streams.
+    """
+    q = _normed(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = _normed(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _hyperplane_bucket(vec_col, planes: int, seed_base: int = 7):
+    """Sign-of-projection LSH: bucket id from ``planes`` pseudo-random
+    hyperplanes.  The hyperplane components are derived per dimension
+    from the portable hash family, so bucketing is deterministic and
+    engine-independent (no stored model)."""
+    def proj_bit(p: int):
+        # Σ_i sign(h(p,i)) * v[i]  > 0  → bit p
+        terms = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda x, i: x
+                * F.when(
+                    seeded_hash64(i.cast("string"), seed_base + p)
+                    .bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(terms > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+
+    bucket = None
+    for p in range(planes):
+        bucket = proj_bit(p) if bucket is None else bucket + proj_bit(p)
+    return bucket.cast("long")
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the same
+    random-hyperplane bucket, then exact cosine + window top-k.
+    Recall < 1.0 by construction; the scale win is replacing the
+    cross join with an equi-join on the bucket key."""
+    q = _normed(queries, id_col, vec_col)
+    c = _normed(corpus, id_col, vec_col)
+    qb = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    cb = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        qb.join(cb, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def knn_edges(
+    emb: DataFrame,
+    k: int = 3,
+    min_cosine: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN similarity graph edges: top-k neighbors per vector with
+    cosine ≥ min_cosine, as (src, dst) pairs."""
+    top = cosine_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
+    return top.where(F.col("cos") >= F.lit(min_cosine)).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+
+
+def similarity_clusters(
+    emb: DataFrame,
+    k: int = 3,
+    min_cosine: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Similarity clusters = connected components of the k-NN graph
+    (CC kernel as clustering backbone).  Every vector appears;
+    isolated vectors form singletons via self-loops."""
+    edges = knn_edges(emb, k, min_cosine, id_col, vec_col).union(
+        emb.select(F.col(id_col).alias("src"), F.col(id_col).alias("dst"))
+    )
+    result = connected_components(edges)
+    return result.assignments.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster")
+    )

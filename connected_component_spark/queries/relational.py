@@ -1,0 +1,626 @@
+"""Relational query surface over the TPC-H-ish fixture tables.
+
+Each query is a (spark, sf_dir) -> DataFrame callable plus an exact
+DuckDB oracle SQL twin (SURVEY.md §2.3: the rubric categories absent
+from the reference become demonstrable engine surface here).
+
+Oracle-parity rules used throughout:
+
+* every computed column is aliased identically in both engines;
+* double *aggregates* are rounded (sums to 2dp, avgs/ratios to 4-6dp)
+  on both sides — partial-aggregation order makes raw double sums
+  nondeterministic in the last ulp; raw column projections are left
+  untouched (bit-identical out of parquet);
+* computed integers are cast to long (DuckDB windows/counts are
+  BIGINT, DuckDB SUM(int) is HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from connected_component_spark.queries.parity import davg, dsum, roundd
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from connected_component_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape): scan + filter + hash agg
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_charge,
+       CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_qty,
+       CAST(round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_price,
+       CAST(round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS DECIMAL(38,9)), 6) AS DOUBLE) AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 — shipping priority (TPC-H Q3 shape): 3-way join + agg + top-k
+# --------------------------------------------------------------------------
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q03_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 — local supplier volume (TPC-H Q5 shape): 6-way join with
+# broadcast-able dims (region/nation/supplier)
+# --------------------------------------------------------------------------
+
+def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+Q05_SQL = """
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q_topk_orders — global top-k with deterministic tie-break (sort+limit)
+# --------------------------------------------------------------------------
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+Q_TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q_window_top_customers — ranked window per partition
+# --------------------------------------------------------------------------
+
+def q_window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+Q_WINDOW_TOP_CUSTOMERS_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal, rn
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q_window_running — running totals + lag over event time
+# --------------------------------------------------------------------------
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                2,
+            ).cast("double").alias("running_total"),
+            F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.rank().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey")
+                )
+            ).cast("long").alias("price_rank"),
+        )
+    )
+
+
+Q_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+       lag(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+       lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+FROM orders
+WHERE o_custkey < 100
+"""
+
+
+# --------------------------------------------------------------------------
+# q_rollup_orders / q_cube_lineitem — grouping sets family
+# --------------------------------------------------------------------------
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
+
+
+Q_ROLLUP_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg("l_quantity").alias("avg_qty"),
+        )
+    )
+
+
+Q_CUBE_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+# --------------------------------------------------------------------------
+# q_semi_anti — semi/anti join surface
+# --------------------------------------------------------------------------
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("with_orders"))
+    )
+    without_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("without_orders"))
+    )
+    return (
+        with_orders.join(without_orders, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+    )
+
+
+Q_SEMI_ANTI_SQL = """
+WITH w AS (
+  SELECT c_mktsegment, count(*) AS with_orders
+  FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_mktsegment
+), wo AS (
+  SELECT c_mktsegment, count(*) AS without_orders
+  FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_mktsegment
+)
+SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       coalesce(with_orders, 0)  AS with_orders,
+       coalesce(without_orders, 0) AS without_orders
+FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# q_setops — intersect / except / union
+# --------------------------------------------------------------------------
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_nations = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    supp_nations = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("both"))
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn(
+        "tag", F.lit("customer_only")
+    )
+    supp_only = supp_nations.exceptAll(cust_nations).withColumn(
+        "tag", F.lit("supplier_only")
+    )
+    return both.union(cust_only).union(supp_only)
+
+
+Q_SETOPS_SQL = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS tag          FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'customer_only' AS tag FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS tag FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+"""
+
+
+# --------------------------------------------------------------------------
+# q_string_funcs — string function surface over part
+# --------------------------------------------------------------------------
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#13")).cast("long").alias(
+            "brand_dist"
+        ),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first"),
+    )
+
+
+Q_STRING_FUNCS_SQL = r"""
+SELECT p_partkey,
+       lower(p_name)                             AS name_lower,
+       upper(p_brand)                            AS brand_upper,
+       length(p_name)                            AS name_len,
+       substr(p_type, 1, 5)                      AS type_prefix,
+       regexp_extract(p_name, '(\w+)$', 1)       AS last_word,
+       p_brand || '|' || p_type                  AS brand_type,
+       levenshtein(p_brand, 'Brand#13')          AS brand_dist,
+       string_split(p_type, ' ')[1]              AS type_first
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# q_date_funcs — date/time surface over events
+# --------------------------------------------------------------------------
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date(F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+            davg("value").alias("avg_value"),
+            F.min(F.hour("ts")).cast("long").alias("first_hour"),
+            F.max(F.hour("ts")).cast("long").alias("last_hour"),
+        )
+    )
+
+
+Q_DATE_FUNCS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       count(*)                  AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+       CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_value,
+       min(extract(hour FROM ts)) AS first_hour,
+       max(extract(hour FROM ts)) AS last_hour
+FROM events
+GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q_json_extract — JSON field extraction from events.props
+# --------------------------------------------------------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            davg("k").alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       count(*)                               AS n,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(round(CAST(CAST(sum(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,4))) AS DOUBLE) / count(CAST(props->>'$.k' AS BIGINT)) AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_k,
+       min(CAST(props->>'$.k' AS BIGINT))      AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT))      AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q_agg_distinct — distinct aggregates
+# --------------------------------------------------------------------------
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q_AGG_DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*)                  AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q_array_ops — higher-order array functions over embeddings
+# --------------------------------------------------------------------------
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connected_component_spark.functions.vectors import as_double, l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm(v), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("embedding"),
+            6,
+        ).alias("mean_elem"),
+        F.round(F.array_max(v), 6).alias("max_elem"),
+        F.round(F.array_min(v), 6).alias("min_elem"),
+    )
+
+
+Q_ARRAY_OPS_SQL = """
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm,
+       round(list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding), 6)  AS mean_elem,
+       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS max_elem,
+       round(list_min(list_transform(embedding, x -> x::DOUBLE)), 6) AS min_elem
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# q_user_event_profile — per-entity array_agg as portable string
+# --------------------------------------------------------------------------
+
+def q_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("event_type"))
+            ).alias("types_seen"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+Q_USER_EVENT_PROFILE_SQL = """
+SELECT user_id,
+       count(*)                    AS n_events,
+       count(DISTINCT event_type)  AS n_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q05_local_supplier": q05_local_supplier,
+    "q_topk_orders": q_topk_orders,
+    "q_window_top_customers": q_window_top_customers,
+    "q_window_running": q_window_running,
+    "q_rollup_orders": q_rollup_orders,
+    "q_cube_lineitem": q_cube_lineitem,
+    "q_grouping_sets": q_grouping_sets,
+    "q_semi_anti": q_semi_anti,
+    "q_setops": q_setops,
+    "q_string_funcs": q_string_funcs,
+    "q_date_funcs": q_date_funcs,
+    "q_json_extract": q_json_extract,
+    "q_agg_distinct": q_agg_distinct,
+    "q_array_ops": q_array_ops,
+    "q_user_event_profile": q_user_event_profile,
+}
+
+ORACLES = {
+    "q01_pricing_summary": Q01_SQL,
+    "q03_shipping_priority": Q03_SQL,
+    "q05_local_supplier": Q05_SQL,
+    "q_topk_orders": Q_TOPK_ORDERS_SQL,
+    "q_window_top_customers": Q_WINDOW_TOP_CUSTOMERS_SQL,
+    "q_window_running": Q_WINDOW_RUNNING_SQL,
+    "q_rollup_orders": Q_ROLLUP_ORDERS_SQL,
+    "q_cube_lineitem": Q_CUBE_LINEITEM_SQL,
+    "q_grouping_sets": Q_GROUPING_SETS_SQL,
+    "q_semi_anti": Q_SEMI_ANTI_SQL,
+    "q_setops": Q_SETOPS_SQL,
+    "q_string_funcs": Q_STRING_FUNCS_SQL,
+    "q_date_funcs": Q_DATE_FUNCS_SQL,
+    "q_json_extract": Q_JSON_EXTRACT_SQL,
+    "q_agg_distinct": Q_AGG_DISTINCT_SQL,
+    "q_array_ops": Q_ARRAY_OPS_SQL,
+    "q_user_event_profile": Q_USER_EVENT_PROFILE_SQL,
+}

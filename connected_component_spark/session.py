@@ -27,6 +27,9 @@ SCALE_DEFAULTS: dict[str, str] = {
     # keep timestamps deterministic across JVM/duckdb comparisons
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
+    # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+    # reader rejects; read as long and convert in sources/tables.py
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

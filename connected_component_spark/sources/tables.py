@@ -1,0 +1,30 @@
+"""Fixture-table loaders.
+
+One place that knows the physical quirks of the test tables so the
+query surface stays clean.  Currently: ``events.ts`` is written as
+parquet TIMESTAMP(NANOS), which Spark's vectorized reader refuses;
+with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long
+that we convert to a microsecond timestamp (all queries aggregate at
+second-or-coarser granularity, so the truncation is lossless for
+every declared query and matches the DuckDB oracle's view).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["load_table", "TABLE_NAMES"]
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
