@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Query registries live next to their implementations:
+``connected_component_spark/queries/{relational,llmops,graph}.py``.
 """
 
 from __future__ import annotations
@@ -14,25 +16,45 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable engine confs to a driver-provided
+    session (events.parquet needs nanosAsLong, which is static —
+    sources/tables.py falls back gracefully if unset)."""
+    for k, v in [
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: minhash-LSH near-dup
+    clustering of documents with the alternating-star CC kernel as
+    the clustering backbone (the reference's algorithm driving an
+    LLM-data-pipeline operator)."""
+    _ensure_session_confs(spark)
+    from connected_component_spark.queries.llmops import dedup_minhash_clusters
+
+    return dedup_minhash_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from connected_component_spark.queries import graph, llmops, relational
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in (relational, llmops, graph):
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from connected_component_spark.queries import graph, llmops, relational
+
+    out: dict[str, str] = {}
+    for mod in (relational, llmops, graph):
+        out.update(mod.ORACLES)
+    return out

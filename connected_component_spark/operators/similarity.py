@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from connected_component_spark.functions.hashing import seeded_hash64
+from connected_component_spark.queries.parity import roundd
 from connected_component_spark.functions.vectors import as_double, cosine
 from connected_component_spark.graph.cc import connected_components
 
@@ -56,7 +57,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cos"),
+            roundd(cosine(F.col("qv"), F.col("cv")), round_to).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -128,7 +129,7 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            roundd(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from connected_component_spark.functions.hashing import hash64
+from connected_component_spark.queries.parity import roundd
 
 __all__ = [
     "tokens",
@@ -46,7 +47,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size(t).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(t)).cast("long").alias("n_uniq_tokens"),
-        F.round(
+        roundd(
             F.aggregate(t, F.lit(0.0), lambda acc, x: acc + F.length(x))
             / F.greatest(F.size(t), F.lit(1)),
             4,
@@ -68,9 +69,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
-        F.round(uniq_ratio, 4).alias("uniq_ratio"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(
+        roundd(uniq_ratio, 4).alias("uniq_ratio"),
+        roundd(stop_ratio, 4).alias("stop_ratio"),
+        roundd(
             (F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
              + uniq_ratio * 0.3
              + F.least(stop_ratio * F.lit(10.0), F.lit(1.0)) * 0.2),
@@ -85,10 +86,12 @@ def language_id(docs: DataFrame) -> DataFrame:
     language code order, 'und' = undetermined when all scores are 0).
     """
     t = tokens("text")
-    scores = {
-        lang: F.size(F.filter(t, lambda x, w=words: x.isin(list(w))))
-        for lang, words in STOPWORDS.items()
-    }
+
+    def _score(words: tuple[str, ...]):
+        wl = list(words)
+        return F.size(F.filter(t, lambda x: x.isin(wl)))
+
+    scores = {lang: _score(words) for lang, words in STOPWORDS.items()}
     # argmax with deterministic tie-break on language code
     structs = F.array(
         *[

@@ -1,0 +1,399 @@
+"""LLM-data-pipeline query surface: text analysis, dedup (exact /
+minhash-LSH / simhash), similarity search, multimodal metadata.
+
+Every query has a DuckDB oracle twin; hash-dependent operators use
+the portable md5 hash family so even minhash signatures and LSH
+cluster assignments hash-match across engines.  CC-backed cluster
+queries get recursive-CTE oracles (see queries/graph.py for the
+pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connected_component_spark.functions.hashing import hash64_sql, seeded_hash64_sql
+from connected_component_spark.operators import dedup as dd
+from connected_component_spark.operators import multimodal as mm
+from connected_component_spark.operators import similarity as sim
+from connected_component_spark.operators import text as tx
+from connected_component_spark.queries.parity import roundd_sql
+from connected_component_spark.sources.tables import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+# ---- shared SQL fragments -------------------------------------------------
+
+#: whitespace tokens with empties removed (twin of operators.text.tokens)
+TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+#: distinct word 3-shingles (twin of operators.dedup.word_shingles)
+SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(t) - 2, 1)), "
+    "i -> array_to_string(t[i:i+2], ' ')))"
+)
+
+_MINHASH_N = 16
+_LSH_BANDS = 4
+_LSH_ROWS = 4
+_JACCARD_THRESHOLD = 0.5
+
+
+def _stop_in(words) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_TOKEN_STATS_SQL = f"""
+WITH toks AS (SELECT doc_id, text, {TOKS} AS t FROM documents)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_uniq_tokens,
+       {roundd_sql('CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / greatest(len(t), 1)', 4)} AS avg_token_len,
+       length(text) AS n_chars_obs
+FROM toks
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+_EN = _stop_in(tx.STOPWORDS["en"])
+TEXT_QUALITY_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         len(list_distinct(t)) / greatest(len(t), 1) AS uniq_r,
+         len(list_filter(t, x -> x IN {_EN})) / greatest(len(t), 1) AS stop_r
+  FROM toks
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       {roundd_sql('uniq_r', 4)} AS uniq_ratio,
+       {roundd_sql('stop_r', 4)} AS stop_ratio,
+       {roundd_sql('least(n_tok / 100.0, 1.0) * 0.5 + uniq_r * 0.3 + least(stop_r * 10.0, 1.0) * 0.2', 4)} AS quality
+FROM feat
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    score_cols = ",\n         ".join(
+        f"len(list_filter(t, x -> x IN {_stop_in(w)})) AS s_{lang}"
+        for lang, w in tx.STOPWORDS.items()
+    )
+    langs_desc = sorted(tx.STOPWORDS, reverse=True)  # max-lang tie-break
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in tx.STOPWORDS) + ")"
+    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs_desc[:-1]
+    ) + f" ELSE '{langs_desc[-1]}' END"
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {TOKS} AS t FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {score_cols},
+         {m} AS best
+  FROM toks
+)
+SELECT doc_id, lang,
+       {case} AS pred_lang,
+       CAST(best AS BIGINT) AS pred_score
+FROM scored
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_FINGERPRINT_SQL = f"""
+WITH toks AS (SELECT doc_id, text, {TOKS} AS t FROM documents)
+SELECT doc_id,
+       {hash64_sql('text')} AS text_hash,
+       {hash64_sql("array_to_string(list_sort(list_distinct(t)), ' ')")} AS bow_fingerprint
+FROM toks
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT {hash64_sql('text')} AS text_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dd.minhash_signatures(load_table(spark, sf_dir, "documents"), _MINHASH_N)
+    return sigs.select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(_MINHASH_N)],
+    )
+
+
+def _minhash_sql_core() -> str:
+    """Shared CTE chain: tokens → shingles → exploded → signatures."""
+    mins = ",\n         ".join(
+        f"min({seeded_hash64_sql('shingle', i)}) AS h{i}" for i in range(_MINHASH_N)
+    )
+    return f"""
+toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {SHINGLES} AS shingles FROM toks),
+shex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shex GROUP BY doc_id
+)"""
+
+
+DEDUP_MINHASH_SIGNATURES_SQL = f"""
+WITH {_minhash_sql_core()}
+SELECT * FROM sig
+"""
+
+
+def _bucket_sql(band: int) -> str:
+    cols = " || ',' || ".join(
+        f"CAST(h{band * _LSH_ROWS + r} AS VARCHAR)" for r in range(_LSH_ROWS)
+    )
+    return hash64_sql(cols)
+
+
+def _lsh_pairs_sql() -> str:
+    """CTE chain extension: signatures → band buckets → candidate
+    pairs → exact-jaccard-verified pairs."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_bucket_sql(b)} AS bucket FROM sig"
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+jac AS (
+  SELECT a, b,
+         {roundd_sql('len(list_intersect(sa.shingles, sb.shingles)) / '
+                     '(len(sa.shingles) + len(sb.shingles) '
+                     '- len(list_intersect(sa.shingles, sb.shingles)))', 6)} AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = a
+  JOIN sh sb ON sb.doc_id = b
+)"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, _MINHASH_N)
+    cand = dd.lsh_candidate_pairs(sigs, _LSH_BANDS, _LSH_ROWS)
+    return dd.jaccard_pairs(docs, cand)
+
+
+DEDUP_MINHASH_PAIRS_SQL = f"""
+WITH {_minhash_sql_core()},
+{_lsh_pairs_sql()}
+SELECT a, b, jaccard FROM jac
+"""
+
+
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_dedup_clusters(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_N,
+        bands=_LSH_BANDS,
+        threshold=_JACCARD_THRESHOLD,
+    )
+
+
+DEDUP_MINHASH_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_minhash_sql_core()},
+{_lsh_pairs_sql()},
+edges AS (
+  SELECT a AS src, b AS dst FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+)
+SELECT node AS doc_id, min(comp) AS cluster
+FROM walk GROUP BY node
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = hash64_sql("token")
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _norm_sql(v: str) -> str:
+    return f"sqrt(list_sum(list_transform({v}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return sim.cosine_topk(queries, emb, k=5)
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {roundd_sql(_DOT.format(a='qv', b='cv') + f" / ({_norm_sql('qv')} * {_norm_sql('cv')})", 6)} AS cos
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def ann_similarity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.similarity_clusters(emb, k=3, min_cosine=0.1)
+
+
+ANN_SIMILARITY_CLUSTERS_SQL = f"""
+WITH RECURSIVE allp AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {roundd_sql(_DOT.format(a='a.embedding', b='b.embedding') + f" / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')})", 6)} AS cos
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM allp
+),
+edges AS (
+  SELECT query_id AS src, neighbor_id AS dst FROM ranked
+  WHERE rank <= 3 AND cos >= 0.1
+),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+walk(node, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+)
+SELECT node AS vec_id, min(comp) AS cluster
+FROM walk GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal metadata (stubbed decode, real mapInPandas plumbing)
+# --------------------------------------------------------------------------
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.decode_metadata(mm.with_binary_payload(docs))
+
+
+MULTIMODAL_METADATA_SQL = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
+       CAST((strlen(text) // 7) % 480 + 1 AS BIGINT) AS height,
+       CASE strlen(text) % 3 WHEN 0 THEN 'rgb' WHEN 1 THEN 'rgba' ELSE 'gray' END AS fmt
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_minhash_clusters": dedup_minhash_clusters,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_similarity_clusters": ann_similarity_clusters,
+    "multimodal_metadata": multimodal_metadata,
+}
+
+ORACLES = {
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_lang_id": _lang_id_sql(),
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_signatures": DEDUP_MINHASH_SIGNATURES_SQL,
+    "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
+    "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
+    "dedup_simhash": _simhash_sql(16),
+    "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+    "ann_similarity_clusters": ANN_SIMILARITY_CLUSTERS_SQL,
+    "multimodal_metadata": MULTIMODAL_METADATA_SQL,
+}

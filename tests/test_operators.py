@@ -1,0 +1,126 @@
+"""Unit tests for dedup / similarity / text / multimodal operators
+on hand-built inputs with known answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from connected_component_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup_clusters,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from connected_component_spark.operators.multimodal import (
+    decode_metadata,
+    with_binary_payload,
+)
+from connected_component_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+    similarity_clusters,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    docs = _docs(spark, ["a b c", "a b c", "x y z"])
+    rows = exact_dedup(docs).collect()
+    by_canon = {r["canonical_doc_id"]: r["n_dups"] for r in rows}
+    assert by_canon == {0: 2, 2: 1}
+
+
+def test_word_shingles_window(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string").select(
+        word_shingles(F.col("text"), 3).alias("sh")
+    )
+    assert sorted(df.first()["sh"]) == ["a b c", "b c d"]
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a b",)], "text string").select(
+        word_shingles(F.col("text"), 3).alias("sh")
+    )
+    assert df.first()["sh"] == ["a b"]
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    docs = _docs(spark, ["w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5", "q r s t u"])
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, 8).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+
+
+def test_minhash_cluster_pipeline_finds_near_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " changed"
+    other = " ".join(f"zz{i}" for i in range(40))
+    docs = _docs(spark, [base, near, other])
+    clusters = {
+        r["doc_id"]: r["cluster"]
+        for r in minhash_dedup_clusters(docs, threshold=0.5).collect()
+    }
+    assert clusters[0] == clusters[1] == 0
+    assert clusters[2] == 2
+
+
+def test_jaccard_exact_value(spark):
+    docs = _docs(spark, ["a b c d", "b c d e"])
+    pairs = spark.createDataFrame([(0, 1)], "a long, b long")
+    # shingles: {abc,bcd} vs {bcd,cde} → |∩|=1 |∪|=3
+    j = jaccard_pairs(docs, pairs).first()["jaccard"]
+    assert abs(j - 1 / 3) < 1e-6
+
+
+def test_simhash_identical_docs_match(spark):
+    docs = _docs(spark, ["a b c", "a b c", "completely different words"])
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    emb = _emb(spark, [[1, 0], [0.9, 0.1], [0, 1]])
+    queries = emb.where(F.col("vec_id") == 0)
+    rows = cosine_topk(queries, emb, k=2).collect()
+    assert [r["neighbor_id"] for r in rows] == [1, 2]
+    assert rows[0]["cos"] > 0.99
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    emb = _emb(spark, [[1, 0], [0.99, 0.14], [-1, 0.1], [0.98, 0.2]])
+    approx = lsh_bucketed_topk(emb, emb, k=3).collect()
+    # approximate results must still be true cosines (spot check one)
+    for r in approx:
+        assert -1.0 <= r["cos"] <= 1.0
+
+
+def test_similarity_clusters_cover_all_vectors(spark):
+    emb = _emb(spark, [[1, 0], [0.9, 0.1], [0, 1], [-1, 0]])
+    rows = similarity_clusters(emb, k=1, min_cosine=0.95).collect()
+    assert {r["vec_id"] for r in rows} == {0, 1, 2, 3}
+
+
+def test_multimodal_plumbing_deterministic(spark):
+    docs = _docs(spark, ["hello world", "abc"])
+    out = {r["doc_id"]: r for r in decode_metadata(with_binary_payload(docs)).collect()}
+    assert out[0]["n_bytes"] == 11
+    assert out[1]["n_bytes"] == 3
+    assert out[0]["width"] == 11 % 640 + 1
+    assert out[0]["fmt"] in ("rgb", "rgba", "gray")
