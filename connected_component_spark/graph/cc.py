@@ -107,7 +107,11 @@ def large_star(edges: DataFrame) -> DataFrame:
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
     from_self = mins.select(F.col("src"), F.col("m").alias("dst"))
-    return from_neighbors.union(from_self).distinct()
+    # no global distinct here: the reference also dedups only within
+    # a group (ConnectedComponent.scala:159 toSet is per-node) and
+    # lets the next aggregation absorb cross-group duplicates
+    # map-side; small_star closes the round with one global distinct
+    return from_neighbors.union(from_self)
 
 
 def small_star(edges: DataFrame) -> DataFrame:
@@ -246,10 +250,10 @@ def connected_components(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _checkpoint(df: DataFrame) -> DataFrame:
+    def _checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
 
     pairs = _checkpoint(_canonical_edges(edges).distinct())
     converged = False
@@ -272,7 +276,9 @@ def connected_components(
     else:
         prev_fp: tuple[int, int] | None = None
         for iterations in range(1, max_iterations + 1):
-            pairs = _checkpoint(small_star(large_star(pairs)))
+            # lazy checkpoint: the fingerprint aggregation is the one
+            # action per round and materializes the checkpoint blocks
+            pairs = _checkpoint(small_star(large_star(pairs)), eager=False)
             fp = _set_fingerprint(pairs)
             if fp == prev_fp:
                 converged = True

@@ -14,11 +14,12 @@ from pyspark.sql import functions as F
 
 from connected_component_spark.functions.hashing import seeded_hash64
 from connected_component_spark.queries.parity import roundd
-from connected_component_spark.functions.vectors import as_double, cosine
+from connected_component_spark.functions.vectors import as_double, cosine, dot, l2_norm
 from connected_component_spark.graph.cc import connected_components
 
 __all__ = [
     "cosine_topk",
+    "block_cosine_topk",
     "lsh_bucketed_topk",
     "knn_edges",
     "similarity_clusters",
@@ -45,11 +46,18 @@ def cosine_topk(
     excluded.  At scale the query side is the small one — Spark
     broadcasts it under AQE; the corpus side streams.
     """
+    # norms are precomputed per vector (O(n)) instead of per pair
+    # (O(n·m)); dot/(qn*cn) is the same expression tree as the inline
+    # cosine, so results stay bit-identical with the oracle
     q = _normed(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
     )
     c = _normed(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         q.crossJoin(c)
@@ -57,7 +65,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            roundd(cosine(F.col("qv"), F.col("cv")), round_to).alias("cos"),
+            roundd(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                round_to,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -142,6 +153,89 @@ def lsh_bucketed_topk(
     )
 
 
+def block_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_blocks: int = 8,
+    corpus_blocks: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k via blocked matrix multiplication.
+
+    Same result contract as :func:`cosine_topk`, different physical
+    strategy: vectors are grouped into hash blocks; block pairs cross
+    join (``query_blocks × corpus_blocks`` rows instead of n·m) and a
+    vectorized Arrow/numpy ``mapInPandas`` computes the block GEMM +
+    per-block top-k; a final window merges block partials.  This is
+    the 100 TB shape — per-task memory is bounded by block size, the
+    shuffle moves only ``q·blocks·k`` partials, and the GEMM runs at
+    BLAS speed instead of per-pair array folds.  Block counts are
+    knobs: size them so a block is a few thousand vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = queries.select(F.col(id_col).alias("qid"), as_double(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+    qb = (
+        q.withColumn("qblk", F.pmod(F.xxhash64("qid"), F.lit(query_blocks)))
+        .groupBy("qblk")
+        .agg(F.collect_list(F.struct("qid", "qv")).alias("qitems"))
+    )
+    cb = (
+        c.withColumn("cblk", F.pmod(F.xxhash64("cid"), F.lit(corpus_blocks)))
+        .groupBy("cblk")
+        .agg(F.collect_list(F.struct("cid", "cv")).alias("citems"))
+    )
+    pairs = qb.crossJoin(cb)
+
+    topk = k
+
+    def gemm(batches):
+        for pdf in batches:
+            out_q, out_c, out_s = [], [], []
+            for qitems, citems in zip(pdf["qitems"], pdf["citems"]):
+                qids = np.fromiter((x["qid"] for x in qitems), dtype=np.int64)
+                cids = np.fromiter((x["cid"] for x in citems), dtype=np.int64)
+                qm = np.array([x["qv"] for x in qitems], dtype=np.float64)
+                cm = np.array([x["cv"] for x in citems], dtype=np.float64)
+                qn = np.sqrt((qm * qm).sum(axis=1))
+                cn = np.sqrt((cm * cm).sum(axis=1))
+                cos = (qm @ cm.T) / np.outer(qn, cn)
+                # self-matches dropped globally by the caller filter
+                take = min(topk + 1, cos.shape[1])
+                idx = np.argpartition(-cos, take - 1, axis=1)[:, :take]
+                for r in range(cos.shape[0]):
+                    for j in idx[r]:
+                        out_q.append(qids[r])
+                        out_c.append(cids[j])
+                        out_s.append(cos[r, j])
+            yield pd.DataFrame({"qid": out_q, "cid": out_c, "cos_raw": out_s})
+
+    partials = pairs.mapInPandas(gemm, schema="qid long, cid long, cos_raw double")
+    scored = (
+        partials.where(F.col("qid") != F.col("cid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            roundd(F.col("cos_raw"), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def knn_edges(
     emb: DataFrame,
     k: int = 3,
@@ -150,8 +244,10 @@ def knn_edges(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """k-NN similarity graph edges: top-k neighbors per vector with
-    cosine ≥ min_cosine, as (src, dst) pairs."""
-    top = cosine_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
+    cosine ≥ min_cosine, as (src, dst) pairs.  Uses the blocked-GEMM
+    physical path (corpus × corpus is the worst case for per-pair
+    folds)."""
+    top = block_cosine_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
     return top.where(F.col("cos") >= F.lit(min_cosine)).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
