@@ -31,9 +31,12 @@ from connected_component_spark.operators.text import tokens
 __all__ = [
     "exact_dedup",
     "word_shingles",
+    "char_ngrams",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_pairs",
+    "ngram_jaccard_pairs",
+    "ngram_dedup_clusters",
     "minhash_dedup_clusters",
     "simhash",
 ]
@@ -66,6 +69,77 @@ def word_shingles(text_col, k: int = 3):
         F.transform(
             idx, lambda i: F.concat_ws(" ", F.slice(t, i, k))
         )
+    )
+
+
+def char_ngrams(text_col, n: int = 3):
+    """Distinct character n-grams of a text column (array<string>).
+
+    Texts shorter than ``n`` chars contribute the whole text as one
+    gram so every document participates in the similarity join.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Exact character-n-gram Jaccard similarity join via inverted
+    index: explode distinct grams, equi-join on the gram, count the
+    intersection per (a, b) pair, derive Jaccard from the set sizes.
+
+    Scale notes: the equi-join on ``gram`` replaces the O(n²) cross
+    join — only pairs sharing ≥1 gram materialize; hot grams (common
+    trigrams) produce skewed join keys that AQE skew-split handles,
+    and the groupBy that follows is a plain shuffle with map-side
+    partial counts.  For corpus-scale runs add a document-frequency
+    cutoff on grams (drop grams in >X% of docs) — the standard
+    prefix-filtering refinement — before the join.
+    """
+    grams = docs.select("doc_id", char_ngrams(F.col("text"), n).alias("g"))
+    sizes = grams.select("doc_id", F.size("g").alias("sz"))
+    inv = grams.select("doc_id", F.explode("g").alias("gram"))
+    common = (
+        inv.alias("l")
+        .join(
+            inv.alias("r"),
+            (F.col("l.gram") == F.col("r.gram"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), "a"
+        )
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a",
+            "b",
+            roundd(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_dedup_clusters(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """n-gram-Jaccard near-dedup: pairs ≥ threshold become edges; the
+    CC kernel clusters them; every doc is covered via self-loops."""
+    edges = (
+        ngram_jaccard_pairs(docs, n)
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(docs.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+    )
+    result = connected_components(edges)
+    return result.assignments.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
     )
 
 

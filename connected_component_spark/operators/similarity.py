@@ -20,6 +20,8 @@ from connected_component_spark.graph.cc import connected_components
 __all__ = [
     "cosine_topk",
     "block_cosine_topk",
+    "cosine_threshold_pairs",
+    "embedding_dedup_clusters",
     "lsh_bucketed_topk",
     "knn_edges",
     "similarity_clusters",
@@ -127,11 +129,13 @@ def lsh_bucketed_topk(
     qb = q.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
         _hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     cb = c.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
         _hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
@@ -140,7 +144,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            roundd(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            roundd(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -233,6 +239,66 @@ def block_cosine_topk(
         .select(
             "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
         )
+    )
+
+
+def cosine_threshold_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """All (a, b) pairs with cosine ≥ threshold, a < b — the edge set
+    of an embedding near-dup graph.
+
+    Physical shape mirrors :func:`cosine_topk`'s norm-precomputed
+    cross join; the rounded cosine keeps the threshold test
+    engine-reproducible.  At 100 TB the cross join is replaced by
+    the LSH-bucketed candidate join (same post-filter) — kept exact
+    here because the oracle contract needs determinism.
+    """
+    a = _normed(emb, id_col, vec_col).select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("av"),
+        l2_norm(F.col(vec_col)).alias("an"),
+    )
+    b = _normed(emb, id_col, vec_col).select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("bv"),
+        l2_norm(F.col(vec_col)).alias("bn"),
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            roundd(
+                dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")),
+                round_to,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+
+
+def embedding_dedup_clusters(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dedup: threshold pairs become edges; the
+    CC kernel clusters them; self-loops keep isolated vectors as
+    singleton clusters."""
+    pairs = cosine_threshold_pairs(emb, threshold, id_col, vec_col)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        emb.select(F.col(id_col).alias("src"), F.col(id_col).alias("dst"))
+    )
+    result = connected_components(edges)
+    return result.assignments.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster")
     )
 
 

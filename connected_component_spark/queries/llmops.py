@@ -252,6 +252,69 @@ FROM walk GROUP BY node
 """
 
 
+_NGRAM_THRESHOLD = 0.7
+
+#: distinct char trigrams (twin of operators.dedup.char_ngrams, n=3)
+NGRAMS = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(length(text) - 2, 1)), "
+    "i -> text[i:i+2]))"
+)
+
+_NGRAM_CORE = f"""
+g AS (SELECT doc_id, {NGRAMS} AS gr FROM documents),
+inv AS (SELECT doc_id, unnest(gr) AS gram FROM g),
+sz AS (SELECT doc_id, len(gr) AS sz FROM g),
+common AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_common
+  FROM inv l JOIN inv r ON l.gram = r.gram AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+nj AS (
+  SELECT a, b,
+         {roundd_sql('n_common / (sa.sz + sb.sz - n_common)', 6)} AS jaccard
+  FROM common JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+)"""
+
+
+def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents")).where(
+        F.col("jaccard") >= F.lit(_NGRAM_THRESHOLD)
+    )
+
+
+DEDUP_NGRAM_PAIRS_SQL = f"""
+WITH {_NGRAM_CORE}
+SELECT a, b, jaccard FROM nj WHERE jaccard >= {_NGRAM_THRESHOLD}
+"""
+
+
+def dedup_ngram_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_dedup_clusters(
+        load_table(spark, sf_dir, "documents"), threshold=_NGRAM_THRESHOLD
+    )
+
+
+DEDUP_NGRAM_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_NGRAM_CORE},
+edges AS (
+  SELECT a AS src, b AS dst FROM nj WHERE jaccard >= {_NGRAM_THRESHOLD}
+),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+)
+SELECT node AS doc_id, min(comp) AS cluster
+FROM walk GROUP BY node
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(load_table(spark, sf_dir, "documents"), bits=16)
 
@@ -349,6 +412,91 @@ FROM walk GROUP BY node
 """
 
 
+_EMB_DEDUP_THRESHOLD = 0.4
+
+
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_dedup_clusters(
+        load_table(spark, sf_dir, "embeddings"), threshold=_EMB_DEDUP_THRESHOLD
+    )
+
+
+DEDUP_EMBEDDING_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         {roundd_sql(_DOT.format(a='a.embedding', b='b.embedding') + f" / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')})", 6)} AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs WHERE cos >= {_EMB_DEDUP_THRESHOLD}
+),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+walk(node, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+)
+SELECT node AS vec_id, min(comp) AS cluster
+FROM walk GROUP BY node
+"""
+
+
+_LSH_PLANES = 4
+_LSH_SEED_BASE = 7
+
+
+def _bucket_expr_sql(v: str) -> str:
+    """DuckDB twin of operators.similarity._hyperplane_bucket."""
+    bits = []
+    for p in range(_LSH_PLANES):
+        sign = (
+            f"CASE WHEN ({seeded_hash64_sql('CAST(i - 1 AS VARCHAR)', _LSH_SEED_BASE + p)}"
+            f" & 1) = 1 THEN 1.0 ELSE -1.0 END"
+        )
+        s = (
+            f"list_sum(list_transform(generate_series(1, len({v})), "
+            f"i -> {v}[i]::DOUBLE * ({sign})))"
+        )
+        bits.append(f"(CASE WHEN {s} > 0 THEN {2 ** p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return sim.lsh_bucketed_topk(queries, emb, k=5, planes=_LSH_PLANES)
+
+
+ANN_LSH_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {_bucket_expr_sql('embedding')} AS bucket
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         {_bucket_expr_sql('embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {roundd_sql(_DOT.format(a='qv', b='cv') + f" / ({_norm_sql('qv')} * {_norm_sql('cv')})", 6)} AS cos
+  FROM q JOIN c USING (bucket)
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal metadata (stubbed decode, real mapInPandas plumbing)
 # --------------------------------------------------------------------------
@@ -377,8 +525,12 @@ QUERIES = {
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_clusters": dedup_minhash_clusters,
+    "dedup_ngram_pairs": dedup_ngram_pairs,
+    "dedup_ngram_clusters": dedup_ngram_clusters,
+    "dedup_embedding_clusters": dedup_embedding_clusters,
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
     "ann_similarity_clusters": ann_similarity_clusters,
     "multimodal_metadata": multimodal_metadata,
 }
@@ -392,8 +544,12 @@ ORACLES = {
     "dedup_minhash_signatures": DEDUP_MINHASH_SIGNATURES_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
+    "dedup_ngram_pairs": DEDUP_NGRAM_PAIRS_SQL,
+    "dedup_ngram_clusters": DEDUP_NGRAM_CLUSTERS_SQL,
+    "dedup_embedding_clusters": DEDUP_EMBEDDING_CLUSTERS_SQL,
     "dedup_simhash": _simhash_sql(16),
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+    "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_similarity_clusters": ANN_SIMILARITY_CLUSTERS_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
 }
