@@ -43,18 +43,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from connected_component_spark.queries import graph, llmops, relational
+    from connected_component_spark.queries import graph, llmops, relational, streamq
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, llmops, graph):
+    for mod in (relational, llmops, graph, streamq):
         out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from connected_component_spark.queries import graph, llmops, relational
+    from connected_component_spark.queries import graph, llmops, relational, streamq
 
     out: dict[str, str] = {}
-    for mod in (relational, llmops, graph):
+    for mod in (relational, llmops, graph, streamq):
         out.update(mod.ORACLES)
     return out

@@ -22,13 +22,12 @@ from connected_component_spark.graph.cc import (
 )
 from connected_component_spark.sources.tables import load_table
 
-__all__ = ["QUERIES", "ORACLES", "copresence_edges"]
+__all__ = ["QUERIES", "ORACLES", "copresence_edges", "copresence_edges_from_events"]
 
 
-def copresence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Users co-present in the same (event_type, hour) bucket,
-    linked as a sorted chain per bucket."""
-    ev = load_table(spark, sf_dir, "events")
+def copresence_edges_from_events(ev: DataFrame) -> DataFrame:
+    """Chain edges over users co-present in the same
+    (event_type, hour) bucket of the given events DataFrame."""
     grouped = ev.select(
         "user_id",
         "event_type",
@@ -42,6 +41,12 @@ def copresence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dst").isNotNull())
     )
+
+
+def copresence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users co-present in the same (event_type, hour) bucket,
+    linked as a sorted chain per bucket."""
+    return copresence_edges_from_events(load_table(spark, sf_dir, "events"))
 
 
 def cc_user_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,110 @@
+"""Streaming query surface with batch-SQL oracles.
+
+Each entry runs a genuine Structured Streaming pipeline to
+completion on the bounded fixtures (available-now trigger) and
+returns the final result as a batch DataFrame.  The oracle contract
+is the point: a correct streaming pipeline over a bounded input must
+agree exactly with the batch/SQL formulation of the same logic, so
+the driver's DuckDB comparison applies to the streaming path too.
+
+``stream_incremental_cc`` is the flagship: events are split into
+day-aligned micro-batches, the copresence edge derivation runs
+per batch, and the incremental CC state (streaming/incremental.py)
+folds each batch in — the final assignment must match the batch
+recursive-CTE oracle over the *whole* history, which verifies the
+star-edge compression invariant across batch boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connected_component_spark.queries.graph import (
+    CC_USER_COPRESENCE_SQL,
+    copresence_edges_from_events,
+)
+from connected_component_spark.queries.parity import roundd_sql
+from connected_component_spark.sources.tables import load_table
+from connected_component_spark.streaming.incremental import (
+    IncrementalCC,
+    run_edge_stream,
+)
+from connected_component_spark.streaming.windows import (
+    run_stream_to_memory,
+    stream_events,
+    windowed_event_counts,
+)
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate over the event stream."""
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(windowed_event_counts(ev))
+
+
+STREAM_WINDOW_COUNTS_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {roundd_sql('sum(value)', 6)} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC over a micro-batched event stream.
+
+    Events are re-written as day-range-partitioned files (whole days
+    per file, so every (event_type, hour) copresence bucket lands in
+    exactly one micro-batch and per-batch chain edges preserve the
+    bucket's connectivity); the file stream replays them one file per
+    trigger; foreachBatch folds each batch's edges plus per-user
+    self-loops into the running assignment.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    staged = os.path.join(
+        tempfile.gettempdir(), "ccs_stream_stage", os.path.basename(sf_dir.rstrip("/"))
+    )
+    (
+        ev.select("user_id", "event_type", "ts")
+        .repartitionByRange(6, F.to_date("ts"))
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+
+    def derive(batch_df: DataFrame) -> DataFrame:
+        edges = copresence_edges_from_events(batch_df)
+        loops = batch_df.select(
+            F.col("user_id").alias("src"), F.col("user_id").alias("dst")
+        ).distinct()
+        return edges.union(loops)
+
+    state = run_edge_stream(stream, IncrementalCC(), derive_edges=derive)
+    assert state.assignments is not None and state.batches_seen > 1
+    return state.assignments.select(
+        F.col("node").alias("user_id"), F.col("component")
+    )
+
+
+QUERIES = {
+    "stream_window_counts": stream_window_counts,
+    "stream_incremental_cc": stream_incremental_cc,
+}
+
+ORACLES = {
+    "stream_window_counts": STREAM_WINDOW_COUNTS_SQL,
+    "stream_incremental_cc": CC_USER_COPRESENCE_SQL,
+}

@@ -1,0 +1,83 @@
+"""Incremental connected components over an edge stream.
+
+The reference computes CC on static snapshots
+(``ConnectedComponent.scala:266-279``); this is the streaming
+extension: maintain a running ``(node, component)`` assignment and
+fold each micro-batch of new edges in via ``foreachBatch``.
+
+Correctness invariant: the prior assignment, re-expressed as star
+edges ``(node → component)``, preserves exactly the connectivity of
+all previously-seen edges.  So CC over
+``new_batch_edges ∪ prior_star_edges`` equals CC over the full edge
+history — each micro-batch runs the alternating-star kernel on an
+input whose size is O(new edges + distinct nodes), never the full
+history.  That is the same compression the alternating algorithm
+itself applies between rounds, lifted to the stream boundary.
+
+Scale notes: per-batch work is bounded by batch size + node count;
+``localCheckpoint`` cuts lineage across batches (the batch-loop twin
+of the per-round checkpoint in graph/cc.py); on a real cluster the
+state would live in a checkpointed table (Delta/parquet) written per
+batch — the in-memory DataFrame here keeps the test surface simple.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from connected_component_spark.graph.cc import connected_components
+
+__all__ = ["IncrementalCC", "run_edge_stream"]
+
+
+class IncrementalCC:
+    """Mutable running-CC state folded over edge micro-batches."""
+
+    def __init__(self, max_iterations: int = 20) -> None:
+        self.max_iterations = max_iterations
+        self.assignments: DataFrame | None = None
+        self.batches_seen = 0
+
+    def update(self, edge_batch: DataFrame) -> DataFrame:
+        """Fold one batch of (src, dst) edges into the state; returns
+        the updated (node, component) assignment."""
+        if self.assignments is None:
+            merged = edge_batch
+        else:
+            prior = self.assignments.select(
+                F.col("node").alias("src"), F.col("component").alias("dst")
+            )
+            merged = edge_batch.select("src", "dst").union(prior)
+        result = connected_components(merged, max_iterations=self.max_iterations)
+        self.assignments = result.assignments.localCheckpoint(eager=True)
+        self.batches_seen += 1
+        return self.assignments
+
+
+def run_edge_stream(
+    edge_stream: DataFrame,
+    state: IncrementalCC | None = None,
+    derive_edges=None,
+) -> IncrementalCC:
+    """Drive an IncrementalCC from a streaming DataFrame via
+    ``foreachBatch`` with the available-now trigger (processes the
+    backlog as micro-batches, then stops).
+
+    ``derive_edges``: optional per-batch transform mapping the raw
+    batch rows to (src, dst) edges — runs in batch context, so window
+    functions etc. are available.
+    """
+    state = state or IncrementalCC()
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        edges = derive_edges(batch_df) if derive_edges is not None else batch_df
+        state.update(edges)
+
+    q = (
+        edge_stream.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state

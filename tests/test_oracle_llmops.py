@@ -4,11 +4,11 @@ from __future__ import annotations
 
 import pytest
 
-from connected_component_spark.queries import graph, llmops
+from connected_component_spark.queries import graph, llmops, streamq
 from tests.oracle_utils import compare, duck_connection
 
-ALL = {**llmops.QUERIES, **graph.QUERIES}
-ORACLES = {**llmops.ORACLES, **graph.ORACLES}
+ALL = {**llmops.QUERIES, **graph.QUERIES, **streamq.QUERIES}
+ORACLES = {**llmops.ORACLES, **graph.ORACLES, **streamq.ORACLES}
 
 
 @pytest.fixture(scope="module")
