@@ -585,10 +585,257 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q04 — order priority checking (TPC-H Q4 shape): EXISTS semi join
+# --------------------------------------------------------------------------
+
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    # lineitems shipped after 60 days past order date play the TPC-H
+    # commitdate role (fixture has no commit/receipt dates)
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        )
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q04_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q06 — forecast revenue change (TPC-H Q6 shape): pure scan+filter agg,
+# the predicate-pushdown showcase
+# --------------------------------------------------------------------------
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q06_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 — returned item reporting (TPC-H Q10 shape): join + agg + top-k
+# --------------------------------------------------------------------------
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 — shipping mode / priority classes (TPC-H Q12 shape):
+# conditional aggregation over a join
+# --------------------------------------------------------------------------
+
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 — promotion effect (TPC-H Q14 shape): join + conditional ratio
+# --------------------------------------------------------------------------
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        roundd(
+            F.lit(100.0)
+            * F.sum(promo.cast("decimal(18,4)")).cast("double")
+            / F.sum(rev.cast("decimal(18,4)")).cast("double"),
+            4,
+        ).alias("promo_revenue_pct"),
+        dsum(rev).alias("total_revenue"),
+    )
+
+
+Q14_SQL = """
+SELECT CAST(round(CAST(100.0
+         * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS DECIMAL(38,9)), 4) AS DOUBLE) AS promo_revenue_pct,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# q_sessionization — gap-based sessions over the event stream
+# (lag + conditional cumsum: the batch twin of stateful streaming
+# sessionization)
+# --------------------------------------------------------------------------
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_break = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("brk"),
+    )
+    with_sess = with_break.withColumn(
+        "session_seq", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_s"
+            ),
+            dsum("value").alias("session_value"),
+        )
+        .withColumn("session_seq", F.col("session_seq").cast("long"))
+    )
+
+
+Q_SESSIONIZATION_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM lagged
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS session_value
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
+    "q04_order_priority": q04_order_priority,
     "q05_local_supplier": q05_local_supplier,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q12_priority_classes": q12_priority_classes,
+    "q14_promo_effect": q14_promo_effect,
+    "q_sessionization": q_sessionization,
     "q_topk_orders": q_topk_orders,
     "q_window_top_customers": q_window_top_customers,
     "q_window_running": q_window_running,
@@ -608,7 +855,13 @@ QUERIES = {
 ORACLES = {
     "q01_pricing_summary": Q01_SQL,
     "q03_shipping_priority": Q03_SQL,
+    "q04_order_priority": Q04_SQL,
     "q05_local_supplier": Q05_SQL,
+    "q06_forecast_revenue": Q06_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q12_priority_classes": Q12_SQL,
+    "q14_promo_effect": Q14_SQL,
+    "q_sessionization": Q_SESSIONIZATION_SQL,
     "q_topk_orders": Q_TOPK_ORDERS_SQL,
     "q_window_top_customers": Q_WINDOW_TOP_CUSTOMERS_SQL,
     "q_window_running": Q_WINDOW_RUNNING_SQL,
