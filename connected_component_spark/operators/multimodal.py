@@ -15,17 +15,31 @@ tested; swapping the stub for PIL/ffmpeg is a local change inside
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_binary_payload", "decode_metadata", "DECODE_SCHEMA"]
+__all__ = [
+    "with_binary_payload",
+    "decode_metadata",
+    "extract_features",
+    "resize_payload",
+    "sample_frames",
+    "DECODE_SCHEMA",
+    "FEATURE_SCHEMA",
+    "RESIZE_SCHEMA",
+    "FRAME_SCHEMA",
+]
 
 DECODE_SCHEMA = (
     "doc_id long, n_bytes long, width long, height long, fmt string"
 )
+FEATURE_SCHEMA = "doc_id long, features array<double>"
+RESIZE_SCHEMA = "doc_id long, width long, height long, n_bytes_out long, out_md5 string"
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_len long, frame_md5 string"
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -69,3 +83,77 @@ def decode_metadata(docs_with_payload: DataFrame) -> DataFrame:
             yield out
 
     return docs_with_payload.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def extract_features(docs_with_payload: DataFrame, dim: int = 8) -> DataFrame:
+    """STUB feature extractor: (doc_id, features array<double>).
+
+    The fake embedding is a deterministic function of the byte-sum of
+    the payload (a real implementation runs a vision/audio encoder on
+    the decoded media).  1 row in → 1 row out; map-side only.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, feats = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                s = sum(p)
+                ids.append(doc_id)
+                feats.append([((s * (i + 1)) % 997) / 997.0 for i in range(dim)])
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+    return docs_with_payload.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def resize_payload(
+    docs_with_payload: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """STUB resize: re-buffer the payload to exactly width×height×3
+    bytes (cycle-and-truncate stands in for real resampling) and
+    fingerprint the result.  Returns metadata + md5, not the bytes —
+    at 100 TB the resized media would be written to a sink column,
+    not collected."""
+    target = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                reps = -(-target // max(len(p), 1))
+                out = (bytes(p) * reps)[:target]
+                rows.append(
+                    (doc_id, width, height, len(out), hashlib.md5(out).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_bytes_out", "out_md5"],
+            )
+
+    return docs_with_payload.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    docs_with_payload: DataFrame, frame_size: int = 64, every: int = 2
+) -> DataFrame:
+    """STUB frame sampler: split the payload into ``frame_size``-byte
+    frames (a real implementation seeks keyframes in a video
+    container) and keep every ``every``-th.  Demonstrates the 1→N
+    mapInPandas shape: one input row explodes into a row per sampled
+    frame, still with no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n_frames = max(-(-len(b) // frame_size), 1)
+                for idx in range(0, n_frames, every):
+                    frame = b[idx * frame_size : (idx + 1) * frame_size]
+                    rows.append(
+                        (doc_id, idx, len(frame), hashlib.md5(frame).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_len", "frame_md5"]
+            )
+
+    return docs_with_payload.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -516,6 +516,64 @@ FROM documents
 """
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.extract_features(mm.with_binary_payload(docs), dim=8)
+
+
+# byte-sum of the UTF-8 payload == sum of codepoints for ASCII text
+_BYTE_SUM = (
+    "list_sum(list_transform(generate_series(1, length(text)), "
+    "i -> unicode(text[i:i])))"
+)
+
+MULTIMODAL_FEATURES_SQL = f"""
+WITH s AS (SELECT doc_id, {_BYTE_SUM} AS bs FROM documents)
+SELECT doc_id,
+       list_transform(generate_series(1, 8),
+                      i -> ((bs * i) % 997) / 997.0) AS features
+FROM s
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.resize_payload(mm.with_binary_payload(docs), width=32, height=32)
+
+
+_RESIZE_TARGET = 32 * 32 * 3
+
+MULTIMODAL_RESIZE_SQL = f"""
+SELECT doc_id,
+       CAST(32 AS BIGINT) AS width,
+       CAST(32 AS BIGINT) AS height,
+       CAST({_RESIZE_TARGET} AS BIGINT) AS n_bytes_out,
+       md5(substr(repeat(text, CAST(ceil({_RESIZE_TARGET} / greatest(length(text), 1)) AS INTEGER) + 1),
+                  1, {_RESIZE_TARGET})) AS out_md5
+FROM documents
+"""
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.sample_frames(mm.with_binary_payload(docs), frame_size=64, every=2)
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH fr AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1) - 1)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id,
+       frame_idx,
+       CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS BIGINT) AS frame_len,
+       md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_md5
+FROM fr
+WHERE frame_idx % 2 = 0
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -533,6 +591,9 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_similarity_clusters": ann_similarity_clusters,
     "multimodal_metadata": multimodal_metadata,
+    "multimodal_features": multimodal_features,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frames": multimodal_frames,
 }
 
 ORACLES = {
@@ -552,4 +613,7 @@ ORACLES = {
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_similarity_clusters": ANN_SIMILARITY_CLUSTERS_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_frames": MULTIMODAL_FRAMES_SQL,
 }
