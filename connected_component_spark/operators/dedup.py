@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from connected_component_spark.functions.hashing import hash64, seeded_hash64
+from connected_component_spark.functions.hashing import affine_hash, hash64
 from connected_component_spark.queries.parity import roundd
 from connected_component_spark.graph.cc import connected_components
 from connected_component_spark.operators.text import tokens
@@ -148,16 +148,17 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signature per document.
 
-    sig[i] = min over shingles of h_i(shingle), h_i the seeded
-    portable hash family.  Computed by explode → groupBy(doc) with
-    ``num_hashes`` min() aggregates — one shuffle, map-side partial
-    aggregation, no arrays on the wire.
+    sig[i] = min over shingles of h_i(shingle), where h_i is the
+    affine family over ONE md5 base hash per shingle (16 hashes cost
+    1 md5 + integer arithmetic — md5 dominates otherwise).  Computed
+    by explode → groupBy(doc) with ``num_hashes`` min() aggregates —
+    one shuffle, map-side partial aggregation, no arrays on the wire.
     """
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), shingle_k)).alias("shingle")
-    )
+    ).select("doc_id", hash64(F.col("shingle")).alias("base"))
     aggs = [
-        F.min(seeded_hash64(F.col("shingle"), i)).alias(f"h{i}")
+        F.min(affine_hash(F.col("base"), i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     per_doc = sh.groupBy("doc_id").agg(*aggs)

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from connected_component_spark.functions.hashing import hash64_sql, seeded_hash64_sql
+from connected_component_spark.functions.hashing import (
+    affine_hash_sql,
+    hash64_sql,
+    seeded_hash64_sql,
+)
 from connected_component_spark.operators import dedup as dd
 from connected_component_spark.operators import multimodal as mm
 from connected_component_spark.operators import similarity as sim
@@ -155,14 +159,15 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql_core() -> str:
-    """Shared CTE chain: tokens → shingles → exploded → signatures."""
+    """Shared CTE chain: tokens → shingles → exploded → one md5 base
+    per shingle → affine-family signatures."""
     mins = ",\n         ".join(
-        f"min({seeded_hash64_sql('shingle', i)}) AS h{i}" for i in range(_MINHASH_N)
+        f"min({affine_hash_sql('base', i)}) AS h{i}" for i in range(_MINHASH_N)
     )
     return f"""
 toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {SHINGLES} AS shingles FROM toks),
-shex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+shex AS (SELECT doc_id, {hash64_sql('unnest(shingles)')} AS base FROM sh),
 sig AS (
   SELECT doc_id,
          {mins}
