@@ -83,38 +83,202 @@ def char_ngrams(text_col, n: int = 3):
     return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Exact character-n-gram Jaccard similarity join via inverted
-    index: explode distinct grams, equi-join on the gram, count the
-    intersection per (a, b) pair, derive Jaccard from the set sizes.
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Exact character-n-gram Jaccard similarity join: every
+    (a, b, jaccard) with jaccard ≥ threshold, a < b.
 
-    Scale notes: the equi-join on ``gram`` replaces the O(n²) cross
-    join — only pairs sharing ≥1 gram materialize; hot grams (common
-    trigrams) produce skewed join keys that AQE skew-split handles,
-    and the groupBy that follows is a plain shuffle with map-side
-    partial counts.  For corpus-scale runs add a document-frequency
-    cutoff on grams (drop grams in >X% of docs) — the standard
-    prefix-filtering refinement — before the join.
+    Two physical strategies, chosen by vocabulary size when
+    ``strategy="auto"`` (one cheap count-distinct action):
+
+    * ``"prefix"`` — prefix filtering (Chaudhuri et al.), the
+      standard set-similarity-join pruning for LARGE vocabularies:
+      rank each doc's grams by ascending global document frequency
+      and join only on the first ``⌊(1-τ)·|g|⌋ + 1`` (rarest) grams;
+      any pair with Jaccard ≥ τ must collide inside these prefixes.
+      Candidates verified exactly with ``array_intersect``.
+    * ``"bitmap"`` — dense dictionary-GEMM for SMALL vocabularies
+      (≤ ``_BITMAP_MAX_VOCAB`` distinct grams), where prefix
+      filtering degenerates (every pair shares a 'rare' gram): encode
+      each doc as a 0/1 vector over the gram dictionary; intersection
+      counts for a block pair of docs are one numpy matmul; Jaccard
+      derived from exact integer counts so results are
+      engine-identical.  Per-task memory is bounded by block size;
+      the shuffle carries only gid lists and surviving pairs.
     """
+    if strategy == "auto":
+        vocab = (
+            docs.select(F.explode(char_ngrams(F.col("text"), n)).alias("g"))
+            .agg(F.countDistinct("g"))
+            .first()[0]
+        )
+        strategy = "bitmap" if vocab <= _BITMAP_MAX_VOCAB else "prefix"
+    if strategy == "bitmap":
+        return _ngram_jaccard_bitmap(docs, threshold, n)
+    return _ngram_jaccard_prefix(docs, threshold, n)
+
+
+_BITMAP_MAX_VOCAB = 4096
+
+
+def _ngram_jaccard_prefix(docs: DataFrame, threshold: float, n: int) -> DataFrame:
+    from pyspark.sql import Window
+
     grams = docs.select("doc_id", char_ngrams(F.col("text"), n).alias("g"))
-    sizes = grams.select("doc_id", F.size("g").alias("sz"))
-    inv = grams.select("doc_id", F.explode("g").alias("gram"))
-    common = (
-        inv.alias("l")
+    sets = grams.select("doc_id", "g", F.size("g").alias("sz"))
+    posting = grams.select("doc_id", F.explode("g").alias("gram"))
+    df_counts = posting.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+
+    # rank each doc's grams rarest-first; keep the Jaccard prefix
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("gram").asc())
+    prefix = (
+        posting.join(df_counts, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sets.select("doc_id", "sz"), "doc_id")
+        .where(
+            F.col("rn")
+            <= F.floor((1.0 - F.lit(threshold)) * F.col("sz")).cast("int") + 1
+        )
+        .select("doc_id", "gram")
+    )
+    cand = (
+        prefix.alias("l")
         .join(
-            inv.alias("r"),
+            prefix.alias("r"),
             (F.col("l.gram") == F.col("r.gram"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
     )
     return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), "a"
+        cand.join(
+            sets.select(F.col("doc_id").alias("a"), F.col("g").alias("g_a")), "a"
         )
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .join(sets.select(F.col("doc_id").alias("b"), F.col("g").alias("g_b")), "b")
         .select(
+            "a",
+            "b",
+            roundd(
+                F.size(F.array_intersect("g_a", "g_b"))
+                / (
+                    F.size("g_a")
+                    + F.size("g_b")
+                    - F.size(F.array_intersect("g_a", "g_b"))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def _ngram_jaccard_bitmap(
+    docs: DataFrame, threshold: float, n: int, doc_blocks: int = 8
+) -> DataFrame:
+    """Dense dictionary-GEMM set-similarity join (see
+    :func:`ngram_jaccard_pairs`).  Exact: intersection sizes are
+    integer counts out of a float32 matmul (exact below 2^24), and
+    the Jaccard division + rounding happen in Catalyst with the same
+    expression the oracle uses."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    grams = docs.select("doc_id", char_ngrams(F.col("text"), n).alias("g"))
+    posting = grams.select("doc_id", F.explode("g").alias("gram"))
+    # global gram dictionary; single-partition window is fine — the
+    # bitmap strategy is only chosen when the vocabulary is tiny
+    dic = (
+        posting.select("gram")
+        .distinct()
+        .select(
+            "gram",
+            (F.row_number().over(Window.orderBy("gram")) - 1).alias("gid"),
+        )
+    )
+    vocab = dic.count()
+    gids = (
+        posting.join(F.broadcast(dic), "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_list("gid").alias("gids"))
+    )
+    blocks = (
+        gids.withColumn("blk", F.pmod(F.xxhash64("doc_id"), F.lit(doc_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("doc_id", "gids")).alias("items"))
+    )
+    pairs = (
+        blocks.alias("l")
+        .crossJoin(blocks.alias("r"))
+        .where(F.col("l.blk") <= F.col("r.blk"))
+        .select(
+            (F.col("l.blk") == F.col("r.blk")).alias("same_blk"),
+            F.col("l.items").alias("litems"),
+            F.col("r.items").alias("ritems"),
+        )
+    )
+    # loose numpy pre-filter; the exact rounded filter runs in Catalyst
+    tau = threshold - 1e-6
+
+    def gemm(batches):
+        for pdf in batches:
+            out_a, out_b, out_c, out_sa, out_sb = [], [], [], [], []
+            for same_blk, litems, ritems in zip(
+                pdf["same_blk"], pdf["litems"], pdf["ritems"]
+            ):
+                la = np.fromiter((x["doc_id"] for x in litems), dtype=np.int64)
+                ra = np.fromiter((x["doc_id"] for x in ritems), dtype=np.int64)
+                X = np.zeros((len(la), vocab), dtype=np.float32)
+                Y = np.zeros((len(ra), vocab), dtype=np.float32)
+                for i, x in enumerate(litems):
+                    X[i, np.asarray(x["gids"], dtype=np.int64)] = 1.0
+                for j, y in enumerate(ritems):
+                    Y[j, np.asarray(y["gids"], dtype=np.int64)] = 1.0
+                C = X @ Y.T
+                sa = X.sum(axis=1)
+                sb = Y.sum(axis=1)
+                jac = C / (sa[:, None] + sb[None, :] - C)
+                if same_blk:
+                    # each unordered pair appears as (x,y) and (y,x);
+                    # the id-order filter keeps exactly one
+                    keep = (jac >= tau) & (la[:, None] < ra[None, :])
+                else:
+                    # distinct blocks meet exactly once — keep every
+                    # cross pair, canonicalize ids below
+                    keep = jac >= tau
+                ii, jj = np.nonzero(keep)
+                aa, bb = la[ii], ra[jj]
+                lo = np.minimum(aa, bb)
+                hi = np.maximum(aa, bb)
+                out_a.extend(lo)
+                out_b.extend(hi)
+                out_c.extend(C[ii, jj].astype(np.int64))
+                out_sa.extend(sa[ii].astype(np.int64))
+                out_sb.extend(sb[jj].astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "a": pd.Series(out_a, dtype="int64"),
+                    "b": pd.Series(out_b, dtype="int64"),
+                    "n_common": pd.Series(out_c, dtype="int64"),
+                    "sz_a": pd.Series(out_sa, dtype="int64"),
+                    "sz_b": pd.Series(out_sb, dtype="int64"),
+                }
+            )
+
+    raw = pairs.mapInPandas(
+        gemm, schema="a long, b long, n_common long, sz_a long, sz_b long"
+    )
+    # sz_a/sz_b follow the (litems, ritems) orientation, but Jaccard
+    # is symmetric in them, so canonicalized (a, b) stays exact
+    return (
+        raw.select(
             "a",
             "b",
             roundd(
@@ -123,6 +287,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+        .where(F.col("jaccard") >= F.lit(threshold))
     )
 
 
@@ -132,8 +297,7 @@ def ngram_dedup_clusters(
     """n-gram-Jaccard near-dedup: pairs ≥ threshold become edges; the
     CC kernel clusters them; every doc is covered via self-loops."""
     edges = (
-        ngram_jaccard_pairs(docs, n)
-        .where(F.col("jaccard") >= F.lit(threshold))
+        ngram_jaccard_pairs(docs, threshold, n)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(docs.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
     )

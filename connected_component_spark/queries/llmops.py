@@ -283,8 +283,8 @@ nj AS (
 
 
 def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents")).where(
-        F.col("jaccard") >= F.lit(_NGRAM_THRESHOLD)
+    return dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), _NGRAM_THRESHOLD
     )
 
 
