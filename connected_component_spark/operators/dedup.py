@@ -110,25 +110,29 @@ def ngram_jaccard_pairs(
       engine-identical.  Per-task memory is bounded by block size;
       the shuffle carries only gid lists and surviving pairs.
     """
+    # gram extraction (substring explosion) is the most expensive
+    # narrow pass — materialize it ONCE and derive dictionary,
+    # postings, and verify sets from the checkpoint.  (At cluster
+    # scale this would be persist(MEMORY_AND_DISK) + unpersist.)
+    grams = docs.select(
+        "doc_id", char_ngrams(F.col("text"), n).alias("g")
+    ).localCheckpoint(eager=True)
     if strategy == "auto":
         vocab = (
-            docs.select(F.explode(char_ngrams(F.col("text"), n)).alias("g"))
-            .agg(F.countDistinct("g"))
-            .first()[0]
-        )
+            grams.select(F.explode("g").alias("gram")).agg(F.countDistinct("gram"))
+        ).first()[0]
         strategy = "bitmap" if vocab <= _BITMAP_MAX_VOCAB else "prefix"
     if strategy == "bitmap":
-        return _ngram_jaccard_bitmap(docs, threshold, n)
-    return _ngram_jaccard_prefix(docs, threshold, n)
+        return _ngram_jaccard_bitmap(grams, threshold)
+    return _ngram_jaccard_prefix(grams, threshold)
 
 
 _BITMAP_MAX_VOCAB = 4096
 
 
-def _ngram_jaccard_prefix(docs: DataFrame, threshold: float, n: int) -> DataFrame:
+def _ngram_jaccard_prefix(grams: DataFrame, threshold: float) -> DataFrame:
     from pyspark.sql import Window
 
-    grams = docs.select("doc_id", char_ngrams(F.col("text"), n).alias("g"))
     sets = grams.select("doc_id", "g", F.size("g").alias("sz"))
     posting = grams.select("doc_id", F.explode("g").alias("gram"))
     df_counts = posting.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
@@ -179,7 +183,7 @@ def _ngram_jaccard_prefix(docs: DataFrame, threshold: float, n: int) -> DataFram
 
 
 def _ngram_jaccard_bitmap(
-    docs: DataFrame, threshold: float, n: int, doc_blocks: int = 8
+    grams: DataFrame, threshold: float, doc_blocks: int = 8
 ) -> DataFrame:
     """Dense dictionary-GEMM set-similarity join (see
     :func:`ngram_jaccard_pairs`).  Exact: intersection sizes are
@@ -191,7 +195,6 @@ def _ngram_jaccard_bitmap(
 
     from pyspark.sql import Window
 
-    grams = docs.select("doc_id", char_ngrams(F.col("text"), n).alias("g"))
     posting = grams.select("doc_id", F.explode("g").alias("gram"))
     # global gram dictionary; single-partition window is fine — the
     # bitmap strategy is only chosen when the vocabulary is tiny

@@ -248,37 +248,74 @@ def cosine_threshold_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    blocks: int = 8,
 ) -> DataFrame:
     """All (a, b) pairs with cosine ≥ threshold, a < b — the edge set
     of an embedding near-dup graph.
 
-    Physical shape mirrors :func:`cosine_topk`'s norm-precomputed
-    cross join; the rounded cosine keeps the threshold test
-    engine-reproducible.  At 100 TB the cross join is replaced by
-    the LSH-bucketed candidate join (same post-filter) — kept exact
-    here because the oracle contract needs determinism.
+    Physical strategy: blocked GEMM over hash blocks of vectors
+    (``blocks·(blocks+1)/2`` block pairs instead of an n² row cross
+    join); each block pair is one numpy float64 matmul, the loose
+    numpy pre-filter keeps only near-threshold pairs, and the exact
+    rounded threshold test runs in Catalyst so the result is
+    engine-reproducible.  The shuffle carries only surviving pairs.
+    At 100 TB, LSH bucketing replaces the all-block-pairs cross
+    (same verify tail).
     """
-    a = _normed(emb, id_col, vec_col).select(
-        F.col(id_col).alias("a"),
-        F.col(vec_col).alias("av"),
-        l2_norm(F.col(vec_col)).alias("an"),
+    import numpy as np
+    import pandas as pd
+
+    v = emb.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("vv"))
+    blocked = (
+        v.withColumn("blk", F.pmod(F.xxhash64("vid"), F.lit(blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vid", "vv")).alias("items"))
     )
-    b = _normed(emb, id_col, vec_col).select(
-        F.col(id_col).alias("b"),
-        F.col(vec_col).alias("bv"),
-        l2_norm(F.col(vec_col)).alias("bn"),
-    )
-    return (
-        a.crossJoin(b)
-        .where(F.col("a") < F.col("b"))
+    pairs = (
+        blocked.alias("l")
+        .crossJoin(blocked.alias("r"))
+        .where(F.col("l.blk") <= F.col("r.blk"))
         .select(
-            "a",
-            "b",
-            roundd(
-                dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")),
-                round_to,
-            ).alias("cos"),
+            (F.col("l.blk") == F.col("r.blk")).alias("same_blk"),
+            F.col("l.items").alias("litems"),
+            F.col("r.items").alias("ritems"),
         )
+    )
+    tau = threshold - 1e-6
+
+    def gemm(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for same_blk, litems, ritems in zip(
+                pdf["same_blk"], pdf["litems"], pdf["ritems"]
+            ):
+                la = np.fromiter((x["vid"] for x in litems), dtype=np.int64)
+                ra = np.fromiter((x["vid"] for x in ritems), dtype=np.int64)
+                X = np.array([x["vv"] for x in litems], dtype=np.float64)
+                Y = np.array([x["vv"] for x in ritems], dtype=np.float64)
+                xn = np.sqrt((X * X).sum(axis=1))
+                yn = np.sqrt((Y * Y).sum(axis=1))
+                cos = (X @ Y.T) / np.outer(xn, yn)
+                if same_blk:
+                    keep = (cos >= tau) & (la[:, None] < ra[None, :])
+                else:
+                    keep = cos >= tau
+                ii, jj = np.nonzero(keep)
+                aa, bb = la[ii], ra[jj]
+                out_a.extend(np.minimum(aa, bb))
+                out_b.extend(np.maximum(aa, bb))
+                out_c.extend(cos[ii, jj])
+            yield pd.DataFrame(
+                {
+                    "a": pd.Series(out_a, dtype="int64"),
+                    "b": pd.Series(out_b, dtype="int64"),
+                    "cos_raw": pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    raw = pairs.mapInPandas(gemm, schema="a long, b long, cos_raw double")
+    return (
+        raw.select("a", "b", roundd(F.col("cos_raw"), round_to).alias("cos"))
         .where(F.col("cos") >= F.lit(threshold))
     )
 
