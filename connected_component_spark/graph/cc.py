@@ -57,11 +57,18 @@ class CCResult:
     ``assignments`` is a deduplicated ``(node: long, component: long)``
     DataFrame where ``component`` is the minimum node id of the
     component (reference output invariant, README.md:28-30).
+
+    ``round_pair_counts`` is per-iteration telemetry: the distinct
+    pair-set size after each full round — the quantity the reference
+    optimizes for at scale (README.md:72 reports iteration counts;
+    shrinking pair counts are the per-round progress signal).  Free
+    in stable-set mode (the convergence scalar already computes it).
     """
 
     assignments: DataFrame
     converged: bool
     iterations: int
+    round_pair_counts: list[int] | None = None
 
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
@@ -258,6 +265,7 @@ def connected_components(
     pairs = _checkpoint(_canonical_edges(edges).distinct())
     converged = False
     iterations = 0
+    round_counts: list[int] = []
 
     if convergence == "reference-counts":
         # sentinel-free port of the plateau rule
@@ -280,6 +288,7 @@ def connected_components(
             # action per round and materializes the checkpoint blocks
             pairs = _checkpoint(small_star(large_star(pairs)), eager=False)
             fp = _set_fingerprint(pairs)
+            round_counts.append(fp[0])
             if fp == prev_fp:
                 converged = True
                 break
@@ -289,7 +298,12 @@ def connected_components(
         pairs.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("component"))
     )
-    return CCResult(assignments=assignments, converged=converged, iterations=iterations)
+    return CCResult(
+        assignments=assignments,
+        converged=converged,
+        iterations=iterations,
+        round_pair_counts=round_counts if convergence == "stable-set" else None,
+    )
 
 
 def component_rosters(assignments: DataFrame) -> DataFrame:

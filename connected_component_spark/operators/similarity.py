@@ -23,6 +23,8 @@ __all__ = [
     "cosine_threshold_pairs",
     "embedding_dedup_clusters",
     "lsh_bucketed_topk",
+    "ivf_cell_assignments",
+    "ivf_topk",
     "knn_edges",
     "similarity_clusters",
 ]
@@ -336,6 +338,102 @@ def embedding_dedup_clusters(
     result = connected_components(edges)
     return result.assignments.select(
         F.col("node").alias(id_col), F.col("component").alias("cluster")
+    )
+
+
+def ivf_cell_assignments(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid cell (max rounded
+    cosine, centroid id as tie-break): (id, cell).
+
+    The coarse-quantizer step of an IVF index.  Centroids here are a
+    deterministic subset of the corpus rather than k-means output —
+    the partition/probe plumbing is identical and the assignment
+    stays engine-reproducible for the oracle contract.
+    """
+    v = _normed(emb, id_col, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col).alias("vv"),
+        l2_norm(F.col(vec_col)).alias("vn"),
+    )
+    c = _normed(centroids, id_col, vec_col).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col,
+        "cid",
+        roundd(
+            dot(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn")), 6
+        ).alias("cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    centroid_stride: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF partitioning: corpus is
+    partitioned into centroid cells; each query probes only its own
+    cell (nprobe=1) and ranks candidates by exact cosine.
+
+    Scale shape: the coarse assignment is a broadcast cross join
+    against ~√n centroids (not n²); the probe is an equi-join on the
+    cell key.  Recall < 1 by construction, like any IVF index; raise
+    recall by probing neighboring cells (larger nprobe) — same plan,
+    wider cell join.
+    """
+    centroids = corpus.where(F.col(id_col) % centroid_stride == 0)
+    cells = ivf_cell_assignments(corpus, centroids, id_col, vec_col)
+    q = _normed(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    ).join(
+        cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
+    )
+    cand = _normed(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    ).join(
+        cells.select(F.col(id_col).alias("neighbor_id"), "cell"), "neighbor_id"
+    )
+    scored = (
+        q.join(cand, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            roundd(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+        )
     )
 
 

@@ -502,6 +502,55 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
 
+_IVF_STRIDE = 25
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return sim.ivf_topk(queries, emb, k=5, centroid_stride=_IVF_STRIDE)
+
+
+def _cos_sql(x: str, y: str) -> str:
+    return roundd_sql(
+        _DOT.format(a=x, b=y) + f" / ({_norm_sql(x)} * {_norm_sql(y)})", 6
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+),
+assign AS (
+  SELECT vec_id, cid AS cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {_cos_sql('embedding', 'cv')} DESC, cid ASC) AS rn
+  FROM embeddings CROSS JOIN cent
+),
+cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell
+  FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
+  WHERE e.vec_id % 50 = 0
+),
+cand AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell
+  FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+  FROM q JOIN cand USING (cell)
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal metadata (stubbed decode, real mapInPandas plumbing)
 # --------------------------------------------------------------------------
@@ -594,6 +643,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "ann_similarity_clusters": ann_similarity_clusters,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
@@ -616,6 +666,7 @@ ORACLES = {
     "dedup_simhash": _simhash_sql(16),
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
+    "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "ann_similarity_clusters": ANN_SIMILARITY_CLUSTERS_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
