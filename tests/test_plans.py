@@ -1,0 +1,50 @@
+"""Physical-plan quality gates: the scale rules from SURVEY.md §4
+asserted on real plans — pushdown reaches the scan, dim joins
+broadcast, no accidental cartesian products, hot paths stay out of
+Python."""
+
+from __future__ import annotations
+
+from connected_component_spark.plans.inspect import summarize_plan
+from connected_component_spark.queries import relational
+
+
+def test_q06_filters_pushed_to_scan(spark, sf_dir):
+    s = summarize_plan(relational.QUERIES["q06_forecast_revenue"](spark, sf_dir))
+    pushed = " ".join(s.pushed_filters)
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    # projection pruning: the scan must not read the full 16-col table
+    assert s.scan_columns() <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }
+
+
+def test_q05_dim_joins_broadcast(spark, sf_dir):
+    s = summarize_plan(relational.QUERIES["q05_local_supplier"](spark, sf_dir))
+    assert s.cartesian_products == 0
+    assert s.sort_merge_joins == 0, "dim joins should broadcast at fixture scale"
+    assert s.broadcast_hash_joins >= 4
+
+
+def test_q10_filter_pushed_and_broadcast(spark, sf_dir):
+    s = summarize_plan(relational.QUERIES["q10_returned_items"](spark, sf_dir))
+    assert any("l_returnflag" in p for p in s.pushed_filters)
+    assert s.cartesian_products == 0
+
+
+def test_q01_stays_jvm_side(spark, sf_dir):
+    s = summarize_plan(relational.QUERIES["q01_pricing_summary"](spark, sf_dir))
+    assert s.python_evals == 0
+    # partial + final hash agg around exactly one shuffle
+    assert s.exchanges == 1
+
+
+def test_cc_round_is_pure_relational(spark):
+    from connected_component_spark.graph.cc import large_star, small_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    s = summarize_plan(small_star(large_star(edges)))
+    assert s.python_evals == 0
+    assert s.cartesian_products == 0
