@@ -39,6 +39,7 @@ __all__ = [
     "ngram_dedup_clusters",
     "minhash_dedup_clusters",
     "simhash",
+    "simhash_near_pairs",
 ]
 
 
@@ -431,6 +432,60 @@ def minhash_dedup_clusters(
     result = connected_components(edges)
     return result.assignments.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, bits: int = 16, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs: (a, b, hamming) with Hamming distance
+    ≤ ``max_hamming``, a < b.
+
+    Banded join, not a cross join: split the ``bits``-bit fingerprint
+    into ``bands`` equal bands — by pigeonhole any pair within
+    Hamming ``bands - 1`` agrees exactly on ≥1 band — then verify
+    with ``bit_count(a XOR b)``.  Requires
+    ``max_hamming <= bands - 1`` for exactness; the band key join is
+    the LSH-for-Hamming-space construction, AQE-skew-safe at scale.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("exactness needs max_hamming <= bands - 1")
+    band_width = bits // bands
+    fp = simhash(docs, bits)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()
     )
 
 

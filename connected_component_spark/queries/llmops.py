@@ -324,6 +324,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(load_table(spark, sf_dir, "documents"), bits=16)
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 32-bit fingerprints: 16 bits collide too much beyond ~1k docs
+    return dd.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), bits=32, max_hamming=3, bands=4
+    )
+
+
+def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 3) -> str:
+    # oracle uses the naive quadratic check — the banded join must
+    # produce the identical pair set (pigeonhole guarantees recall)
+    return f"""
+WITH fp AS ({_simhash_sql(bits)})
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 def _simhash_sql(bits: int = 16) -> str:
     h = hash64_sql("token")
     bit_sums = ",\n         ".join(
@@ -641,6 +660,7 @@ QUERIES = {
     "dedup_ngram_clusters": dedup_ngram_clusters,
     "dedup_embedding_clusters": dedup_embedding_clusters,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -664,6 +684,7 @@ ORACLES = {
     "dedup_ngram_clusters": DEDUP_NGRAM_CLUSTERS_SQL,
     "dedup_embedding_clusters": DEDUP_EMBEDDING_CLUSTERS_SQL,
     "dedup_simhash": _simhash_sql(16),
+    "dedup_simhash_pairs": _simhash_pairs_sql(32, 3),
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
