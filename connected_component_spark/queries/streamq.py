@@ -18,7 +18,10 @@ star-edge compression invariant across batch boundaries.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
+import time
+from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +30,7 @@ from connected_component_spark.queries.graph import (
     CC_USER_COPRESENCE_SQL,
     copresence_edges_from_events,
 )
+from connected_component_spark.queries.relational import Q_SESSIONIZATION_SQL
 from connected_component_spark.queries.parity import roundd_sql
 from connected_component_spark.sources.tables import load_table
 from connected_component_spark.streaming.incremental import (
@@ -99,12 +103,92 @@ def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via applyInPandasWithState over an
+    event-time-ordered replay.
+
+    Events are staged as date-range slice files (mtime + name
+    ordered so the file source replays them in event-time order);
+    a final flush file carries one sentinel event per user that
+    closes every dangling session (production would use event-time
+    timeouts).  The emitted sessions must equal the batch
+    lag+cumsum formulation — Q_SESSIONIZATION_SQL is the oracle.
+    """
+    from connected_component_spark.streaming.state import (
+        FLUSH_EVENT_ID,
+        sessionize_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    slices = 6
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_days = max((hi.date() - lo.date()).days + 1, slices)
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "ccs_stream_sessions",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    if os.path.exists(staged):
+        shutil.rmtree(staged)
+    os.makedirs(staged, exist_ok=True)
+
+    per_slice = -(-span_days // slices)
+    now = time.time()
+    for i in range(slices):
+        start = lo.date() + timedelta(days=i * per_slice)
+        end = lo.date() + timedelta(days=(i + 1) * per_slice)
+        part = ev.where(
+            (F.to_date("ts") >= F.lit(str(start)))
+            & (F.to_date("ts") < F.lit(str(end)))
+        )
+        tmp = os.path.join(staged, f"_tmp_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(staged, f"{i:03d}.parquet")
+        os.replace(os.path.join(tmp, src), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    flush = ev.select("user_id").distinct().select(
+        F.lit(FLUSH_EVENT_ID).cast("long").alias("event_id"),
+        (F.lit(hi) + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+        "user_id",
+        F.lit(0.0).alias("value"),
+    )
+    tmp = os.path.join(staged, "_tmp_flush")
+    flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(
+        p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+    )
+    dst = os.path.join(staged, f"{slices:03d}_flush.parquet")
+    os.replace(os.path.join(tmp, src), dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (now + 10 * slices, now + 10 * slices))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    sessions = sessionize_stream(stream, gap_s=1800)
+    result = run_stream_to_memory(sessions, output_mode="append")
+    return result
+
+
 QUERIES = {
     "stream_window_counts": stream_window_counts,
     "stream_incremental_cc": stream_incremental_cc,
+    "stream_sessionization": stream_sessionization,
 }
 
 ORACLES = {
     "stream_window_counts": STREAM_WINDOW_COUNTS_SQL,
     "stream_incremental_cc": CC_USER_COPRESENCE_SQL,
+    "stream_sessionization": Q_SESSIONIZATION_SQL,
 }
