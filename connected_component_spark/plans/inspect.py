@@ -61,12 +61,19 @@ def summarize_plan(df: DataFrame) -> PlanSummary:
         "formatted"
     )
     text = jdf.queryExecution().explainString(mode)
+
+    def op_count(name: str) -> int:
+        # formatted mode renders each operator in the tree AND in a
+        # "(N) Op" detail section — count unique detail ids
+        ids = set(re.findall(rf"\((\d+)\) {name}\b", text))
+        return len(ids) if ids else text.count(name)
+
     return PlanSummary(
-        broadcast_hash_joins=text.count("BroadcastHashJoin"),
-        sort_merge_joins=text.count("SortMergeJoin"),
-        shuffled_hash_joins=text.count("ShuffledHashJoin"),
-        cartesian_products=text.count("CartesianProduct"),
-        broadcast_nested_loop_joins=text.count("BroadcastNestedLoopJoin"),
+        broadcast_hash_joins=op_count("BroadcastHashJoin"),
+        sort_merge_joins=op_count("SortMergeJoin"),
+        shuffled_hash_joins=op_count("ShuffledHashJoin"),
+        cartesian_products=op_count("CartesianProduct"),
+        broadcast_nested_loop_joins=op_count("BroadcastNestedLoopJoin"),
         # count operator detail headers "(N) Exchange" so the tree
         # rendering + detail section don't double-count
         exchanges=len(set(re.findall(r"\((\d+)\) Exchange", text))),
