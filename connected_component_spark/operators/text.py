@@ -17,11 +17,17 @@ from connected_component_spark.queries.parity import roundd
 __all__ = [
     "tokens",
     "token_stats",
+    "bpe_piece_stats",
     "quality_score",
     "language_id",
     "fingerprint",
     "STOPWORDS",
 ]
+
+#: BPE-ish pre-tokenizer pattern (GPT-2-style, simplified to the
+#: regex subset Spark (Java) and DuckDB (RE2) agree on): runs of
+#: letters, runs of digits, or single non-alnum-non-space chars
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 #: Tiny per-language stopword lists for the n-gram/stopword
 #: language-ID heuristic.  Deliberately small and hard-coded: the
@@ -53,6 +59,26 @@ def token_stats(docs: DataFrame) -> DataFrame:
             4,
         ).alias("avg_token_len"),
         F.length("text").cast("long").alias("n_chars_obs"),
+    )
+
+
+def bpe_piece_stats(docs: DataFrame) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex: the
+    pre-training-cost estimator shape (pieces ≈ proxy for LLM token
+    count).  (doc_id, n_pieces, n_alpha, n_num, n_punct)."""
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    is_alpha = lambda p: p.rlike("^[A-Za-z]+$")  # noqa: E731
+    is_num = lambda p: p.rlike("^[0-9]+$")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.filter(pieces, is_alpha)).cast("long").alias("n_alpha"),
+        F.size(F.filter(pieces, is_num)).cast("long").alias("n_num"),
+        (
+            F.size(pieces)
+            - F.size(F.filter(pieces, is_alpha))
+            - F.size(F.filter(pieces, is_num))
+        ).cast("long").alias("n_punct"),
     )
 
 

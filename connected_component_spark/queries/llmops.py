@@ -133,6 +133,27 @@ FROM toks
 """
 
 
+def text_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.bpe_piece_stats(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_BPE_PIECES_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{tx.BPE_PATTERN}') AS pieces
+  FROM documents
+)
+SELECT doc_id,
+       len(pieces) AS n_pieces,
+       len(list_filter(pieces, x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_alpha,
+       len(list_filter(pieces, x -> regexp_full_match(x, '[0-9]+'))) AS n_num,
+       len(pieces)
+         - len(list_filter(pieces, x -> regexp_full_match(x, '[A-Za-z]+')))
+         - len(list_filter(pieces, x -> regexp_full_match(x, '[0-9]+'))) AS n_punct
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup
 # --------------------------------------------------------------------------
@@ -652,6 +673,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_bpe_pieces": text_bpe_pieces,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -676,6 +698,7 @@ ORACLES = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_lang_id": _lang_id_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_bpe_pieces": TEXT_BPE_PIECES_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_signatures": DEDUP_MINHASH_SIGNATURES_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,

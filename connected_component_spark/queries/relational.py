@@ -826,6 +826,37 @@ GROUP BY user_id, session_seq
 """
 
 
+# --------------------------------------------------------------------------
+# q_time_rollup — hypertable-style multi-granularity time rollup
+# (hour -> day -> total over the event stream)
+# --------------------------------------------------------------------------
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hr"),
+            "value",
+        )
+        .rollup("day", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+Q_TIME_ROLLUP_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hr,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (day, hr)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -840,6 +871,7 @@ QUERIES = {
     "q_window_top_customers": q_window_top_customers,
     "q_window_running": q_window_running,
     "q_rollup_orders": q_rollup_orders,
+    "q_time_rollup": q_time_rollup,
     "q_cube_lineitem": q_cube_lineitem,
     "q_grouping_sets": q_grouping_sets,
     "q_semi_anti": q_semi_anti,
@@ -866,6 +898,7 @@ ORACLES = {
     "q_window_top_customers": Q_WINDOW_TOP_CUSTOMERS_SQL,
     "q_window_running": Q_WINDOW_RUNNING_SQL,
     "q_rollup_orders": Q_ROLLUP_ORDERS_SQL,
+    "q_time_rollup": Q_TIME_ROLLUP_SQL,
     "q_cube_lineitem": Q_CUBE_LINEITEM_SQL,
     "q_grouping_sets": Q_GROUPING_SETS_SQL,
     "q_semi_anti": Q_SEMI_ANTI_SQL,
