@@ -21,7 +21,6 @@ import os
 import shutil
 import tempfile
 import time
-from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -123,8 +122,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "value"
     )
     slices = 6
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    span_days = max((hi.date() - lo.date()).days + 1, slices)
+    _lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     staged = os.path.join(
         tempfile.gettempdir(),
         "ccs_stream_sessions",
@@ -134,24 +132,25 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staged)
     os.makedirs(staged, exist_ok=True)
 
-    per_slice = -(-span_days // slices)
+    # ONE range-partitioned write: partition i covers the i-th day
+    # range, and part-file name order equals range order — so renaming
+    # in name order with ascending mtimes gives the file source an
+    # event-time-ordered replay without per-slice filter jobs
     now = time.time()
-    for i in range(slices):
-        start = lo.date() + timedelta(days=i * per_slice)
-        end = lo.date() + timedelta(days=(i + 1) * per_slice)
-        part = ev.where(
-            (F.to_date("ts") >= F.lit(str(start)))
-            & (F.to_date("ts") < F.lit(str(end)))
-        )
-        tmp = os.path.join(staged, f"_tmp_{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(
-            p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
-        )
+    tmp = os.path.join(staged, "_tmp_slices")
+    (
+        ev.repartitionByRange(slices, F.to_date("ts"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    parts = sorted(
+        p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+    )
+    for i, src in enumerate(parts):
         dst = os.path.join(staged, f"{i:03d}.parquet")
         os.replace(os.path.join(tmp, src), dst)
-        shutil.rmtree(tmp)
         os.utime(dst, (now + 10 * i, now + 10 * i))
+    shutil.rmtree(tmp)
 
     flush = ev.select("user_id").distinct().select(
         F.lit(FLUSH_EVENT_ID).cast("long").alias("event_id"),
