@@ -31,6 +31,7 @@ class PlanSummary:
     exchanges: int
     wholestage_codegen_spans: int
     pushed_filters: list[str]
+    partition_filters: list[str]
     read_schemas: list[str]
     python_evals: int
 
@@ -87,6 +88,11 @@ def summarize_plan(df: DataFrame) -> PlanSummary:
             line.split("PushedFilters:", 1)[1].strip()
             for line in text.splitlines()
             if "PushedFilters:" in line
+        ],
+        partition_filters=[
+            line.split("PartitionFilters:", 1)[1].strip()
+            for line in text.splitlines()
+            if "PartitionFilters:" in line
         ],
         read_schemas=[
             line.split("ReadSchema:", 1)[1].strip()

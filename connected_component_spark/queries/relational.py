@@ -857,13 +857,114 @@ GROUP BY ROLLUP (day, hr)
 """
 
 
+# --------------------------------------------------------------------------
+# q07 — bi-nation volume (TPC-H Q7 shape): join + OR-pair predicate +
+# year bucketing
+# --------------------------------------------------------------------------
+
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ))
+    pair_ok = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+Q07_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# q19 — discounted revenue (TPC-H Q19 shape): disjunctive bracket
+# predicates across a join
+# --------------------------------------------------------------------------
+
+def q19_discount_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 15)
+         & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 25)
+           & F.col("p_size").between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 35)
+           & F.col("p_size").between(1, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1  AND 15 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25 AND p_size BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35 AND p_size BETWEEN 1 AND 30)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
     "q04_order_priority": q04_order_priority,
     "q05_local_supplier": q05_local_supplier,
     "q06_forecast_revenue": q06_forecast_revenue,
+    "q07_volume_shipping": q07_volume_shipping,
     "q10_returned_items": q10_returned_items,
+    "q19_discount_brackets": q19_discount_brackets,
     "q12_priority_classes": q12_priority_classes,
     "q14_promo_effect": q14_promo_effect,
     "q_sessionization": q_sessionization,
@@ -890,7 +991,9 @@ ORACLES = {
     "q04_order_priority": Q04_SQL,
     "q05_local_supplier": Q05_SQL,
     "q06_forecast_revenue": Q06_SQL,
+    "q07_volume_shipping": Q07_SQL,
     "q10_returned_items": Q10_SQL,
+    "q19_discount_brackets": Q19_SQL,
     "q12_priority_classes": Q12_SQL,
     "q14_promo_effect": Q14_SQL,
     "q_sessionization": Q_SESSIONIZATION_SQL,
