@@ -956,6 +956,27 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1  AND 15 AND p_size BETWEEN 1
 """
 
 
+# --------------------------------------------------------------------------
+# q_approx_profile — sketch surface: HLL approx_count_distinct next to
+# the exact count.  NO oracle entry: HLL sketches are engine-specific
+# (Spark's HLL++ vs DuckDB's), so cross-engine hash-match is
+# impossible by construction — the driver records the weaker
+# rows-only check, and the test suite asserts the error bound
+# instead (tests/test_operators.py pattern).
+# --------------------------------------------------------------------------
+
+def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -983,6 +1004,7 @@ QUERIES = {
     "q_agg_distinct": q_agg_distinct,
     "q_array_ops": q_array_ops,
     "q_user_event_profile": q_user_event_profile,
+    "q_approx_profile": q_approx_profile,
 }
 
 ORACLES = {
