@@ -977,6 +977,60 @@ def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q_pivot_status — pivot (wide conditional aggregation)
+# --------------------------------------------------------------------------
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+        .withColumnsRenamed({"F": "total_f", "O": "total_o", "P": "total_p"})
+    )
+
+
+Q_PIVOT_STATUS_SQL = """
+SELECT o_orderpriority,
+       CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_f,
+       CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_o,
+       CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q_correlated_scalar — correlated scalar subquery (above-nation-average
+# customers)
+# --------------------------------------------------------------------------
+
+def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("_cust_corr")
+    return spark.sql("""
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(round(CAST(c_acctbal AS DECIMAL(38,9)), 2) AS DOUBLE) AS acctbal
+        FROM _cust_corr o
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM _cust_corr i
+            WHERE i.c_nationkey = o.c_nationkey
+        )
+    """)
+
+
+Q_CORRELATED_SCALAR_SQL = """
+SELECT c_custkey, c_name, c_nationkey,
+       CAST(round(CAST(c_acctbal AS DECIMAL(38,9)), 2) AS DOUBLE) AS acctbal
+FROM customer o
+WHERE c_acctbal > (
+    SELECT avg(c_acctbal) FROM customer i
+    WHERE i.c_nationkey = o.c_nationkey
+)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -993,6 +1047,8 @@ QUERIES = {
     "q_window_top_customers": q_window_top_customers,
     "q_window_running": q_window_running,
     "q_rollup_orders": q_rollup_orders,
+    "q_pivot_status": q_pivot_status,
+    "q_correlated_scalar": q_correlated_scalar,
     "q_time_rollup": q_time_rollup,
     "q_cube_lineitem": q_cube_lineitem,
     "q_grouping_sets": q_grouping_sets,
@@ -1023,6 +1079,8 @@ ORACLES = {
     "q_window_top_customers": Q_WINDOW_TOP_CUSTOMERS_SQL,
     "q_window_running": Q_WINDOW_RUNNING_SQL,
     "q_rollup_orders": Q_ROLLUP_ORDERS_SQL,
+    "q_pivot_status": Q_PIVOT_STATUS_SQL,
+    "q_correlated_scalar": Q_CORRELATED_SCALAR_SQL,
     "q_time_rollup": Q_TIME_ROLLUP_SQL,
     "q_cube_lineitem": Q_CUBE_LINEITEM_SQL,
     "q_grouping_sets": Q_GROUPING_SETS_SQL,

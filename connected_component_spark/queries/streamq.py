@@ -180,14 +180,67 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def stream_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream self-join: consecutive-activity pairs — events of
+    the same user within 30 minutes of each other.
+
+    Both sides are watermarked streams; the time-interval join
+    condition bounds the state the join keeps (events older than the
+    watermark + interval are dropped from the join buffer — the
+    constraint that makes stream-stream joins feasible at scale).
+    Bounded replay + availableNow ⇒ result equals the batch
+    self-join, which is the oracle.
+    """
+    a = stream_events(spark, sf_dir).select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("first_id"),
+        F.col("ts").alias("a_ts"),
+    ).withWatermark("a_ts", "1 hour")
+    b = stream_events(spark, sf_dir).select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("next_id"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", "1 hour")
+    joined = a.join(
+        b,
+        F.expr(
+            "a_user = b_user AND b_ts > a_ts "
+            "AND b_ts <= a_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "first_id",
+        "next_id",
+        (
+            F.col("b_ts").cast("long") - F.col("a_ts").cast("long")
+        ).alias("gap_s"),
+    )
+    return run_stream_to_memory(joined, output_mode="append")
+
+
+STREAM_EVENT_PAIRS_SQL = """
+SELECT a.user_id,
+       a.event_id AS first_id,
+       b.event_id AS next_id,
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_s
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+
 QUERIES = {
     "stream_window_counts": stream_window_counts,
     "stream_incremental_cc": stream_incremental_cc,
     "stream_sessionization": stream_sessionization,
+    "stream_event_pairs": stream_event_pairs,
 }
 
 ORACLES = {
     "stream_window_counts": STREAM_WINDOW_COUNTS_SQL,
     "stream_incremental_cc": CC_USER_COPRESENCE_SQL,
     "stream_sessionization": Q_SESSIONIZATION_SQL,
+    "stream_event_pairs": STREAM_EVENT_PAIRS_SQL,
 }
