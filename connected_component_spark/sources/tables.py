@@ -23,7 +23,23 @@ TABLE_NAMES = [
 ]
 
 
+def _ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the runtime-settable confs every query's correctness
+    depends on — queries may be invoked on a driver-provided session
+    that never went through session.get_spark / __spark_entry__.entry
+    (UTC keeps timestamp formatting oracle-identical)."""
+    for k, v in [
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_runtime_confs(spark)
     if name == "events":
         # runtime-settable; required for TIMESTAMP(NANOS) parquet and
         # harmless if the session already has it

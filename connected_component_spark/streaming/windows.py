@@ -54,6 +54,9 @@ def stream_events(
     parquet arrives as long via ``nanosAsLong`` and is truncated to a
     microsecond timestamp.
     """
+    from connected_component_spark.sources.tables import _ensure_runtime_confs
+
+    _ensure_runtime_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
