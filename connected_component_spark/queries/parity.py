@@ -28,7 +28,18 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["roundd", "roundd_sql", "dsum", "dsum_sql", "davg", "davg_sql"]
+__all__ = [
+    "roundd",
+    "roundd_sql",
+    "dsum",
+    "dsum_sql",
+    "davg",
+    "davg_sql",
+    "dmul",
+    "dmul_sql",
+    "dsumx",
+    "dsumx_sql",
+]
 
 
 def roundd(col: Column, n: int) -> Column:
@@ -48,6 +59,38 @@ def dsum(col: Column | str, n: int = 2) -> Column:
 
 def dsum_sql(expr: str, n: int = 2) -> str:
     return f"CAST(round(sum(CAST({expr} AS DECIMAL(18,4))), {n}) AS DOUBLE)"
+
+
+def dmul(money: Column | str, *rates: Column | str) -> Column:
+    """Exact decimal product of a money column and rate factors.
+
+    Each factor is cast to decimal BEFORE the multiply, so the whole
+    product is exact decimal arithmetic (DECIMAL(18,4) × DECIMAL(8,4)^k
+    ≤ DECIMAL(36,12), no precision loss) and there is no
+    double-product→decimal cast whose rounding boundary the two engines
+    could disagree on.  A three-factor double product cast to decimal is
+    exactly what made q01 sum_charge differ by 0.01 at sf0.01.
+    """
+    c = (F.col(money) if isinstance(money, str) else money).cast("decimal(18,4)")
+    for r in rates:
+        rc = (F.col(r) if isinstance(r, str) else r).cast("decimal(8,4)")
+        c = c * rc
+    return c
+
+
+def dmul_sql(money: str, *rates: str) -> str:
+    parts = [f"CAST({money} AS DECIMAL(18,4))"]
+    parts += [f"CAST({r} AS DECIMAL(8,4))" for r in rates]
+    return " * ".join(parts)
+
+
+def dsumx(col: Column, n: int = 2) -> Column:
+    """Sum an already-exact decimal column (e.g. ``dmul``), rounded."""
+    return F.round(F.sum(col), n).cast("double")
+
+
+def dsumx_sql(expr: str, n: int = 2) -> str:
+    return f"CAST(round(sum({expr}), {n}) AS DOUBLE)"
 
 
 def davg(col: Column | str, n: int = 4) -> Column:

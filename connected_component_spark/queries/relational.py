@@ -20,7 +20,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from connected_component_spark.queries.parity import davg, dsum, roundd
+from connected_component_spark.queries.parity import (
+    davg,
+    dmul,
+    dsum,
+    dsumx,
+    roundd,
+)
+
+# Exact decimal revenue term shared by the TPC-H-shaped queries; the SQL
+# twin of dmul(l_extendedprice, 1 - l_discount).  Casting each factor to
+# decimal *before* multiplying keeps the product exact in both engines
+# (see queries/parity.py:dmul).
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))"
+)
+
+
+def _rev() -> F.Column:
+    return dmul("l_extendedprice", 1 - F.col("l_discount"))
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -43,13 +61,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            dsum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
+            dsumx(_rev()).alias("sum_disc_price"),
+            dsumx(
+                dmul(
+                    "l_extendedprice",
+                    1 - F.col("l_discount"),
+                    1 + F.col("l_tax"),
+                )
             ).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
@@ -63,8 +81,8 @@ Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_charge,
        CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_qty,
        CAST(round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS DECIMAL(38,9)), 4) AS DOUBLE) AS avg_price,
        CAST(round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS DECIMAL(38,9)), 6) AS DOUBLE) AS avg_disc,
@@ -92,9 +110,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            dsumx(_rev()).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -103,7 +119,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q03_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -145,16 +161,14 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            dsumx(_rev()).alias("revenue")
         )
     )
 
 
 Q05_SQL = """
 SELECT n_name,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -641,14 +655,14 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            dsumx(dmul("l_extendedprice", "l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
 Q06_SQL = """
-SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -673,9 +687,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            dsumx(_rev()).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -684,7 +696,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -740,25 +752,27 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    rev = _rev()
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
     joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
         roundd(
             F.lit(100.0)
-            * F.sum(promo.cast("decimal(18,4)")).cast("double")
-            / F.sum(rev.cast("decimal(18,4)")).cast("double"),
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double"),
             4,
         ).alias("promo_revenue_pct"),
-        dsum(rev).alias("total_revenue"),
+        dsumx(rev).alias("total_revenue"),
     )
 
 
 Q14_SQL = """
 SELECT CAST(round(CAST(100.0
-         * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
-         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS DECIMAL(38,9)), 4) AS DOUBLE) AS promo_revenue_pct,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+         * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS DECIMAL(38,9)), 4) AS DOUBLE) AS promo_revenue_pct,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS total_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -890,16 +904,14 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            dsumx(_rev()).alias("revenue")
         )
     )
 
 
 Q07_SQL = """
 SELECT supp_nation, cust_nation, l_year,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -937,16 +949,14 @@ def q19_discount_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            dsumx(_rev()).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
 Q19_SQL = """
-SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -1014,7 +1024,9 @@ def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(CAST(c_acctbal AS DECIMAL(38,9)), 2) AS DOUBLE) AS acctbal
         FROM _cust_corr o
         WHERE c_acctbal > (
-            SELECT avg(c_acctbal) FROM _cust_corr i
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                   / count(c_acctbal)
+            FROM _cust_corr i
             WHERE i.c_nationkey = o.c_nationkey
         )
     """)
@@ -1025,7 +1037,9 @@ SELECT c_custkey, c_name, c_nationkey,
        CAST(round(CAST(c_acctbal AS DECIMAL(38,9)), 2) AS DOUBLE) AS acctbal
 FROM customer o
 WHERE c_acctbal > (
-    SELECT avg(c_acctbal) FROM customer i
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           / count(c_acctbal)
+    FROM customer i
     WHERE i.c_nationkey = o.c_nationkey
 )
 """

@@ -1,0 +1,104 @@
+"""Strict local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at a given sf_dir and
+compares it against ``oracle_sql()`` via DuckDB with EXACT value
+comparison (full-precision repr, columns sorted by name, rows sorted)
+— unlike tests/oracle_utils.py, floats are NOT rounded, so this
+catches last-ulp divergences the 9-sig-fig test comparator hides
+(the r1 q01 sum_charge failure mode).
+
+Usage:
+    python scripts/gate_sweep.py [--sf /root/testdata/sf0.01] [names...]
+
+Prints one line per query (PASS/FAIL/ERR + wall seconds) and a final
+summary; exit code 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return repr(v)
+        if isinstance(v, (list, tuple)):
+            return tuple(cell(x) for x in v)
+        return v
+
+    out = [tuple(cell(list(r)[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from connected_component_spark.session import get_spark
+
+    spark = get_spark()
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or list(qs)
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    n_fail = 0
+    t_all = time.time()
+    for name in names:
+        if name not in qs:
+            print(f"{name:32s} SKIP (unknown)")
+            continue
+        t0 = time.time()
+        try:
+            df = qs[name](spark, args.sf)
+            s_rows = [tuple(r) for r in df.collect()]
+            s_cols = df.columns
+            if name not in oracles:
+                print(f"{name:32s} ROWS-ONLY  {len(s_rows):6d} rows  {time.time()-t0:6.1f}s")
+                continue
+            d = con.sql(oracles[name])
+            d_cols = d.columns
+            d_rows = d.fetchall()
+            status, detail = "PASS", ""
+            if sorted(s_cols) != sorted(d_cols):
+                status, detail = "FAIL", f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}"
+            elif len(s_rows) != len(d_rows):
+                status, detail = "FAIL", f"rows spark={len(s_rows)} duck={len(d_rows)}"
+            else:
+                sn, dn = canon(s_rows, s_cols), canon(d_rows, d_cols)
+                if sn != dn:
+                    diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:2]
+                    status, detail = "FAIL", f"values; first diffs: {diffs}"
+            if status == "FAIL":
+                n_fail += 1
+            print(f"{name:32s} {status}  {len(s_rows):6d} rows  {time.time()-t0:6.1f}s  {detail}")
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            print(f"{name:32s} ERR   {time.time()-t0:6.1f}s  {type(e).__name__}: {e}")
+    print(f"-- {len(names)} queries, {n_fail} failures, {time.time()-t_all:.1f}s total")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
