@@ -42,19 +42,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return dedup_minhash_clusters(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# Registry order = verification priority: the reference-kernel CC
+# queries and the streaming surface run right after the relational
+# set so a time-budgeted correctness run records them early (the r1
+# run truncated before the tail of the registry).
+_MODULE_ORDER = ("relational", "graph", "streamq", "llmops")
+
+
+def _modules():
     from connected_component_spark.queries import graph, llmops, relational, streamq
 
+    order = {
+        "relational": relational,
+        "graph": graph,
+        "streamq": streamq,
+        "llmops": llmops,
+    }
+    return [order[name] for name in _MODULE_ORDER]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, llmops, graph, streamq):
+    for mod in _modules():
         out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from connected_component_spark.queries import graph, llmops, relational, streamq
-
     out: dict[str, str] = {}
-    for mod in (relational, llmops, graph, streamq):
+    for mod in _modules():
         out.update(mod.ORACLES)
     return out

@@ -611,8 +611,15 @@ FROM documents
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature array projected to scalar columns f0..f7: the driver's
+    canonicalizer sorts rows with pandas, which cannot hash list cells
+    (r1 driver ERR) — same flattening pattern as
+    dedup_minhash_signatures."""
     docs = load_table(spark, sf_dir, "documents")
-    return mm.extract_features(mm.with_binary_payload(docs), dim=8)
+    feats = mm.extract_features(mm.with_binary_payload(docs), dim=8)
+    return feats.select(
+        "doc_id", *[F.col("features")[i].alias(f"f{i}") for i in range(8)]
+    )
 
 
 # byte-sum of the UTF-8 payload == sum of codepoints for ASCII text
@@ -621,11 +628,14 @@ _BYTE_SUM = (
     "i -> unicode(text[i:i])))"
 )
 
+_FEATURE_COLS_SQL = ",\n       ".join(
+    f"((bs * {i + 1}) % 997) / 997.0 AS f{i}" for i in range(8)
+)
+
 MULTIMODAL_FEATURES_SQL = f"""
 WITH s AS (SELECT doc_id, {_BYTE_SUM} AS bs FROM documents)
 SELECT doc_id,
-       list_transform(generate_series(1, 8),
-                      i -> ((bs * i) % 997) / 997.0) AS features
+       {_FEATURE_COLS_SQL}
 FROM s
 """
 

@@ -17,10 +17,12 @@ star-edge compression invariant across batch boundaries.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,7 +32,7 @@ from connected_component_spark.queries.graph import (
     copresence_edges_from_events,
 )
 from connected_component_spark.queries.relational import Q_SESSIONIZATION_SQL
-from connected_component_spark.queries.parity import roundd_sql
+from connected_component_spark.queries.parity import dsum_sql
 from connected_component_spark.sources.tables import load_table
 from connected_component_spark.streaming.incremental import (
     IncrementalCC,
@@ -45,17 +47,78 @@ from connected_component_spark.streaming.windows import (
 __all__ = ["QUERIES", "ORACLES"]
 
 
+def _staged_cache(kind: str, sf_dir: str, *extra: str) -> tuple[str, bool]:
+    """Staging-dir cache for stream replays.
+
+    Re-writing /tmp parquet on every invocation dominated the r1 cost
+    of the stream queries (VERDICT item 4).  The dir is keyed by the
+    full sf_dir path + events.parquet mtime (+ any extra tokens), so a
+    changed or moved fixture gets a fresh stage while repeated runs
+    reuse the files.  Returns (path, needs_build); callers must call
+    ``_mark_ready`` after a successful build.  Spark's file listing
+    ignores ``_``-prefixed files, so the marker never enters a stream.
+    """
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    key = hashlib.md5(
+        "|".join([src, str(os.stat(src).st_mtime_ns), *extra]).encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), kind, key)
+    if os.path.exists(os.path.join(path, "_READY")):
+        return path, False
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path, True
+
+
+def _mark_ready(path: str) -> None:
+    with open(os.path.join(path, "_READY"), "w") as f:
+        f.write("ok")
+
+
+def _n_slices(n_events: int) -> int:
+    """Fewer replay micro-batches on small fixtures: per-batch cost is
+    scheduler-bound there, and the multi-batch contract only needs >1."""
+    return 3 if n_events < 50_000 else 6
+
+
+@contextmanager
+def _scaled_shuffle(spark: SparkSession, n_rows: int):
+    """Size shuffle partitions to the replay volume for the duration
+    of a streaming query.
+
+    Stateful streaming disables AQE, so nothing coalesces the
+    session-default shuffle partitions — every micro-batch pays a full
+    set of state-store tasks, and on small replays that fixed per-task
+    overhead IS the wall time (r1: ~17 s/stream query at sf0.01).  A
+    production stream sizes this per-job the same way; large inputs
+    keep the session setting.
+    """
+    if n_rows >= 500_000:
+        yield
+        return
+    target = "4" if n_rows < 50_000 else "16"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", target)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregate over the event stream."""
+    n = load_table(spark, sf_dir, "events").count()
     ev = stream_events(spark, sf_dir)
-    return run_stream_to_memory(windowed_event_counts(ev))
+    with _scaled_shuffle(spark, n):
+        return run_stream_to_memory(windowed_event_counts(ev))
 
 
 STREAM_WINDOW_COUNTS_SQL = f"""
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       {roundd_sql('sum(value)', 6)} AS sum_value
+       {dsum_sql('value')} AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -72,15 +135,16 @@ def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-loops into the running assignment.
     """
     ev = load_table(spark, sf_dir, "events")
-    staged = os.path.join(
-        tempfile.gettempdir(), "ccs_stream_stage", os.path.basename(sf_dir.rstrip("/"))
-    )
-    (
-        ev.select("user_id", "event_type", "ts")
-        .repartitionByRange(6, F.to_date("ts"))
-        .write.mode("overwrite")
-        .parquet(staged)
-    )
+    slices = _n_slices(ev.count())
+    staged, build = _staged_cache("ccs_stream_stage", sf_dir, str(slices))
+    if build:
+        (
+            ev.select("user_id", "event_type", "ts")
+            .repartitionByRange(slices, F.to_date("ts"))
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        _mark_ready(staged)
 
     stream = (
         spark.readStream.schema("user_id long, event_type string, ts timestamp")
@@ -95,7 +159,8 @@ def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct()
         return edges.union(loops)
 
-    state = run_edge_stream(stream, IncrementalCC(), derive_edges=derive)
+    with _scaled_shuffle(spark, ev.count()):
+        state = run_edge_stream(stream, IncrementalCC(), derive_edges=derive)
     assert state.assignments is not None and state.batches_seen > 1
     return state.assignments.select(
         F.col("node").alias("user_id"), F.col("component")
@@ -121,52 +186,52 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value"
     )
-    slices = 6
-    _lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    staged = os.path.join(
-        tempfile.gettempdir(),
-        "ccs_stream_sessions",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
-    if os.path.exists(staged):
-        shutil.rmtree(staged)
-    os.makedirs(staged, exist_ok=True)
+    slices = _n_slices(ev.count())
+    staged, build = _staged_cache("ccs_stream_sessions", sf_dir, str(slices))
+    if build:
+        _lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
 
-    # ONE range-partitioned write: partition i covers the i-th day
-    # range, and part-file name order equals range order — so renaming
-    # in name order with ascending mtimes gives the file source an
-    # event-time-ordered replay without per-slice filter jobs
-    now = time.time()
-    tmp = os.path.join(staged, "_tmp_slices")
-    (
-        ev.repartitionByRange(slices, F.to_date("ts"))
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    parts = sorted(
-        p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
-    )
-    for i, src in enumerate(parts):
-        dst = os.path.join(staged, f"{i:03d}.parquet")
+        # ONE range-partitioned write: partition i covers the i-th day
+        # range, and part-file name order equals range order — so
+        # renaming in name order with ascending mtimes gives the file
+        # source an event-time-ordered replay without per-slice filter
+        # jobs
+        now = time.time()
+        tmp = os.path.join(staged, "_tmp_slices")
+        (
+            ev.repartitionByRange(slices, F.to_date("ts"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        parts = sorted(
+            p
+            for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        for i, src in enumerate(parts):
+            dst = os.path.join(staged, f"{i:03d}.parquet")
+            os.replace(os.path.join(tmp, src), dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        shutil.rmtree(tmp)
+
+        flush = ev.select("user_id").distinct().select(
+            F.lit(FLUSH_EVENT_ID).cast("long").alias("event_id"),
+            (F.lit(hi) + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+            "user_id",
+            F.lit(0.0).alias("value"),
+        )
+        tmp = os.path.join(staged, "_tmp_flush")
+        flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            p
+            for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = os.path.join(staged, f"{slices:03d}_flush.parquet")
         os.replace(os.path.join(tmp, src), dst)
-        os.utime(dst, (now + 10 * i, now + 10 * i))
-    shutil.rmtree(tmp)
-
-    flush = ev.select("user_id").distinct().select(
-        F.lit(FLUSH_EVENT_ID).cast("long").alias("event_id"),
-        (F.lit(hi) + F.expr("INTERVAL 2 DAYS")).alias("ts"),
-        "user_id",
-        F.lit(0.0).alias("value"),
-    )
-    tmp = os.path.join(staged, "_tmp_flush")
-    flush.coalesce(1).write.mode("overwrite").parquet(tmp)
-    src = next(
-        p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
-    )
-    dst = os.path.join(staged, f"{slices:03d}_flush.parquet")
-    os.replace(os.path.join(tmp, src), dst)
-    shutil.rmtree(tmp)
-    os.utime(dst, (now + 10 * slices, now + 10 * slices))
+        shutil.rmtree(tmp)
+        os.utime(dst, (now + 10 * slices, now + 10 * slices))
+        _mark_ready(staged)
 
     stream = (
         spark.readStream.schema(
@@ -176,7 +241,8 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
     sessions = sessionize_stream(stream, gap_s=1800)
-    result = run_stream_to_memory(sessions, output_mode="append")
+    with _scaled_shuffle(spark, ev.count()):
+        result = run_stream_to_memory(sessions, output_mode="append")
     return result
 
 
@@ -215,7 +281,9 @@ def stream_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b_ts").cast("long") - F.col("a_ts").cast("long")
         ).alias("gap_s"),
     )
-    return run_stream_to_memory(joined, output_mode="append")
+    n = load_table(spark, sf_dir, "events").count()
+    with _scaled_shuffle(spark, n):
+        return run_stream_to_memory(joined, output_mode="append")
 
 
 STREAM_EVENT_PAIRS_SQL = """

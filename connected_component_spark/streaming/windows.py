@@ -19,6 +19,7 @@ only for tests/verification — production sinks are
 
 from __future__ import annotations
 
+import hashlib
 import itertools
 import os
 import tempfile
@@ -26,7 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from connected_component_spark.queries.parity import roundd
+from connected_component_spark.queries.parity import dsum
 
 __all__ = [
     "EVENTS_RAW_SCHEMA",
@@ -62,16 +63,21 @@ def stream_events(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     # the file source only accepts directories; fixtures are single
-    # files, so stage a symlink dir (no data copy)
-    src = os.path.join(sf_dir, "events.parquet")
-    staged = os.path.join(
-        tempfile.gettempdir(),
-        "ccs_stream_src",
-        os.path.basename(sf_dir.rstrip("/")) + "_events",
-    )
+    # files, so stage a symlink dir (no data copy).  Keyed by a hash
+    # of the full sf_dir path, and the link is re-created when it
+    # points elsewhere — a stale link from a prior run (same basename,
+    # different parent; moved testdata) must not silently stream the
+    # wrong data.
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    staged = os.path.join(tempfile.gettempdir(), "ccs_stream_src", key + "_events")
     os.makedirs(staged, exist_ok=True)
     link = os.path.join(staged, "events.parquet")
-    if not os.path.islink(link):
+    if os.path.islink(link):
+        if os.readlink(link) != src:
+            os.remove(link)
+            os.symlink(src, link)
+    else:
         os.symlink(src, link)
     df = reader.parquet(staged)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -94,7 +100,10 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            roundd(F.sum("value"), 6).alias("sum_value"),
+            # decimal sum: partial-aggregation order cannot move the
+            # result (raw double sums are the one non-order-stable op;
+            # see queries/parity.py)
+            dsum("value").alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
