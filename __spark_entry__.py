@@ -42,10 +42,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return dedup_minhash_clusters(spark, "/root/testdata/sf0.001")
 
 
-# Registry order = verification priority: the reference-kernel CC
-# queries and the streaming surface run right after the relational
-# set so a time-budgeted correctness run records them early (the r1
-# run truncated before the tail of the registry).
+# Registry order = verification priority.  The driver's correctness
+# run is time-budgeted (r1 and r2 both truncated at 50 rows), so
+# queries that have never been driver-verified or whose code changed
+# this round are rotated to the FRONT; long-stable queries absorb any
+# truncation.
+_PRIORITY = (
+    "multimodal_frames",        # never driver-verified (r1+r2 truncation)
+    "multimodal_features",      # changed r2, no driver row since
+    "ann_similarity_clusters",  # re-routed through LSH this round
+    "dedup_embedding_clusters", # re-routed through LSH this round
+    "ann_cosine_topk",          # bounded query batch this round
+    "ann_lsh_topk",             # absent from r2 run
+    "ann_ivf_topk",             # absent from r2 run
+    "multimodal_metadata",      # absent from r2 run
+    "multimodal_resize",        # absent from r2 run
+    "q_approx_profile",         # oracle added this round
+)
+
 _MODULE_ORDER = ("relational", "graph", "streamq", "llmops")
 
 
@@ -61,15 +75,18 @@ def _modules():
     return [order[name] for name in _MODULE_ORDER]
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in _modules():
-        out.update(mod.QUERIES)
+def _ordered(registries: list[dict]) -> dict:
+    merged: dict = {}
+    for reg in registries:
+        merged.update(reg)
+    out = {name: merged[name] for name in _PRIORITY if name in merged}
+    out.update(merged)
     return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _ordered([mod.QUERIES for mod in _modules()])
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for mod in _modules():
-        out.update(mod.ORACLES)
-    return out
+    return _ordered([mod.ORACLES for mod in _modules()])

@@ -296,7 +296,7 @@ def _ngram_jaccard_bitmap(
 
 
 def ngram_dedup_clusters(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_iterations: int = 20
 ) -> DataFrame:
     """n-gram-Jaccard near-dedup: pairs ≥ threshold become edges; the
     CC kernel clusters them; every doc is covered via self-loops."""
@@ -305,7 +305,12 @@ def ngram_dedup_clusters(
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(docs.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
     )
-    result = connected_components(edges)
+    result = connected_components(edges, max_iterations=max_iterations)
+    if not result.converged:
+        raise RuntimeError(
+            f"connected_components hit the iteration cap ({max_iterations}) "
+            "before converging — refusing to emit partially-merged clusters"
+        )
     return result.assignments.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster")
     )
@@ -412,6 +417,7 @@ def minhash_dedup_clusters(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_iterations: int = 20,
 ) -> DataFrame:
     """Full near-dedup pipeline: minhash → LSH candidates → exact
     Jaccard verify ≥ threshold → **connected components** over the
@@ -429,7 +435,12 @@ def minhash_dedup_clusters(
     edges = verified.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         docs.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
     )
-    result = connected_components(edges)
+    result = connected_components(edges, max_iterations=max_iterations)
+    if not result.converged:
+        raise RuntimeError(
+            f"connected_components hit the iteration cap ({max_iterations}) "
+            "before converging — refusing to emit partially-merged clusters"
+        )
     return result.assignments.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster")
     )

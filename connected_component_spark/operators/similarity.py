@@ -21,6 +21,7 @@ __all__ = [
     "cosine_topk",
     "block_cosine_topk",
     "cosine_threshold_pairs",
+    "lsh_threshold_pairs",
     "embedding_dedup_clusters",
     "lsh_bucketed_topk",
     "ivf_cell_assignments",
@@ -47,8 +48,12 @@ def cosine_topk(
     Cross join queries × corpus; the similarity is rounded *before*
     ranking so rank order is reproducible across engines, with
     neighbor id as the deterministic tie-break.  Self-matches are
-    excluded.  At scale the query side is the small one — Spark
-    broadcasts it under AQE; the corpus side streams.
+    excluded.  The scale contract is that ``queries`` is a *bounded
+    batch* (a serving/rerank request set, not the corpus): the query
+    side is broadcast explicitly, so the corpus is never shuffled and
+    total work is O(|q|·m) — linear in corpus size.  For corpus ×
+    corpus workloads use :func:`lsh_bucketed_topk` /
+    :func:`knn_edges` instead.
     """
     # norms are precomputed per vector (O(n)) instead of per pair
     # (O(n·m)); dot/(qn*cn) is the same expression tree as the inline
@@ -64,7 +69,7 @@ def cosine_topk(
         l2_norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
-        q.crossJoin(c)
+        F.broadcast(q).crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -213,15 +218,37 @@ def block_cosine_topk(
                 qn = np.sqrt((qm * qm).sum(axis=1))
                 cn = np.sqrt((cm * cm).sum(axis=1))
                 cos = (qm @ cm.T) / np.outer(qn, cn)
-                # self-matches dropped globally by the caller filter
+                # self-matches dropped globally by the caller filter.
+                # Tie safety: the block partial must not drop any
+                # candidate that could still win under the global
+                # (rounded cos desc, id asc) order.  Two raw values
+                # rounding to the same 6-dec cos differ by < 1e-6, so
+                # keeping everything within 1e-6 of the (k+1)-th
+                # largest raw value preserves every potential tie at
+                # the cut (incl. duplicate vectors split across
+                # blocks) for the global window to resolve.
                 take = min(topk + 1, cos.shape[1])
-                idx = np.argpartition(-cos, take - 1, axis=1)[:, :take]
-                for r in range(cos.shape[0]):
-                    for j in idx[r]:
-                        out_q.append(qids[r])
-                        out_c.append(cids[j])
-                        out_s.append(cos[r, j])
-            yield pd.DataFrame({"qid": out_q, "cid": out_c, "cos_raw": out_s})
+                kth = -np.partition(-cos, take - 1, axis=1)[:, take - 1]
+                ii, jj = np.nonzero(cos >= kth[:, None] - 1e-6)
+                out_q.append(qids[ii])
+                out_c.append(cids[jj])
+                out_s.append(cos[ii, jj])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "cid": np.concatenate(out_c),
+                        "cos_raw": np.concatenate(out_s),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "qid": pd.Series(dtype="int64"),
+                        "cid": pd.Series(dtype="int64"),
+                        "cos_raw": pd.Series(dtype="float64"),
+                    }
+                )
 
     partials = pairs.mapInPandas(gemm, schema="qid long, cid long, cos_raw double")
     scored = (
@@ -322,20 +349,117 @@ def cosine_threshold_pairs(
     )
 
 
+def lsh_threshold_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    planes: int = 4,
+    tables: int = 4,
+    seed_stride: int = 100,
+) -> DataFrame:
+    """Cosine-threshold pairs with LSH-pruned candidate generation —
+    the 100 TB shape for near-dup edge building.
+
+    Same output contract as :func:`cosine_threshold_pairs` restricted
+    to LSH-recalled candidates: (a, b, cos) with a < b and rounded
+    cos ≥ threshold.  Candidates come from ``tables`` independent
+    random-hyperplane tables (a pair is a candidate when it collides
+    in *any* table); each table is a bucket-key equi-join, so the
+    physical plan is ``tables`` shuffled equi-joins over ~n·E[bucket]
+    rows instead of any all-pairs product — the same
+    candidates→exact-verify architecture as the minhash pipeline
+    (operators/dedup.py), with the rounded Catalyst cosine as the
+    verify step so results stay engine-reproducible.  Recall is the
+    standard OR-of-AND LSH curve: raise ``tables`` (or lower
+    ``planes``) for more recall, both without changing the plan
+    shape.  Buckets are derived from the portable hash family — no
+    stored model, deterministic across engines.
+    """
+    v = _normed(emb, id_col, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vv"),
+        l2_norm(F.col(vec_col)).alias("vn"),
+    )
+    # one scan computes every table's bucket; candidates are id pairs
+    # only (vectors re-join for the verify), so the bucket join never
+    # carries vector payloads
+    buckets = v.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tab"),
+                        _hyperplane_bucket(
+                            F.col("vv"), planes, seed_base=7 + seed_stride * t
+                        ).alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vid", F.col("tb.tab").alias("tab"), F.col("tb.bucket").alias("bucket"))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.tab") == F.col("r.tab"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(F.col("l.vid").alias("a"), F.col("r.vid").alias("b"))
+        .distinct()
+    )
+    va = v.select(F.col("vid").alias("a"), F.col("vv").alias("av"), F.col("vn").alias("an"))
+    vb = v.select(F.col("vid").alias("b"), F.col("vv").alias("bv"), F.col("vn").alias("bn"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            roundd(
+                dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")),
+                round_to,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+
+
 def embedding_dedup_clusters(
     emb: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: int = 4,
+    tables: int = 4,
+    max_iterations: int = 20,
 ) -> DataFrame:
-    """Embedding-cosine near-dedup: threshold pairs become edges; the
-    CC kernel clusters them; self-loops keep isolated vectors as
-    singleton clusters."""
-    pairs = cosine_threshold_pairs(emb, threshold, id_col, vec_col)
+    """Embedding-cosine near-dedup: LSH-candidate threshold pairs
+    become edges; the CC kernel clusters them; self-loops keep
+    isolated vectors as singleton clusters.
+
+    The edge set is :func:`lsh_threshold_pairs` — bucketed candidate
+    generation, not all-pairs — so the whole pipeline is shuffle-
+    bounded equi-joins + the CC kernel at any corpus size.  CC
+    transitivity absorbs per-pair LSH recall loss inside dup groups
+    (one recalled edge merges the group).
+    """
+    pairs = lsh_threshold_pairs(
+        emb, threshold, id_col, vec_col, planes=planes, tables=tables
+    )
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         emb.select(F.col(id_col).alias("src"), F.col(id_col).alias("dst"))
     )
-    result = connected_components(edges)
+    result = connected_components(edges, max_iterations=max_iterations)
+    if not result.converged:
+        raise RuntimeError(
+            f"connected_components hit the iteration cap ({max_iterations}) "
+            "before converging — refusing to emit partially-merged clusters"
+        )
     return result.assignments.select(
         F.col("node").alias(id_col), F.col("component").alias("cluster")
     )
@@ -443,12 +567,28 @@ def knn_edges(
     min_cosine: float = 0.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    planes: int = 4,
 ) -> DataFrame:
     """k-NN similarity graph edges: top-k neighbors per vector with
-    cosine ≥ min_cosine, as (src, dst) pairs.  Uses the blocked-GEMM
-    physical path (corpus × corpus is the worst case for per-pair
-    folds)."""
-    top = block_cosine_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
+    cosine ≥ min_cosine, as (src, dst) pairs.
+
+    ``method='lsh'`` (default, the 100 TB shape) restricts neighbor
+    candidates to the vector's random-hyperplane bucket — a bucket-key
+    equi-join, no all-pairs product anywhere in the plan.  The graph
+    is the standard approximate k-NN graph every large-scale pipeline
+    builds; raise ``planes`` as n grows to keep buckets bounded.
+    ``method='exact'`` keeps the blocked-GEMM exact path for corpora
+    small enough to afford corpus × corpus work.
+    """
+    if method == "lsh":
+        top = lsh_bucketed_topk(
+            emb, emb, k=k, planes=planes, id_col=id_col, vec_col=vec_col
+        )
+    elif method == "exact":
+        top = block_cosine_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
+    else:
+        raise ValueError(f"unknown knn_edges method: {method!r}")
     return top.where(F.col("cos") >= F.lit(min_cosine)).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
@@ -460,14 +600,26 @@ def similarity_clusters(
     min_cosine: float = 0.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    planes: int = 4,
+    max_iterations: int = 20,
 ) -> DataFrame:
-    """Similarity clusters = connected components of the k-NN graph
-    (CC kernel as clustering backbone).  Every vector appears;
-    isolated vectors form singletons via self-loops."""
-    edges = knn_edges(emb, k, min_cosine, id_col, vec_col).union(
+    """Similarity clusters = connected components of the (approximate)
+    k-NN graph (CC kernel as clustering backbone).  Every vector
+    appears; isolated vectors form singletons via self-loops.
+
+    The k-NN edges come from LSH-bucketed candidates by default (see
+    :func:`knn_edges`), so no stage of the pipeline does all-pairs
+    work."""
+    edges = knn_edges(emb, k, min_cosine, id_col, vec_col, method, planes).union(
         emb.select(F.col(id_col).alias("src"), F.col(id_col).alias("dst"))
     )
-    result = connected_components(edges)
+    result = connected_components(edges, max_iterations=max_iterations)
+    if not result.converged:
+        raise RuntimeError(
+            f"connected_components hit the iteration cap ({max_iterations}) "
+            "before converging — refusing to emit partially-merged clusters"
+        )
     return result.assignments.select(
         F.col("node").alias(id_col), F.col("component").alias("cluster")
     )

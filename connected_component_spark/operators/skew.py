@@ -19,6 +19,20 @@ from pyspark.sql import functions as F
 
 __all__ = ["with_salt", "salted_join", "salted_collect_set"]
 
+#: join types for which salting the LEFT side + replicating the right
+#: is a semantics-preserving rewrite.  Right/full outer are NOT: the
+#: replicated right copies that find no left partner would each emit a
+#: null-extended row (``salts``× duplication of right-unmatched rows).
+_SALT_SAFE_JOINS = {
+    "inner",
+    "left",
+    "leftouter",
+    "semi",
+    "leftsemi",
+    "anti",
+    "leftanti",
+}
+
 
 def with_salt(df: DataFrame, cols: list[str] | None, salts: int) -> DataFrame:
     """Add a deterministic ``_salt`` in [0, salts) derived from a
@@ -46,7 +60,17 @@ def salted_join(
     Cost model: replicates ``other`` ``salts``× (use only when
     ``other`` is small-ish but above the broadcast threshold, the
     classic AQE-resistant middle ground).
+
+    Only left-preserving join types are accepted (see
+    ``_SALT_SAFE_JOINS``); right/full outer would silently duplicate
+    right-unmatched rows ``salts``× and raise instead.
     """
+    if how.lower().replace("_", "") not in _SALT_SAFE_JOINS:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: salting the left "
+            "side and replicating the right is only semantics-preserving "
+            "for inner/left/left_semi/left_anti joins"
+        )
     left = with_salt(skewed, salt_basis, salts)
     right = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))

@@ -397,14 +397,48 @@ def _norm_sql(v: str) -> str:
     return f"sqrt(list_sum(list_transform({v}, x -> x::DOUBLE * x::DOUBLE)))"
 
 
+def _cos_sql(x: str, y: str) -> str:
+    return roundd_sql(
+        _DOT.format(a=x, b=y) + f" / ({_norm_sql(x)} * {_norm_sql(y)})", 6
+    )
+
+
+_LSH_PLANES = 4
+_LSH_SEED_BASE = 7
+_EMB_LSH_TABLES = 4
+_EMB_LSH_SEED_STRIDE = 100
+
+
+def _bucket_expr_sql(v: str, seed_base: int = _LSH_SEED_BASE) -> str:
+    """DuckDB twin of operators.similarity._hyperplane_bucket."""
+    bits = []
+    for p in range(_LSH_PLANES):
+        sign = (
+            f"CASE WHEN ({seeded_hash64_sql('CAST(i - 1 AS VARCHAR)', seed_base + p)}"
+            f" & 1) = 1 THEN 1.0 ELSE -1.0 END"
+        )
+        s = (
+            f"list_sum(list_transform(generate_series(1, len({v})), "
+            f"i -> {v}[i]::DOUBLE * ({sign})))"
+        )
+        bits.append(f"(CASE WHEN {s} > 0 THEN {2 ** p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rerank over a *bounded* query batch: ≤10 fixed query
+    vectors against the whole corpus — the production serving shape
+    (broadcast queries, stream corpus, O(|q|·m) work, linear in
+    corpus size).  Corpus-×-corpus workloads are the LSH/IVF
+    queries below."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     return sim.cosine_topk(queries, emb, k=5)
 
 
 ANN_COSINE_TOPK_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0 AND vec_id < 500),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 scored AS (
   SELECT query_id, neighbor_id,
@@ -422,21 +456,28 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 
 
 def ann_similarity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity clusters over the LSH-bucketed approximate k-NN
+    graph — no all-pairs stage anywhere in the plan (the r1/r2
+    blocked-GEMM path did O(n²) work regardless of blocking; the
+    bucket equi-join is the shape that survives 100×)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.similarity_clusters(emb, k=3, min_cosine=0.1)
+    return sim.similarity_clusters(emb, k=3, min_cosine=0.1, method="lsh")
 
 
 ANN_SIMILARITY_CLUSTERS_SQL = f"""
-WITH RECURSIVE allp AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         {roundd_sql(_DOT.format(a='a.embedding', b='b.embedding') + f" / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')})", 6)} AS cos
-  FROM embeddings a CROSS JOIN embeddings b
-  WHERE a.vec_id <> b.vec_id
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding, {_bucket_expr_sql('embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+         {_cos_sql('l.embedding', 'r.embedding')} AS cos
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM allp
+  FROM scored
 ),
 edges AS (
   SELECT query_id AS src, neighbor_id AS dst FROM ranked
@@ -461,16 +502,41 @@ _EMB_DEDUP_THRESHOLD = 0.4
 
 
 def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dedup with LSH-pruned candidates: 4 independent
+    hyperplane tables propose pairs (bucket equi-joins), the exact
+    rounded cosine verifies ≥ threshold, CC clusters the survivors —
+    the same candidates→verify→CC architecture as the minhash
+    pipeline, with no n² stage."""
     return sim.embedding_dedup_clusters(
-        load_table(spark, sf_dir, "embeddings"), threshold=_EMB_DEDUP_THRESHOLD
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_EMB_DEDUP_THRESHOLD,
+        planes=_LSH_PLANES,
+        tables=_EMB_LSH_TABLES,
+    )
+
+
+def _emb_lsh_tables_sql() -> str:
+    """Per-table bucket rows, UNION ALL over the table family."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tab, "
+        f"{_bucket_expr_sql('embedding', _LSH_SEED_BASE + _EMB_LSH_SEED_STRIDE * t)} AS bucket "
+        f"FROM embeddings"
+        for t in range(_EMB_LSH_TABLES)
     )
 
 
 DEDUP_EMBEDDING_CLUSTERS_SQL = f"""
-WITH RECURSIVE pairs AS (
-  SELECT a.vec_id AS a, b.vec_id AS b,
-         {roundd_sql(_DOT.format(a='a.embedding', b='b.embedding') + f" / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')})", 6)} AS cos
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WITH RECURSIVE bt AS ({_emb_lsh_tables_sql()}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM bt l JOIN bt r
+    ON l.tab = r.tab AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+),
+pairs AS (
+  SELECT a, b, {_cos_sql('ea.embedding', 'eb.embedding')} AS cos
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = a
+  JOIN embeddings eb ON eb.vec_id = b
 ),
 edges AS (
   SELECT a AS src, b AS dst FROM pairs WHERE cos >= {_EMB_DEDUP_THRESHOLD}
@@ -488,26 +554,6 @@ walk(node, comp) AS (
 SELECT node AS vec_id, min(comp) AS cluster
 FROM walk GROUP BY node
 """
-
-
-_LSH_PLANES = 4
-_LSH_SEED_BASE = 7
-
-
-def _bucket_expr_sql(v: str) -> str:
-    """DuckDB twin of operators.similarity._hyperplane_bucket."""
-    bits = []
-    for p in range(_LSH_PLANES):
-        sign = (
-            f"CASE WHEN ({seeded_hash64_sql('CAST(i - 1 AS VARCHAR)', _LSH_SEED_BASE + p)}"
-            f" & 1) = 1 THEN 1.0 ELSE -1.0 END"
-        )
-        s = (
-            f"list_sum(list_transform(generate_series(1, len({v})), "
-            f"i -> {v}[i]::DOUBLE * ({sign})))"
-        )
-        bits.append(f"(CASE WHEN {s} > 0 THEN {2 ** p} ELSE 0 END)")
-    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,12 +595,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return sim.ivf_topk(queries, emb, k=5, centroid_stride=_IVF_STRIDE)
-
-
-def _cos_sql(x: str, y: str) -> str:
-    return roundd_sql(
-        _DOT.format(a=x, b=y) + f" / ({_norm_sql(x)} * {_norm_sql(y)})", 6
-    )
 
 
 ANN_IVF_TOPK_SQL = f"""

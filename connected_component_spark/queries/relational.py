@@ -968,23 +968,45 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1  AND 15 AND p_size BETWEEN 1
 
 # --------------------------------------------------------------------------
 # q_approx_profile — sketch surface: HLL approx_count_distinct next to
-# the exact count.  NO oracle entry: HLL sketches are engine-specific
-# (Spark's HLL++ vs DuckDB's), so cross-engine hash-match is
-# impossible by construction — the driver records the weaker
-# rows-only check, and the test suite asserts the error bound
-# instead (tests/test_operators.py pattern).
+# the exact count.  The raw sketch estimate is engine-specific
+# (Spark's HLL++ vs DuckDB's), so it cannot appear in a hash-compared
+# column; instead the *error-bound contract* is the output: a
+# Spark-computed ``within_bound`` boolean (|approx − exact| / exact ≤
+# 3·rsd) next to the engine-independent exact columns.  The oracle
+# supplies the exact columns + TRUE, so the sketch's accuracy claim
+# is part of the hash-checked result instead of unchecked.
 # --------------------------------------------------------------------------
+
+_APPROX_RSD = 0.02
+
 
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", _APPROX_RSD).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(3 * _APPROX_RSD)
+        ).alias("within_bound"),
+    )
+
+
+Q_APPROX_PROFILE_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1106,4 +1128,5 @@ ORACLES = {
     "q_agg_distinct": Q_AGG_DISTINCT_SQL,
     "q_array_ops": Q_ARRAY_OPS_SQL,
     "q_user_event_profile": Q_USER_EVENT_PROFILE_SQL,
+    "q_approx_profile": Q_APPROX_PROFILE_SQL,
 }

@@ -18,9 +18,15 @@ from connected_component_spark.operators.multimodal import (
     decode_metadata,
     with_binary_payload,
 )
+import pytest
+
+from connected_component_spark.operators.dedup import ngram_dedup_clusters
 from connected_component_spark.operators.similarity import (
+    block_cosine_topk,
     cosine_topk,
+    cosine_threshold_pairs,
     lsh_bucketed_topk,
+    lsh_threshold_pairs,
     similarity_clusters,
 )
 
@@ -115,6 +121,59 @@ def test_similarity_clusters_cover_all_vectors(spark):
     emb = _emb(spark, [[1, 0], [0.9, 0.1], [0, 1], [-1, 0]])
     rows = similarity_clusters(emb, k=1, min_cosine=0.95).collect()
     assert {r["vec_id"] for r in rows} == {0, 1, 2, 3}
+
+
+def test_block_topk_ties_match_exact_topk(spark):
+    """ADVICE r2 #1 regression: ≥k+2 duplicate vectors (all cosines
+    tie at 1.0) scattered across blocks — the block partial must not
+    drop a lower-id tied neighbor before the global (cos desc, id
+    asc) window resolves the tie."""
+    dups = [[1.0, 0.0]] * 8  # ids 0..7, all identical
+    rest = [[0.0, 1.0], [0.7, 0.7]]  # ids 8, 9
+    emb = _emb(spark, dups + rest)
+    exact = sorted(map(tuple, cosine_topk(emb, emb, k=2).collect()))
+    blocked = sorted(
+        map(
+            tuple,
+            block_cosine_topk(
+                emb, emb, k=2, query_blocks=3, corpus_blocks=4
+            ).collect(),
+        )
+    )
+    assert blocked == exact
+
+
+def test_lsh_threshold_pairs_verified_subset(spark):
+    """LSH-pruned pairs must be a subset of the exact threshold pairs
+    with identical cosine values (candidates may miss — recall < 1 —
+    but the verify step must never pass a wrong value or pair)."""
+    emb = _emb(
+        spark,
+        [[1, 0], [0.99, 0.14], [0.97, 0.24], [0, 1], [0.1, 0.99], [-1, 0.2]],
+    )
+    exact = {
+        (r["a"], r["b"]): r["cos"]
+        for r in cosine_threshold_pairs(emb, 0.9).collect()
+    }
+    pruned = {
+        (r["a"], r["b"]): r["cos"]
+        for r in lsh_threshold_pairs(emb, 0.9, planes=2, tables=3).collect()
+    }
+    assert set(pruned) <= set(exact)
+    for k, v in pruned.items():
+        assert v == exact[k]
+    assert len(pruned) > 0  # near-identical vectors collide somewhere
+
+
+def test_cluster_ops_raise_on_iteration_cap(spark):
+    """VERDICT r2 #7: a capped CC run must fail loudly instead of
+    silently shipping partially-merged clusters."""
+    emb = _emb(spark, [[1, 0], [0.9, 0.1], [0, 1], [-1, 0]])
+    with pytest.raises(RuntimeError, match="iteration cap"):
+        similarity_clusters(emb, k=1, min_cosine=0.95, max_iterations=1)
+    docs = _docs(spark, ["a b c d e", "a b c d f", "x y z w v"])
+    with pytest.raises(RuntimeError, match="iteration cap"):
+        ngram_dedup_clusters(docs, threshold=0.5, max_iterations=1)
 
 
 def test_multimodal_plumbing_deterministic(spark):

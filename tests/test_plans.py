@@ -39,6 +39,42 @@ def test_q01_stays_jvm_side(spark, sf_dir):
     assert s.exchanges == 1
 
 
+def test_lsh_embedding_paths_have_no_allpairs_join(spark, sf_dir):
+    """VERDICT r2 #1: the declared embedding-graph paths must generate
+    candidates from LSH buckets (equi-joins), never an all-pairs
+    product — the property that survives a 100× corpus."""
+    from connected_component_spark.operators.similarity import (
+        knn_edges,
+        lsh_threshold_pairs,
+    )
+    from connected_component_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for df in (
+        knn_edges(emb, k=3, min_cosine=0.1),
+        lsh_threshold_pairs(emb, 0.4),
+    ):
+        s = summarize_plan(df)
+        assert s.cartesian_products == 0
+        assert s.broadcast_nested_loop_joins == 0
+        assert s.python_evals == 0  # pure Catalyst, no Arrow stage
+
+
+def test_cosine_topk_broadcasts_bounded_query_batch(spark, sf_dir):
+    """Exact rerank shape: the bounded query side broadcasts (BNLJ),
+    the corpus is never shuffled before scoring."""
+    from connected_component_spark.operators.similarity import cosine_topk
+    from connected_component_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    q = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    s = summarize_plan(cosine_topk(q, emb, k=5))
+    assert s.broadcast_nested_loop_joins == 1
+    assert s.cartesian_products == 0
+
+
 def test_cc_round_is_pure_relational(spark):
     from connected_component_spark.graph.cc import large_star, small_star
 
