@@ -21,7 +21,12 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["generate_clique_chains", "generated_cliques_df", "generated_truth_df"]
+__all__ = [
+    "generate_clique_chains",
+    "generated_cliques_df",
+    "generated_truth_df",
+    "distributed_clique_chains",
+]
 
 #: reference seed (CliquesGenerator.scala:56,95)
 DEFAULT_SEED = 19345
@@ -92,3 +97,88 @@ def generated_truth_df(
 def expected_assignments(truth: list[tuple[int, list[int]]]) -> list[tuple[int, int]]:
     """Flat (node, component) twin of the roster ground truth."""
     return [(n, comp) for comp, members in truth for n in members]
+
+
+def distributed_clique_chains(
+    spark: SparkSession,
+    cliques_count: int,
+    max_nodes_per_component: int = 100,
+    cliques_per_chain: int = 10,
+    seed: int = DEFAULT_SEED,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Cluster-side generator: ``(cliques_df, truth_df)`` with the
+    graph built on executors, never materialized on the driver.
+
+    Engine equivalent of the reference's parallel generator
+    (reference CliquesGenerator.scala:47-81: ``parallelize`` over
+    partition indices, per-partition RNG, cliques emitted from
+    ``mapPartitionsWithIndex``), with two deliberate differences:
+    each *chain* gets its own seeded RNG stream (the reference seeds
+    per partition and also mixes in the unseeded global
+    ``Random.shuffle``, so its output depends on the partition count
+    and is not reproducible); and the ground truth comes back as a
+    DataFrame derived engine-side from the emitted cliques, so
+    roster verification at any scale is a join, not a driver loop.
+
+    The driver-side work is O(1): a ``spark.range`` over chain ids.
+    Each Arrow batch generates its chains inside ``mapInPandas`` —
+    at 100 TB scale the generator is embarrassingly parallel with no
+    shuffle until the (optional) truth aggregation.
+
+    Returns ``cliques_df (chain_id, clique_id, nodes array<long>)``
+    and ``truth_df (component, size, members)`` — the same truth
+    schema as :func:`generated_truth_df`.
+    """
+    import pandas as pd
+
+    if max_nodes_per_component >= _RANGE_PER_CHAIN:
+        # reference guard (CliquesGenerator.scala:50,92)
+        raise ValueError("max_nodes_per_component must be < 1000")
+    n_chains = max(1, cliques_count // cliques_per_chain)
+    max_clique_nodes = max(2, max_nodes_per_component // cliques_per_chain)
+    per_chain = cliques_per_chain
+
+    def gen(batches):
+        for pdf in batches:
+            chain_ids: list[int] = []
+            clique_ids: list[int] = []
+            nodes: list[list[int]] = []
+            for chain in pdf["id"]:
+                chain = int(chain)
+                # independent, partition-layout-free stream per chain
+                rng = random.Random(seed * 1_000_003 + chain)
+                base = chain * _RANGE_PER_CHAIN
+                connecting = base
+                for ci in range(per_chain):
+                    k = rng.randint(1, max_clique_nodes)
+                    fresh = rng.sample(range(base, base + _RANGE_PER_CHAIN), k)
+                    clique = sorted(set(fresh) | {connecting})
+                    rng.shuffle(clique)
+                    chain_ids.append(chain)
+                    clique_ids.append(chain * per_chain + ci)
+                    nodes.append(clique)
+                    connecting = rng.choice(clique)
+            yield pd.DataFrame(
+                {"chain_id": chain_ids, "clique_id": clique_ids, "nodes": nodes}
+            )
+
+    rng_df = (
+        spark.range(n_chains, numPartitions=num_partitions)
+        if num_partitions
+        else spark.range(n_chains)
+    )
+    cliques = rng_df.mapInPandas(
+        gen, schema="chain_id long, clique_id long, nodes array<long>"
+    )
+    rosters = (
+        cliques.select("chain_id", F.explode("nodes").alias("node"))
+        .groupBy("chain_id")
+        .agg(F.array_sort(F.collect_set("node")).alias("members"))
+    )
+    truth = rosters.select(
+        F.element_at("members", 1).alias("component"),
+        F.size("members").cast("long").alias("size"),
+        "members",
+    )
+    return cliques, truth
