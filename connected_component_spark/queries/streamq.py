@@ -47,20 +47,28 @@ from connected_component_spark.streaming.windows import (
 __all__ = ["QUERIES", "ORACLES"]
 
 
+#: bump on ANY change to the staged-replay layout (columns selected,
+#: slice scheme, flush-file schema, mtime spacing) — participates in
+#: the cache key so a stale stage from an older code revision can
+#: never be silently replayed
+STAGE_VERSION = "2"
+
+
 def _staged_cache(kind: str, sf_dir: str, *extra: str) -> tuple[str, bool]:
     """Staging-dir cache for stream replays.
 
     Re-writing /tmp parquet on every invocation dominated the r1 cost
     of the stream queries (VERDICT item 4).  The dir is keyed by the
-    full sf_dir path + events.parquet mtime (+ any extra tokens), so a
-    changed or moved fixture gets a fresh stage while repeated runs
-    reuse the files.  Returns (path, needs_build); callers must call
-    ``_mark_ready`` after a successful build.  Spark's file listing
-    ignores ``_``-prefixed files, so the marker never enters a stream.
+    staging-format version + full sf_dir path + events.parquet mtime
+    (+ any extra tokens), so a changed fixture OR a changed staging
+    layout gets a fresh stage while repeated runs reuse the files.
+    Returns (path, needs_build); callers must call ``_mark_ready``
+    after a successful build.  Spark's file listing ignores
+    ``_``-prefixed files, so the marker never enters a stream.
     """
     src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
     key = hashlib.md5(
-        "|".join([src, str(os.stat(src).st_mtime_ns), *extra]).encode()
+        "|".join([STAGE_VERSION, src, str(os.stat(src).st_mtime_ns), *extra]).encode()
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), kind, key)
     if os.path.exists(os.path.join(path, "_READY")):
@@ -82,6 +90,17 @@ def _n_slices(n_events: int) -> int:
     return 3 if n_events < 50_000 else 6
 
 
+def _n_events(spark: SparkSession, sf_dir: str) -> int:
+    """Event-count from the parquet footer — no Spark job.  Falls back
+    to a Spark count for multi-file layouts."""
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    if os.path.isfile(src):
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(src).metadata.num_rows
+    return load_table(spark, sf_dir, "events").count()
+
+
 @contextmanager
 def _scaled_shuffle(spark: SparkSession, n_rows: int):
     """Size shuffle partitions to the replay volume for the duration
@@ -93,6 +112,11 @@ def _scaled_shuffle(spark: SparkSession, n_rows: int):
     overhead IS the wall time (r1: ~17 s/stream query at sf0.01).  A
     production stream sizes this per-job the same way; large inputs
     keep the session setting.
+
+    Assumes single-threaded query execution on the session (the
+    driver harness runs queries sequentially): the conf is session-
+    global, so a concurrent job launched inside the ``with`` block
+    would observe the temporary value.
     """
     if n_rows >= 500_000:
         yield
@@ -108,7 +132,7 @@ def _scaled_shuffle(spark: SparkSession, n_rows: int):
 
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregate over the event stream."""
-    n = load_table(spark, sf_dir, "events").count()
+    n = _n_events(spark, sf_dir)
     ev = stream_events(spark, sf_dir)
     with _scaled_shuffle(spark, n):
         return run_stream_to_memory(windowed_event_counts(ev))
@@ -135,7 +159,8 @@ def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-loops into the running assignment.
     """
     ev = load_table(spark, sf_dir, "events")
-    slices = _n_slices(ev.count())
+    n = _n_events(spark, sf_dir)
+    slices = _n_slices(n)
     staged, build = _staged_cache("ccs_stream_stage", sf_dir, str(slices))
     if build:
         (
@@ -159,7 +184,7 @@ def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct()
         return edges.union(loops)
 
-    with _scaled_shuffle(spark, ev.count()):
+    with _scaled_shuffle(spark, n):
         state = run_edge_stream(stream, IncrementalCC(), derive_edges=derive)
     assert state.assignments is not None and state.batches_seen > 1
     return state.assignments.select(
@@ -168,15 +193,15 @@ def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap sessionization via applyInPandasWithState over an
-    event-time-ordered replay.
+    """Gap sessionization via applyInPandasWithState.
 
-    Events are staged as date-range slice files (mtime + name
-    ordered so the file source replays them in event-time order);
-    a final flush file carries one sentinel event per user that
-    closes every dangling session (production would use event-time
-    timeouts).  The emitted sessions must equal the batch
-    lag+cumsum formulation — Q_SESSIONIZATION_SQL is the oracle.
+    The stateful fold is delivery-order-free (streaming/state.py:
+    events buffer in state; sessions emit only when provably closed
+    by watermark passage or the flush sentinel), so correctness does
+    NOT depend on the replay order of the staged slice files — only
+    the flush file, carrying one sentinel event per user, must come
+    last.  The emitted sessions must equal the batch lag+cumsum
+    formulation — Q_SESSIONIZATION_SQL is the oracle.
     """
     from connected_component_spark.streaming.state import (
         FLUSH_EVENT_ID,
@@ -186,7 +211,8 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value"
     )
-    slices = _n_slices(ev.count())
+    n = _n_events(spark, sf_dir)
+    slices = _n_slices(n)
     staged, build = _staged_cache("ccs_stream_sessions", sf_dir, str(slices))
     if build:
         _lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
@@ -241,7 +267,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
     sessions = sessionize_stream(stream, gap_s=1800)
-    with _scaled_shuffle(spark, ev.count()):
+    with _scaled_shuffle(spark, n):
         result = run_stream_to_memory(sessions, output_mode="append")
     return result
 
@@ -281,7 +307,7 @@ def stream_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b_ts").cast("long") - F.col("a_ts").cast("long")
         ).alias("gap_s"),
     )
-    n = load_table(spark, sf_dir, "events").count()
+    n = _n_events(spark, sf_dir)
     with _scaled_shuffle(spark, n):
         return run_stream_to_memory(joined, output_mode="append")
 

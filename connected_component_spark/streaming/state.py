@@ -4,22 +4,29 @@
 The batch twin is ``queries/relational.py:q_sessionization`` (lag +
 conditional cumulative sum); this is the true streaming formulation —
 per-user session state carried across micro-batches, sessions
-emitted when an event-time gap closes them.  The registered query
-(queries/streamq.py) replays the bounded fixture in event-time order
-and must produce EXACTLY the batch result, which is the oracle
-contract for the stateful operator.
+emitted once no future event can reopen them.  The registered query
+(queries/streamq.py) replays the bounded fixture and must produce
+EXACTLY the batch result, which is the oracle contract for the
+stateful operator.
+
+Ordering contract: the fold does NOT require ordered delivery.
+Incoming events are buffered in state; a session is finalized only
+when it is provably closed:
+
+- the event-time watermark (when the input stream sets one) has
+  passed the session's end by more than the gap — no admissible
+  future event can extend or split it.  State per user is bounded by
+  the watermark lag + gap window: the production shape.
+- the bounded-replay flush sentinel (``event_id == FLUSH_EVENT_ID``,
+  staged after all data files) closes every remaining session — the
+  exact-parity path for replays, correct under ARBITRARY data-file
+  delivery order.
 
 Numeric parity detail: the batch oracle sums ``value`` exactly as
 DECIMAL(18,4) (queries/parity.py:dsum).  The state fold replicates
 that by quantizing each double to 4dp half-up with ``decimal`` and
 accumulating integer ten-thousandths — associative, order-safe, and
 bit-identical to the SQL decimal sum.
-
-Scale notes: state is one small tuple per user key, dropped
-implicitly when a key goes quiet (production would configure
-event-time timeouts to emit dangling sessions; the bounded replay
-uses a sentinel flush event instead so the final open session of
-every user closes deterministically).
 """
 
 from __future__ import annotations
@@ -43,9 +50,11 @@ SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_seq long, n_events long, "
     "session_start string, duration_s long, session_value double"
 )
-SESSION_STATE_SCHEMA = (
-    "seq long, start_us long, last_us long, n long, cents long"
-)
+#: emitted-session counter + the not-yet-finalized event buffer
+#: (epoch-microsecond timestamps and DECIMAL(18,4) values as integer
+#: ten-thousandths).  Buffer size is bounded by the watermark lag +
+#: gap when the stream is watermarked.
+SESSION_STATE_SCHEMA = "seq long, buf_ts array<long>, buf_cents array<long>"
 
 #: sentinel event_id used by the bounded-replay flush file
 FLUSH_EVENT_ID = -1
@@ -67,11 +76,12 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     """(user_id, session rows) stream: sessions close when the
     event-time gap to the next event exceeds ``gap_s``.
 
-    Requires per-user event-time-ordered delivery across micro-batches
-    (the replay harness stages day-ordered files; a production job
-    would sort within watermark windows).  Events with
-    ``event_id == FLUSH_EVENT_ID`` close the current session but are
-    never counted — the bounded-replay flush mechanism.
+    Delivery-order-free: events buffer in per-user state and sessions
+    are emitted only once provably closed — by watermark passage
+    (``events.withWatermark(...)`` upstream, the production path) or
+    by the ``FLUSH_EVENT_ID`` sentinel (bounded replays).  Gap
+    comparisons use floor-second semantics, matching the batch
+    formulation's ``ts.cast("long")``.
     """
 
     def fold(
@@ -80,25 +90,58 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-
         if state.exists:
-            seq, start_us, last_us, n, cents = state.get
+            seq, buf_ts, buf_cents = state.get
+            buf_ts, buf_cents = list(buf_ts), list(buf_cents)
         else:
-            seq, start_us, last_us, n, cents = 0, None, None, 0, 0
+            seq, buf_ts, buf_cents = 0, [], []
+
+        flush = False
+        for pdf in pdfs:
+            for ts, event_id, value in zip(
+                pdf["ts"], pdf["event_id"], pdf["value"]
+            ):
+                if int(event_id) == FLUSH_EVENT_ID:
+                    flush = True
+                    continue
+                buf_ts.append(int(pd.Timestamp(ts).value) // 1_000)
+                buf_cents.append(_cents4(float(value)))
+
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+        except Exception:  # stream has no watermark column
+            wm_ms = 0
 
         out_rows = []
-
-        def close_session() -> None:
-            if n > 0:
+        if buf_ts and (flush or wm_ms > 0):
+            order = sorted(range(len(buf_ts)), key=buf_ts.__getitem__)
+            # split the buffered timeline into gap-delimited sessions
+            sessions: list[list[int]] = [[order[0]]]
+            for i in order[1:]:
+                prev = sessions[-1][-1]
+                if buf_ts[i] // 1_000_000 - buf_ts[prev] // 1_000_000 > gap_s:
+                    sessions.append([i])
+                else:
+                    sessions[-1].append(i)
+            # emit the provably-closed prefix (sessions are time-
+            # ordered, so the first open one ends the scan): any
+            # admissible future event has ts >= watermark, and
+            # wm_s - end_s > gap means it must start a later session
+            emitted = 0
+            for sess in sessions:
+                end_s = buf_ts[sess[-1]] // 1_000_000
+                if not (flush or wm_ms // 1_000 - end_s > gap_s):
+                    break
+                seq += 1
+                start_us = buf_ts[sess[0]]
+                cents = sum(buf_cents[i] for i in sess)
                 out_rows.append(
                     (
                         user_id,
                         seq,
-                        n,
+                        len(sess),
                         _fmt_utc(start_us),
-                        last_us // 1_000_000 - start_us // 1_000_000,
+                        end_s - start_us // 1_000_000,
                         float(
                             (Decimal(cents) / 10_000).quantize(
                                 Decimal("0.01"), rounding=ROUND_HALF_UP
@@ -106,25 +149,17 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
                         ),
                     )
                 )
+                emitted += 1
+            if emitted:
+                keep = [i for sess in sessions[emitted:] for i in sess]
+                buf_ts = [buf_ts[i] for i in keep]
+                buf_cents = [buf_cents[i] for i in keep]
 
-        for ts, event_id, value in zip(
-            batch["ts"], batch["event_id"], batch["value"]
-        ):
-            ts_us = int(pd.Timestamp(ts).value) // 1_000
-            is_break = (
-                last_us is None
-                or ts_us // 1_000_000 - last_us // 1_000_000 > gap_s
-            )
-            if is_break:
-                close_session()
-                seq += 1
-                start_us, n, cents = ts_us, 0, 0
-            last_us = ts_us
-            if event_id != FLUSH_EVENT_ID:
-                n += 1
-                cents += _cents4(float(value))
-
-        state.update((seq, start_us, last_us, n, cents))
+        if flush and not buf_ts:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((seq, buf_ts, buf_cents))
         if out_rows:
             yield pd.DataFrame(
                 out_rows,

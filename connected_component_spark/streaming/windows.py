@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 import itertools
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,6 +79,10 @@ def stream_events(
             os.remove(link)
             os.symlink(src, link)
     else:
+        # a regular file/dir squatting on the link path would make
+        # os.symlink raise — clear any non-symlink occupant first
+        if os.path.lexists(link):
+            shutil.rmtree(link) if os.path.isdir(link) else os.remove(link)
         os.symlink(src, link)
     df = reader.parquet(staged)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -2,10 +2,12 @@
 
 Runs every ``__spark_entry__.queries()`` entry at a given sf_dir and
 compares it against ``oracle_sql()`` via DuckDB with EXACT value
-comparison (full-precision repr, columns sorted by name, rows sorted)
-— unlike tests/oracle_utils.py, floats are NOT rounded, so this
-catches last-ulp divergences the 9-sig-fig test comparator hides
-(the r1 q01 sum_charge failure mode).
+comparison (full-precision repr, columns sorted by name; rows sorted,
+EXCEPT for queries whose oracle declares a top-level ORDER BY — those
+compare row-order-sensitively so tie-break divergences under LIMIT
+are caught) — unlike tests/oracle_utils.py, floats are NOT rounded,
+so this catches last-ulp divergences the 9-sig-fig test comparator
+hides (the r1 q01 sum_charge failure mode).
 
 Usage:
     python scripts/gate_sweep.py [--sf /root/testdata/sf0.01] [names...]
@@ -24,7 +26,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def canon(rows, cols):
+def canon(rows, cols, keep_row_order=False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def cell(v):
@@ -37,7 +39,23 @@ def canon(rows, cols):
         return v
 
     out = [tuple(cell(list(r)[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+    return out if keep_row_order else sorted(out, key=repr)
+
+
+def has_top_level_order_by(sql: str) -> bool:
+    """True when the query declares a result ordering — i.e. an ORDER
+    BY outside any parentheses (window-clause/subquery ORDER BYs don't
+    count).  Such queries are compared row-order-sensitively so a
+    Spark/oracle tie-break divergence under LIMIT is caught."""
+    depth, top = 0, []
+    for ch in sql:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            top.append(ch)
+    return "order by" in "".join(top).lower()
 
 
 def main() -> int:
@@ -86,10 +104,16 @@ def main() -> int:
             elif len(s_rows) != len(d_rows):
                 status, detail = "FAIL", f"rows spark={len(s_rows)} duck={len(d_rows)}"
             else:
-                sn, dn = canon(s_rows, s_cols), canon(d_rows, d_cols)
+                ordered = has_top_level_order_by(oracles[name])
+                sn = canon(s_rows, s_cols, keep_row_order=ordered)
+                dn = canon(d_rows, d_cols, keep_row_order=ordered)
                 if sn != dn:
                     diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:2]
-                    status, detail = "FAIL", f"values; first diffs: {diffs}"
+                    status, detail = (
+                        "FAIL",
+                        f"values{' (row-order-sensitive)' if ordered else ''};"
+                        f" first diffs: {diffs}",
+                    )
             if status == "FAIL":
                 n_fail += 1
             print(f"{name:32s} {status}  {len(s_rows):6d} rows  {time.time()-t0:6.1f}s  {detail}")

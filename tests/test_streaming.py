@@ -66,3 +66,74 @@ def test_windowed_counts_is_streaming_plan(spark, sf_dir):
     assert [f.name for f in agg.schema.fields] == [
         "window_start", "event_type", "n_events", "sum_value",
     ]
+
+
+def test_sessionization_shuffled_replay(spark, sf_dir):
+    """Oracle parity must hold when the staged slice files are
+    replayed in REVERSED event-time order (r2 VERDICT item 6): the
+    stateful fold buffers events and finalizes a session only when it
+    is provably closed, so data-file delivery order is irrelevant —
+    only the flush sentinel file must come last."""
+    import os
+    import tempfile
+    import time
+
+    from connected_component_spark.queries.relational import q_sessionization
+    from connected_component_spark.sources.tables import load_table
+    from connected_component_spark.streaming.state import (
+        FLUSH_EVENT_ID,
+        sessionize_stream,
+    )
+    from connected_component_spark.streaming.windows import run_stream_to_memory
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    hi = ev.agg(F.max("ts")).first()[0]
+    staged = tempfile.mkdtemp(prefix="ccs_shuffled_sessions_")
+    slices = 4
+    tmp = os.path.join(staged, "_tmp")
+    ev.repartitionByRange(slices, F.to_date("ts")).write.mode("overwrite").parquet(tmp)
+    parts = sorted(
+        p for p in os.listdir(tmp)
+        if p.startswith("part-") and p.endswith(".parquet")
+    )
+    # adversarial delivery: ascending mtimes assigned to files in
+    # REVERSE event-time order (the file source replays oldest-mtime
+    # first, so day ranges arrive newest-days-first)
+    now = time.time()
+    for rank, src in enumerate(reversed(parts)):
+        dst = os.path.join(staged, f"{rank:03d}.parquet")
+        os.replace(os.path.join(tmp, src), dst)
+        os.utime(dst, (now + 10 * rank, now + 10 * rank))
+
+    flush = ev.select("user_id").distinct().select(
+        F.lit(FLUSH_EVENT_ID).cast("long").alias("event_id"),
+        (F.lit(hi) + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+        "user_id",
+        F.lit(0.0).alias("value"),
+    )
+    ftmp = os.path.join(staged, "_tmp_flush")
+    flush.coalesce(1).write.mode("overwrite").parquet(ftmp)
+    fsrc = next(
+        p for p in os.listdir(ftmp)
+        if p.startswith("part-") and p.endswith(".parquet")
+    )
+    fdst = os.path.join(staged, f"{len(parts):03d}_flush.parquet")
+    os.replace(os.path.join(ftmp, fsrc), fdst)
+    os.utime(fdst, (now + 10 * len(parts), now + 10 * len(parts)))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    result = run_stream_to_memory(
+        sessionize_stream(stream, gap_s=1800), output_mode="append"
+    )
+    expected = q_sessionization(spark, sf_dir)
+    assert result.count() == expected.count()
+    assert result.exceptAll(expected).count() == 0
+    assert expected.exceptAll(result).count() == 0
