@@ -9,6 +9,9 @@ JVM-side, no Python in the hot path.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -90,14 +93,46 @@ def cosine_topk(
     )
 
 
+#: dimensions covered by the precomputed sign table; vectors longer
+#: than this fall back to computing signs inside the expression
+_SIGN_DIM = 512
+
+
+@lru_cache(maxsize=None)
+def _plane_signs(seed: int, dim: int = _SIGN_DIM) -> tuple[float, ...]:
+    """±1 hyperplane components for one plane, precomputed at
+    plan-build time from the same portable md5 family the engines
+    evaluate at run time (functions/hashing.py:hash64):
+    ``sign(i) = +1 iff hash64(f"{seed}\\x1f{i}") is odd``.
+
+    The hash is data-independent — it depends only on (seed, dim
+    index) — so folding it to literals changes the physical plan (no
+    per-row/per-element md5) but not a single bucket value; DuckDB
+    oracles keep evaluating the md5 form and agree bit-for-bit.
+    """
+    signs = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{seed}\x1f{i}".encode()).hexdigest()[:15], 16)
+        signs.append(1.0 if h & 1 else -1.0)
+    return tuple(signs)
+
+
 def _hyperplane_bucket(vec_col, planes: int, seed_base: int = 7):
     """Sign-of-projection LSH: bucket id from ``planes`` pseudo-random
     hyperplanes.  The hyperplane components are derived per dimension
     from the portable hash family, so bucketing is deterministic and
-    engine-independent (no stored model)."""
-    def proj_bit(p: int):
-        # Σ_i sign(h(p,i)) * v[i]  > 0  → bit p
-        terms = F.aggregate(
+    engine-independent (no stored model).
+
+    Components are baked into the plan as literal arrays (they depend
+    only on the seed, not the data); the md5-in-expression form is kept
+    as a lazy per-row fallback for vectors wider than ``_SIGN_DIM`` —
+    2M interpreted md5 calls per 2k×4×4-table bucket pass cost ~3.5 s
+    at sf0.1 before this fold.
+    """
+    def proj_terms_hashed(p: int):
+        # Σ_i sign(h(p,i)) * v[i] with the sign hashed per element —
+        # only evaluated for rows where size(vec) > _SIGN_DIM
+        return F.aggregate(
             F.zip_with(
                 vec_col,
                 F.sequence(F.lit(0), F.size(vec_col) - 1),
@@ -110,6 +145,24 @@ def _hyperplane_bucket(vec_col, planes: int, seed_base: int = 7):
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
+        )
+
+    def proj_bit(p: int):
+        # one array Literal (constant data), NOT CreateArray over 512
+        # literal children — the latter inflates codegen by ~8k nodes
+        # per bucket expression and costs seconds of JIT per stage
+        signs = F.lit(list(_plane_signs(seed_base + p)))
+        lit_terms = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.slice(signs, 1, F.size(vec_col)),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        terms = F.when(F.size(vec_col) <= _SIGN_DIM, lit_terms).otherwise(
+            proj_terms_hashed(p)
         )
         return F.when(terms > 0, F.lit(2 ** p)).otherwise(F.lit(0))
 
