@@ -272,32 +272,58 @@ def connected_components(
     iterations = 0
     round_counts: list[int] = []
 
-    if convergence == "reference-counts":
-        # sentinel-free port of the plateau rule
-        # (reference ConnectedComponent.scala:247-249,272)
-        prev_counts: tuple[int, int] | None = None
-        for iterations in range(1, max_iterations + 1):
-            after_large, large_count = _large_star_counted(pairs)
-            after_large = _checkpoint(after_large)
-            after_small, small_count = _small_star_counted(after_large)
-            pairs = _checkpoint(after_small)
-            counts = (large_count, small_count)
-            if counts == prev_counts or counts == (0, 0):
-                converged = True
-                break
-            prev_counts = counts
-    else:
-        prev_fp: tuple[int, int] | None = None
-        for iterations in range(1, max_iterations + 1):
-            # lazy checkpoint: the fingerprint aggregation is the one
-            # action per round and materializes the checkpoint blocks
-            pairs = _checkpoint(small_star(large_star(pairs)), eager=False)
-            fp = _set_fingerprint(pairs)
-            round_counts.append(fp[0])
-            if fp == prev_fp:
-                converged = True
-                break
-            prev_fp = fp
+    # Right-size the per-round shuffles to the graph: a round is ~6
+    # exchanges, and on small graphs the session's full shuffle width
+    # costs more in fixed per-task/per-stage overhead than the data
+    # justifies (measured 4.3 s -> 3.3 s on a 2k-node graph at
+    # local[32]).  Shrink-only: at cluster scale the session width
+    # wins and the conf is left alone.  Restored in the finally —
+    # like streamq._scaled_shuffle this assumes single-threaded use
+    # of the session while the loop runs.  Partition count never
+    # affects results (min-aggregations and the checksum are
+    # partition-order-free), only task granularity.
+    _SP_KEY = "spark.sql.shuffle.partitions"
+    n0 = pairs.count()  # cheap: pairs is checkpointed
+    prev_sp: str | None
+    try:
+        prev_sp = spark.conf.get(_SP_KEY)
+        target = max(4, -(-n0 // 250_000))
+        if prev_sp is None or not prev_sp.isdigit() or target >= int(prev_sp):
+            prev_sp = None  # nothing to change / not shrinkable
+    except Exception:
+        prev_sp = None
+    if prev_sp is not None:
+        spark.conf.set(_SP_KEY, str(target))
+    try:
+        if convergence == "reference-counts":
+            # sentinel-free port of the plateau rule
+            # (reference ConnectedComponent.scala:247-249,272)
+            prev_counts: tuple[int, int] | None = None
+            for iterations in range(1, max_iterations + 1):
+                after_large, large_count = _large_star_counted(pairs)
+                after_large = _checkpoint(after_large)
+                after_small, small_count = _small_star_counted(after_large)
+                pairs = _checkpoint(after_small)
+                counts = (large_count, small_count)
+                if counts == prev_counts or counts == (0, 0):
+                    converged = True
+                    break
+                prev_counts = counts
+        else:
+            prev_fp: tuple[int, int] | None = None
+            for iterations in range(1, max_iterations + 1):
+                # lazy checkpoint: the fingerprint aggregation is the
+                # one action per round and materializes the blocks
+                pairs = _checkpoint(small_star(large_star(pairs)), eager=False)
+                fp = _set_fingerprint(pairs)
+                round_counts.append(fp[0])
+                if fp == prev_fp:
+                    converged = True
+                    break
+                prev_fp = fp
+    finally:
+        if prev_sp is not None:
+            spark.conf.set(_SP_KEY, prev_sp)
 
     assignments = (
         pairs.groupBy(F.col("src").alias("node"))

@@ -15,7 +15,6 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from connected_component_spark.functions.hashing import seeded_hash64
 from connected_component_spark.queries.parity import roundd
 from connected_component_spark.functions.vectors import as_double, cosine, dot, l2_norm
 from connected_component_spark.graph.cc import connected_components
@@ -117,6 +116,18 @@ def _plane_signs(seed: int, dim: int = _SIGN_DIM) -> tuple[float, ...]:
     return tuple(signs)
 
 
+@lru_cache(maxsize=None)
+def _plane_signs_sql(seed: int, dim: int = _SIGN_DIM) -> str:
+    """SQL text for one plane's sign array.  A single ``F.expr`` over
+    this string creates the whole array Literal in one JVM round trip;
+    ``F.lit(list)`` expands to one py4j ``lit`` call per element —
+    ~0.6 s of driver time per 512-wide literal, ×16 literals per
+    4-table query plan before this was folded to text."""
+    return (
+        "array(" + ",".join(f"{s:.1f}D" for s in _plane_signs(seed, dim)) + ")"
+    )
+
+
 def _hyperplane_bucket(vec_col, planes: int, seed_base: int = 7):
     """Sign-of-projection LSH: bucket id from ``planes`` pseudo-random
     hyperplanes.  The hyperplane components are derived per dimension
@@ -124,35 +135,15 @@ def _hyperplane_bucket(vec_col, planes: int, seed_base: int = 7):
     engine-independent (no stored model).
 
     Components are baked into the plan as literal arrays (they depend
-    only on the seed, not the data); the md5-in-expression form is kept
-    as a lazy per-row fallback for vectors wider than ``_SIGN_DIM`` —
-    2M interpreted md5 calls per 2k×4×4-table bucket pass cost ~3.5 s
-    at sf0.1 before this fold.
+    only on the seed, not the data) covering dims ≤ ``_SIGN_DIM``;
+    wider vectors fail loudly at run time (``raise_error``) instead of
+    silently hashing into a wrong bucket — widen ``_SIGN_DIM`` for
+    wider embedding columns (signs are derived per dimension, so a
+    larger table changes nothing for narrower vectors).
     """
-    def proj_terms_hashed(p: int):
-        # Σ_i sign(h(p,i)) * v[i] with the sign hashed per element —
-        # only evaluated for rows where size(vec) > _SIGN_DIM
-        return F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), F.size(vec_col) - 1),
-                lambda x, i: x
-                * F.when(
-                    seeded_hash64(i.cast("string"), seed_base + p)
-                    .bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     def proj_bit(p: int):
-        # one array Literal (constant data), NOT CreateArray over 512
-        # literal children — the latter inflates codegen by ~8k nodes
-        # per bucket expression and costs seconds of JIT per stage
-        signs = F.lit(list(_plane_signs(seed_base + p)))
-        lit_terms = F.aggregate(
+        signs = F.expr(_plane_signs_sql(seed_base + p))
+        terms = F.aggregate(
             F.zip_with(
                 vec_col,
                 F.slice(signs, 1, F.size(vec_col)),
@@ -161,10 +152,15 @@ def _hyperplane_bucket(vec_col, planes: int, seed_base: int = 7):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        terms = F.when(F.size(vec_col) <= _SIGN_DIM, lit_terms).otherwise(
-            proj_terms_hashed(p)
+        guarded = F.when(F.size(vec_col) <= _SIGN_DIM, terms).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"hyperplane LSH sign table covers dim <= {_SIGN_DIM}; "
+                    "raise similarity._SIGN_DIM for wider embeddings"
+                )
+            )
         )
-        return F.when(terms > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        return F.when(guarded > 0, F.lit(2 ** p)).otherwise(F.lit(0))
 
     bucket = None
     for p in range(planes):
