@@ -51,7 +51,7 @@ __all__ = ["QUERIES", "ORACLES"]
 #: slice scheme, flush-file schema, mtime spacing) — participates in
 #: the cache key so a stale stage from an older code revision can
 #: never be silently replayed
-STAGE_VERSION = "2"
+STAGE_VERSION = "3"
 
 
 def _staged_cache(kind: str, sf_dir: str, *extra: str) -> tuple[str, bool]:

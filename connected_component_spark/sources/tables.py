@@ -45,6 +45,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # harmless if the session already has it
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # The fixture generator has shipped ts as TIMESTAMP(NANOS)
+        # (arrives long under nanosAsLong), TIMESTAMP(MICROS)
+        # isAdjustedToUTC=false (arrives TIMESTAMP_NTZ), and plain
+        # TIMESTAMP across rounds.  Normalize every variant to
+        # session-tz TIMESTAMP so downstream casts (ts -> long epoch
+        # seconds etc.) behave identically; session tz is pinned UTC
+        # above, so NTZ -> LTZ is value-preserving.
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -44,6 +44,19 @@ EVENTS_RAW_SCHEMA = (
     "value double, props string"
 )
 
+
+def _ts_is_nanos(src: str) -> bool:
+    """True when events.parquet stores ts as TIMESTAMP(NANOS) (which
+    Spark can only read via ``nanosAsLong`` → int64).  The fixture
+    generator has shipped both NANOS and MICROS variants across
+    rounds; ``readStream`` needs an explicit schema, so the physical
+    type must be sniffed from the footer (no Spark job) — assuming
+    either variant silently corrupts event time by 1000×."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(src).schema_arrow.field("ts").type
+    return getattr(t, "unit", None) == "ns"
+
 _memory_names = (f"ccs_stream_{i}" for i in itertools.count())
 
 
@@ -60,7 +73,12 @@ def stream_events(
 
     _ensure_runtime_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    nanos = _ts_is_nanos(src)
+    schema = EVENTS_RAW_SCHEMA if nanos else EVENTS_RAW_SCHEMA.replace(
+        "ts long", "ts timestamp"
+    )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     # the file source only accepts directories; fixtures are single
@@ -69,7 +87,6 @@ def stream_events(
     # points elsewhere — a stale link from a prior run (same basename,
     # different parent; moved testdata) must not silently stream the
     # wrong data.
-    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     staged = os.path.join(tempfile.gettempdir(), "ccs_stream_src", key + "_events")
     os.makedirs(staged, exist_ok=True)
@@ -85,7 +102,9 @@ def stream_events(
             shutil.rmtree(link) if os.path.isdir(link) else os.remove(link)
         os.symlink(src, link)
     df = reader.parquet(staged)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def windowed_event_counts(
