@@ -48,6 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round are rotated to the FRONT; long-stable queries absorb any
 # truncation.
 _PRIORITY = (
+    "q_asof_orders",            # new this round (distributed as-of join)
     "multimodal_frames",        # never driver-verified (r1+r2 truncation)
     "multimodal_features",      # changed r2, no driver row since
     "ann_similarity_clusters",  # re-routed through LSH this round

@@ -1,0 +1,147 @@
+"""Distributed as-of (nearest-time) join.
+
+The standard time-series / feature-attribution operator Spark has no
+built-in for: every left row picks the single right row with the
+latest ``right_time <= left_time`` (backward; forward mirrors).  A
+single-node engine sorts both sides and merges; the distributed
+formulation here is union + window — tag both sides, union them,
+and run ``last(<right col>, ignorenulls=True)`` over a
+(key-partitioned, time-ordered) running window.  That is ONE shuffle
+on the join key with a per-key sort — exactly the exchange a
+sort-merge join would pay, no range explosion, no per-row probe —
+and it survives 100 TB the same way any keyed window does (AQE
+handles skewed keys; no state beyond the sort).
+
+All expressions are Catalyst built-ins (JVM-side, codegen); no
+Python in the path.
+
+Reference scope note: the reference engine (kwartile/
+connected-component) has no as-of operator; this belongs to the
+training-data-pipeline surface the engine adds on top (event ×
+dimension-history attribution, point-in-time-correct feature joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+_SIDE = "__asof_side"
+_TIME = "__asof_t"
+_TIE = "__asof_tie"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the matched columns of
+    the single best ``right`` row (NULLs when no right row qualifies —
+    left-outer semantics).
+
+    backward: match = right row with the greatest ``right_time`` ≤
+    ``left_time``.  forward: smallest ``right_time`` ≥ ``left_time``.
+    Equal times match in both directions.
+
+    ``on`` key column(s) must share names across the two frames
+    (rename beforehand).  ``right_cols`` are the right columns carried
+    into the result (default: everything but keys and ``right_time``);
+    names must not collide with left columns.  When several right rows
+    share (key, time), the one with the greatest ``tie_break`` value
+    wins — required for a deterministic result if such duplicates can
+    exist, since engines disagree on which tied row an as-of join
+    returns.  ``tolerance`` (a Column literal, e.g.
+    ``F.expr("INTERVAL 7 DAYS")`` or a numeric for numeric time axes)
+    discards matches farther than that from ``left_time``.
+
+    Both time columns must be union-compatible (cast beforehand:
+    mixing TIMESTAMP and TIMESTAMP_NTZ will not resolve).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction must be backward|forward, got {direction!r}")
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in (*keys, right_time, tie_break)
+        ]
+    collisions = set(right_cols) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"asof_join right_cols collide with left columns: {sorted(collisions)}; "
+            "rename before joining"
+        )
+    matched_time = f"__asof_matched_{right_time}"
+
+    lt = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_time).alias(_TIME),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast("long").alias(_TIE),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(right.schema[right_time].dataType).alias(matched_time),
+    )
+    rt = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+        F.col(right_time).alias(_TIME),
+        F.lit(0).alias(_SIDE),
+        (F.col(tie_break).cast("long") if tie_break else F.lit(0)).alias(_TIE),
+        *[F.col(c) for c in right_cols],
+        F.col(right_time).alias(matched_time),
+    ).select(*lt.columns)  # align union column order
+
+    unioned = lt.unionByName(rt)
+    # Sort so that (a) every eligible right row precedes the left row
+    # it may match — on time ties the right side must come first, so
+    # _SIDE ascends — and (b) among right rows tied on (key, time) the
+    # greatest tie_break lands nearest the left row, making
+    # ``last(ignorenulls)`` deterministic.
+    if direction == "backward":
+        order = [F.col(_TIME).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc()]
+    else:
+        order = [F.col(_TIME).desc(), F.col(_SIDE).asc(), F.col(_TIE).asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            if c in (*right_cols, matched_time)
+            else F.col(c)
+            for c in unioned.columns
+        ]
+    ).where(F.col(_SIDE) == 1)
+
+    if tolerance is not None:
+        gap = (
+            F.col(_TIME) - F.col(matched_time)
+            if direction == "backward"
+            else F.col(matched_time) - F.col(_TIME)
+        )
+        in_tol = F.col(matched_time).isNotNull() & (gap <= tolerance)
+        filled = filled.select(
+            *[
+                F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c)
+                if c in (*right_cols, matched_time)
+                else F.col(c)
+                for c in filled.columns
+            ]
+        )
+
+    return filled.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(c) for c in right_cols],
+        F.col(matched_time).alias(f"matched_{right_time}"),
+    )

@@ -43,6 +43,71 @@ def _rev() -> F.Column:
 __all__ = ["QUERIES", "ORACLES"]
 
 
+# --------------------------------------------------------------------------
+# q_asof_orders — point-in-time order attribution via the distributed
+# as-of join (operators/asof.py): each event picks the customer's most
+# recent order-day at-or-before the event date.  The oracle uses
+# DuckDB's native ASOF LEFT JOIN, so the union+window formulation is
+# checked against an independent engine's as-of semantics.
+# --------------------------------------------------------------------------
+
+def q_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connected_component_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("event_date")
+    )
+    # pre-aggregate the right side to one row per (customer, day): the
+    # as-of axis is the order DAY, and collapsing duplicates makes the
+    # matched row engine-independent (no tied-time ambiguity)
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.to_date("o_orderdate").alias("order_date"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("order_key"),
+            F.count(F.lit(1)).cast("long").alias("n_day_orders"),
+        )
+    )
+    joined = asof_join(
+        ev,
+        od,
+        on="user_id",
+        left_time="event_date",
+        right_time="order_date",
+        right_cols=["order_key", "n_day_orders"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+        "order_key",
+        "n_day_orders",
+        F.date_format("matched_order_date", "yyyy-MM-dd").alias("order_date"),
+        F.datediff(F.col("event_date"), F.col("matched_order_date"))
+        .cast("long")
+        .alias("gap_days"),
+    )
+
+
+Q_ASOF_ORDERS_SQL = """
+WITH od AS (
+  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS od_date,
+         max(o_orderkey) AS order_key, count(*) AS n_day_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS event_date,
+       od.order_key, od.n_day_orders,
+       strftime(od.od_date, '%Y-%m-%d') AS order_date,
+       CAST(date_diff('day', od.od_date, CAST(e.ts AS DATE)) AS BIGINT) AS gap_days
+FROM events e
+ASOF LEFT JOIN od ON e.user_id = od.user_id AND CAST(e.ts AS DATE) >= od.od_date
+"""
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from connected_component_spark.sources.tables import load_table
 
@@ -1097,6 +1162,7 @@ QUERIES = {
     "q_array_ops": q_array_ops,
     "q_user_event_profile": q_user_event_profile,
     "q_approx_profile": q_approx_profile,
+    "q_asof_orders": q_asof_orders,
 }
 
 ORACLES = {
@@ -1129,4 +1195,5 @@ ORACLES = {
     "q_array_ops": Q_ARRAY_OPS_SQL,
     "q_user_event_profile": Q_USER_EVENT_PROFILE_SQL,
     "q_approx_profile": Q_APPROX_PROFILE_SQL,
+    "q_asof_orders": Q_ASOF_ORDERS_SQL,
 }
