@@ -49,6 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # truncation.
 _PRIORITY = (
     "q_asof_orders",            # new this round (distributed as-of join)
+    "pipeline_corpus_curation", # new this round (end-to-end curation)
     "multimodal_frames",        # never driver-verified (r1+r2 truncation)
     "multimodal_features",      # changed r2, no driver row since
     "ann_similarity_clusters",  # re-routed through LSH this round

@@ -10,7 +10,7 @@ pattern).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from connected_component_spark.functions.hashing import (
@@ -275,6 +275,95 @@ walk(node, comp) AS (
 )
 SELECT node AS doc_id, min(comp) AS cluster
 FROM walk GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# pipeline_corpus_curation — the end-to-end training-data curation
+# flow every large-scale pipeline runs: quality-score every document,
+# cluster near-duplicates (minhash-LSH → exact-Jaccard verify → CC),
+# and keep exactly one canonical document per near-dup cluster — the
+# highest-quality one — provided it clears the quality floor.  Each
+# stage is an already-verified component (text.quality_score,
+# dedup.minhash_dedup_clusters); this query checks their composition
+# end-to-end against a single recursive-CTE oracle.
+# --------------------------------------------------------------------------
+
+_CURATION_MIN_QUALITY = 0.5
+
+
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    quality = tx.quality_score(docs).select("doc_id", "quality")
+    clusters = dd.minhash_dedup_clusters(
+        docs,
+        num_hashes=_MINHASH_N,
+        bands=_LSH_BANDS,
+        threshold=_JACCARD_THRESHOLD,
+    )
+    w = Window.partitionBy("cluster")
+    pick = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("rn", F.row_number().over(pick))
+        .select(
+            "doc_id",
+            "cluster",
+            "cluster_size",
+            "quality",
+            (
+                (F.col("rn") == 1)
+                & (F.col("quality") >= F.lit(_CURATION_MIN_QUALITY))
+            ).alias("keep"),
+        )
+    )
+
+
+PIPELINE_CORPUS_CURATION_SQL = f"""
+WITH RECURSIVE {_minhash_sql_core()},
+{_lsh_pairs_sql()},
+edges AS (
+  SELECT a AS src, b AS dst FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node
+),
+feat AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         len(list_distinct(t)) / greatest(len(t), 1) AS uniq_r,
+         len(list_filter(t, x -> x IN {_EN})) / greatest(len(t), 1) AS stop_r
+  FROM toks
+),
+q AS (
+  SELECT doc_id,
+         {roundd_sql('least(n_tok / 100.0, 1.0) * 0.5 + uniq_r * 0.3 + least(stop_r * 10.0, 1.0) * 0.2', 4)} AS quality
+  FROM feat
+),
+ranked AS (
+  SELECT c.doc_id, c.cluster, q.quality,
+         count(*) OVER (PARTITION BY c.cluster) AS cluster_size,
+         row_number() OVER (
+           PARTITION BY c.cluster ORDER BY q.quality DESC, c.doc_id ASC
+         ) AS rn
+  FROM clusters c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT doc_id, cluster, CAST(cluster_size AS BIGINT) AS cluster_size, quality,
+       (rn = 1 AND quality >= {_CURATION_MIN_QUALITY}) AS keep
+FROM ranked
 """
 
 
@@ -733,6 +822,7 @@ QUERIES = {
     "dedup_embedding_clusters": dedup_embedding_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "pipeline_corpus_curation": pipeline_corpus_curation,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -758,6 +848,7 @@ ORACLES = {
     "dedup_embedding_clusters": DEDUP_EMBEDDING_CLUSTERS_SQL,
     "dedup_simhash": _simhash_sql(16),
     "dedup_simhash_pairs": _simhash_pairs_sql(32, 3),
+    "pipeline_corpus_curation": PIPELINE_CORPUS_CURATION_SQL,
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
