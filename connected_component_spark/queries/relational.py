@@ -92,6 +92,65 @@ def q_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q_interval_spikes — point-in-interval attribution via the bin-
+# bucketed range join (operators/rangejoin.py).  Spike windows are
+# overlapping 2-hour intervals (hourly activity buckets with ≥5
+# events, extended 2h), so a sampled event can land in several
+# windows across event types — true interval multiplicity, which a
+# naive inequality join would execute as a nested-loop product.
+# --------------------------------------------------------------------------
+
+_SPIKE_MIN_EVENTS = 5
+_SPIKE_SAMPLE_MOD = 97
+
+
+def q_interval_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connected_component_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = (
+        ev.groupBy(
+            F.col("event_type").alias("spike_type"),
+            F.date_trunc("hour", "ts").alias("w_start"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("spike_n"))
+        .where(F.col("spike_n") >= _SPIKE_MIN_EVENTS)
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    pts = ev.where(F.col("event_id") % _SPIKE_SAMPLE_MOD == 0).select(
+        "event_id", F.col("event_type").alias("ev_type"), "ts"
+    )
+    joined = interval_join(
+        pts, windows, point_col="ts", start_col="w_start", end_col="w_end",
+        bin_width=3600,
+    )
+    return joined.select(
+        "event_id",
+        "ev_type",
+        "spike_type",
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "spike_n",
+    )
+
+
+Q_INTERVAL_SPIKES_SQL = f"""
+WITH w AS (
+  SELECT event_type AS spike_type,
+         time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+         count(*) AS spike_n
+  FROM events GROUP BY 1, 2
+  HAVING count(*) >= {_SPIKE_MIN_EVENTS}
+)
+SELECT e.event_id, e.event_type AS ev_type, w.spike_type,
+       strftime(w.w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       spike_n
+FROM events e
+JOIN w ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 2 HOUR
+WHERE e.event_id % {_SPIKE_SAMPLE_MOD} = 0
+"""
+
+
 Q_ASOF_ORDERS_SQL = """
 WITH od AS (
   SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS od_date,
@@ -1163,6 +1222,7 @@ QUERIES = {
     "q_user_event_profile": q_user_event_profile,
     "q_approx_profile": q_approx_profile,
     "q_asof_orders": q_asof_orders,
+    "q_interval_spikes": q_interval_spikes,
 }
 
 ORACLES = {
@@ -1196,4 +1256,5 @@ ORACLES = {
     "q_user_event_profile": Q_USER_EVENT_PROFILE_SQL,
     "q_approx_profile": Q_APPROX_PROFILE_SQL,
     "q_asof_orders": Q_ASOF_ORDERS_SQL,
+    "q_interval_spikes": Q_INTERVAL_SPIKES_SQL,
 }
