@@ -1,0 +1,127 @@
+"""Deterministic sampling and dataset splitting.
+
+Training pipelines need samples and train/valid/test splits that are
+(a) reproducible across runs and engines — re-running the pipeline
+tomorrow, or auditing it in another system, must yield the SAME
+membership — and (b) stable under data growth: adding new rows never
+reshuffles old rows between splits.  Random `df.sample` gives
+neither.  The standard answer is content hashing: a row's bucket is
+a pure function of its key, via the portable md5-derived hash64
+(functions/hashing.py), so every operator here has an exact DuckDB
+SQL twin and membership is auditable by hash.
+
+All expressions are Catalyst built-ins; map-side only (no shuffle) —
+sampling 100 TB is a scan, as it should be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from connected_component_spark.functions.hashing import (
+    seeded_hash64,
+    seeded_hash64_sql,
+)
+
+__all__ = [
+    "SPLIT_DENOM",
+    "hash_sample",
+    "hash_split",
+    "hash_split_case_sql",
+    "split_bucket_sql",
+    "stratified_topn",
+]
+
+#: bucket resolution: fractions are exact multiples of 1/SPLIT_DENOM
+SPLIT_DENOM = 1_000_000
+
+
+def _bucket(key_col: str, seed: int) -> Column:
+    return seeded_hash64(F.col(key_col).cast("string"), seed) % F.lit(SPLIT_DENOM)
+
+
+def split_bucket_sql(key_expr: str, seed: int) -> str:
+    """DuckDB twin of the bucket expression both operators assign
+    membership from."""
+    return f"({seeded_hash64_sql(f'CAST({key_expr} AS VARCHAR)', seed)}) % {SPLIT_DENOM}"
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose key bucket
+    falls below ``fraction * SPLIT_DENOM``.  Same key ⇒ same verdict,
+    every run, every engine; disjoint seeds give independent samples.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"hash_sample fraction must be in [0, 1], got {fraction}")
+    return df.where(_bucket(key_col, seed) < int(fraction * SPLIT_DENOM))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by hash bucket: cumulative
+    weight ranges over ``[0, SPLIT_DENOM)``.  Exhaustive and mutually
+    exclusive by construction; weights must sum to 1.  Membership is
+    per-key, so duplicate keys land in the same split (no leakage by
+    row duplication) and appending new data never moves old keys.
+    """
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"hash_split weights must sum to 1, got {total}")
+    if out_col in df.columns:
+        raise ValueError(f"hash_split output column {out_col!r} already exists")
+    b = _bucket(key_col, seed)
+    expr = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        cond = b < int(cum * SPLIT_DENOM)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_case_sql(key_expr: str, splits: list[tuple[str, float]], seed: int = 0) -> str:
+    """DuckDB CASE twin of :func:`hash_split`'s label expression."""
+    b = split_bucket_sql(key_expr, seed)
+    whens = []
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        whens.append(f"WHEN {b} < {int(cum * SPLIT_DENOM)} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{splits[-1][0]}' END"
+
+
+def stratified_topn(
+    df: DataFrame,
+    strata: str | list[str],
+    n: int,
+    order_col: str,
+    descending: bool = True,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Exact-n-per-stratum deterministic sample: the top ``n`` rows of
+    each stratum by ``order_col`` (ties broken by ``tie_break``, which
+    must be unique within a stratum for a deterministic result).
+    One shuffle on the strata keys — the balanced-subset primitive
+    (per-language caps, per-source caps) of corpus assembly."""
+    from pyspark.sql import Window
+
+    keys = [strata] if isinstance(strata, str) else list(strata)
+    order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

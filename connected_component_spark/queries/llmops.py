@@ -279,6 +279,55 @@ FROM walk GROUP BY node
 
 
 # --------------------------------------------------------------------------
+# pipeline_split_decontamination — train/valid/test assignment by
+# portable content hash (operators/sampling.py: reproducible across
+# engines and stable under data growth) plus the leakage audit every
+# eval-integrity pass needs: near-duplicate pairs (minhash-LSH
+# candidates, exact-Jaccard verified) that CROSS a split boundary —
+# exactly the pairs that contaminate held-out evaluation.
+# --------------------------------------------------------------------------
+
+_SPLIT_SEED = 42
+_SPLITS = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+
+
+def pipeline_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connected_component_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    splits = hash_split(docs.select("doc_id"), "doc_id", _SPLITS, seed=_SPLIT_SEED)
+    sigs = dd.minhash_signatures(docs, _MINHASH_N)
+    cand = dd.lsh_candidate_pairs(sigs, _LSH_BANDS, _LSH_ROWS)
+    pairs = dd.jaccard_pairs(docs, cand).where(
+        F.col("jaccard") >= _JACCARD_THRESHOLD
+    )
+    sa = splits.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", "split_a", "split_b", "jaccard")
+    )
+
+
+def _split_decon_sql() -> str:
+    from connected_component_spark.operators.sampling import hash_split_case_sql
+
+    case = hash_split_case_sql("doc_id", _SPLITS, _SPLIT_SEED)
+    return f"""
+WITH {_minhash_sql_core()},
+{_lsh_pairs_sql()},
+sp AS (SELECT doc_id, {case} AS split FROM documents)
+SELECT j.a, j.b, sa.split AS split_a, sb.split AS split_b, j.jaccard
+FROM jac j
+JOIN sp sa ON sa.doc_id = j.a
+JOIN sp sb ON sb.doc_id = j.b
+WHERE j.jaccard >= {_JACCARD_THRESHOLD} AND sa.split <> sb.split
+"""
+
+
+# --------------------------------------------------------------------------
 # pipeline_corpus_curation — the end-to-end training-data curation
 # flow every large-scale pipeline runs: quality-score every document,
 # cluster near-duplicates (minhash-LSH → exact-Jaccard verify → CC),
@@ -823,6 +872,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "pipeline_corpus_curation": pipeline_corpus_curation,
+    "pipeline_split_decontamination": pipeline_split_decontamination,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -849,6 +899,7 @@ ORACLES = {
     "dedup_simhash": _simhash_sql(16),
     "dedup_simhash_pairs": _simhash_pairs_sql(32, 3),
     "pipeline_corpus_curation": PIPELINE_CORPUS_CURATION_SQL,
+    "pipeline_split_decontamination": _split_decon_sql(),
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,

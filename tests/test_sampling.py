@@ -1,0 +1,92 @@
+"""Deterministic sampling/splitting: reproducibility, coverage,
+growth-stability, and the map-side (no-shuffle) plan contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from connected_component_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_topn,
+)
+
+SPLITS = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 5000).withColumnRenamed("id", "k").cache()
+
+
+def test_hash_sample_fraction_and_determinism(spark, ids):
+    got = hash_sample(ids, 0.2, "k", seed=1)
+    n = got.count()
+    assert abs(n - 1000) < 150  # ~3 sigma for Bernoulli(0.2, 5000)
+    again = {r.k for r in hash_sample(ids, 0.2, "k", seed=1).collect()}
+    assert {r.k for r in got.collect()} == again
+    other_seed = {r.k for r in hash_sample(ids, 0.2, "k", seed=2).collect()}
+    assert again != other_seed  # seeds give different membership
+
+
+def test_hash_sample_is_nested(spark, ids):
+    """fraction f1 < f2 ⇒ sample(f1) ⊆ sample(f2) at the same seed —
+    the property that lets a pipeline scale a sample up without
+    resampling from scratch."""
+    small = {r.k for r in hash_sample(ids, 0.1, "k", seed=3).collect()}
+    big = {r.k for r in hash_sample(ids, 0.3, "k", seed=3).collect()}
+    assert small <= big
+
+
+def test_hash_split_partition_properties(spark, ids):
+    rows = hash_split(ids, "k", SPLITS, seed=42).collect()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r.split, set()).add(r.k)
+    assert set(by_split) == {"train", "valid", "test"}
+    assert len(rows) == 5000  # exhaustive
+    assert sum(len(v) for v in by_split.values()) == 5000  # exclusive
+    assert abs(len(by_split["train"]) - 4000) < 200
+    # growth stability: splitting a superset never moves existing keys
+    more = spark.range(0, 10000).withColumnRenamed("id", "k")
+    bigger = {r.k: r.split for r in hash_split(more, "k", SPLITS, seed=42).collect()}
+    for r in rows:
+        assert bigger[r.k] == r.split
+
+
+def test_hash_split_validation(spark, ids):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(ids, "k", [("a", 0.5), ("b", 0.4)])
+    with pytest.raises(ValueError, match="already exists"):
+        hash_split(ids.withColumn("split", F.lit("x")), "k", SPLITS)
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(ids, 1.5, "k")
+
+
+def test_sampling_is_map_side(spark, ids):
+    """The 100 TB contract: membership is a scan-side predicate —
+    no Exchange in either plan."""
+    for df in (hash_sample(ids, 0.2, "k"), hash_split(ids, "k", SPLITS)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+def test_stratified_topn_exact(spark):
+    df = spark.createDataFrame(
+        [(g, i, float((i * 7) % 13)) for g in range(3) for i in range(20)],
+        "g long, i long, score double",
+    )
+    got = stratified_topn(df, "g", 5, "score", tie_break="i")
+    rows = got.collect()
+    assert len(rows) == 15
+    for g in range(3):
+        want = sorted(
+            [(float((i * 7) % 13), i) for i in range(20)],
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        have = sorted(
+            [(r.score, r.i) for r in rows if r.g == g],
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert have == want
