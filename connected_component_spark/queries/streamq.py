@@ -179,9 +179,12 @@ def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def derive(batch_df: DataFrame) -> DataFrame:
         edges = copresence_edges_from_events(batch_df)
+        # self-loops keep isolated users as singletons; NOT distinct'd —
+        # that shuffle is pure overhead (the CC kernel dedups its input
+        # and the incremental fast path handles duplicate loops)
         loops = batch_df.select(
             F.col("user_id").alias("src"), F.col("user_id").alias("dst")
-        ).distinct()
+        )
         return edges.union(loops)
 
     with _scaled_shuffle(spark, n):

@@ -38,20 +38,83 @@ class IncrementalCC:
         self.max_iterations = max_iterations
         self.assignments: DataFrame | None = None
         self.batches_seen = 0
+        #: number of batches that actually ran the alternating-star
+        #: kernel (vs. the no-connectivity-change fast paths)
+        self.cc_runs = 0
 
     def update(self, edge_batch: DataFrame) -> DataFrame:
         """Fold one batch of (src, dst) edges into the state; returns
-        the updated (node, component) assignment."""
+        the updated (node, component) assignment.
+
+        Fast paths: batch edges are first relabelled through the prior
+        assignment.  An edge whose endpoints already share a component
+        cannot change anything; an unseen node appearing only as a
+        self-loop is a new singleton.  The alternating-star kernel
+        runs only when some edge actually crosses components (or
+        touches an unseen node non-trivially) — on a mature stream
+        most micro-batches repeat known connectivity, so the steady
+        state is one cheap relabel join per batch, not a kernel run
+        per batch.  This is the production shape: kernel work scales
+        with *connectivity novelty*, not with stream volume.
+        """
         if self.assignments is None:
             merged = edge_batch
         else:
+            e = edge_batch.select("src", "dst")
+            a_src = self.assignments.select(
+                F.col("node").alias("src"), F.col("component").alias("__sc")
+            )
+            a_dst = self.assignments.select(
+                F.col("node").alias("dst"), F.col("component").alias("__dc")
+            )
+            labelled = e.join(a_src, "src", "left").join(a_dst, "dst", "left")
+            # a non-self edge forces the kernel iff an endpoint is
+            # unseen or its endpoints sit in different components;
+            # a self-loop of an unseen node is just a new singleton
+            novel = (F.col("src") != F.col("dst")) & (
+                F.col("__sc").isNull()
+                | F.col("__dc").isNull()
+                | (F.col("__sc") != F.col("__dc"))
+            )
+            counts = labelled.agg(
+                F.sum(F.when(novel, 1).otherwise(0)).alias("novel_cross"),
+                F.sum(
+                    F.when(
+                        (F.col("src") == F.col("dst")) & F.col("__sc").isNull(), 1
+                    ).otherwise(0)
+                ).alias("new_selfloops"),
+            ).first()
+            novel_cross = counts["novel_cross"] or 0
+            new_selfloops = counts["new_selfloops"] or 0
+            if novel_cross == 0:
+                if new_selfloops > 0:
+                    # unseen nodes appear only as self-loops: append
+                    # singletons (component = own id, the kernel's
+                    # convention for isolated nodes)
+                    singles = (
+                        labelled.where(
+                            (F.col("src") == F.col("dst"))
+                            & F.col("__sc").isNull()
+                        )
+                        .select(
+                            F.col("src").alias("node"),
+                            F.col("src").alias("component"),
+                        )
+                        .distinct()
+                    )
+                    self.assignments = self.assignments.union(
+                        singles
+                    ).localCheckpoint(eager=True)
+                self.batches_seen += 1
+                return self.assignments
             prior = self.assignments.select(
                 F.col("node").alias("src"), F.col("component").alias("dst")
             )
-            merged = edge_batch.select("src", "dst").union(prior)
+            merged = e.union(prior)
         result = connected_components(merged, max_iterations=self.max_iterations)
         self.assignments = result.assignments.localCheckpoint(eager=True)
         self.batches_seen += 1
+        self.cc_runs += 1
         return self.assignments
 
 

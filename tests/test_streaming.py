@@ -41,6 +41,31 @@ def test_incremental_cc_matches_batch(spark):
     assert comp[5] == comp[6] == comp[7] == comp[8] == 5
 
 
+def test_incremental_cc_novelty_fast_paths(spark):
+    """The kernel must run only when a batch changes connectivity:
+    redundant edges and unseen-singleton self-loops take the cheap
+    paths, and the final assignment still matches batch CC."""
+    state = IncrementalCC()
+    state.update(_edges(spark, [(1, 2), (2, 3)]))
+    assert state.cc_runs == 1
+    # redundant batch: both edges inside the existing component
+    state.update(_edges(spark, [(1, 3), (2, 2)]))
+    assert state.cc_runs == 1  # kernel skipped
+    # unseen node, self-loop only: singleton appended, kernel skipped
+    state.update(_edges(spark, [(9, 9), (1, 2)]))
+    assert state.cc_runs == 1
+    # unseen node attached by a real edge: kernel must run
+    state.update(_edges(spark, [(9, 3)]))
+    assert state.cc_runs == 2
+
+    all_edges = _edges(spark, [(1, 2), (2, 3), (1, 3), (2, 2), (9, 9), (9, 3)])
+    full = {
+        (r.node, r.component)
+        for r in connected_components(all_edges).assignments.collect()
+    }
+    assert {(r.node, r.component) for r in state.assignments.collect()} == full
+
+
 def test_incremental_cc_order_invariance(spark):
     batches = [[(10, 20)], [(30, 40)], [(20, 30)]]
     fwd, rev = IncrementalCC(), IncrementalCC()
