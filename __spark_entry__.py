@@ -52,6 +52,7 @@ _PRIORITY = (
     "pipeline_corpus_curation", # new this round (end-to-end curation)
     "q_interval_spikes",        # new this round (bin-bucketed range join)
     "pipeline_split_decontamination",  # new this round (hash split + leakage)
+    "stream_dedup",             # new this round (exactly-once stream dedup)
     "multimodal_frames",        # never driver-verified (r1+r2 truncation)
     "multimodal_features",      # changed r2, no driver row since
     "ann_similarity_clusters",  # re-routed through LSH this round

@@ -275,6 +275,82 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once dedup over at-least-once delivery:
+    ``dropDuplicatesWithinWatermark`` on the event key.
+
+    The staged replay delivers every slice file TWICE (the duplicate
+    lands on the next trigger — the redelivery pattern of any
+    at-least-once source); keyed dedup state turns that into an
+    exactly-once stream, so the result must equal plain DISTINCT over
+    the batch table.  The watermark delay is sized to the redelivery
+    SLA (here: the whole replay window) — the production rule for
+    bounding dedup state: a duplicate can only be recognized while
+    its key is still within the watermark.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n = _n_events(spark, sf_dir)
+    slices = _n_slices(n)
+    staged, build = _staged_cache("ccs_stream_dedup", sf_dir, str(slices))
+    if build:
+        now = time.time()
+        tmp = os.path.join(staged, "_tmp_slices")
+        (
+            ev.repartitionByRange(slices, F.to_date("ts"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        parts = sorted(
+            p
+            for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        for i, src in enumerate(parts):
+            dst = os.path.join(staged, f"{i:03d}.parquet")
+            dup = os.path.join(staged, f"{i:03d}_redelivery.parquet")
+            os.replace(os.path.join(tmp, src), dst)
+            shutil.copyfile(dst, dup)
+            # mtime offsets make every redelivery sort AFTER the next
+            # original (i*10 vs i*10+12), so with two files per
+            # trigger each duplicate lands in a LATER micro-batch than
+            # its original — cross-batch dedup state is exercised, at
+            # half the trigger count of one-file-per-trigger
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+            os.utime(dup, (now + 10 * i + 12, now + 10 * i + 12))
+        shutil.rmtree(tmp)
+        _mark_ready(staged)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staged)
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    with _scaled_shuffle(spark, n):
+        result = run_stream_to_memory(stream, output_mode="append")
+    return result.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       user_id, event_type, value
+FROM events
+"""
+
+
 def stream_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream self-join: consecutive-activity pairs — events of
     the same user within 30 minutes of each other.
@@ -333,6 +409,7 @@ QUERIES = {
     "stream_incremental_cc": stream_incremental_cc,
     "stream_sessionization": stream_sessionization,
     "stream_event_pairs": stream_event_pairs,
+    "stream_dedup": stream_dedup,
 }
 
 ORACLES = {
@@ -340,4 +417,5 @@ ORACLES = {
     "stream_incremental_cc": CC_USER_COPRESENCE_SQL,
     "stream_sessionization": Q_SESSIONIZATION_SQL,
     "stream_event_pairs": STREAM_EVENT_PAIRS_SQL,
+    "stream_dedup": STREAM_DEDUP_SQL,
 }

@@ -66,6 +66,21 @@ def test_incremental_cc_novelty_fast_paths(spark):
     assert {(r.node, r.component) for r in state.assignments.collect()} == full
 
 
+def test_stream_dedup_survives_redelivery(spark, sf_dir):
+    """Every staged file is delivered twice across micro-batches; the
+    keyed dedup state must reduce that to exactly the batch DISTINCT
+    (no duplicate leaks, no dropped originals)."""
+    from connected_component_spark.queries.streamq import stream_dedup
+    from connected_component_spark.sources.tables import load_table
+
+    got = stream_dedup(spark, sf_dir)
+    rows = got.collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate event_ids leaked"
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert len(ids) == n_batch
+
+
 def test_incremental_cc_order_invariance(spark):
     batches = [[(10, 20)], [(30, 40)], [(20, 30)]]
     fwd, rev = IncrementalCC(), IncrementalCC()
