@@ -63,6 +63,7 @@ _PRIORITY = (
     "multimodal_metadata",      # absent from r2 run
     "multimodal_resize",        # absent from r2 run
     "q_approx_profile",         # oracle added this round
+    "q_approx_quantiles",       # new this round (quantile sketch contract)
 )
 
 _MODULE_ORDER = ("relational", "graph", "streamq", "llmops")

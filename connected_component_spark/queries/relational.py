@@ -1134,6 +1134,67 @@ GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# q_approx_quantiles — quantile-sketch surface with a hash-checkable
+# contract: the sketch value itself is engine-specific, but its RANK
+# must sit within the sketch's rank-error bound, and rank is an exact,
+# engine-independent quantity.  percentile_approx(accuracy=10000)
+# bounds rank error at n/10000; the check allows 0.005 absolute rank
+# slack (50x that at the fixture sizes).
+# --------------------------------------------------------------------------
+
+_QUANTILE_ACCURACY = 10_000
+_QUANTILE_RANK_SLACK = 0.005
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    sk = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], _QUANTILE_ACCURACY).alias("ap"),
+    )
+    ranked = (
+        ev.join(F.broadcast(sk), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(
+                    F.when(F.col("value") <= F.element_at("ap", 1), 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).alias("r50"),
+            (
+                F.sum(
+                    F.when(F.col("value") <= F.element_at("ap", 2), 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).alias("r95"),
+        )
+    )
+    # rank is quantized to multiples of 1/n, so at tiny fixture sizes
+    # the nearest attainable rank can be up to 1/n from the target —
+    # widen the slack to 2/n there (still exact-rank-tight at scale)
+    slack = F.greatest(
+        F.lit(_QUANTILE_RANK_SLACK), F.lit(2.0) / F.col("n_events")
+    )
+    return ranked.select(
+        "event_type",
+        "n_events",
+        (F.abs(F.col("r50") - 0.5) <= slack).alias("p50_within_bound"),
+        (F.abs(F.col("r95") - 0.95) <= slack).alias("p95_within_bound"),
+    )
+
+
+Q_APPROX_QUANTILES_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       TRUE AS p50_within_bound,
+       TRUE AS p95_within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # q_pivot_status — pivot (wide conditional aggregation)
 # --------------------------------------------------------------------------
 
@@ -1221,6 +1282,7 @@ QUERIES = {
     "q_array_ops": q_array_ops,
     "q_user_event_profile": q_user_event_profile,
     "q_approx_profile": q_approx_profile,
+    "q_approx_quantiles": q_approx_quantiles,
     "q_asof_orders": q_asof_orders,
     "q_interval_spikes": q_interval_spikes,
 }
@@ -1255,6 +1317,7 @@ ORACLES = {
     "q_array_ops": Q_ARRAY_OPS_SQL,
     "q_user_event_profile": Q_USER_EVENT_PROFILE_SQL,
     "q_approx_profile": Q_APPROX_PROFILE_SQL,
+    "q_approx_quantiles": Q_APPROX_QUANTILES_SQL,
     "q_asof_orders": Q_ASOF_ORDERS_SQL,
     "q_interval_spikes": Q_INTERVAL_SPIKES_SQL,
 }
