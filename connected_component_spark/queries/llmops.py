@@ -279,6 +279,64 @@ FROM walk GROUP BY node
 
 
 # --------------------------------------------------------------------------
+# pipeline_source_mixture — mixture assembly: cap every source at its
+# N highest-quality documents (operators/sampling.py:stratified_topn)
+# — the per-source/per-language balancing step of corpus composition.
+# Deterministic: quality desc, doc_id tie-break.
+# --------------------------------------------------------------------------
+
+_MIXTURE_CAP = 10
+
+
+def pipeline_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connected_component_spark.operators.sampling import stratified_topn
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source", "lang").join(
+        tx.quality_score(docs).select("doc_id", "quality"), "doc_id"
+    )
+    capped = stratified_topn(
+        scored, "source", _MIXTURE_CAP, "quality", tie_break="doc_id"
+    )
+    rank = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return capped.select(
+        "doc_id",
+        "source",
+        "lang",
+        "quality",
+        F.row_number().over(rank).cast("long").alias("source_rank"),
+    )
+
+
+PIPELINE_SOURCE_MIXTURE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         len(list_distinct(t)) / greatest(len(t), 1) AS uniq_r,
+         len(list_filter(t, x -> x IN {_EN})) / greatest(len(t), 1) AS stop_r
+  FROM toks
+),
+q AS (
+  SELECT doc_id,
+         {roundd_sql('least(n_tok / 100.0, 1.0) * 0.5 + uniq_r * 0.3 + least(stop_r * 10.0, 1.0) * 0.2', 4)} AS quality
+  FROM feat
+),
+ranked AS (
+  SELECT d.doc_id, d.source, d.lang, q.quality,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY q.quality DESC, d.doc_id ASC
+         ) AS source_rank
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+)
+SELECT doc_id, source, lang, quality, CAST(source_rank AS BIGINT) AS source_rank
+FROM ranked WHERE source_rank <= {_MIXTURE_CAP}
+"""
+
+
+# --------------------------------------------------------------------------
 # pipeline_split_decontamination — train/valid/test assignment by
 # portable content hash (operators/sampling.py: reproducible across
 # engines and stable under data growth) plus the leakage audit every
@@ -873,6 +931,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_split_decontamination": pipeline_split_decontamination,
+    "pipeline_source_mixture": pipeline_source_mixture,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -900,6 +959,7 @@ ORACLES = {
     "dedup_simhash_pairs": _simhash_pairs_sql(32, 3),
     "pipeline_corpus_curation": PIPELINE_CORPUS_CURATION_SQL,
     "pipeline_split_decontamination": _split_decon_sql(),
+    "pipeline_source_mixture": PIPELINE_SOURCE_MIXTURE_SQL,
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
