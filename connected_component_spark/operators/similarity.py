@@ -519,14 +519,20 @@ def ivf_cell_assignments(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid cell (max rounded
-    cosine, centroid id as tie-break): (id, cell).
+    """Assign each vector its ``nprobe`` nearest centroid cells (by
+    rounded cosine, centroid id as tie-break): (id, cell, probe_rank)
+    with probe_rank 1..nprobe.
 
-    The coarse-quantizer step of an IVF index.  Centroids here are a
-    deterministic subset of the corpus rather than k-means output —
-    the partition/probe plumbing is identical and the assignment
-    stays engine-reproducible for the oracle contract.
+    The coarse-quantizer step of an IVF index; ``nprobe=1`` is the
+    storage assignment (each vector lives in exactly one cell),
+    ``nprobe>1`` is the query-side recall knob — probing neighboring
+    cells widens the candidate set without changing the plan shape.
+    Centroids here are a deterministic subset of the corpus rather
+    than k-means output — the partition/probe plumbing is identical
+    and the assignment stays engine-reproducible for the oracle
+    contract.
     """
     v = _normed(emb, id_col, vec_col).select(
         F.col(id_col),
@@ -548,8 +554,12 @@ def ivf_cell_assignments(
     w = Window.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col("cid").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, F.col("cid").alias("cell"))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            id_col,
+            F.col("cid").alias("cell"),
+            F.col("rn").cast("long").alias("probe_rank"),
+        )
     )
 
 
@@ -560,32 +570,40 @@ def ivf_topk(
     centroid_stride: int = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k via IVF partitioning: corpus is
-    partitioned into centroid cells; each query probes only its own
-    cell (nprobe=1) and ranks candidates by exact cosine.
+    """Approximate cosine top-k via IVF partitioning: corpus vectors
+    live in their nearest centroid cell; each query probes its
+    ``nprobe`` nearest cells and ranks the candidates by exact cosine.
 
     Scale shape: the coarse assignment is a broadcast cross join
     against ~√n centroids (not n²); the probe is an equi-join on the
-    cell key.  Recall < 1 by construction, like any IVF index; raise
-    recall by probing neighboring cells (larger nprobe) — same plan,
-    wider cell join.
+    cell key whose left side carries ``nprobe`` rows per query.
+    Recall < 1 by construction, like any IVF index, and rises with
+    ``nprobe`` at the same plan shape — the standard recall/latency
+    dial.
     """
     centroids = corpus.where(F.col(id_col) % centroid_stride == 0)
     cells = ivf_cell_assignments(corpus, centroids, id_col, vec_col)
+    storage = cells.where(F.col("probe_rank") == 1)
+    probe = (
+        cells
+        if nprobe == 1
+        else ivf_cell_assignments(corpus, centroids, id_col, vec_col, nprobe)
+    )
     q = _normed(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
     ).join(
-        cells.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
+        probe.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
     )
     cand = _normed(corpus, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("cn"),
     ).join(
-        cells.select(F.col(id_col).alias("neighbor_id"), "cell"), "neighbor_id"
+        storage.select(F.col(id_col).alias("neighbor_id"), "cell"), "neighbor_id"
     )
     scored = (
         q.join(cand, "cell")

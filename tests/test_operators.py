@@ -143,6 +143,34 @@ def test_block_topk_ties_match_exact_topk(spark):
     assert blocked == exact
 
 
+def test_ivf_nprobe_recall_monotone(spark, sf_dir):
+    """nprobe is the recall dial: every nprobe=1 hit is present at
+    nprobe=2 with the same cosine, recall vs exact top-k never drops,
+    and probing every cell recovers the exact result."""
+    from connected_component_spark.operators.similarity import ivf_topk
+    from connected_component_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=3).collect()
+    }
+
+    def hits(nprobe):
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                queries, emb, k=3, centroid_stride=10, nprobe=nprobe
+            ).collect()
+        }
+
+    n_centroids = emb.where(F.col("vec_id") % 10 == 0).count()
+    r1, r2, rall = hits(1), hits(2), hits(n_centroids)
+    assert len(r1 & exact) <= len(r2 & exact) <= len(rall & exact)
+    assert rall == exact  # probing every cell = brute force
+
+
 def test_lsh_threshold_pairs_verified_subset(spark):
     """LSH-pruned pairs must be a subset of the exact threshold pairs
     with identical cosine values (candidates may miss — recall < 1 —
