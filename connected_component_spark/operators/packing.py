@@ -1,0 +1,102 @@
+"""Sequence packing: map documents into fixed-size training contexts.
+
+GPT-style pretraining packs a corpus by concatenating documents in a
+deterministic order and chunking the token stream at context-window
+boundaries; every document's placement is ``(sequence index, offset)``
+= a function of the *global exclusive prefix sum* of token counts.
+
+A naive window cumsum (``Window.orderBy`` with no partition key)
+moves the whole table into ONE partition — the classic scale cliff.
+The distributed formulation here is the standard two-pass prefix sum:
+range-partition by the order key, cumsum within each partition, and
+add each partition's broadcast prefix (the per-partition totals are
+metadata-scale — one row per partition — so the driver collect is
+equivalent to what AQE already does with stage statistics).
+
+All per-row math is Catalyst; the one collect is O(#partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["exclusive_prefix_sum", "concat_pack"]
+
+_PID = "__pp_pid"
+_LOCAL = "__pp_local"
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    size_col: str,
+    order_col: str,
+    out_col: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = sum of ``size_col`` over all rows strictly
+    before this row in ``order_col`` order (which must be unique).
+
+    Two-pass distributed prefix sum: no global single-partition
+    window anywhere in the plan.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    part = part.localCheckpoint(eager=False)
+
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn(
+        _LOCAL, F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0)).cast("long")
+    )
+
+    totals = sorted(
+        (r[_PID], r["t"])
+        for r in part.groupBy(_PID)
+        .agg(F.sum(F.col(size_col)).cast("long").alias("t"))
+        .collect()
+    )
+    prefix, acc = {}, 0
+    for pid, t in totals:
+        prefix[pid] = acc
+        acc += t
+    mapping = F.create_map(
+        *[F.lit(x) for kv in prefix.items() for x in kv]
+    )
+    return (
+        local.withColumn(
+            out_col,
+            (F.col(_LOCAL) + F.coalesce(mapping[F.col(_PID)], F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .drop(_PID, _LOCAL)
+    )
+
+
+def concat_pack(
+    docs: DataFrame,
+    size_col: str,
+    order_col: str,
+    context_size: int,
+) -> DataFrame:
+    """Concatenate-then-chunk packing: documents in ``order_col``
+    order form one token stream; each document starts at global
+    offset ``prefix`` and therefore lands in training sequence
+    ``prefix div context_size`` at offset ``prefix mod context_size``
+    (documents spanning a boundary continue into the next sequence,
+    exactly like pretraining data loaders).
+    """
+    if context_size <= 0:
+        raise ValueError("concat_pack context_size must be positive")
+    with_prefix = exclusive_prefix_sum(docs, size_col, order_col)
+    return with_prefix.select(
+        *docs.columns,
+        (F.col("prefix") / context_size).cast("long").alias("seq_id"),
+        (F.col("prefix") % context_size).cast("long").alias("seq_offset"),
+    )

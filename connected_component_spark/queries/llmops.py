@@ -279,6 +279,45 @@ FROM walk GROUP BY node
 
 
 # --------------------------------------------------------------------------
+# pipeline_sequence_packing — concatenate-then-chunk packing: documents
+# in doc_id order form one token stream chunked into fixed context
+# windows; each doc's (seq_id, seq_offset) comes from the distributed
+# two-pass prefix sum (operators/packing.py) — no single-partition
+# window anywhere in the plan.  The oracle IS the single-window
+# formulation, so the distributed decomposition is checked against the
+# naive global cumsum.
+# --------------------------------------------------------------------------
+
+_PACK_CONTEXT = 512
+
+
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connected_component_spark.operators.packing import concat_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tx.tokens("text")).cast("long").alias("n_tokens")
+    )
+    return concat_pack(sized, "n_tokens", "doc_id", _PACK_CONTEXT)
+
+
+PIPELINE_SEQUENCE_PACKING_SQL = f"""
+WITH toks AS (SELECT doc_id, len({TOKS}) AS n_tokens FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prefix
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prefix // {_PACK_CONTEXT} AS BIGINT) AS seq_id,
+       CAST(prefix % {_PACK_CONTEXT} AS BIGINT) AS seq_offset
+FROM p
+"""
+
+
+# --------------------------------------------------------------------------
 # pipeline_source_mixture — mixture assembly: cap every source at its
 # N highest-quality documents (operators/sampling.py:stratified_topn)
 # — the per-source/per-language balancing step of corpus composition.
@@ -932,6 +971,7 @@ QUERIES = {
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_split_decontamination": pipeline_split_decontamination,
     "pipeline_source_mixture": pipeline_source_mixture,
+    "pipeline_sequence_packing": pipeline_sequence_packing,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -960,6 +1000,7 @@ ORACLES = {
     "pipeline_corpus_curation": PIPELINE_CORPUS_CURATION_SQL,
     "pipeline_split_decontamination": _split_decon_sql(),
     "pipeline_source_mixture": PIPELINE_SOURCE_MIXTURE_SQL,
+    "pipeline_sequence_packing": PIPELINE_SEQUENCE_PACKING_SQL,
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
