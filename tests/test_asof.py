@@ -109,6 +109,48 @@ def test_asof_collision_and_direction_validation(spark):
                   direction="nearest")
 
 
+def test_asof_randomized_vs_pandas(spark):
+    """Randomized differential: many key/time collisions, unmatched
+    keys, and boundary-equal times, both directions."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        lp = [
+            (rng.randint(0, 4), rng.randint(0, 50), i)
+            for i in range(rng.randint(1, 60))
+        ]
+        rp = [
+            (rng.randint(0, 5), rng.randint(0, 50), float(j))
+            for j in range(rng.randint(1, 60))
+        ]
+        # unique (key, time) on the right so pandas tie behavior
+        # (input order) can't diverge from our max-tie_break pin
+        seen, rp_u = set(), []
+        for k, t, v in rp:
+            if (k, t) not in seen:
+                seen.add((k, t))
+                rp_u.append((k, t, v))
+        left = spark.createDataFrame(lp, "sym long, t long, lid long")
+        right = spark.createDataFrame(rp_u, "sym long, t long, px double")
+        for direction in ("backward", "forward"):
+            got = {
+                (r.sym, r.t, r.lid): r.px
+                for r in asof_join(
+                    left, right, on="sym", left_time="t", right_time="t",
+                    right_cols=["px"], direction=direction,
+                ).collect()
+            }
+            lpd = left.toPandas().sort_values(["t", "lid"]).reset_index(drop=True)
+            rpd = right.toPandas().sort_values("t").reset_index(drop=True)
+            out = pd.merge_asof(lpd, rpd, on="t", by="sym", direction=direction)
+            want = {
+                (r.sym, r.t, r.lid): (None if pd.isna(r.px) else r.px)
+                for r in out.itertuples()
+            }
+            assert got == want, f"trial {trial} {direction}"
+
+
 def test_asof_single_shuffle(spark):
     """The 100 TB contract: one Exchange (on the join key), no join
     node, no Python eval anywhere in the plan."""
