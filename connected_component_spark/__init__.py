@@ -19,7 +19,19 @@ from connected_component_spark.graph.cliques import (
     format_rosters_text,
     read_cliques_text,
 )
+from connected_component_spark.operators.asof import asof_join
+from connected_component_spark.operators.packing import (
+    concat_pack,
+    exclusive_prefix_sum,
+)
+from connected_component_spark.operators.rangejoin import interval_join
+from connected_component_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_topn,
+)
 from connected_component_spark.session import get_spark
+from connected_component_spark.sources.compaction import compact_parquet
 
 __all__ = [
     "CCResult",
@@ -30,6 +42,14 @@ __all__ = [
     "read_cliques_text",
     "format_rosters_text",
     "get_spark",
+    "asof_join",
+    "interval_join",
+    "hash_sample",
+    "hash_split",
+    "stratified_topn",
+    "exclusive_prefix_sum",
+    "concat_pack",
+    "compact_parquet",
 ]
 
 __version__ = "0.1.0"
