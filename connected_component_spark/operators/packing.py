@@ -65,15 +65,16 @@ def exclusive_prefix_sum(
     for pid, t in totals:
         prefix[pid] = acc
         acc += t
-    mapping = F.create_map(
-        *[F.lit(x) for kv in prefix.items() for x in kv]
-    )
+    if prefix:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in prefix.items() for x in kv]
+        )
+        shift = F.coalesce(mapping[F.col(_PID)], F.lit(0))
+    else:  # empty input: no partitions, no shift
+        shift = F.lit(0)
     return (
         local.withColumn(
-            out_col,
-            (F.col(_LOCAL) + F.coalesce(mapping[F.col(_PID)], F.lit(0))).cast(
-                "long"
-            ),
+            out_col, (F.col(_LOCAL) + shift).cast("long")
         )
         .drop(_PID, _LOCAL)
     )
