@@ -1,5 +1,6 @@
 """Salted skew rewrites are semantics-preserving (SURVEY §2.3
-partitioning row; the explicit fallback behind AQE skew handling)."""
+partitioning row; the explicit fallback behind AQE skew handling),
+and AQE itself demonstrably splits a skewed join at runtime."""
 
 from __future__ import annotations
 
@@ -53,6 +54,48 @@ def test_salted_join_rejects_right_preserving_joins(spark, how):
     rows salts× — must raise, not silently corrupt."""
     with pytest.raises(ValueError, match="salted_join"):
         salted_join(_skewed_df(spark), _right_df(spark), "k", how=how)
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The engine's first-line skew answer is AQE, not salting
+    (SURVEY §4.5): with a pathological hot key, the executed adaptive
+    plan must carry SortMergeJoin(skew=true) — the runtime split of
+    the oversized partition — and still produce exact results.
+    Thresholds are lowered so a local-size fixture crosses them; at
+    production defaults the same mechanism fires at 256 MB."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(200_000).select(
+            F.lit(1).alias("k"), F.col("id").alias("v")
+        )
+        tail = spark.range(1_000).select(
+            (F.col("id") % 50 + 2).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(60).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = hot.union(tail).join(right, "k")
+        rows = j.collect()  # executes THIS dataset's query execution
+        assert len(rows) == 201_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
 
 
 def test_salted_collect_set_matches_plain(spark):
