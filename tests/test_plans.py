@@ -39,6 +39,49 @@ def test_q01_stays_jvm_side(spark, sf_dir):
     assert s.exchanges == 1
 
 
+#: declared queries whose plans build lazily (no job at construction
+#: time) — the CC-cluster/pipeline/streaming queries execute eagerly
+#: and are gated by their own targeted tests instead
+_LAZY_LLMOPS = [
+    "text_token_stats", "text_quality", "text_lang_id", "text_fingerprint",
+    "text_bpe_pieces", "dedup_exact", "dedup_minhash_signatures",
+    "dedup_minhash_pairs", "dedup_ngram_pairs", "dedup_simhash",
+    "dedup_simhash_pairs", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "multimodal_metadata", "multimodal_features", "multimodal_resize",
+    "multimodal_frames",
+]
+
+#: intentional bounded cross joins: a broadcast query/centroid batch
+#: (O(|q|·m), not m²) or block-aggregate pairs (blocks², not n²)
+_ALLOWED_NESTED_LOOP = {"ann_cosine_topk", "ann_ivf_topk", "dedup_ngram_pairs"}
+
+
+def test_every_lazy_query_plan_is_clean(spark, sf_dir):
+    """Blanket scale gate for the whole declared lazy surface: no
+    row/scalar Python eval anywhere (Arrow mapInPandas stages are
+    separate and allowed), and no cartesian/nested-loop join outside
+    the documented bounded exceptions — so a future query can't
+    silently regress into an all-pairs or Python-row plan."""
+    from connected_component_spark.queries import llmops
+
+    failures = []
+    for name, fn in relational.QUERIES.items():
+        s = summarize_plan(fn(spark, sf_dir))
+        if s.python_evals:
+            failures.append(f"{name}: python_evals={s.python_evals}")
+        if s.cartesian_products or s.broadcast_nested_loop_joins:
+            failures.append(f"{name}: all-pairs join")
+    for name in _LAZY_LLMOPS:
+        s = summarize_plan(llmops.QUERIES[name](spark, sf_dir))
+        if s.python_evals:
+            failures.append(f"{name}: python_evals={s.python_evals}")
+        if s.cartesian_products and name not in _ALLOWED_NESTED_LOOP:
+            failures.append(f"{name}: cartesian")
+        if s.broadcast_nested_loop_joins and name not in _ALLOWED_NESTED_LOOP:
+            failures.append(f"{name}: nested loop")
+    assert not failures, failures
+
+
 def test_lsh_embedding_paths_have_no_allpairs_join(spark, sf_dir):
     """VERDICT r2 #1: the declared embedding-graph paths must generate
     candidates from LSH buckets (equi-joins), never an all-pairs
