@@ -55,6 +55,7 @@ _PRIORITY = (
     "stream_dedup",             # new this round (exactly-once stream dedup)
     "pipeline_source_mixture",  # new this round (stratified source caps)
     "pipeline_sequence_packing",  # new this round (distributed prefix-sum pack)
+    "text_vocabulary",          # new this round (top-n vocab aggregate)
     "multimodal_frames",        # never driver-verified (r1+r2 truncation)
     "multimodal_features",      # changed r2, no driver row since
     "ann_similarity_clusters",  # re-routed through LSH this round

@@ -62,6 +62,32 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def vocabulary(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` tokens by total term frequency
+    (ties broken by token), with document frequency.  (token,
+    term_freq, doc_freq, rank).
+
+    The word-count-at-scale shape: explode → partial+final hash agg
+    (map-side combine absorbs the per-doc repetition before the
+    shuffle), then ``orderBy().limit(n)`` which Spark executes as
+    per-partition TakeOrdered + merge — never a single-partition sort
+    of the full vocabulary; only the ``top_n`` survivors enter the
+    rank window."""
+    from pyspark.sql import Window
+
+    t = tokens("text")
+    exploded = docs.select("doc_id", F.explode(t).alias("token"))
+    counts = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    top = counts.orderBy(
+        F.col("term_freq").desc(), F.col("token").asc()
+    ).limit(top_n)
+    w = Window.orderBy(F.col("term_freq").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def bpe_piece_stats(docs: DataFrame) -> DataFrame:
     """Token counting with a BPE-ish pre-tokenizer regex: the
     pre-training-cost estimator shape (pieces ≈ proxy for LLM token

@@ -133,6 +133,27 @@ FROM toks
 """
 
 
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.vocabulary(load_table(spark, sf_dir, "documents"), top_n=100)
+
+
+TEXT_VOCABULARY_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+counts AS (
+  SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+  FROM ex GROUP BY token
+),
+ranked AS (
+  SELECT token, term_freq, doc_freq,
+         row_number() OVER (ORDER BY term_freq DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT token, term_freq, doc_freq, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 100
+"""
+
+
 def text_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_piece_stats(load_table(spark, sf_dir, "documents"))
 
@@ -959,6 +980,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_bpe_pieces": text_bpe_pieces,
+    "text_vocabulary": text_vocabulary,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -988,6 +1010,7 @@ ORACLES = {
     "text_lang_id": _lang_id_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_bpe_pieces": TEXT_BPE_PIECES_SQL,
+    "text_vocabulary": TEXT_VOCABULARY_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_signatures": DEDUP_MINHASH_SIGNATURES_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
