@@ -56,6 +56,7 @@ _PRIORITY = (
     "pipeline_source_mixture",  # new this round (stratified source caps)
     "pipeline_sequence_packing",  # new this round (distributed prefix-sum pack)
     "text_vocabulary",          # new this round (top-n vocab aggregate)
+    "ann_recall_report",        # new this round (hash-checked ANN recall)
     "multimodal_frames",        # never driver-verified (r1+r2 truncation)
     "multimodal_features",      # changed r2, no driver row since
     "ann_similarity_clusters",  # re-routed through LSH this round

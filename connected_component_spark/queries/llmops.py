@@ -22,7 +22,7 @@ from connected_component_spark.operators import dedup as dd
 from connected_component_spark.operators import multimodal as mm
 from connected_component_spark.operators import similarity as sim
 from connected_component_spark.operators import text as tx
-from connected_component_spark.queries.parity import roundd_sql
+from connected_component_spark.queries.parity import roundd, roundd_sql
 from connected_component_spark.sources.tables import load_table
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -891,6 +891,57 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 # multimodal metadata (stubbed decode, real mapInPandas plumbing)
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# ann_recall_report — ANN quality as an oracle-checked metric: per
+# bounded query, the fraction of the exact top-k that the LSH and IVF
+# indexes recover.  Every stage is deterministic in both engines, so
+# the recall numbers themselves hash-match — index quality becomes
+# part of the correctness contract, not a claim.
+# --------------------------------------------------------------------------
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    exact = sim.cosine_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    lsh = sim.lsh_bucketed_topk(queries, emb, k=5, planes=_LSH_PLANES).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_l")
+    )
+    ivf = sim.ivf_topk(queries, emb, k=5, centroid_stride=_IVF_STRIDE).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_i")
+    )
+    joined = exact.join(lsh, ["query_id", "neighbor_id"], "left").join(
+        ivf, ["query_id", "neighbor_id"], "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k_exact"),
+        roundd(F.sum(F.coalesce(F.col("hit_l"), F.lit(0))) / F.count(F.lit(1)), 4)
+        .alias("recall_lsh"),
+        roundd(F.sum(F.coalesce(F.col("hit_i"), F.lit(0))) / F.count(F.lit(1)), 4)
+        .alias("recall_ivf"),
+    )
+
+
+ANN_RECALL_REPORT_SQL = f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({ANN_COSINE_TOPK_SQL}) t
+),
+lshk AS (
+  SELECT query_id, neighbor_id FROM ({ANN_LSH_TOPK_SQL}) t WHERE query_id < 500
+),
+ivfk AS (
+  SELECT query_id, neighbor_id FROM ({ANN_IVF_TOPK_SQL}) t WHERE query_id < 500
+)
+SELECT e.query_id,
+       count(*) AS k_exact,
+       {roundd_sql('sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)', 4)} AS recall_lsh,
+       {roundd_sql('sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)', 4)} AS recall_ivf
+FROM exact e
+LEFT JOIN lshk l ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+LEFT JOIN ivfk i ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mm.decode_metadata(mm.with_binary_payload(docs))
@@ -998,6 +1049,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_similarity_clusters": ann_similarity_clusters,
+    "ann_recall_report": ann_recall_report,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
@@ -1028,6 +1080,7 @@ ORACLES = {
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "ann_similarity_clusters": ANN_SIMILARITY_CLUSTERS_SQL,
+    "ann_recall_report": ANN_RECALL_REPORT_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,

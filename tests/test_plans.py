@@ -47,13 +47,15 @@ _LAZY_LLMOPS = [
     "text_bpe_pieces", "text_vocabulary", "dedup_exact", "dedup_minhash_signatures",
     "dedup_minhash_pairs", "dedup_ngram_pairs", "dedup_simhash",
     "dedup_simhash_pairs", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "multimodal_metadata", "multimodal_features", "multimodal_resize",
-    "multimodal_frames",
+    "ann_recall_report", "multimodal_metadata", "multimodal_features",
+    "multimodal_resize", "multimodal_frames",
 ]
 
 #: intentional bounded cross joins: a broadcast query/centroid batch
 #: (O(|q|·m), not m²) or block-aggregate pairs (blocks², not n²)
-_ALLOWED_NESTED_LOOP = {"ann_cosine_topk", "ann_ivf_topk", "dedup_ngram_pairs"}
+_ALLOWED_NESTED_LOOP = {
+    "ann_cosine_topk", "ann_ivf_topk", "dedup_ngram_pairs", "ann_recall_report",
+}
 
 
 def test_every_lazy_query_plan_is_clean(spark, sf_dir):
