@@ -73,11 +73,12 @@ def asof_join(
         right_cols = [
             c for c in right.columns if c not in (*keys, right_time, tie_break)
         ]
-    collisions = set(right_cols) & set(left.columns)
+    out_time = f"matched_{right_time}"
+    collisions = (set(right_cols) | {out_time}) & set(left.columns)
     if collisions:
         raise ValueError(
-            f"asof_join right_cols collide with left columns: {sorted(collisions)}; "
-            "rename before joining"
+            f"asof_join output columns collide with left columns: "
+            f"{sorted(collisions)}; rename before joining"
         )
     matched_time = f"__asof_matched_{right_time}"
 
@@ -143,5 +144,5 @@ def asof_join(
     return filled.select(
         *[F.col(c) for c in left.columns],
         *[F.col(c) for c in right_cols],
-        F.col(matched_time).alias(f"matched_{right_time}"),
+        F.col(matched_time).alias(out_time),
     )
