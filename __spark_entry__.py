@@ -48,6 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round are rotated to the FRONT; long-stable queries absorb any
 # truncation.
 _PRIORITY = (
+    "q08_market_share",         # new this round (TPC-H Q8 conditional ratio)
+    "q13_order_distribution",   # new this round (TPC-H Q13 outer-join dist)
+    "q15_top_supplier",         # new this round (TPC-H Q15 argmax view)
+    "q17_small_qty_revenue",    # new this round (TPC-H Q17 correlated avg)
+    "q18_large_volume",         # new this round (TPC-H Q18 HAVING join-back)
+    "q21_late_suppliers",       # new this round (TPC-H Q21 exists/not-exists)
+    "q22_idle_balance",         # new this round (TPC-H Q22 anti join + scalar)
     "q_asof_orders",            # new this round (distributed as-of join)
     "pipeline_corpus_curation", # new this round (end-to-end curation)
     "q_interval_spikes",        # new this round (bin-bucketed range join)

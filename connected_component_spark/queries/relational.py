@@ -24,8 +24,11 @@ from connected_component_spark.queries.parity import (
     davg,
     dmul,
     dsum,
+    dsum_sql,
     dsumx,
+    dsumx_sql,
     roundd,
+    roundd_sql,
 )
 
 # Exact decimal revenue term shared by the TPC-H-shaped queries; the SQL
@@ -1252,6 +1255,388 @@ WHERE c_acctbal > (
 """
 
 
+# --------------------------------------------------------------------------
+# q08 — national market share (TPC-H Q8 shape): 8-way join with a
+# conditional-ratio aggregate.  Dimension sides (part, nation ×2,
+# region, supplier) broadcast; the fact-side chain lineitem→orders→
+# customer shuffles on its join keys once each.
+# --------------------------------------------------------------------------
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n_cust = F.broadcast(_t(spark, sf_dir, "nation").alias("n1"))
+    n_supp = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("sn_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+        .alias("n2")
+    )
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    )
+    rev = _rev()
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n_cust, cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(region, F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n_supp, supp.s_nationkey == F.col("sn_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
+                    F.lit(0).cast("decimal(27,8)")
+                )
+            )
+            .cast("double")
+            .alias("_num"),
+            F.sum(rev).cast("double").alias("_den"),
+        )
+        .select(
+            "o_year",
+            roundd(F.col("_num") / F.col("_den"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q08_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {roundd_sql(
+           "CAST(sum(CASE WHEN n2.n_name = 'NATION_5' THEN " + _REV_SQL
+           + " ELSE 0 END) AS DOUBLE) / CAST(sum(" + _REV_SQL + ") AS DOUBLE)",
+           6,
+       )} AS mkt_share
+FROM lineitem
+JOIN part      ON p_partkey = l_partkey
+JOIN orders    ON o_orderkey = l_orderkey
+JOIN customer  ON c_custkey = o_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN supplier  ON s_suppkey = l_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+GROUP BY 1
+ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 — customer order-count distribution (TPC-H Q13 shape): left
+# outer join preserving zero-order customers, double aggregation.
+# Fixture deviation: orders has no o_comment, so the excluded slice
+# is o_orderpriority = '1-URGENT' instead of the comment LIKE.
+# --------------------------------------------------------------------------
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# q15 — top supplier (TPC-H Q15 shape): quarterly revenue per
+# supplier, then the argmax row(s) via a broadcast scalar max —
+# revenue is snap-rounded to 2dp first so the equality predicate is
+# engine-stable.
+# --------------------------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(dsumx(_rev()).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_max_rev"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, {dsumx_sql(_REV_SQL)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q17 — small-quantity-order revenue (TPC-H Q17 shape): per-part
+# average-quantity threshold (0.2×avg over ALL lineitems of the
+# part) joined back to the brand-filtered scan.  The per-part avg is
+# exact-sum → identical double division, so the strict `<` threshold
+# compare is engine-stable.  Fixture deviation: part has no
+# p_container, so the filter is p_brand + p_size.
+# --------------------------------------------------------------------------
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").where(
+            (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 15)
+        )
+    )
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("_qty_thr")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(thr, li.l_partkey == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("_qty_thr"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            roundd(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH thr AS (
+  SELECT l_partkey AS t_partkey,
+         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                / count(l_quantity)) AS qty_thr
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       {roundd_sql("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0", 2)} AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN thr  ON t_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size <= 15 AND l_quantity < qty_thr
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 — large-volume customers (TPC-H Q18 shape): group-by-HAVING on
+# the fact table feeding a join back to orders/customer.  Quantities
+# are integral doubles, so the rounded decimal sum is exact and the
+# >300 threshold is engine-stable.
+# --------------------------------------------------------------------------
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) > 300
+)
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting (TPC-H Q21 shape).  The
+# reference formulation is EXISTS + NOT-EXISTS correlated subqueries;
+# the Spark plan replaces both with one per-order distinct-count
+# aggregate (n_supp ≥ 2 ∧ n_late = 1 ⇔ "another supplier exists and
+# no OTHER supplier was late"), turning two correlated probes into a
+# single shuffle — the formulation that survives a 100 TB fact table.
+# The DuckDB oracle keeps the EXISTS form, making this a cross-
+# formulation differential.  Fixture deviation: lineitem has no
+# commit/receipt dates, so "late" = shipped >60 days after the order
+# date on a finished ('F') order.
+# --------------------------------------------------------------------------
+
+def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_f = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).withColumn(
+        "_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late"
+        ),
+    )
+    # every late lineitem row counts (TPC-H Q21 counts l1 rows, not
+    # distinct orders), so no dedup before the per-order filter join
+    waiters = (
+        lo.where(F.col("_late"))
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            per_order.where(
+                (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        waiters.join(supp, waiters.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders      ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 — idle high-balance customers (TPC-H Q22 shape): scalar avg
+# subquery threshold + anti join against recent orders.  The
+# threshold is exact-sum → identical double division, so the strict
+# `>` compare is engine-stable.  Fixture deviation: customer has no
+# c_phone, so the "country code" is c_nationkey % 7.
+# --------------------------------------------------------------------------
+
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("_avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 7).cast("long").alias("code"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("code")
+    )
+
+
+Q22_SQL = f"""
+SELECT CAST(c_nationkey % 7 AS BIGINT) AS code,
+       count(*) AS numcust,
+       {dsum_sql("c_acctbal")} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           / count(c_acctbal)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY 1
+ORDER BY code
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1285,6 +1670,13 @@ QUERIES = {
     "q_approx_quantiles": q_approx_quantiles,
     "q_asof_orders": q_asof_orders,
     "q_interval_spikes": q_interval_spikes,
+    "q08_market_share": q08_market_share,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_volume": q18_large_volume,
+    "q21_late_suppliers": q21_late_suppliers,
+    "q22_idle_balance": q22_idle_balance,
 }
 
 ORACLES = {
@@ -1320,4 +1712,11 @@ ORACLES = {
     "q_approx_quantiles": Q_APPROX_QUANTILES_SQL,
     "q_asof_orders": Q_ASOF_ORDERS_SQL,
     "q_interval_spikes": Q_INTERVAL_SPIKES_SQL,
+    "q08_market_share": Q08_SQL,
+    "q13_order_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_qty_revenue": Q17_SQL,
+    "q18_large_volume": Q18_SQL,
+    "q21_late_suppliers": Q21_SQL,
+    "q22_idle_balance": Q22_SQL,
 }
