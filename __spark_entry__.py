@@ -48,6 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round are rotated to the FRONT; long-stable queries absorb any
 # truncation.
 _PRIORITY = (
+    "graph_triangles",          # new this round (degree-ordered triangle census)
+    "graph_pagerank",           # new this round (fixed-iteration PageRank)
     "q08_market_share",         # new this round (TPC-H Q8 conditional ratio)
     "q13_order_distribution",   # new this round (TPC-H Q13 outer-join dist)
     "q15_top_supplier",         # new this round (TPC-H Q15 argmax view)

@@ -19,6 +19,8 @@ from connected_component_spark.graph.cliques import (
     format_rosters_text,
     read_cliques_text,
 )
+from connected_component_spark.graph.pagerank import pagerank
+from connected_component_spark.graph.triangles import triangle_stats
 from connected_component_spark.operators.asof import asof_join
 from connected_component_spark.operators.packing import (
     concat_pack,
@@ -42,6 +44,8 @@ __all__ = [
     "read_cliques_text",
     "format_rosters_text",
     "get_spark",
+    "pagerank",
+    "triangle_stats",
     "asof_join",
     "interval_join",
     "hash_sample",

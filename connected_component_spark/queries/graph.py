@@ -124,12 +124,135 @@ FROM assign GROUP BY component
 """
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the copresence graph via degree-
+    ordered orientation (graph/triangles.py) — each triangle is
+    produced by exactly one wedge join, so hub skew can't blow up
+    the candidate set."""
+    from connected_component_spark.graph.triangles import triangle_stats
+
+    return triangle_stats(copresence_edges(spark, sf_dir))
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH {_COPRESENCE_EDGES_SQL.strip()},
+und AS (SELECT src AS u, dst AS v FROM sym WHERE src < dst),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+ori AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN u ELSE v END AS lo,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN v ELSE u END AS hi
+  FROM und
+  JOIN deg du ON du.node = u
+  JOIN deg dv ON dv.node = v
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM ori e1 JOIN ori e2 ON e2.lo = e1.hi
+  WHERE EXISTS (
+    SELECT 1 FROM ori e3 WHERE e3.lo = e1.lo AND e3.hi = e2.hi
+  )
+),
+summary AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ecount AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+SELECT n_nodes, n_edges, n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN CAST(round(CAST(CAST(3 * n_triangles AS DOUBLE)
+                                 / CAST(n_wedges AS DOUBLE)
+                                 AS DECIMAL(38,9)), 6) AS DOUBLE)
+            ELSE 0.0 END AS clustering
+FROM summary, ecount, tri
+"""
+
+
+_PR_ITERATIONS = 5
+_PR_DAMPING = 0.85
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the copresence graph
+    (graph/pagerank.py): the CC kernel's driver-loop +
+    checkpoint-per-round discipline applied to a second vertex
+    program.  Ranks are decimal-exact in aggregation, so the oracle
+    (the same 5 rounds unrolled as plain CTE levels — DuckDB forbids
+    aggregates in a recursive CTE) matches bit-for-bit before the
+    final snap-round."""
+    from connected_component_spark.graph.pagerank import pagerank
+    from connected_component_spark.queries.parity import roundd
+
+    pr = pagerank(
+        copresence_edges(spark, sf_dir),
+        iterations=_PR_ITERATIONS,
+        damping=_PR_DAMPING,
+    )
+    return pr.select(
+        F.col("node").alias("user_id"), roundd(F.col("rank"), 6).alias("rank")
+    ).orderBy("user_id")
+
+
+def _pagerank_oracle_sql(iterations: int = _PR_ITERATIONS) -> str:
+    """Unroll the synchronous PageRank rounds as CTE levels r0..rK.
+
+    Float-parity notes mirrored from graph/pagerank.py: the damping
+    base is written as (1.0 − 0.85)/n — the same two double ops
+    Python uses to precompute the Spark literal — never as a 0.15
+    literal (a different double); per-destination contribution sums
+    go through DECIMAL(38,18) so aggregation order can't move the
+    last ulp."""
+    d = "CAST(0.85 AS DOUBLE)"
+    base = f"(CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn)"
+    levels = []
+    for i in range(1, iterations + 1):
+        levels.append(
+            f"""r{i} AS (
+  SELECT s.dst AS node,
+         {base} + {d} * CAST(sum(CAST(r.rank / o.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS rank
+  FROM sym s
+  JOIN outd o ON o.src = s.src
+  JOIN r{i - 1} r ON r.node = s.src
+  GROUP BY s.dst
+)"""
+        )
+    chain = ",\n".join(levels)
+    from connected_component_spark.queries.parity import roundd_sql
+
+    return f"""
+WITH {_COPRESENCE_EDGES_SQL.strip()},
+outd AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+nn AS (SELECT count(*) AS n FROM outd),
+r0 AS (
+  SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+  FROM outd
+),
+{chain}
+SELECT node AS user_id, {roundd_sql("rank", 6)} AS rank
+FROM r{iterations}
+ORDER BY user_id
+"""
+
+
+GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
+
+
 QUERIES = {
     "cc_user_copresence": cc_user_copresence,
     "cc_copresence_rosters": cc_copresence_rosters,
+    "graph_triangles": graph_triangles,
+    "graph_pagerank": graph_pagerank,
 }
 
 ORACLES = {
     "cc_user_copresence": CC_USER_COPRESENCE_SQL,
     "cc_copresence_rosters": CC_COPRESENCE_ROSTERS_SQL,
+    "graph_triangles": GRAPH_TRIANGLES_SQL,
+    "graph_pagerank": GRAPH_PAGERANK_SQL,
 }

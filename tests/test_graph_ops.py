@@ -1,0 +1,117 @@
+"""Unit tests for the non-CC graph operators (triangle census,
+PageRank) on hand-checkable graphs, plus a numpy differential for
+the PageRank iteration."""
+
+from __future__ import annotations
+
+import pytest
+
+from connected_component_spark.graph.pagerank import pagerank
+from connected_component_spark.graph.triangles import (
+    oriented_edges,
+    triangle_stats,
+    undirected_edges,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangle_census_known_graph(spark):
+    # triangle {1,2,3} plus a pendant edge 3-4:
+    # degrees 2,2,3,1 -> wedges 1+1+3+0 = 5; one triangle;
+    # clustering 3*1/5 = 0.6
+    df = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    row = triangle_stats(df).collect()[0]
+    assert (
+        row.n_nodes,
+        row.n_edges,
+        row.n_wedges,
+        row.n_triangles,
+        row.clustering,
+    ) == (4, 4, 5, 1, 0.6)
+
+
+def test_triangle_census_dedups_and_ignores_direction(spark):
+    # same triangle asserted three times with mixed orientation and
+    # self-loops: the census must see 3 nodes / 3 edges / 1 triangle
+    df = _edges(
+        spark,
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (1, 1), (2, 2)],
+    )
+    row = triangle_stats(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (3, 3, 1)
+    assert row.clustering == 1.0
+
+
+def test_triangle_census_triangle_free(spark):
+    # path graph: wedges but no triangle, clustering 0
+    df = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    row = triangle_stats(df).collect()[0]
+    assert row.n_triangles == 0
+    assert row.clustering == 0.0
+
+
+def test_orientation_counts_each_triangle_once(spark):
+    # K4 has exactly 4 triangles; the oriented wedge join must not
+    # double-count any of them
+    nodes = [1, 2, 3, 4]
+    df = _edges(
+        spark, [(a, b) for a in nodes for b in nodes if a < b]
+    )
+    row = triangle_stats(df).collect()[0]
+    assert row.n_triangles == 4
+    # every oriented edge goes from lower to higher (degree, id);
+    # K4 is regular so orientation falls back to id order
+    ori = oriented_edges(undirected_edges(df)).collect()
+    assert all(r.lo < r.hi for r in ori)
+
+
+def test_pagerank_star_graph(spark):
+    # symmetric star: center 0, leaves 1..4.  Ranks sum to 1 and the
+    # center dominates; leaves are symmetric so their ranks tie.
+    df = _edges(spark, [(0, i) for i in range(1, 5)])
+    rows = {r.node: r.rank for r in pagerank(df, iterations=10).collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+    leaf_ranks = {rows[i] for i in range(1, 5)}
+    assert len(leaf_ranks) == 1
+    assert rows[0] > max(leaf_ranks)
+
+
+def test_pagerank_matches_numpy_iteration(spark):
+    np = pytest.importorskip("numpy")
+    # small asymmetric graph; symmetrized internally
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0)]
+    iters, d = 5, 0.85
+    df = _edges(spark, pairs)
+    got = {r.node: r.rank for r in pagerank(df, iterations=iters).collect()}
+    # numpy reference on the symmetrized graph
+    und = set()
+    for a, b in pairs:
+        und.add((a, b))
+        und.add((b, a))
+    nodes = sorted({a for a, _ in und})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for a, _ in und:
+        outdeg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        for a, b in und:
+            nxt[idx[b]] += d * r[idx[a]] / outdeg[idx[a]]
+        r = nxt
+    for node in nodes:
+        assert got[node] == pytest.approx(r[idx[node]], abs=1e-9)
+
+
+def test_pagerank_empty_and_selfloop_only(spark):
+    df = _edges(spark, [(7, 7)])
+    assert pagerank(df, iterations=3).count() == 0
+
+
+def test_pagerank_rejects_negative_iterations(spark):
+    with pytest.raises(ValueError):
+        pagerank(_edges(spark, [(1, 2)]), iterations=-1)
