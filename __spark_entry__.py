@@ -48,6 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round are rotated to the FRONT; long-stable queries absorb any
 # truncation.
 _PRIORITY = (
+    "stream_static_enrich",     # new this round (stream-static dim join)
+    "q_window_time_range",      # new this round (event-time RANGE frame)
     "graph_triangles",          # new this round (degree-ordered triangle census)
     "graph_pagerank",           # new this round (fixed-iteration PageRank)
     "q08_market_share",         # new this round (TPC-H Q8 conditional ratio)

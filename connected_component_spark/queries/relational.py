@@ -1641,6 +1641,50 @@ ORDER BY code
 """
 
 
+# --------------------------------------------------------------------------
+# q_window_time_range — event-time RANGE-frame sliding window: per
+# user, the trailing-1-hour event count and value sum at every
+# event.  Unlike the ROWS frames elsewhere (q_window_running), the
+# frame is bounded by an event-time interval, so peers at the same
+# timestamp are all included and gaps shrink the frame — the
+# time-based sibling of a rows-based running total.  The frame key
+# is microsecond epoch on both engines; the in-frame value sum is
+# decimal so frame-internal order can't move the result.
+# --------------------------------------------------------------------------
+
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-(3_600_000_000 - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w), 2
+        )
+        .cast("double")
+        .alias("sum_trailing_1h"),
+    )
+
+
+Q_WINDOW_TIME_RANGE_SQL = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       count(*) OVER w AS n_trailing_1h,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1681,6 +1725,7 @@ QUERIES = {
     "q18_large_volume": q18_large_volume,
     "q21_late_suppliers": q21_late_suppliers,
     "q22_idle_balance": q22_idle_balance,
+    "q_window_time_range": q_window_time_range,
 }
 
 ORACLES = {
@@ -1723,4 +1768,5 @@ ORACLES = {
     "q18_large_volume": Q18_SQL,
     "q21_late_suppliers": Q21_SQL,
     "q22_idle_balance": Q22_SQL,
+    "q_window_time_range": Q_WINDOW_TIME_RANGE_SQL,
 }

@@ -32,7 +32,7 @@ from connected_component_spark.queries.graph import (
     copresence_edges_from_events,
 )
 from connected_component_spark.queries.relational import Q_SESSIONIZATION_SQL
-from connected_component_spark.queries.parity import dsum_sql
+from connected_component_spark.queries.parity import dsum, dsum_sql
 from connected_component_spark.sources.tables import load_table
 from connected_component_spark.streaming.incremental import (
     IncrementalCC,
@@ -413,12 +413,70 @@ JOIN events b
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joined to
+    the static customer→nation dimensions, then a watermarked hourly
+    window aggregate per nation.
+
+    The stream-static join is the standard production shape for
+    dimension enrichment (the dim is re-read per micro-batch, no
+    state); on a cluster the same plan broadcasts the dim to every
+    task, so the stream side never shuffles before the windowed agg.
+    """
+    from connected_component_spark.sources.tables import load_table
+
+    n = _n_events(spark, sf_dir)
+    ev = stream_events(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    enriched = ev.join(cust, ev.user_id == F.col("c_custkey")).join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_name",
+            "n_events",
+            "sum_value",
+        )
+    )
+    with _scaled_shuffle(spark, n):
+        return run_stream_to_memory(agg)
+
+
+STREAM_STATIC_ENRICH_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       n_name,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_window_counts": stream_window_counts,
     "stream_incremental_cc": stream_incremental_cc,
     "stream_sessionization": stream_sessionization,
     "stream_event_pairs": stream_event_pairs,
     "stream_dedup": stream_dedup,
+    "stream_static_enrich": stream_static_enrich,
 }
 
 ORACLES = {
@@ -427,4 +485,5 @@ ORACLES = {
     "stream_sessionization": Q_SESSIONIZATION_SQL,
     "stream_event_pairs": STREAM_EVENT_PAIRS_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
+    "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
 }
