@@ -47,6 +47,7 @@ __all__ = [
     "large_star",
     "small_star",
     "component_rosters",
+    "components_with_isolates",
 ]
 
 
@@ -335,6 +336,39 @@ def connected_components(
         iterations=iterations,
         round_pair_counts=round_counts if convergence == "stable-set" else None,
     )
+
+
+def components_with_isolates(
+    pair_edges: DataFrame,
+    universe: DataFrame,
+    id_col: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Components of ``pair_edges`` extended to a full universe:
+    entities touching no edge become singleton components (own id).
+
+    This is the scale-correct composition for near-dup clustering:
+    the alternating-star kernel runs ONLY on the paired subgraph
+    (typically a small fraction of a deduplicated corpus), and the
+    untouched majority is attached with one anti join — instead of
+    pushing every entity through every kernel round via self-loop
+    edges.  ``universe[id_col]`` must be unique (it is a key);
+    duplicate ids would duplicate singleton rows.
+
+    Raises when the kernel hits its iteration cap — callers must not
+    ship partially-merged clusters into downstream dedup decisions.
+    """
+    result = connected_components(pair_edges, max_iterations=max_iterations)
+    if not result.converged:
+        raise RuntimeError(
+            f"connected_components hit the iteration cap ({max_iterations}) "
+            "before converging — refusing to emit partially-merged clusters"
+        )
+    ids = universe.select(F.col(id_col).cast("long").alias("node"))
+    singles = ids.join(
+        result.assignments.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return result.assignments.unionAll(singles)
 
 
 def component_rosters(assignments: DataFrame) -> DataFrame:

@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 from connected_component_spark.functions.hashing import affine_hash, hash64
 from connected_component_spark.queries.parity import roundd
-from connected_component_spark.graph.cc import connected_components
+from connected_component_spark.graph.cc import (
+    components_with_isolates,
+    connected_components,
+)
 from connected_component_spark.operators.text import tokens
 
 __all__ = [
@@ -299,21 +302,16 @@ def ngram_dedup_clusters(
     docs: DataFrame, n: int = 3, threshold: float = 0.5, max_iterations: int = 20
 ) -> DataFrame:
     """n-gram-Jaccard near-dedup: pairs ≥ threshold become edges; the
-    CC kernel clusters them; every doc is covered via self-loops."""
-    edges = (
-        ngram_jaccard_pairs(docs, threshold, n)
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(docs.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+    CC kernel clusters the paired subgraph only, and docs touching
+    no pair are attached as singletons by one anti join
+    (graph/cc.py:components_with_isolates) — the kernel never
+    iterates over the unpaired majority of the corpus."""
+    edges = ngram_jaccard_pairs(docs, threshold, n).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
     )
-    result = connected_components(edges, max_iterations=max_iterations)
-    if not result.converged:
-        raise RuntimeError(
-            f"connected_components hit the iteration cap ({max_iterations}) "
-            "before converging — refusing to emit partially-merged clusters"
-        )
-    return result.assignments.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
-    )
+    return components_with_isolates(
+        edges, docs, "doc_id", max_iterations=max_iterations
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
 
 
 def minhash_signatures(
@@ -423,8 +421,9 @@ def minhash_dedup_clusters(
     Jaccard verify ≥ threshold → **connected components** over the
     verified pairs → (doc_id, cluster) where cluster = min doc_id.
 
-    Docs with no near-dup partner form singleton clusters (self-loop
-    edges), so the output covers every input document.
+    Docs with no near-dup partner form singleton clusters, attached
+    by anti join after the kernel runs on the paired subgraph only
+    (graph/cc.py:components_with_isolates).
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_k)
@@ -432,18 +431,10 @@ def minhash_dedup_clusters(
     verified = jaccard_pairs(docs, cand, shingle_k).where(
         F.col("jaccard") >= F.lit(threshold)
     )
-    edges = verified.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        docs.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
-    )
-    result = connected_components(edges, max_iterations=max_iterations)
-    if not result.converged:
-        raise RuntimeError(
-            f"connected_components hit the iteration cap ({max_iterations}) "
-            "before converging — refusing to emit partially-merged clusters"
-        )
-    return result.assignments.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster")
-    )
+    edges = verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return components_with_isolates(
+        edges, docs, "doc_id", max_iterations=max_iterations
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
 
 
 def simhash_near_pairs(

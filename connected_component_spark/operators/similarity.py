@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 
 from connected_component_spark.queries.parity import roundd
 from connected_component_spark.functions.vectors import as_double, cosine, dot, l2_norm
-from connected_component_spark.graph.cc import connected_components
+from connected_component_spark.graph.cc import (
+    components_with_isolates,
+    connected_components,
+)
 
 __all__ = [
     "cosine_topk",
@@ -488,8 +491,9 @@ def embedding_dedup_clusters(
     max_iterations: int = 20,
 ) -> DataFrame:
     """Embedding-cosine near-dedup: LSH-candidate threshold pairs
-    become edges; the CC kernel clusters them; self-loops keep
-    isolated vectors as singleton clusters.
+    become edges; the CC kernel clusters the paired subgraph only;
+    isolated vectors are attached as singleton clusters by one anti
+    join (graph/cc.py:components_with_isolates).
 
     The edge set is :func:`lsh_threshold_pairs` — bucketed candidate
     generation, not all-pairs — so the whole pipeline is shuffle-
@@ -500,18 +504,10 @@ def embedding_dedup_clusters(
     pairs = lsh_threshold_pairs(
         emb, threshold, id_col, vec_col, planes=planes, tables=tables
     )
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        emb.select(F.col(id_col).alias("src"), F.col(id_col).alias("dst"))
-    )
-    result = connected_components(edges, max_iterations=max_iterations)
-    if not result.converged:
-        raise RuntimeError(
-            f"connected_components hit the iteration cap ({max_iterations}) "
-            "before converging — refusing to emit partially-merged clusters"
-        )
-    return result.assignments.select(
-        F.col("node").alias(id_col), F.col("component").alias("cluster")
-    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return components_with_isolates(
+        edges, emb, id_col, max_iterations=max_iterations
+    ).select(F.col("node").alias(id_col), F.col("component").alias("cluster"))
 
 
 def ivf_cell_assignments(
@@ -673,20 +669,13 @@ def similarity_clusters(
 ) -> DataFrame:
     """Similarity clusters = connected components of the (approximate)
     k-NN graph (CC kernel as clustering backbone).  Every vector
-    appears; isolated vectors form singletons via self-loops.
+    appears in the output.
 
     The k-NN edges come from LSH-bucketed candidates by default (see
     :func:`knn_edges`), so no stage of the pipeline does all-pairs
-    work."""
-    edges = knn_edges(emb, k, min_cosine, id_col, vec_col, method, planes).union(
-        emb.select(F.col(id_col).alias("src"), F.col(id_col).alias("dst"))
-    )
-    result = connected_components(edges, max_iterations=max_iterations)
-    if not result.converged:
-        raise RuntimeError(
-            f"connected_components hit the iteration cap ({max_iterations}) "
-            "before converging — refusing to emit partially-merged clusters"
-        )
-    return result.assignments.select(
-        F.col("node").alias(id_col), F.col("component").alias("cluster")
-    )
+    work; vectors touching no k-NN edge are attached as singletons
+    by one anti join (graph/cc.py:components_with_isolates)."""
+    edges = knn_edges(emb, k, min_cosine, id_col, vec_col, method, planes)
+    return components_with_isolates(
+        edges, emb, id_col, max_iterations=max_iterations
+    ).select(F.col("node").alias(id_col), F.col("component").alias("cluster"))
