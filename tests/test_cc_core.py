@@ -136,3 +136,29 @@ def test_cliques_text_roundtrip(spark, tmp_path):
     cliques = read_cliques_text(spark, str(p))
     result = connected_components(cliques_to_edges(cliques))
     assert _rosters(result) == README_EXPECTED
+
+
+def test_components_with_isolates(spark):
+    from connected_component_spark.graph.cc import components_with_isolates
+
+    pairs = spark.createDataFrame([(10, 20), (20, 30)], "src long, dst long")
+    universe = spark.createDataFrame(
+        [(10,), (20,), (30,), (40,), (50,)], "doc_id long"
+    )
+    got = {
+        (r.node, r.component)
+        for r in components_with_isolates(pairs, universe, "doc_id").collect()
+    }
+    assert got == {(10, 10), (20, 10), (30, 10), (40, 40), (50, 50)}
+
+
+def test_components_with_isolates_no_pairs(spark):
+    from connected_component_spark.graph.cc import components_with_isolates
+
+    pairs = spark.createDataFrame([], "src long, dst long")
+    universe = spark.createDataFrame([(1,), (2,)], "vec_id long")
+    got = {
+        (r.node, r.component)
+        for r in components_with_isolates(pairs, universe, "vec_id").collect()
+    }
+    assert got == {(1, 1), (2, 2)}
