@@ -53,6 +53,7 @@ _PRIORITY = (
     "graph_triangles",          # new this round (degree-ordered triangle census)
     "graph_pagerank",           # new this round (fixed-iteration PageRank)
     "q08_market_share",         # new this round (TPC-H Q8 conditional ratio)
+    "q09_product_profit",       # new this round (TPC-H Q9 profit, modeled cost)
     "q13_order_distribution",   # new this round (TPC-H Q13 outer-join dist)
     "q15_top_supplier",         # new this round (TPC-H Q15 argmax view)
     "q17_small_qty_revenue",    # new this round (TPC-H Q17 correlated avg)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from connected_component_spark.queries.parity import (
     davg,
     dmul,
+    dmul_sql,
     dsum,
     dsum_sql,
     dsumx,
@@ -1332,6 +1333,54 @@ ORDER BY o_year
 
 
 # --------------------------------------------------------------------------
+# q09 — product-type profit (TPC-H Q9 shape): 5-way join, LIKE
+# predicate on the part dimension, profit aggregate per (nation,
+# year).  Fixture deviation: no partsupp table, so supply cost is
+# modeled as 0.6 × p_retailprice (exact decimal, both engines).
+# --------------------------------------------------------------------------
+
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_name").like("%a%"))
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    orders = _t(spark, sf_dir, "orders")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    profit = _rev() - dmul("p_retailprice", F.lit(0.6), "l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsumx(profit).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+Q09_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {dsumx_sql(
+           _REV_SQL
+           + " - " + dmul_sql("p_retailprice", "0.6", "l_quantity")
+       )} AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+# --------------------------------------------------------------------------
 # q13 — customer order-count distribution (TPC-H Q13 shape): left
 # outer join preserving zero-order customers, double aggregation.
 # Fixture deviation: orders has no o_comment, so the excluded slice
@@ -1719,6 +1768,7 @@ QUERIES = {
     "q_asof_orders": q_asof_orders,
     "q_interval_spikes": q_interval_spikes,
     "q08_market_share": q08_market_share,
+    "q09_product_profit": q09_product_profit,
     "q13_order_distribution": q13_order_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_qty_revenue": q17_small_qty_revenue,
@@ -1762,6 +1812,7 @@ ORACLES = {
     "q_asof_orders": Q_ASOF_ORDERS_SQL,
     "q_interval_spikes": Q_INTERVAL_SPIKES_SQL,
     "q08_market_share": Q08_SQL,
+    "q09_product_profit": Q09_SQL,
     "q13_order_distribution": Q13_SQL,
     "q15_top_supplier": Q15_SQL,
     "q17_small_qty_revenue": Q17_SQL,
