@@ -25,10 +25,7 @@ from pyspark.sql import functions as F
 
 from connected_component_spark.functions.hashing import affine_hash, hash64
 from connected_component_spark.queries.parity import roundd
-from connected_component_spark.graph.cc import (
-    components_with_isolates,
-    connected_components,
-)
+from connected_component_spark.graph.cc import components_with_isolates
 from connected_component_spark.operators.text import tokens
 
 __all__ = [

@@ -17,10 +17,7 @@ from pyspark.sql import functions as F
 
 from connected_component_spark.queries.parity import roundd
 from connected_component_spark.functions.vectors import as_double, cosine, dot, l2_norm
-from connected_component_spark.graph.cc import (
-    components_with_isolates,
-    connected_components,
-)
+from connected_component_spark.graph.cc import components_with_isolates
 
 __all__ = [
     "cosine_topk",
