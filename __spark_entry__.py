@@ -48,6 +48,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round are rotated to the FRONT; long-stable queries absorb any
 # truncation.
 _PRIORITY = (
+    "q02_min_cost_supplier",    # new this round (TPC-H Q2 correlated min)
+    "q11_important_stock",      # new this round (TPC-H Q11 scalar-threshold HAVING)
+    "q16_supplier_relationship",  # new this round (TPC-H Q16 distinct-count + NOT IN)
+    "q20_excess_suppliers",     # new this round (TPC-H Q20 nested semi-joins)
+    "text_repetition",          # new this round (Gopher repetition filters)
+    "text_boilerplate",         # new this round (C4 cross-doc boilerplate)
     "stream_static_enrich",     # new this round (stream-static dim join)
     "q_window_time_range",      # new this round (event-time RANGE frame)
     "graph_triangles",          # new this round (degree-ordered triangle census)

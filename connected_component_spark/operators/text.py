@@ -21,6 +21,9 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "word_ngrams",
+    "repetition_stats",
+    "boilerplate_ngrams",
     "STOPWORDS",
 ]
 
@@ -160,6 +163,116 @@ def language_id(docs: DataFrame) -> DataFrame:
         ),
         best["score"].cast("long").alias("pred_score"),
     )
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Space-joined word ``n``-grams as an array column (empty when the
+    doc has fewer than ``n`` words).  Pure Catalyst: sequence over gram
+    start positions + element_at — no quadratic per-doc lambda."""
+    t = tokens(text)
+    idx = F.when(
+        F.size(t) >= n,
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+
+
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition features: duplicate and
+    top-fraction rates for words and word ``n``-grams.
+
+    (doc_id, n_words, dup_word_frac, top_word_frac, n_ngrams,
+    dup_ngram_frac, top_ngram_frac) — the filters pre-training
+    pipelines threshold on to drop looping/boilerplate-heavy docs.
+
+    Scale shape: one explode of words+grams tagged by kind, a
+    (doc, kind, gram) count, then ONE conditional re-aggregate per
+    doc — two shuffles total, map-side combine absorbs within-doc
+    repetition, and no per-doc quadratic lambda (a 1M-word doc costs
+    O(len), not O(len²)).  Docs with no words survive with zeroed
+    features via the join back to the id spine.
+    """
+    base = docs.select(
+        "doc_id", tokens("text").alias("_w"), word_ngrams("text", n).alias("_g")
+    )
+    ex = base.select(
+        "doc_id", F.lit("w").alias("_kind"), F.explode("_w").alias("_gram")
+    ).unionAll(
+        base.select(
+            "doc_id", F.lit("g").alias("_kind"), F.explode("_g").alias("_gram")
+        )
+    )
+    counts = ex.groupBy("doc_id", "_kind", "_gram").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    is_w = F.col("_kind") == "w"
+    is_g = F.col("_kind") == "g"
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_w, F.col("_cnt"))).alias("_wt"),
+        F.count(F.when(is_w, F.lit(1))).alias("_wd"),
+        F.max(F.when(is_w, F.col("_cnt"))).alias("_wm"),
+        F.sum(F.when(is_g, F.col("_cnt"))).alias("_gt"),
+        F.count(F.when(is_g, F.lit(1))).alias("_gd"),
+        F.max(F.when(is_g, F.col("_cnt"))).alias("_gm"),
+    )
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    wt = F.coalesce(F.col("_wt"), F.lit(0))
+    gt = F.coalesce(F.col("_gt"), F.lit(0))
+    return out.select(
+        "doc_id",
+        wt.cast("long").alias("n_words"),
+        roundd(
+            (wt - F.coalesce(F.col("_wd"), F.lit(0)))
+            / F.greatest(wt, F.lit(1)),
+            4,
+        ).alias("dup_word_frac"),
+        roundd(
+            F.coalesce(F.col("_wm"), F.lit(0)) / F.greatest(wt, F.lit(1)), 4
+        ).alias("top_word_frac"),
+        gt.cast("long").alias("n_ngrams"),
+        roundd(
+            (gt - F.coalesce(F.col("_gd"), F.lit(0)))
+            / F.greatest(gt, F.lit(1)),
+            4,
+        ).alias("dup_ngram_frac"),
+        roundd(
+            F.coalesce(F.col("_gm"), F.lit(0)) / F.greatest(gt, F.lit(1)), 4
+        ).alias("top_ngram_frac"),
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, n: int = 5, min_doc_freq: int = 2, top: int = 100
+) -> DataFrame:
+    """Cross-document repeated-span detector (the C4 "remove any
+    boilerplate line seen in ≥K pages" shape at n-gram granularity):
+    word ``n``-grams appearing in at least ``min_doc_freq`` distinct
+    docs, ranked by document frequency.
+
+    (ngram, doc_freq, total_freq, rank).  Scale shape: explode →
+    single (gram) hash agg with map-side combine → TakeOrdered top —
+    word-count over grams; the full gram universe is never sorted or
+    collected."""
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        "doc_id", F.explode(word_ngrams("text", n)).alias("ngram")
+    )
+    counts = ex.groupBy("ngram").agg(
+        F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        F.count(F.lit(1)).cast("long").alias("total_freq"),
+    )
+    hit = counts.where(F.col("doc_freq") >= min_doc_freq)
+    topd = hit.orderBy(
+        F.col("doc_freq").desc(), F.col("ngram").asc()
+    ).limit(top)
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+    return topd.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

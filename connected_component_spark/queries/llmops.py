@@ -175,6 +175,93 @@ FROM p
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition features (dup/top fractions
+    for words and bigrams) — the looping-document filter shape."""
+    return tx.repetition_stats(load_table(spark, sf_dir, "documents"), n=2)
+
+
+def _rep_frac_sql(total: str, other: str) -> str:
+    return roundd_sql(
+        f"(coalesce({total}, 0) - coalesce({other}, 0))"
+        f" / greatest(coalesce({total}, 0), 1)",
+        4,
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, t,
+         list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                        i -> t[i] || ' ' || t[i + 1]) AS bg
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, 'w' AS kind, unnest(t) AS gram FROM g
+  UNION ALL
+  SELECT doc_id, 'g' AS kind, unnest(bg) AS gram FROM g
+),
+counts AS (
+  SELECT doc_id, kind, gram, count(*) AS cnt FROM ex GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN kind = 'w' THEN cnt END)    AS wt,
+         count(CASE WHEN kind = 'w' THEN 1 END)    AS wd,
+         max(CASE WHEN kind = 'w' THEN cnt END)    AS wm,
+         sum(CASE WHEN kind = 'g' THEN cnt END)    AS gt,
+         count(CASE WHEN kind = 'g' THEN 1 END)    AS gd,
+         max(CASE WHEN kind = 'g' THEN cnt END)    AS gm
+  FROM counts GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(wt, 0) AS BIGINT) AS n_words,
+       {_rep_frac_sql('wt', 'wd')} AS dup_word_frac,
+       {roundd_sql('coalesce(wm, 0) / greatest(coalesce(wt, 0), 1)', 4)} AS top_word_frac,
+       CAST(coalesce(gt, 0) AS BIGINT) AS n_ngrams,
+       {_rep_frac_sql('gt', 'gd')} AS dup_ngram_frac,
+       {roundd_sql('coalesce(gm, 0) / greatest(coalesce(gt, 0), 1)', 4)} AS top_ngram_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated 5-gram spans ranked by document frequency —
+    the C4 boilerplate-removal candidate list."""
+    return tx.boilerplate_ngrams(
+        load_table(spark, sf_dir, "documents"), n=5, min_doc_freq=2, top=100
+    )
+
+
+TEXT_BOILERPLATE_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+                        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                             || ' ' || t[i + 3] || ' ' || t[i + 4]) AS gr
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(gr) AS ngram FROM g),
+counts AS (
+  SELECT ngram,
+         count(DISTINCT doc_id) AS doc_freq,
+         count(*) AS total_freq
+  FROM ex GROUP BY 1
+),
+ranked AS (
+  SELECT ngram, doc_freq, total_freq,
+         row_number() OVER (ORDER BY doc_freq DESC, ngram ASC) AS rank
+  FROM counts WHERE doc_freq >= 2
+)
+SELECT ngram, CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(total_freq AS BIGINT) AS total_freq,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 100
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup
 # --------------------------------------------------------------------------
@@ -1032,6 +1119,8 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_bpe_pieces": text_bpe_pieces,
     "text_vocabulary": text_vocabulary,
+    "text_repetition": text_repetition,
+    "text_boilerplate": text_boilerplate,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -1063,6 +1152,8 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_bpe_pieces": TEXT_BPE_PIECES_SQL,
     "text_vocabulary": TEXT_VOCABULARY_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
+    "text_boilerplate": TEXT_BOILERPLATE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_signatures": DEDUP_MINHASH_SIGNATURES_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,

@@ -1734,6 +1734,289 @@ WINDOW w AS (
 """
 
 
+# --------------------------------------------------------------------------
+# q02 — minimum-cost supplier (TPC-H Q2 shape): correlated-min
+# subquery over a part-supplier cost relation, multi-way dim join to
+# nation/region.  Fixture deviation: there is no partsupp table, so
+# the unit supply cost is derived from lineitem as
+# min(l_extendedprice / l_quantity) per (part, supplier) — IEEE
+# double division of identical operands is bit-identical across
+# engines, and min() is order-stable, so the correlated equality
+# probe is engine-exact without rounding.  The Spark plan replaces
+# the correlated subquery with ONE window min over the partkey
+# (single shuffle on the probe key); dims are broadcast.
+# --------------------------------------------------------------------------
+
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_unit_cost"
+        )
+    )
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").where(
+            (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+        )
+    )
+    eur = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        ps.join(eur, ps.ps_suppkey == F.col("s_suppkey"))
+        .join(part, ps.ps_partkey == F.col("p_partkey"))
+        .withColumn("_min_cost", F.min("ps_unit_cost").over(w))
+        .where(F.col("ps_unit_cost") == F.col("_min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            roundd(F.col("ps_unit_cost"), 4).alias("unit_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+Q02_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS ps_unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_unit_cost,
+         min(ps_unit_cost) OVER (PARTITION BY ps_partkey) AS min_cost
+  FROM ps
+  JOIN eur  ON s_suppkey = ps_suppkey
+  JOIN part ON p_partkey = ps_partkey
+  WHERE p_size <= 10 AND p_type = 'STANDARD'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       {roundd_sql("ps_unit_cost", 4)} AS unit_cost
+FROM cand
+WHERE ps_unit_cost = min_cost
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 — important stock value (TPC-H Q11 shape): per-group value sums
+# filtered by a HAVING threshold that is a scalar subquery over the
+# SAME aggregate (group value > fraction × grand total).  Fixture
+# deviation: no partsupp, so a part's "stock value" is the exact
+# decimal revenue its suppliers from one region shipped.  Both the
+# per-part value and the grand total are exact decimal sums rounded
+# to 2dp before the double compare, so the threshold decision is
+# engine-identical.  Spark plan: one groupBy on partkey, grand total
+# via a broadcast cross join of the 1-row re-aggregate — no second
+# scan of lineitem.
+# --------------------------------------------------------------------------
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    nat_sup = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(nat_sup, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("stock_value"))
+    )
+    total = per_part.agg(
+        F.round(F.sum(F.col("stock_value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("_total")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("stock_value") > F.lit(0.001) * F.col("_total"))
+        .select(F.col("l_partkey").alias("partkey"), "stock_value")
+        .orderBy(F.col("stock_value").desc(), F.col("partkey").asc())
+    )
+
+
+Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey AS partkey,
+         {dsumx_sql(_REV_SQL)} AS stock_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1
+)
+SELECT partkey, stock_value
+FROM per_part
+WHERE stock_value > 0.001 * (
+  SELECT CAST(round(sum(CAST(stock_value AS DECIMAL(18,4))), 2) AS DOUBLE)
+  FROM per_part
+)
+ORDER BY stock_value DESC, partkey ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 — parts/supplier relationship (TPC-H Q16 shape): distinct
+# supplier count per (brand, type, size) bucket over value-list IN /
+# NOT-equal part filters, minus an excluded supplier set (NOT IN
+# correlated subquery → broadcast anti join).  Fixture deviations:
+# the part-supplier relation is the distinct (l_partkey, l_suppkey)
+# pairs of lineitem, and "suppliers with complaints" are proxied by
+# negative account balance.
+# --------------------------------------------------------------------------
+
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    partf = F.broadcast(
+        _t(spark, sf_dir, "part").where(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+    )
+    bad_sup = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(partf, pairs.l_partkey == F.col("p_partkey"))
+        .join(bad_sup, pairs.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 — potential part promotion (TPC-H Q20 shape): nested semi-join
+# chain — suppliers qualify when, for some filtered part, their 1997
+# shipments exceed half their all-time shipments of it ("excess
+# stock").  Fixture deviation: no partsupp availqty, so the excess
+# predicate compares two exact decimal quantity sums from lineitem
+# (2×qty_1997 > qty_total) computed in ONE conditional aggregate —
+# a single shuffle instead of TPC-H's two correlated scans.
+# Quantities are integral, so decimal sums make the predicate exact
+# in both engines.
+# --------------------------------------------------------------------------
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    partf = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    qty97 = F.when(
+        F.year("l_shipdate") == 1997, F.col("l_quantity")
+    ).otherwise(F.lit(0.0))
+    per_sp = (
+        li.join(partf, li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(qty97.cast("decimal(18,4)")).alias("_q97"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_qall"),
+        )
+        .where(F.lit(2) * F.col("_q97") > F.col("_qall"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        sup.join(per_sp, sup.s_suppkey == per_sp.l_suppkey, "left_semi")
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy(F.col("s_name").asc())
+    )
+
+
+Q20_SQL = """
+SELECT s_name, n_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'large%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING 2 * sum(CAST(CASE WHEN EXTRACT(year FROM l_shipdate) = 1997
+                           THEN l_quantity ELSE 0.0 END AS DECIMAL(18,4)))
+         > sum(CAST(l_quantity AS DECIMAL(18,4)))
+)
+ORDER BY s_name ASC
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1776,6 +2059,10 @@ QUERIES = {
     "q21_late_suppliers": q21_late_suppliers,
     "q22_idle_balance": q22_idle_balance,
     "q_window_time_range": q_window_time_range,
+    "q02_min_cost_supplier": q02_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_relationship": q16_supplier_relationship,
+    "q20_excess_suppliers": q20_excess_suppliers,
 }
 
 ORACLES = {
@@ -1820,4 +2107,8 @@ ORACLES = {
     "q21_late_suppliers": Q21_SQL,
     "q22_idle_balance": Q22_SQL,
     "q_window_time_range": Q_WINDOW_TIME_RANGE_SQL,
+    "q02_min_cost_supplier": Q02_SQL,
+    "q11_important_stock": Q11_SQL,
+    "q16_supplier_relationship": Q16_SQL,
+    "q20_excess_suppliers": Q20_SQL,
 }
