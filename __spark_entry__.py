@@ -54,6 +54,8 @@ _PRIORITY = (
     "q20_excess_suppliers",     # new this round (TPC-H Q20 nested semi-joins)
     "text_repetition",          # new this round (Gopher repetition filters)
     "text_boilerplate",         # new this round (C4 cross-doc boilerplate)
+    "graph_shortest_paths",     # new this round (landmark BFS)
+    "graph_kcore",              # new this round (k-core peeling)
     "stream_static_enrich",     # new this round (stream-static dim join)
     "q_window_time_range",      # new this round (event-time RANGE frame)
     "graph_triangles",          # new this round (degree-ordered triangle census)

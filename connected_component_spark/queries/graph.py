@@ -243,11 +243,96 @@ ORDER BY user_id
 GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
+_BFS_MAX_DEPTH = 20
+_BFS_N_LANDMARKS = 3
+
+
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark shortest paths (graph/bfs.py): exact unweighted BFS
+    distance from the 3 smallest user ids to every reachable user of
+    the copresence graph — the multi-source Pregel BFS shape, checked
+    against a recursive-CTE walk with min-distance fold."""
+    from connected_component_spark.graph.bfs import shortest_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    landmarks = (
+        ev.select("user_id").distinct().orderBy("user_id").limit(_BFS_N_LANDMARKS)
+    )
+    d = shortest_paths(
+        copresence_edges(spark, sf_dir), landmarks, max_depth=_BFS_MAX_DEPTH
+    )
+    return d.select(
+        F.col("node").alias("user_id"), "landmark", "distance"
+    )
+
+
+GRAPH_SHORTEST_PATHS_SQL = f"""
+WITH RECURSIVE {_COPRESENCE_EDGES_SQL.strip()},
+lm AS (
+  SELECT DISTINCT user_id AS l FROM events ORDER BY user_id LIMIT {_BFS_N_LANDMARKS}
+),
+walk(node, landmark, dist) AS (
+  SELECT l, l, 0 FROM lm
+  UNION
+  SELECT s.dst, w.landmark, w.dist + 1
+  FROM walk w JOIN sym s ON s.src = w.node
+  WHERE w.dist < {_BFS_MAX_DEPTH}
+)
+SELECT node AS user_id, landmark, CAST(min(dist) AS BIGINT) AS distance
+FROM walk GROUP BY 1, 2
+"""
+
+
+_KCORE_K = 45
+_KCORE_ROUNDS = 20
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the copresence graph (graph/kcore.py, k=45): iterative
+    peeling to the maximal subgraph of min-degree ≥ 45, with in-core
+    degrees — checked against a fixed-unroll peeling oracle (peeling
+    is monotone, so early exit at the fixpoint matches exactly)."""
+    from connected_component_spark.graph.kcore import k_core
+
+    core = k_core(
+        copresence_edges(spark, sf_dir), k=_KCORE_K, max_rounds=_KCORE_ROUNDS
+    )
+    return core.select(F.col("node").alias("user_id"), "degree")
+
+
+def _kcore_oracle_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    # every e{i} is referenced twice by level i+1 (degree agg + join),
+    # so the CTEs MUST be materialized — inlining would expand the
+    # 20-level chain exponentially (DuckDB ran out of file handles
+    # re-opening the parquet scan 2^20 times)
+    levels = ["e0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
+    for i in range(1, rounds + 1):
+        levels.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM e{i - 1} GROUP BY src"
+            f" HAVING count(*) >= {k}),\n"
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e"
+            f" JOIN k{i} a ON a.src = e.src"
+            f" JOIN k{i} b ON b.src = e.dst)"
+        )
+    chain = ",\n".join(levels)
+    return f"""
+WITH {_COPRESENCE_EDGES_SQL.strip()},
+{chain}
+SELECT src AS user_id, CAST(count(*) AS BIGINT) AS degree
+FROM e{rounds} GROUP BY src
+"""
+
+
+GRAPH_KCORE_SQL = _kcore_oracle_sql()
+
+
 QUERIES = {
     "cc_user_copresence": cc_user_copresence,
     "cc_copresence_rosters": cc_copresence_rosters,
     "graph_triangles": graph_triangles,
     "graph_pagerank": graph_pagerank,
+    "graph_shortest_paths": graph_shortest_paths,
+    "graph_kcore": graph_kcore,
 }
 
 ORACLES = {
@@ -255,4 +340,6 @@ ORACLES = {
     "cc_copresence_rosters": CC_COPRESENCE_ROSTERS_SQL,
     "graph_triangles": GRAPH_TRIANGLES_SQL,
     "graph_pagerank": GRAPH_PAGERANK_SQL,
+    "graph_shortest_paths": GRAPH_SHORTEST_PATHS_SQL,
+    "graph_kcore": GRAPH_KCORE_SQL,
 }

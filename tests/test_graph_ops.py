@@ -176,3 +176,96 @@ def test_pagerank_mass_conservation_generated_graph(spark):
     pr = pagerank(cliques_to_edges(cliques), iterations=3)
     total = pr.agg(F.sum("rank").alias("s")).collect()[0].s
     assert total == pytest.approx(1.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths (graph/bfs.py)
+# ---------------------------------------------------------------------------
+
+def _lm(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node long")
+
+
+def test_bfs_path_graph_distances(spark):
+    from connected_component_spark.graph.bfs import shortest_paths
+
+    # path 1-2-3-4-5, landmark 1: distances are the hop counts
+    df = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {
+        (r.node, r.landmark): r.distance
+        for r in shortest_paths(df, _lm(spark, [1])).collect()
+    }
+    assert got == {(1, 1): 0, (2, 1): 1, (3, 1): 2, (4, 1): 3, (5, 1): 4}
+
+
+def test_bfs_multi_landmark_and_unreachable(spark):
+    from connected_component_spark.graph.bfs import shortest_paths
+
+    # two components {1,2,3} and {10,11}; landmarks 1 and 10 only
+    # reach their own component; BFS takes the shorter of two routes
+    df = _edges(spark, [(1, 2), (2, 3), (1, 3), (10, 11)])
+    got = {
+        (r.node, r.landmark): r.distance
+        for r in shortest_paths(df, _lm(spark, [1, 10])).collect()
+    }
+    assert got == {
+        (1, 1): 0, (2, 1): 1, (3, 1): 1,
+        (10, 10): 0, (11, 10): 1,
+    }
+
+
+def test_bfs_max_depth_truncates(spark):
+    from connected_component_spark.graph.bfs import shortest_paths
+
+    df = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {
+        r.node: r.distance
+        for r in shortest_paths(df, _lm(spark, [1]), max_depth=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}  # node 4 is 3 hops away: excluded
+
+
+def test_bfs_isolated_landmark(spark):
+    from connected_component_spark.graph.bfs import shortest_paths
+
+    df = _edges(spark, [(1, 2)])
+    rows = shortest_paths(df, _lm(spark, [99])).collect()
+    assert [(r.node, r.landmark, r.distance) for r in rows] == [(99, 99, 0)]
+
+
+# ---------------------------------------------------------------------------
+# k_core (graph/kcore.py)
+# ---------------------------------------------------------------------------
+
+def test_kcore_triangle_with_pendant(spark):
+    from connected_component_spark.graph.kcore import k_core
+
+    # triangle {1,2,3} + pendant 3-4: the 2-core is the triangle,
+    # each member with in-core degree 2
+    df = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    got = {r.node: r.degree for r in k_core(df, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascading_peel(spark):
+    from connected_component_spark.graph.kcore import k_core
+
+    # path 1-2-3-4-5: peeling the endpoints cascades until nothing
+    # satisfies degree >= 2 — empty core, several rounds deep
+    df = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert k_core(df, k=2).count() == 0
+
+
+def test_kcore_k1_keeps_every_edge_endpoint(spark):
+    from connected_component_spark.graph.kcore import k_core
+
+    df = _edges(spark, [(1, 2), (3, 4), (5, 5)])  # self-loop dropped
+    got = {r.node: r.degree for r in k_core(df, k=1).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_kcore_rejects_bad_k(spark):
+    from connected_component_spark.graph.kcore import k_core
+
+    with pytest.raises(ValueError):
+        k_core(_edges(spark, [(1, 2)]), k=0)
