@@ -59,20 +59,23 @@ def shortest_paths(
         F.lit(0).cast("long").alias("distance"),
     ).distinct()
     dists = frontier
-    for depth in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(sym, frontier.node == sym.src)
-            .select(F.col("dst").alias("node"), "landmark")
-            .distinct()
-            .join(dists, ["node", "landmark"], "left_anti")
-            .withColumn("distance", F.lit(depth).cast("long"))
-        )
-        if checkpoint:
-            nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        dists = dists.unionAll(nxt)
-        if checkpoint:
-            dists = dists.localCheckpoint(eager=True)
-        frontier = nxt
+    from connected_component_spark.plans.tuning import shrunk_shuffle
+
+    with shrunk_shuffle(edges.sparkSession, sym.count()):
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(sym, frontier.node == sym.src)
+                .select(F.col("dst").alias("node"), "landmark")
+                .distinct()
+                .join(dists, ["node", "landmark"], "left_anti")
+                .withColumn("distance", F.lit(depth).cast("long"))
+            )
+            if checkpoint:
+                nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            dists = dists.unionAll(nxt)
+            if checkpoint:
+                dists = dists.localCheckpoint(eager=True)
+            frontier = nxt
     return dists

@@ -51,24 +51,27 @@ def k_core(
     if checkpoint:
         cur = cur.localCheckpoint(eager=True)
     n_cur = cur.count()
-    for _ in range(max_rounds):
-        if n_cur == 0:
-            break
-        keep = (
-            cur.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("_deg"))
-            .where(F.col("_deg") >= k)
-            .select("src")
-        )
-        nxt = cur.join(keep, "src", "left_semi").join(
-            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
-        )
-        if checkpoint:
-            nxt = nxt.localCheckpoint(eager=True)
-        n_nxt = nxt.count()
-        if n_nxt == n_cur:
-            break
-        cur, n_cur = nxt, n_nxt
+    from connected_component_spark.plans.tuning import shrunk_shuffle
+
+    with shrunk_shuffle(edges.sparkSession, n_cur):
+        for _ in range(max_rounds):
+            if n_cur == 0:
+                break
+            keep = (
+                cur.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("_deg"))
+                .where(F.col("_deg") >= k)
+                .select("src")
+            )
+            nxt = cur.join(keep, "src", "left_semi").join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            if checkpoint:
+                nxt = nxt.localCheckpoint(eager=True)
+            n_nxt = nxt.count()
+            if n_nxt == n_cur:
+                break
+            cur, n_cur = nxt, n_nxt
     return cur.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
