@@ -56,6 +56,7 @@ _PRIORITY = (
     "text_boilerplate",         # new this round (C4 cross-doc boilerplate)
     "graph_shortest_paths",     # new this round (landmark BFS)
     "graph_kcore",              # new this round (k-core peeling)
+    "embedding_kmeans",         # new this round (distributed Lloyd k-means)
     "stream_static_enrich",     # new this round (stream-static dim join)
     "q_window_time_range",      # new this round (event-time RANGE frame)
     "graph_triangles",          # new this round (degree-ordered triangle census)

@@ -779,6 +779,76 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(queries, emb, k=5)
 
 
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus
+    (operators/clustering.py): semantic clustering, the SemDeDup
+    pre-grouping shape — broadcast centroids, map-side assignment,
+    one (cluster, dim) aggregate per round.  The oracle unrolls the
+    same 2 Lloyd rounds with decimal-exact centroid means, so the
+    final assignment must match bit-for-bit."""
+    from connected_component_spark.operators.clustering import kmeans_assign
+
+    out = kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), k=_KM_K, iterations=_KM_ITERS
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "cluster",
+        roundd(F.col("sq_dist"), 6).alias("sq_dist"),
+    )
+
+
+def _kmeans_oracle_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    sqd = (
+        "list_sum(list_transform(generate_series(1, len(v)), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
+    )
+    parts = [
+        "pts AS MATERIALIZED (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT id AS cid, v AS cv FROM pts "
+        f"ORDER BY id LIMIT {k})",
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT id, v, cid AS cluster, dist,
+         row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+  FROM (SELECT id, v, cid, {sqd} AS dist FROM pts CROSS JOIN c{i})
+)"""
+        )
+        if i < iters:
+            parts.append(
+                f"""c{i + 1} AS MATERIALIZED (
+  SELECT cluster AS cid, list(mean ORDER BY pos) AS cv
+  FROM (
+    SELECT cluster, pos,
+           CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mean
+    FROM (
+      SELECT cluster, pos, v[pos] AS val
+      FROM (
+        SELECT cluster, v, unnest(generate_series(1, len(v))) AS pos
+        FROM a{i} WHERE rn = 1
+      )
+    ) GROUP BY cluster, pos
+  ) GROUP BY cluster
+)"""
+            )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {chain}
+SELECT id AS vec_id, cluster, {roundd_sql('dist', 6)} AS sq_dist
+FROM a{iters} WHERE rn = 1
+"""
+
+
+EMBEDDING_KMEANS_SQL = _kmeans_oracle_sql()
+
+
 ANN_COSINE_TOPK_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id % 50 = 0 AND vec_id < 500),
@@ -1134,6 +1204,7 @@ QUERIES = {
     "pipeline_split_decontamination": pipeline_split_decontamination,
     "pipeline_source_mixture": pipeline_source_mixture,
     "pipeline_sequence_packing": pipeline_sequence_packing,
+    "embedding_kmeans": embedding_kmeans,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1167,6 +1238,7 @@ ORACLES = {
     "pipeline_split_decontamination": _split_decon_sql(),
     "pipeline_source_mixture": PIPELINE_SOURCE_MIXTURE_SQL,
     "pipeline_sequence_packing": PIPELINE_SEQUENCE_PACKING_SQL,
+    "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,

@@ -221,3 +221,52 @@ def test_multimodal_plumbing_deterministic(spark):
     assert out[1]["n_bytes"] == 3
     assert out[0]["width"] == 11 % 640 + 1
     assert out[0]["fmt"] in ("rgb", "rgba", "gray")
+
+
+# ---------------------------------------------------------------------------
+# kmeans_assign (operators/clustering.py)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_separates_two_obvious_blobs(spark):
+    from connected_component_spark.operators.clustering import kmeans_assign
+
+    # ids 0,1 seed the two centroids; points sit in two far-apart
+    # blobs, so 2 Lloyd rounds must land every point with its blob
+    rows = [
+        (0, [0.0, 0.0]), (2, [0.5, 0.0]), (4, [0.0, 0.5]),
+        (1, [10.0, 10.0]), (3, [10.5, 10.0]), (5, [10.0, 10.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.id: r.cluster for r in kmeans_assign(df, k=2, iterations=2).collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+
+def test_kmeans_zero_iterations_assigns_to_seeds(spark):
+    from connected_component_spark.operators.clustering import kmeans_assign
+
+    rows = [(0, [0.0]), (1, [10.0]), (2, [1.0]), (3, [9.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.id: r.cluster for r in kmeans_assign(df, k=2, iterations=0).collect()}
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+def test_kmeans_tie_breaks_on_lower_centroid_id(spark):
+    from connected_component_spark.operators.clustering import kmeans_assign
+
+    # point 2 is exactly equidistant from both seeds: lower cid wins
+    rows = [(0, [0.0]), (1, [2.0]), (2, [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.id: r.cluster for r in kmeans_assign(df, k=2, iterations=0).collect()}
+    assert got[2] == 0
+
+
+def test_kmeans_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from connected_component_spark.operators.clustering import kmeans_assign
+
+    df = spark.createDataFrame([(0, [0.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        kmeans_assign(df, k=0)
+    with _pytest.raises(ValueError):
+        kmeans_assign(df, iterations=-1)
