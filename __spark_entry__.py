@@ -57,6 +57,7 @@ _PRIORITY = (
     "graph_shortest_paths",     # new this round (landmark BFS)
     "graph_kcore",              # new this round (k-core peeling)
     "embedding_kmeans",         # new this round (distributed Lloyd k-means)
+    "stream_event_pairs_outer", # new this round (watermarked outer join)
     "stream_static_enrich",     # new this round (stream-static dim join)
     "q_window_time_range",      # new this round (event-time RANGE frame)
     "graph_triangles",          # new this round (degree-ordered triangle census)

@@ -413,6 +413,117 @@ JOIN events b
 """
 
 
+def stream_event_pairs_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream self-join: like ``stream_event_pairs``
+    but an event with NO successor inside its 30-minute window emits
+    exactly one null-padded row — and it may only do so once the
+    watermark has provably passed its join window (the late-data
+    contract that distinguishes a real streaming outer join from a
+    batch one).
+
+    Outer rows are emitted in the batch AFTER the watermark advances,
+    so the staged replay appends two single-row flush files (hi+2d,
+    hi+4d), each in its own trailing trigger: the first advances the
+    watermark past every real event's window, the second provides the
+    batch in which the unmatched rows are flushed.  Flush sentinels
+    are filtered from the result; the oracle is the batch LEFT JOIN.
+    """
+    from connected_component_spark.streaming.state import FLUSH_EVENT_ID
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    n = _n_events(spark, sf_dir)
+    slices = _n_slices(n)
+    staged, build = _staged_cache("ccs_stream_pairs_outer", sf_dir, str(slices))
+    if build:
+        _lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        now = time.time()
+        tmp = os.path.join(staged, "_tmp_slices")
+        (
+            ev.repartitionByRange(slices, F.to_date("ts"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        parts = sorted(
+            p
+            for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        for i, src in enumerate(parts):
+            dst = os.path.join(staged, f"{i:03d}.parquet")
+            os.replace(os.path.join(tmp, src), dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        shutil.rmtree(tmp)
+        # one-row flush files: the watermark is the stream-global max
+        # event time minus the delay, so a single sentinel advances it
+        for j, days in enumerate((2, 4)):
+            flush = spark.range(1).select(
+                F.lit(FLUSH_EVENT_ID).cast("long").alias("event_id"),
+                (F.lit(hi) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+            )
+            tmp = os.path.join(staged, "_tmp_flush")
+            flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                p
+                for p in os.listdir(tmp)
+                if p.startswith("part-") and p.endswith(".parquet")
+            )
+            dst = os.path.join(staged, f"{slices + j:03d}_flush{j}.parquet")
+            os.replace(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (now + 10 * (slices + j), now + 10 * (slices + j)))
+        _mark_ready(staged)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        # one file per trigger: each flush sentinel must land in its
+        # own batch (advance watermark, THEN flush outer state)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    a = stream.select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("first_id"),
+        F.col("ts").alias("a_ts"),
+    ).withWatermark("a_ts", "1 hour")
+    b = stream.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("next_id"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", "1 hour")
+    joined = a.join(
+        b,
+        F.expr(
+            "a_user = b_user AND b_ts > a_ts "
+            "AND b_ts <= a_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "first_id",
+        "next_id",
+        (
+            F.col("b_ts").cast("long") - F.col("a_ts").cast("long")
+        ).alias("gap_s"),
+    )
+    with _scaled_shuffle(spark, n):
+        result = run_stream_to_memory(joined, output_mode="append")
+    return result.where(F.col("first_id") != FLUSH_EVENT_ID)
+
+
+STREAM_EVENT_PAIRS_OUTER_SQL = """
+SELECT a.user_id,
+       a.event_id AS first_id,
+       b.event_id AS next_id,
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_s
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the event stream broadcast-joined to
     the static customer→nation dimensions, then a watermarked hourly
@@ -475,6 +586,7 @@ QUERIES = {
     "stream_incremental_cc": stream_incremental_cc,
     "stream_sessionization": stream_sessionization,
     "stream_event_pairs": stream_event_pairs,
+    "stream_event_pairs_outer": stream_event_pairs_outer,
     "stream_dedup": stream_dedup,
     "stream_static_enrich": stream_static_enrich,
 }
@@ -484,6 +596,7 @@ ORACLES = {
     "stream_incremental_cc": CC_USER_COPRESENCE_SQL,
     "stream_sessionization": Q_SESSIONIZATION_SQL,
     "stream_event_pairs": STREAM_EVENT_PAIRS_SQL,
+    "stream_event_pairs_outer": STREAM_EVENT_PAIRS_OUTER_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
 }
