@@ -19,9 +19,12 @@ from connected_component_spark.graph.cliques import (
     format_rosters_text,
     read_cliques_text,
 )
+from connected_component_spark.graph.bfs import shortest_paths
+from connected_component_spark.graph.kcore import k_core
 from connected_component_spark.graph.pagerank import pagerank
 from connected_component_spark.graph.triangles import triangle_stats
 from connected_component_spark.operators.asof import asof_join
+from connected_component_spark.operators.clustering import kmeans_assign
 from connected_component_spark.operators.packing import (
     concat_pack,
     exclusive_prefix_sum,
@@ -34,6 +37,7 @@ from connected_component_spark.operators.sampling import (
 )
 from connected_component_spark.session import get_spark
 from connected_component_spark.sources.compaction import compact_parquet
+from connected_component_spark.sources.zorder import write_zordered, zorder_value
 
 __all__ = [
     "CCResult",
@@ -54,6 +58,11 @@ __all__ = [
     "exclusive_prefix_sum",
     "concat_pack",
     "compact_parquet",
+    "shortest_paths",
+    "k_core",
+    "kmeans_assign",
+    "zorder_value",
+    "write_zordered",
 ]
 
 __version__ = "0.1.0"
