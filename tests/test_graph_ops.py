@@ -269,3 +269,82 @@ def test_kcore_rejects_bad_k(spark):
 
     with pytest.raises(ValueError):
         k_core(_edges(spark, [(1, 2)]), k=0)
+
+
+def test_bfs_differential_random_graph(spark):
+    """Seeded random-graph differential: shortest_paths vs a plain
+    Python BFS over the same edge set (the CC-style independent-
+    algorithm check applied to distances)."""
+    import collections
+    import random
+
+    from connected_component_spark.graph.bfs import shortest_paths
+
+    rng = random.Random(1234)
+    n, m = 120, 260
+    pairs = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+    ]
+    adj = collections.defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    landmarks = [0, 1, 2]
+
+    def py_bfs(src):
+        dist = {src: 0}
+        q = collections.deque([src])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    want = {
+        (node, lm): d
+        for lm in landmarks
+        for node, d in py_bfs(lm).items()
+    }
+    got = {
+        (r.node, r.landmark): r.distance
+        for r in shortest_paths(
+            _edges(spark, pairs), _lm(spark, landmarks), max_depth=50
+        ).collect()
+    }
+    assert got == want
+
+
+def test_kcore_differential_random_graph(spark):
+    """Seeded random-graph differential: k_core vs Python peeling."""
+    import random
+
+    from connected_component_spark.graph.kcore import k_core
+
+    rng = random.Random(987)
+    n, m = 100, 240
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+    def py_core(k):
+        a = {}
+        for s, d in pairs:
+            if s != d:
+                a.setdefault(s, set()).add(d)
+                a.setdefault(d, set()).add(s)
+        while True:
+            drop = [u for u, vs in a.items() if len(vs) < k]
+            if not drop:
+                return {u: len(vs) for u, vs in a.items()}
+            for u in drop:
+                for v in a[u]:
+                    a[v].discard(u)
+                del a[u]
+
+    for k in (2, 3, 4):
+        got = {
+            r.node: r.degree
+            for r in k_core(_edges(spark, pairs), k=k, max_rounds=200).collect()
+        }
+        assert got == py_core(k), f"k={k}"
