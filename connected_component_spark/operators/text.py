@@ -165,11 +165,18 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def word_ngrams(text: Column | str, n: int) -> Column:
-    """Space-joined word ``n``-grams as an array column (empty when the
-    doc has fewer than ``n`` words).  Pure Catalyst: sequence over gram
-    start positions + element_at — no quadratic per-doc lambda."""
-    t = tokens(text)
+def word_ngrams(token_arr: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams of an ALREADY-PROJECTED token
+    array column (empty when the doc has fewer than ``n`` words).
+
+    ``token_arr`` must be a bound column reference (e.g. a field
+    projected with :func:`tokens` in a previous select), NOT the
+    tokenizer expression itself: Catalyst does not common-subexpr-
+    eliminate inside lambda bodies, so ``element_at(split(...), i)``
+    would re-split the whole document once per gram element —
+    quadratic work per doc.  Against a materialized array the
+    element_at lookups are O(1)."""
+    t = token_arr
     idx = F.when(
         F.size(t) >= n,
         F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
@@ -180,6 +187,52 @@ def word_ngrams(text: Column | str, n: int) -> Column:
             " ", *[F.element_at(t, i + j) for j in range(n)]
         ),
     )
+
+
+def _widen_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition a narrow input up to the session's parallelism.
+
+    An explode multiplies row count ~50× here, so the MAP side of the
+    downstream aggregate inherits the scan's partition count; a small
+    single-file fixture yields 1-2 input splits and the whole explode
+    +combine runs on 2 cores.  At scale the scan already has many
+    splits and this is a no-op — the check reads the planned partition
+    count, no job."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df
+
+
+def _exploded_ngrams(words: DataFrame, n: int) -> DataFrame:
+    """(doc_id, _gram) word n-grams from a (doc_id, _pos, _gram)
+    posexploded words frame, built with window ``lead`` instead of a
+    per-element array lambda: Catalyst higher-order functions
+    (transform/aggregate) evaluate INTERPRETED, and measured ~50k
+    grams/s; posexplode + lead stays on native codegen paths at ~10×
+    that, for one hash-partitioned sort window on the doc key."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("_pos")
+    parts = [F.col("_gram")] + [
+        F.lead("_gram", j).over(win) for j in range(1, n)
+    ]
+    return (
+        words.select(
+            "doc_id",
+            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias(
+                "_ng"
+            ),
+        )
+        .where(F.col("_ng").isNotNull())
+        .select("doc_id", F.col("_ng").alias("_gram"))
+    )
+
+
+def _posexploded_words(docs: DataFrame) -> DataFrame:
+    return _widen_if_narrow(
+        docs.select("doc_id", tokens("text").alias("_w")), "doc_id"
+    ).select("doc_id", F.posexplode("_w").alias("_pos", "_gram"))
 
 
 def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
@@ -197,14 +250,12 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     O(len), not O(len²)).  Docs with no words survive with zeroed
     features via the join back to the id spine.
     """
-    base = docs.select(
-        "doc_id", tokens("text").alias("_w"), word_ngrams("text", n).alias("_g")
-    )
-    ex = base.select(
-        "doc_id", F.lit("w").alias("_kind"), F.explode("_w").alias("_gram")
+    words = _posexploded_words(docs)
+    ex = words.select(
+        "doc_id", F.lit("w").alias("_kind"), "_gram"
     ).unionAll(
-        base.select(
-            "doc_id", F.lit("g").alias("_kind"), F.explode("_g").alias("_gram")
+        _exploded_ngrams(words, n).select(
+            "doc_id", F.lit("g").alias("_kind"), "_gram"
         )
     )
     counts = ex.groupBy("doc_id", "_kind", "_gram").agg(
@@ -260,12 +311,19 @@ def boilerplate_ngrams(
     collected."""
     from pyspark.sql import Window
 
-    ex = docs.select(
-        "doc_id", F.explode(word_ngrams("text", n)).alias("ngram")
+    ex = _exploded_ngrams(_posexploded_words(docs), n).select(
+        "doc_id", F.col("_gram").alias("ngram")
     )
-    counts = ex.groupBy("ngram").agg(
-        F.countDistinct("doc_id").cast("long").alias("doc_freq"),
-        F.count(F.lit(1)).cast("long").alias("total_freq"),
+    # pre-aggregate per (doc, gram) first: a countDistinct straight on
+    # the exploded rows would expand to a two-phase distinct shuffle of
+    # every gram INSTANCE; the per-doc count collapses within-doc
+    # repetition map-side, so only distinct (doc, gram) pairs shuffle
+    per_doc = ex.groupBy("doc_id", "ngram").agg(
+        F.count(F.lit(1)).alias("_in_doc")
+    )
+    counts = per_doc.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("_in_doc").cast("long").alias("total_freq"),
     )
     hit = counts.where(F.col("doc_freq") >= min_doc_freq)
     topd = hit.orderBy(

@@ -432,7 +432,11 @@ def stream_event_pairs_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     n = _n_events(spark, sf_dir)
-    slices = _n_slices(n)
+    # one file per trigger (each flush sentinel needs its own batch),
+    # so cap the slice count: with 3 slices + 2 sentinels the replay
+    # is 5 triggers, which already exercises cross-batch join state;
+    # more batches only multiply fixed per-trigger stream-join cost
+    slices = 3
     staged, build = _staged_cache("ccs_stream_pairs_outer", sf_dir, str(slices))
     if build:
         _lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
