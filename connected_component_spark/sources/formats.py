@@ -16,7 +16,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_csv", "read_json", "write_csv", "write_json", "TS_FORMAT"]
+__all__ = [
+    "read_csv",
+    "read_json",
+    "write_csv",
+    "write_json",
+    "read_orc",
+    "write_orc",
+    "TS_FORMAT",
+]
 
 #: ISO-8601 with microseconds: lossless for TIMESTAMP(MICROS) columns
 TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
@@ -61,3 +69,22 @@ def write_json(df: DataFrame, path: str, partition_by: str | None = None) -> Non
     if partition_by:
         w = w.partitionBy(partition_by)
     w.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """ORC source (columnar interchange with other Hive-ecosystem
+    engines).  Unlike the text formats, ORC carries its own typed
+    schema in the file footer, so ``schema`` is optional and, when
+    given, acts as an assertion + projection rather than a parse
+    recipe — footer stats and column pruning work as with parquet."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)

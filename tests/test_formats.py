@@ -8,8 +8,10 @@ from pyspark.sql import functions as F
 from connected_component_spark.sources.formats import (
     read_csv,
     read_json,
+    read_orc,
     write_csv,
     write_json,
+    write_orc,
 )
 from connected_component_spark.sources.tables import load_table
 
@@ -23,13 +25,16 @@ def _rows(df):
     return sorted(tuple(str(x) for x in r) for r in df.collect())
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
 def test_events_round_trip(spark, sf_dir, tmp_path, fmt):
     ev = load_table(spark, sf_dir, "events")
     path = str(tmp_path / f"events_{fmt}")
     if fmt == "csv":
         write_csv(ev, path)
         back = read_csv(spark, path, EVENTS_DDL)
+    elif fmt == "orc":
+        write_orc(ev, path)
+        back = read_orc(spark, path)
     else:
         write_json(ev, path)
         back = read_json(spark, path, EVENTS_DDL)
