@@ -21,7 +21,6 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
-    "word_ngrams",
     "repetition_stats",
     "boilerplate_ngrams",
     "STOPWORDS",
@@ -165,30 +164,6 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def word_ngrams(token_arr: Column, n: int) -> Column:
-    """Space-joined word ``n``-grams of an ALREADY-PROJECTED token
-    array column (empty when the doc has fewer than ``n`` words).
-
-    ``token_arr`` must be a bound column reference (e.g. a field
-    projected with :func:`tokens` in a previous select), NOT the
-    tokenizer expression itself: Catalyst does not common-subexpr-
-    eliminate inside lambda bodies, so ``element_at(split(...), i)``
-    would re-split the whole document once per gram element —
-    quadratic work per doc.  Against a materialized array the
-    element_at lookups are O(1)."""
-    t = token_arr
-    idx = F.when(
-        F.size(t) >= n,
-        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(n)]
-        ),
-    )
-
-
 def _widen_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
     """Repartition a narrow input up to the session's parallelism.
 
@@ -243,21 +218,40 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     dup_ngram_frac, top_ngram_frac) — the filters pre-training
     pipelines threshold on to drop looping/boilerplate-heavy docs.
 
-    Scale shape: one explode of words+grams tagged by kind, a
-    (doc, kind, gram) count, then ONE conditional re-aggregate per
-    doc — two shuffles total, map-side combine absorbs within-doc
-    repetition, and no per-doc quadratic lambda (a 1M-word doc costs
-    O(len), not O(len²)).  Docs with no words survive with zeroed
-    features via the join back to the id spine.
+    Scale shape: the corpus is tokenized and posexploded ONCE; one
+    lead window forms the gram next to its word, and each row fans
+    out into its word entry plus (when complete) its gram entry via
+    a single struct-array explode — no union arms recomputing the
+    tokenize subtree.  Then a (doc, kind, gram) count and ONE
+    conditional re-aggregate per doc — two aggregate shuffles total,
+    map-side combine absorbs within-doc repetition, and no per-doc
+    quadratic lambda (a 1M-word doc costs O(len), not O(len²)).
+    Docs with no words survive with zeroed features via the join
+    back to the id spine.
     """
+    from pyspark.sql import Window
+
     words = _posexploded_words(docs)
-    ex = words.select(
-        "doc_id", F.lit("w").alias("_kind"), "_gram"
-    ).unionAll(
-        _exploded_ngrams(words, n).select(
-            "doc_id", F.lit("g").alias("_kind"), "_gram"
-        )
+    win = Window.partitionBy("doc_id").orderBy("_pos")
+    parts = [F.col("_gram")] + [
+        F.lead("_gram", j).over(win) for j in range(1, n)
+    ]
+    wg = words.select(
+        "doc_id",
+        F.col("_gram").alias("_word"),
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("_ng"),
     )
+    pair = F.struct(F.lit("w").alias("_kind"), F.col("_word").alias("_gram"))
+    both = F.array(
+        pair,
+        F.struct(F.lit("g").alias("_kind"), F.col("_ng").alias("_gram")),
+    )
+    ex = wg.select(
+        "doc_id",
+        F.explode(
+            F.when(F.col("_ng").isNotNull(), both).otherwise(F.array(pair))
+        ).alias("_e"),
+    ).select("doc_id", F.col("_e._kind").alias("_kind"), F.col("_e._gram").alias("_gram"))
     counts = ex.groupBy("doc_id", "_kind", "_gram").agg(
         F.count(F.lit(1)).alias("_cnt")
     )

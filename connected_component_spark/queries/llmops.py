@@ -786,8 +786,8 @@ _KM_ITERS = 2
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus
     (operators/clustering.py): semantic clustering, the SemDeDup
-    pre-grouping shape — broadcast centroids, map-side assignment,
-    one (cluster, dim) aggregate per round.  The oracle unrolls the
+    pre-grouping shape — centroid literals, map-side assignment with
+    zero corpus exchanges, one (cluster, dim) aggregate per round.  The oracle unrolls the
     same 2 Lloyd rounds with decimal-exact centroid means, so the
     final assignment must match bit-for-bit."""
     from connected_component_spark.operators.clustering import kmeans_assign

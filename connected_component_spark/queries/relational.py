@@ -1862,7 +1862,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = (
         li.join(nat_sup, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("stock_value"))
+        .agg(dsumx(_rev()).alias("stock_value"))
     )
     # uncorrelated scalar subquery (q22 pattern): Catalyst runs the
     # grand total as a separate subquery stage and injects a literal —

@@ -1,15 +1,18 @@
-"""Text-format sources/sinks (CSV, JSON-lines) with explicit schemas.
+"""Interchange sources/sinks: CSV, JSON-lines, and ORC.
 
-Parquet is the engine's native format; CSV/JSON exist for ingest and
-export interchange.  Two rules keep them scale-safe:
+Parquet is the engine's native format; the others exist for ingest
+and export interchange.  Rules that keep them scale-safe:
 
-* **Schemas are explicit, never inferred.**  Inference reads the
-  data twice (a full extra 100 TB scan) and silently changes types
-  when the data drifts; these helpers refuse to read without a
-  schema.
+* **Text formats (CSV/JSON) require explicit schemas.**  Inference
+  reads the data twice (a full extra 100 TB scan) and silently
+  changes types when the data drifts; the text readers refuse to
+  read without a schema.  ORC carries a typed schema in its own
+  footer, so its ``schema`` argument is an optional assertion, not a
+  parse recipe.
 * **Timestamps round-trip through an explicit pattern** (ISO-8601
   with microseconds), so a parquet → csv → parquet loop is lossless
-  at the engine's timestamp resolution.
+  at the engine's timestamp resolution.  ORC stores typed
+  timestamps natively.
 """
 
 from __future__ import annotations

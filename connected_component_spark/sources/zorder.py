@@ -59,9 +59,12 @@ def zorder_value(
         )
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # list form: ONE quantile job covers every column — per-column
+    # calls would each rescan the full input
+    all_bounds = df.approxQuantile(list(cols), probs, 1.0 / (n_buckets * 4))
     ranks = []
-    for c in cols:
-        bounds = sorted(set(df.approxQuantile(c, probs, 1.0 / (n_buckets * 4))))
+    for c, col_bounds in zip(cols, all_bounds):
+        bounds = sorted(set(col_bounds))
         if not bounds:
             ranks.append(F.lit(0))
             continue
