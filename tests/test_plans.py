@@ -44,7 +44,8 @@ def test_q01_stays_jvm_side(spark, sf_dir):
 #: and are gated by their own targeted tests instead
 _LAZY_LLMOPS = [
     "text_token_stats", "text_quality", "text_lang_id", "text_fingerprint",
-    "text_bpe_pieces", "text_vocabulary", "dedup_exact", "dedup_minhash_signatures",
+    "text_bpe_pieces", "text_vocabulary", "text_repetition", "text_boilerplate",
+    "dedup_exact", "dedup_minhash_signatures",
     "dedup_minhash_pairs", "dedup_ngram_pairs", "dedup_simhash",
     "dedup_simhash_pairs", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "ann_recall_report", "multimodal_metadata", "multimodal_features",
