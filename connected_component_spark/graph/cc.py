@@ -273,29 +273,15 @@ def connected_components(
     iterations = 0
     round_counts: list[int] = []
 
-    # Right-size the per-round shuffles to the graph: a round is ~6
-    # exchanges, and on small graphs the session's full shuffle width
-    # costs more in fixed per-task/per-stage overhead than the data
-    # justifies (measured 4.3 s -> 3.3 s on a 2k-node graph at
-    # local[32]).  Shrink-only: at cluster scale the session width
-    # wins and the conf is left alone.  Restored in the finally —
-    # like streamq._scaled_shuffle this assumes single-threaded use
-    # of the session while the loop runs.  Partition count never
-    # affects results (min-aggregations and the checksum are
-    # partition-order-free), only task granularity.
-    _SP_KEY = "spark.sql.shuffle.partitions"
+    # Right-size the per-round shuffles to the graph (shared policy:
+    # plans/tuning.py:shrunk_shuffle — shrink-only, restored on exit;
+    # measured 4.3 s -> 3.3 s on a 2k-node graph at local[32]).
+    # Partition count never affects results (min-aggregations and the
+    # checksum are partition-order-free), only task granularity.
+    from connected_component_spark.plans.tuning import shrunk_shuffle
+
     n0 = pairs.count()  # cheap: pairs is checkpointed
-    prev_sp: str | None
-    try:
-        prev_sp = spark.conf.get(_SP_KEY)
-        target = max(4, -(-n0 // 250_000))
-        if prev_sp is None or not prev_sp.isdigit() or target >= int(prev_sp):
-            prev_sp = None  # nothing to change / not shrinkable
-    except Exception:
-        prev_sp = None
-    if prev_sp is not None:
-        spark.conf.set(_SP_KEY, str(target))
-    try:
+    with shrunk_shuffle(spark, n0):
         if convergence == "reference-counts":
             # sentinel-free port of the plateau rule
             # (reference ConnectedComponent.scala:247-249,272)
@@ -322,9 +308,6 @@ def connected_components(
                     converged = True
                     break
                 prev_fp = fp
-    finally:
-        if prev_sp is not None:
-            spark.conf.set(_SP_KEY, prev_sp)
 
     assignments = (
         pairs.groupBy(F.col("src").alias("node"))

@@ -31,6 +31,7 @@ __all__ = ["asof_join"]
 _SIDE = "__asof_side"
 _TIME = "__asof_t"
 _TIE = "__asof_tie"
+_PAY = "__asof_payload"
 
 
 def asof_join(
@@ -82,13 +83,23 @@ def asof_join(
         )
     matched_time = f"__asof_matched_{right_time}"
 
+    # the whole right payload travels as ONE struct: a right row's
+    # struct is non-null even when its FIELDS are null, so the
+    # last(ignorenulls) fill picks the nearest right ROW atomically —
+    # filling per column would skip a genuine NULL in one payload
+    # column and leak the value of an older right row (row mixing)
+    from pyspark.sql.types import StructField, StructType
+
+    pay_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [StructField(matched_time, right.schema[right_time].dataType)]
+    )
     lt = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_time).alias(_TIME),
         F.lit(1).alias(_SIDE),
         F.lit(None).cast("long").alias(_TIE),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
-        F.lit(None).cast(right.schema[right_time].dataType).alias(matched_time),
+        F.lit(None).cast(pay_type).alias(_PAY),
     )
     rt = right.select(
         *[F.col(k) for k in keys],
@@ -97,8 +108,10 @@ def asof_join(
         F.col(right_time).alias(_TIME),
         F.lit(0).alias(_SIDE),
         (F.col(tie_break).cast("long") if tie_break else F.lit(0)).alias(_TIE),
-        *[F.col(c) for c in right_cols],
-        F.col(right_time).alias(matched_time),
+        F.struct(
+            *[F.col(c) for c in right_cols],
+            F.col(right_time).alias(matched_time),
+        ).alias(_PAY),
     ).select(*lt.columns)  # align union column order
 
     unioned = lt.unionByName(rt)
@@ -117,32 +130,25 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-            if c in (*right_cols, matched_time)
-            else F.col(c)
-            for c in unioned.columns
-        ]
+        *[c for c in unioned.columns if c != _PAY],
+        F.last(F.col(_PAY), ignorenulls=True).over(w).alias(_PAY),
     ).where(F.col(_SIDE) == 1)
 
+    matched_col = F.col(f"{_PAY}.{matched_time}")
     if tolerance is not None:
         gap = (
-            F.col(_TIME) - F.col(matched_time)
+            F.col(_TIME) - matched_col
             if direction == "backward"
-            else F.col(matched_time) - F.col(_TIME)
+            else matched_col - F.col(_TIME)
         )
-        in_tol = F.col(matched_time).isNotNull() & (gap <= tolerance)
+        in_tol = matched_col.isNotNull() & (gap <= tolerance)
         filled = filled.select(
-            *[
-                F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c)
-                if c in (*right_cols, matched_time)
-                else F.col(c)
-                for c in filled.columns
-            ]
+            *[c for c in filled.columns if c != _PAY],
+            F.when(in_tol, F.col(_PAY)).otherwise(F.lit(None)).alias(_PAY),
         )
 
     return filled.select(
         *[F.col(c) for c in left.columns],
-        *[F.col(c) for c in right_cols],
-        F.col(matched_time).alias(out_time),
+        *[F.col(f"{_PAY}.{c}").alias(c) for c in right_cols],
+        F.col(f"{_PAY}.{matched_time}").alias(out_time),
     )

@@ -97,6 +97,14 @@ def kmeans_assign(
     cents: list[tuple[int, list[float]]] = [
         (r.id, list(r.v)) for r in pts.orderBy("id").limit(k).collect()
     ]
+    if not cents:
+        # empty corpus: stable empty schema instead of the analysis
+        # error _best([]) would raise on a void array_min
+        return pts.select(
+            "id",
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("double").alias("sq_dist"),
+        )
 
     for _ in range(iterations):
         if not cents:

@@ -98,6 +98,7 @@ def concat_pack(
     with_prefix = exclusive_prefix_sum(docs, size_col, order_col)
     return with_prefix.select(
         *docs.columns,
-        (F.col("prefix") / context_size).cast("long").alias("seq_id"),
+        # integer `div`: double division loses exactness past 2^53
+        F.expr(f"prefix div {int(context_size)}").alias("seq_id"),
         (F.col("prefix") % context_size).cast("long").alias("seq_offset"),
     )

@@ -56,7 +56,9 @@ def hash_sample(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"hash_sample fraction must be in [0, 1], got {fraction}")
-    return df.where(_bucket(key_col, seed) < int(fraction * SPLIT_DENOM))
+    # round, not truncate: int(0.7 * 1e6) == 699999 from float error,
+    # silently shaving the documented boundary by one bucket
+    return df.where(_bucket(key_col, seed) < round(fraction * SPLIT_DENOM))
 
 
 def hash_split(
@@ -82,7 +84,7 @@ def hash_split(
     cum = 0.0
     for name, w in splits[:-1]:
         cum += w
-        cond = b < int(cum * SPLIT_DENOM)
+        cond = b < round(cum * SPLIT_DENOM)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
@@ -96,7 +98,7 @@ def hash_split_case_sql(key_expr: str, splits: list[tuple[str, float]], seed: in
     cum = 0.0
     for name, w in splits[:-1]:
         cum += w
-        whens.append(f"WHEN {b} < {int(cum * SPLIT_DENOM)} THEN '{name}'")
+        whens.append(f"WHEN {b} < {round(cum * SPLIT_DENOM)} THEN '{name}'")
     return "CASE " + " ".join(whens) + f" ELSE '{splits[-1][0]}' END"
 
 
@@ -107,12 +109,15 @@ def stratified_topn(
     order_col: str,
     descending: bool = True,
     tie_break: str | None = None,
+    keep_rank: str | None = None,
 ) -> DataFrame:
     """Exact-n-per-stratum deterministic sample: the top ``n`` rows of
     each stratum by ``order_col`` (ties broken by ``tie_break``, which
     must be unique within a stratum for a deterministic result).
     One shuffle on the strata keys — the balanced-subset primitive
-    (per-language caps, per-source caps) of corpus assembly."""
+    (per-language caps, per-source caps) of corpus assembly.
+    ``keep_rank`` exposes the within-stratum rank as a long column of
+    that name, so callers that need it don't recompute the window."""
     from pyspark.sql import Window
 
     keys = [strata] if isinstance(strata, str) else list(strata)
@@ -120,8 +125,7 @@ def stratified_topn(
     if tie_break:
         order.append(F.col(tie_break).asc())
     w = Window.partitionBy(*keys).orderBy(*order)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= n)
-        .drop("__rn")
-    )
+    out = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= n)
+    if keep_rank:
+        return out.withColumn(keep_rank, F.col("__rn").cast("long")).drop("__rn")
+    return out.drop("__rn")

@@ -577,13 +577,14 @@ def ivf_topk(
     dial.
     """
     centroids = corpus.where(F.col(id_col) % centroid_stride == 0)
-    cells = ivf_cell_assignments(corpus, centroids, id_col, vec_col)
-    storage = cells.where(F.col("probe_rank") == 1)
-    probe = (
-        cells
-        if nprobe == 1
-        else ivf_cell_assignments(corpus, centroids, id_col, vec_col, nprobe)
+    # ONE corpus-x-centroids scoring pass at width nprobe; storage is
+    # its rank-1 slice (a second ivf_cell_assignments call would run
+    # the whole coarse quantizer again)
+    cells = ivf_cell_assignments(
+        corpus, centroids, id_col, vec_col, max(1, nprobe)
     )
+    storage = cells.where(F.col("probe_rank") == 1)
+    probe = cells
     q = _normed(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

@@ -17,6 +17,7 @@ from connected_component_spark.queries.parity import roundd
 __all__ = [
     "tokens",
     "token_stats",
+    "vocabulary",
     "bpe_piece_stats",
     "quality_score",
     "language_id",

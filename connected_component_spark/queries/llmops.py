@@ -443,17 +443,11 @@ def pipeline_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.quality_score(docs).select("doc_id", "quality"), "doc_id"
     )
     capped = stratified_topn(
-        scored, "source", _MIXTURE_CAP, "quality", tie_break="doc_id"
-    )
-    rank = Window.partitionBy("source").orderBy(
-        F.col("quality").desc(), F.col("doc_id").asc()
+        scored, "source", _MIXTURE_CAP, "quality",
+        tie_break="doc_id", keep_rank="source_rank",
     )
     return capped.select(
-        "doc_id",
-        "source",
-        "lang",
-        "quality",
-        F.row_number().over(rank).cast("long").alias("source_rank"),
+        "doc_id", "source", "lang", "quality", "source_rank"
     )
 
 

@@ -161,3 +161,22 @@ def test_asof_single_shuffle(spark):
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_asof_null_payload_field_not_leaked(spark):
+    """A genuine NULL in a matched right row's payload must surface as
+    NULL — not be skipped over to an older right row's value (the
+    per-column ignorenulls row-mixing hazard)."""
+    from connected_component_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 6)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 5, None)], "k long, rt long, price double"
+    )
+    row = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        right_cols=["price"],
+    ).collect()[0]
+    # backward match is the t=5 row whose price IS NULL
+    assert row.matched_rt == 5
+    assert row.price is None

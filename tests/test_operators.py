@@ -270,3 +270,12 @@ def test_kmeans_rejects_bad_params(spark):
         kmeans_assign(df, k=0)
     with _pytest.raises(ValueError):
         kmeans_assign(df, iterations=-1)
+
+
+def test_kmeans_empty_input_returns_empty(spark):
+    from connected_component_spark.operators.clustering import kmeans_assign
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, k=3, iterations=2)
+    assert out.columns == ["id", "cluster", "sq_dist"]
+    assert out.count() == 0
