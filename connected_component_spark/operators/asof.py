@@ -51,7 +51,9 @@ def asof_join(
 
     backward: match = right row with the greatest ``right_time`` ≤
     ``left_time``.  forward: smallest ``right_time`` ≥ ``left_time``.
-    Equal times match in both directions.
+    nearest: the closer of the two (backward wins equal distances —
+    pandas ``merge_asof`` semantics).  Equal times match in all
+    directions.
 
     ``on`` key column(s) must share names across the two frames
     (rename beforehand).  ``right_cols`` are the right columns carried
@@ -68,8 +70,10 @@ def asof_join(
     mixing TIMESTAMP and TIMESTAMP_NTZ will not resolve).
     """
     keys = [on] if isinstance(on, str) else list(on)
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"asof_join direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join direction must be backward|forward|nearest, got {direction!r}"
+        )
     if right_cols is None:
         right_cols = [
             c for c in right.columns if c not in (*keys, right_time, tie_break)
@@ -115,37 +119,54 @@ def asof_join(
     ).select(*lt.columns)  # align union column order
 
     unioned = lt.unionByName(rt)
+
     # Sort so that (a) every eligible right row precedes the left row
     # it may match — on time ties the right side must come first, so
     # _SIDE ascends — and (b) among right rows tied on (key, time) the
     # greatest tie_break lands nearest the left row, making
     # ``last(ignorenulls)`` deterministic.
-    if direction == "backward":
-        order = [F.col(_TIME).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc()]
+    def _fill(direction_: str) -> Column:
+        if direction_ == "backward":
+            order = [F.col(_TIME).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc()]
+        else:
+            order = [F.col(_TIME).desc(), F.col(_SIDE).asc(), F.col(_TIE).asc()]
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(F.col(_PAY), ignorenulls=True).over(w)
+
+    def _gap(pay: Column, direction_: str) -> Column:
+        m = pay[matched_time]
+        return F.col(_TIME) - m if direction_ == "backward" else m - F.col(_TIME)
+
+    def _tolerated(pay: Column, direction_: str) -> Column:
+        if tolerance is None:
+            return pay
+        ok = pay[matched_time].isNotNull() & (_gap(pay, direction_) <= tolerance)
+        return F.when(ok, pay)
+
+    if direction == "nearest":
+        # both directional candidates (same hash partitioning, a
+        # second in-partition sort, no extra Exchange), tolerance-
+        # filtered per direction, then the closer one wins — backward
+        # on equal distance (pandas merge_asof semantics)
+        pb = _tolerated(_fill("backward"), "backward")
+        pf = _tolerated(_fill("forward"), "forward")
+        pay = (
+            F.when(pb.isNull(), pf)
+            .when(pf.isNull(), pb)
+            .when(_gap(pf, "forward") < _gap(pb, "backward"), pf)
+            .otherwise(pb)
+        )
     else:
-        order = [F.col(_TIME).desc(), F.col(_SIDE).asc(), F.col(_TIE).asc()]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+        pay = _tolerated(_fill(direction), direction)
+
     filled = unioned.select(
         *[c for c in unioned.columns if c != _PAY],
-        F.last(F.col(_PAY), ignorenulls=True).over(w).alias(_PAY),
+        pay.alias(_PAY),
     ).where(F.col(_SIDE) == 1)
-
-    matched_col = F.col(f"{_PAY}.{matched_time}")
-    if tolerance is not None:
-        gap = (
-            F.col(_TIME) - matched_col
-            if direction == "backward"
-            else matched_col - F.col(_TIME)
-        )
-        in_tol = matched_col.isNotNull() & (gap <= tolerance)
-        filled = filled.select(
-            *[c for c in filled.columns if c != _PAY],
-            F.when(in_tol, F.col(_PAY)).otherwise(F.lit(None)).alias(_PAY),
-        )
 
     return filled.select(
         *[F.col(c) for c in left.columns],

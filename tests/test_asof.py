@@ -41,7 +41,7 @@ def _pandas_asof(trades, quotes, direction, tolerance=None):
     }
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("tolerance", [None, 5])
 def test_asof_matches_pandas(spark, direction, tolerance):
     trades, quotes = _trades_quotes(spark)
@@ -106,7 +106,7 @@ def test_asof_collision_and_direction_validation(spark):
                   on="sym", left_time="t", right_time="t")
     with pytest.raises(ValueError, match="direction"):
         asof_join(trades, quotes, on="sym", left_time="t", right_time="t",
-                  direction="nearest")
+                  direction="sideways")
 
 
 def test_asof_randomized_vs_pandas(spark):
@@ -133,7 +133,7 @@ def test_asof_randomized_vs_pandas(spark):
                 rp_u.append((k, t, v))
         left = spark.createDataFrame(lp, "sym long, t long, lid long")
         right = spark.createDataFrame(rp_u, "sym long, t long, px double")
-        for direction in ("backward", "forward"):
+        for direction in ("backward", "forward", "nearest"):
             got = {
                 (r.sym, r.t, r.lid): r.px
                 for r in asof_join(
