@@ -58,6 +58,7 @@ _PRIORITY = (
     "graph_kcore",              # new this round (k-core peeling)
     "embedding_kmeans",         # new this round (distributed Lloyd k-means)
     "stream_event_pairs_outer", # new this round (watermarked outer join)
+    "q_session_overlap",        # new this round (interval-overlap join)
     "stream_static_enrich",     # new this round (stream-static dim join)
     "q_window_time_range",      # new this round (event-time RANGE frame)
     "graph_triangles",          # new this round (degree-ordered triangle census)

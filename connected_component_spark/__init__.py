@@ -29,7 +29,7 @@ from connected_component_spark.operators.packing import (
     concat_pack,
     exclusive_prefix_sum,
 )
-from connected_component_spark.operators.rangejoin import interval_join
+from connected_component_spark.operators.rangejoin import interval_join, overlap_join
 from connected_component_spark.operators.sampling import (
     hash_sample,
     hash_split,
@@ -52,6 +52,7 @@ __all__ = [
     "triangle_stats",
     "asof_join",
     "interval_join",
+    "overlap_join",
     "hash_sample",
     "hash_split",
     "stratified_topn",

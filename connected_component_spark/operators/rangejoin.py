@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["interval_join"]
+__all__ = ["interval_join", "overlap_join"]
 
 _BIN = "__rj_bin"
 
@@ -98,3 +98,70 @@ def interval_join(
                 *[c for c in points.columns if c not in keys],
                 *[c for c in intervals.columns if c not in keys]]
     return refined.select(*[F.col(c) for c in out_cols])
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: str | list[str] | None = None,
+    bin_width: int = 3600,
+    closed: bool = False,
+) -> DataFrame:
+    """Interval × interval overlap join: every (left row, right row)
+    pair — matching on the optional equi-key(s) — whose intervals
+    overlap: ``l_start < r_end AND r_start < l_end`` (``<=`` when
+    ``closed``; then intervals touching at an endpoint also match).
+
+    Same bin-bucketing physics as :func:`interval_join`, with one
+    extra trick: both sides replicate into every bin they span, so an
+    overlapping pair would meet in EVERY shared bin — the pair is
+    kept only in the FIRST shared bin (``greatest`` of the two start
+    bins), which each overlapping pair occupies exactly once.  That
+    makes the join duplicate-free by construction, with no distinct
+    pass over the (potentially huge) pair set.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    collisions = (set(left.columns) & set(right.columns)) - set(keys)
+    if collisions:
+        raise ValueError(
+            f"overlap_join column collision: {sorted(collisions)}; rename first"
+        )
+    if bin_width <= 0:
+        raise ValueError("overlap_join bin_width must be positive")
+
+    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        s, e = _axis(df, start), _axis(df, end)
+        return df.withColumn(
+            _BIN,
+            F.explode(
+                F.sequence(
+                    F.floor(s / F.lit(bin_width)).cast("long"),
+                    F.floor(e / F.lit(bin_width)).cast("long"),
+                )
+            ),
+        )
+
+    lb = binned(left, left_start, left_end)
+    rb = binned(right, right_start, right_end)
+    first_shared = F.greatest(
+        F.floor(_axis(left, left_start) / F.lit(bin_width)).cast("long"),
+        F.floor(_axis(right, right_start) / F.lit(bin_width)).cast("long"),
+    )
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re_ = F.col(right_start), F.col(right_end)
+    ov = (
+        (ls <= re_) & (rs <= le) if closed else (ls < re_) & (rs < le)
+    )
+    out_cols = [*keys,
+                *[c for c in left.columns if c not in keys],
+                *[c for c in right.columns if c not in keys]]
+    return (
+        lb.join(rb, [*keys, _BIN])
+        .where(F.col(_BIN) == first_shared)
+        .where(ov)
+        .select(*[F.col(c) for c in out_cols])
+    )

@@ -2022,6 +2022,114 @@ ORDER BY s_name ASC
 """
 
 
+# --------------------------------------------------------------------------
+# q_session_overlap — interval × interval overlap join
+# (operators/rangejoin.py:overlap_join): per-(user, event_type) gap
+# sessions (6 h gap — sparse per-type event streams need a coarse
+# gap to form multi-event sessions) become [first, last]
+# second-truncated intervals; pairs of
+# DIFFERENT event types overlapping for the same user are found via
+# the bin-bucketed overlap join (first-shared-bin dedup — no distinct
+# over the pair set, no inequality nested loop).  The oracle is the
+# naive inequality self-join.
+# --------------------------------------------------------------------------
+
+def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connected_component_spark.operators.rangejoin import overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.when(gap.isNull() | (gap > 21600), 1).otherwise(0).alias("brk"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "event_type", "sid")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("s"),
+            F.max(F.col("ts").cast("long")).alias("e"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    a = sess.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+        F.col("n").alias("a_events"),
+    )
+    b = sess.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+        F.col("n").alias("b_events"),
+    )
+    pairs = overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e",
+        on="user_id", bin_width=3600, closed=True,
+    ).where(F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "user_id",
+        "type_a",
+        "type_b",
+        F.col("a_s").alias("a_start_s"),
+        F.col("b_s").alias("b_start_s"),
+        (F.least("a_e", "b_e") - F.greatest("a_s", "b_s"))
+        .cast("long")
+        .alias("overlap_s"),
+        "a_events",
+        "b_events",
+    )
+
+
+Q_SESSION_OVERLAP_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 21600
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type, ts,
+         sum(brk) OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+),
+agg AS (
+  SELECT user_id, event_type, sid,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS e,
+         CAST(count(*) AS BIGINT) AS n
+  FROM sess GROUP BY 1, 2, 3
+)
+SELECT a.user_id,
+       a.event_type AS type_a,
+       b.event_type AS type_b,
+       a.s AS a_start_s,
+       b.s AS b_start_s,
+       CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_s,
+       a.n AS a_events,
+       b.n AS b_events
+FROM agg a
+JOIN agg b
+  ON a.user_id = b.user_id
+ AND a.event_type < b.event_type
+ AND a.s <= b.e AND b.s <= a.e
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -2068,6 +2176,7 @@ QUERIES = {
     "q11_important_stock": q11_important_stock,
     "q16_supplier_relationship": q16_supplier_relationship,
     "q20_excess_suppliers": q20_excess_suppliers,
+    "q_session_overlap": q_session_overlap,
 }
 
 ORACLES = {
@@ -2116,4 +2225,5 @@ ORACLES = {
     "q11_important_stock": Q11_SQL,
     "q16_supplier_relationship": Q16_SQL,
     "q20_excess_suppliers": Q20_SQL,
+    "q_session_overlap": Q_SESSION_OVERLAP_SQL,
 }

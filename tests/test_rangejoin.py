@@ -87,3 +87,69 @@ def test_interval_join_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
     assert "Cartesian" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# overlap_join
+# ---------------------------------------------------------------------------
+
+def test_overlap_join_pairs_once_across_many_shared_bins(spark):
+    """Two long intervals sharing MANY bins must pair exactly once
+    (the first-shared-bin rule replaces a distinct)."""
+    from connected_component_spark.operators.rangejoin import overlap_join
+
+    a = spark.createDataFrame([(1, 0, 10_000)], "k long, a_s long, a_e long")
+    b = spark.createDataFrame([(1, 500, 9_000)], "k long, b_s long, b_e long")
+    out = overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", on="k", bin_width=100)
+    assert out.count() == 1
+
+
+def test_overlap_join_open_vs_closed_endpoints(spark):
+    from connected_component_spark.operators.rangejoin import overlap_join
+
+    a = spark.createDataFrame([(1, 0, 100)], "k long, a_s long, a_e long")
+    b = spark.createDataFrame([(1, 100, 200)], "k long, b_s long, b_e long")
+    args = dict(on="k", bin_width=50)
+    assert overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", **args).count() == 0
+    assert (
+        overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", closed=True, **args).count()
+        == 1
+    )
+
+
+def test_overlap_join_differential_naive(spark):
+    """Seeded random intervals: bin-bucketed result equals the naive
+    inequality cross join for several bin widths."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from connected_component_spark.operators.rangejoin import overlap_join
+
+    rng = random.Random(77)
+    rows_a = [(rng.randrange(3), rng.randrange(1000), 0) for _ in range(60)]
+    rows_a = [(k, s, s + rng.randrange(1, 300)) for k, s, _ in rows_a]
+    rows_b = [(rng.randrange(3), rng.randrange(1000), 0) for _ in range(60)]
+    rows_b = [(k, s, s + rng.randrange(1, 300)) for k, s, _ in rows_b]
+    a = spark.createDataFrame(
+        [(k, s, e, i) for i, (k, s, e) in enumerate(rows_a)],
+        "k long, a_s long, a_e long, aid long",
+    )
+    b = spark.createDataFrame(
+        [(k, s, e, i) for i, (k, s, e) in enumerate(rows_b)],
+        "k long, b_s long, b_e long, bid long",
+    )
+    naive = sorted(
+        (ra[3], rb[3])
+        for ra in [(k, s, e, i) for i, (k, s, e) in enumerate(rows_a)]
+        for rb in [(k, s, e, i) for i, (k, s, e) in enumerate(rows_b)]
+        if ra[0] == rb[0] and ra[1] < rb[2] and rb[1] < ra[2]
+    )
+    for bw in (7, 100, 5000):
+        got = sorted(
+            (r.aid, r.bid)
+            for r in overlap_join(
+                a, b, "a_s", "a_e", "b_s", "b_e", on="k", bin_width=bw
+            ).collect()
+        )
+        assert got == naive, f"bin_width={bw}"
