@@ -48,6 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round are rotated to the FRONT; long-stable queries absorb any
 # truncation.
 _PRIORITY = (
+    "q_funnel",                 # new this round (time-constrained funnel)
+    "q_cohort_retention",       # new this round (weekly cohort triangle)
+    "q_fuzzy_part_match",       # new this round (blocked fuzzy join)
     "q02_min_cost_supplier",    # new this round (TPC-H Q2 correlated min)
     "q11_important_stock",      # new this round (TPC-H Q11 scalar-threshold HAVING)
     "q16_supplier_relationship",  # new this round (TPC-H Q16 distinct-count + NOT IN)

@@ -24,6 +24,7 @@ from connected_component_spark.graph.kcore import k_core
 from connected_component_spark.graph.pagerank import pagerank
 from connected_component_spark.graph.triangles import triangle_stats
 from connected_component_spark.operators.asof import asof_join
+from connected_component_spark.operators.fuzzy import fuzzy_join, fuzzy_self_pairs
 from connected_component_spark.operators.clustering import kmeans_assign
 from connected_component_spark.operators.packing import (
     concat_pack,
@@ -51,6 +52,8 @@ __all__ = [
     "pagerank",
     "triangle_stats",
     "asof_join",
+    "fuzzy_join",
+    "fuzzy_self_pairs",
     "interval_join",
     "overlap_join",
     "hash_sample",

@@ -2130,6 +2130,203 @@ JOIN agg b
 """
 
 
+# --------------------------------------------------------------------------
+# q_funnel — time-constrained conversion funnel (signup → click within
+# 24h → purchase within 72h of the click).  Each step is one shuffled
+# agg on user_id plus an equi-join back to the prior step's first-hit
+# time; step sets are monotone by construction, so the entry count for
+# the conversion ratio is a 3-row ordered-window first().  No window
+# over the event stream — the per-user min-reduction is the scale
+# shape (partial aggregation, no per-user event sort).
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = (("signup", None), ("click", 24), ("purchase", 72))
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    prev: DataFrame | None = None
+    reached: list[DataFrame] = []
+    for etype, within_h in _FUNNEL_STEPS:
+        step = ev.where(F.col("event_type") == etype)
+        if prev is None:
+            cur = step.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                step.join(prev.select("user_id", F.col("t").alias("t_prev")), "user_id")
+                .where(
+                    (F.col("ts") > F.col("t_prev"))
+                    & (
+                        F.col("ts")
+                        <= F.col("t_prev") + F.expr(f"INTERVAL {within_h} HOURS")
+                    )
+                )
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        reached.append(cur)
+        prev = cur
+    counts = None
+    for i, ((etype, _), cur) in enumerate(zip(_FUNNEL_STEPS, reached), start=1):
+        row = cur.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(etype).alias("step_name"),
+            "users",
+        )
+        counts = row if counts is None else counts.unionAll(row)
+    entry = F.first("users").over(
+        Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return counts.select(
+        "step",
+        "step_name",
+        "users",
+        F.round(F.col("users") / entry, 4).alias("pct_of_entry"),
+    ).orderBy("step")
+
+
+Q_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 72 HOUR
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+         CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT step, step_name, users,
+       CAST(round(users * 1.0 / first(users) OVER (
+         ORDER BY step ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE) AS pct_of_entry
+FROM counts
+ORDER BY step
+"""
+
+
+# --------------------------------------------------------------------------
+# q_cohort_retention — weekly cohort retention triangle: users grouped
+# by the ISO week of their first event; a cohort's retention at offset
+# k is the share of its members active in cohort_week + k weeks.  Two
+# shuffled aggs on user_id (first-seen week + distinct active weeks),
+# one equi-join, one grouped count; the cohort size joins back via a
+# window max over the offset-0 row — no second scan of the events.
+# --------------------------------------------------------------------------
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    ret = (
+        active.join(first_seen, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "active_users",
+        )
+    )
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("active_users"))
+    ).over(Window.partitionBy("cohort_week"))
+    return (
+        ret.select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+            F.round(F.col("active_users") / cohort_size, 4).alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+Q_COHORT_RETENTION_SQL = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+ret AS (
+  SELECT f.cohort_week,
+         CAST(datediff('day', f.cohort_week, a.week) / 7 AS BIGINT) AS week_offset,
+         CAST(count(*) AS BIGINT) AS active_users
+  FROM active a JOIN first_seen f ON a.user_id = f.user_id
+  GROUP BY f.cohort_week, a.week
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       week_offset,
+       active_users,
+       CAST(round(active_users * 1.0 / max(CASE WHEN week_offset = 0
+         THEN active_users END) OVER (PARTITION BY cohort_week), 4) AS DOUBLE)
+         AS retention_pct
+FROM ret
+ORDER BY cohort_week, week_offset
+"""
+
+
+# --------------------------------------------------------------------------
+# q_fuzzy_part_match — record-linkage near-match pairs over part names
+# via the blocked fuzzy join (operators/fuzzy.py): pairs sharing a
+# noun block (second token) within levenshtein distance 2.  The oracle
+# runs the same blocking + refine in DuckDB, so the blocked plan is
+# checked against an independent engine's exact edit distance.
+# --------------------------------------------------------------------------
+
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connected_component_spark.operators.fuzzy import fuzzy_self_pairs
+
+    part = _t(spark, sf_dir, "part")
+    pairs = fuzzy_self_pairs(
+        part.select("p_name"),
+        "p_name",
+        max_distance=2,
+        block_keys=[lambda c: F.split(c, " ").getItem(1)],
+    )
+    return pairs.select(
+        F.col("value_a").alias("name_a"),
+        F.col("value_b").alias("name_b"),
+        F.col("match_distance").alias("dist"),
+    )
+
+
+Q_FUZZY_PART_MATCH_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a
+JOIN names b
+  ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+ AND split_part(a.p_name, ' ', 2) <> ''
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -2177,6 +2374,9 @@ QUERIES = {
     "q16_supplier_relationship": q16_supplier_relationship,
     "q20_excess_suppliers": q20_excess_suppliers,
     "q_session_overlap": q_session_overlap,
+    "q_funnel": q_funnel,
+    "q_cohort_retention": q_cohort_retention,
+    "q_fuzzy_part_match": q_fuzzy_part_match,
 }
 
 ORACLES = {
@@ -2226,4 +2426,7 @@ ORACLES = {
     "q16_supplier_relationship": Q16_SQL,
     "q20_excess_suppliers": Q20_SQL,
     "q_session_overlap": Q_SESSION_OVERLAP_SQL,
+    "q_funnel": Q_FUNNEL_SQL,
+    "q_cohort_retention": Q_COHORT_RETENTION_SQL,
+    "q_fuzzy_part_match": Q_FUZZY_PART_MATCH_SQL,
 }
