@@ -102,7 +102,7 @@ def _n_events(spark: SparkSession, sf_dir: str) -> int:
 
 
 @contextmanager
-def _scaled_shuffle(spark: SparkSession, n_rows: int):
+def _scaled_shuffle(spark: SparkSession, n_rows: int, stores: int = 1):
     """Size shuffle partitions to the replay volume for the duration
     of a streaming query.
 
@@ -113,6 +113,13 @@ def _scaled_shuffle(spark: SparkSession, n_rows: int):
     production stream sizes this per-job the same way; large inputs
     keep the session setting.
 
+    ``stores`` is the number of state stores each partition maintains
+    per batch: 1 for a windowed agg/dedup, 4 for a stream-stream join
+    (two sides × keyToNumValues/keyWithIndexToValue).  The per-batch
+    fixed cost scales with partitions × stores, so joins run
+    proportionally narrower (measured at sf0.1: the outer pairs join
+    at 16 partitions 24 s → 7 s at 4).
+
     Assumes single-threaded query execution on the session (the
     driver harness runs queries sequentially): the conf is session-
     global, so a concurrent job launched inside the ``with`` block
@@ -121,7 +128,8 @@ def _scaled_shuffle(spark: SparkSession, n_rows: int):
     if n_rows >= 500_000:
         yield
         return
-    target = "4" if n_rows < 50_000 else "16"
+    base = 4 if n_rows < 50_000 else 16
+    target = str(max(4, base // max(1, stores)))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", target)
     try:
@@ -396,7 +404,7 @@ def stream_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_s"),
     )
     n = _n_events(spark, sf_dir)
-    with _scaled_shuffle(spark, n):
+    with _scaled_shuffle(spark, n, stores=4):
         return run_stream_to_memory(joined, output_mode="append")
 
 
@@ -510,7 +518,7 @@ def stream_event_pairs_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b_ts").cast("long") - F.col("a_ts").cast("long")
         ).alias("gap_s"),
     )
-    with _scaled_shuffle(spark, n):
+    with _scaled_shuffle(spark, n, stores=4):
         result = run_stream_to_memory(joined, output_mode="append")
     return result.where(F.col("first_id") != FLUSH_EVENT_ID)
 
