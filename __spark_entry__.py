@@ -48,6 +48,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round are rotated to the FRONT; long-stable queries absorb any
 # truncation.
 _PRIORITY = (
+    # -- r2-absent queries first (VERDICT task 2: these must get driver
+    # rows this round; multimodal_frames has never had one) ----------
+    "multimodal_frames",        # never driver-verified (r1+r2 truncation)
+    "multimodal_features",      # changed r2, no driver row since
+    "ann_similarity_clusters",  # re-routed through LSH this round
+    "dedup_embedding_clusters", # re-routed through LSH this round
+    "ann_cosine_topk",          # bounded query batch this round
+    "ann_lsh_topk",             # absent from r2 run
+    "ann_ivf_topk",             # absent from r2 run
+    "multimodal_metadata",      # absent from r2 run
+    "multimodal_resize",        # absent from r2 run
+    "q_approx_profile",         # oracle added this round (was no_oracle)
+    "q_approx_quantiles",       # new this round (quantile sketch contract)
+    # -- new-this-round queries, hardest/least-TPC-H-like first ------
     "q_funnel",                 # new this round (time-constrained funnel)
     "q_cohort_retention",       # new this round (weekly cohort triangle)
     "q_fuzzy_part_match",       # new this round (blocked fuzzy join)
@@ -83,17 +97,6 @@ _PRIORITY = (
     "pipeline_sequence_packing",  # new this round (distributed prefix-sum pack)
     "text_vocabulary",          # new this round (top-n vocab aggregate)
     "ann_recall_report",        # new this round (hash-checked ANN recall)
-    "multimodal_frames",        # never driver-verified (r1+r2 truncation)
-    "multimodal_features",      # changed r2, no driver row since
-    "ann_similarity_clusters",  # re-routed through LSH this round
-    "dedup_embedding_clusters", # re-routed through LSH this round
-    "ann_cosine_topk",          # bounded query batch this round
-    "ann_lsh_topk",             # absent from r2 run
-    "ann_ivf_topk",             # absent from r2 run
-    "multimodal_metadata",      # absent from r2 run
-    "multimodal_resize",        # absent from r2 run
-    "q_approx_profile",         # oracle added this round
-    "q_approx_quantiles",       # new this round (quantile sketch contract)
 )
 
 _MODULE_ORDER = ("relational", "graph", "streamq", "llmops")
