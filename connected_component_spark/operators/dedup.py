@@ -40,6 +40,7 @@ __all__ = [
     "minhash_dedup_clusters",
     "simhash",
     "simhash_near_pairs",
+    "substring_dup_stats",
 ]
 
 
@@ -507,3 +508,65 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return per_doc.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def substring_dup_stats(docs: DataFrame, width: int = 32) -> DataFrame:
+    """Exact-substring duplication profile (the "Deduplicating
+    Training Data Makes Language Models Better" suffix-overlap shape,
+    at fixed window granularity): for every document, how many of its
+    ``width``-char sliding windows also occur verbatim in ANOTHER
+    document.
+
+    (doc_id, n_windows, n_dup_windows, dup_ppm) for every doc;
+    ``dup_ppm = n_dup_windows * 1_000_000 div n_windows`` (0 when the
+    doc is shorter than ``width``).
+
+    Scale shape: windows are emitted as portable 60-bit hashes
+    (functions/hashing.hash64) so the cross-doc occurrence check is a
+    groupBy on an 8-byte key, never a shuffle of raw text spans; the
+    per-window doc-count joins back to the window stream on the same
+    hash key (one shuffle reused).  Window count per doc is O(len), so
+    total work is O(corpus chars) — a stride parameter would trade
+    recall for cost at extreme scale, but at width=32/stride=1 the
+    explode is ~len rows per doc, the same order as the tokenizing
+    operators in this module.
+    """
+    win = F.expr(
+        "CASE WHEN length(text) >= {w} THEN "
+        "transform(sequence(1, length(text) - {w} + 1), "
+        "i -> substring(text, i, {w})) "
+        "ELSE array() END".format(w=width)
+    )
+    wins = docs.select(
+        "doc_id", F.explode(win).alias("_w")
+    ).select("doc_id", hash64(F.col("_w")).alias("wh"))
+    # distinct docs per window hash; >= 2 means the span is shared
+    shared = wins.groupBy("wh").agg(
+        F.count_distinct(F.col("doc_id")).alias("_ndocs")
+    )
+    per_doc = (
+        wins.join(shared, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("_ndocs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce(
+                F.expr("n_dup_windows * 1000000 div n_windows"), F.lit(0)
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )

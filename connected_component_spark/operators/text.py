@@ -22,6 +22,7 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "distinctive_terms",
     "repetition_stats",
     "boilerplate_ngrams",
     "STOPWORDS",
@@ -326,6 +327,45 @@ def boilerplate_ngrams(
     ).limit(top)
     w = Window.orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
     return topd.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def distinctive_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """TF-IDF-style keyword extraction: the ``top_k`` most distinctive
+    tokens per document, scored by an exact rational tf/df surrogate
+    (``score_ppm = tf * 1_000_000 div df``) instead of a float
+    ``tf·log(N/df)`` so the ranking is bit-identical in any engine —
+    log() last-ulp divergence across libm implementations would break
+    exact oracle parity without changing any ranking that matters.
+
+    (doc_id, token, tf, df, score_ppm, rank); rank by
+    (score_ppm desc, tf desc, token asc) per doc.
+
+    Scale shape: explode → (doc, token) hash agg (map-side combine
+    absorbs within-doc repetition) → token-level df agg over the
+    already-distinct pairs → equi-join tf×df on token → per-doc top-k
+    window.  No global sort, no driver collection; the df side is a
+    token-cardinality aggregate, naturally tiny relative to the corpus.
+    """
+    from pyspark.sql import Window
+
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = ex.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # tf rows are already distinct (doc, token) pairs, so df is a plain
+    # count — no second distinct shuffle
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = tf.join(df_, "token").withColumn(
+        "score_ppm", F.expr("tf * 1000000 div df").cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("tf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", "token", "tf", "df", "score_ppm", "rank")
+    )
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

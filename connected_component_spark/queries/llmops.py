@@ -262,6 +262,36 @@ FROM ranked WHERE rank <= 100
 """
 
 
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive (TF-IDF-style) terms per document; rational
+    tf/df score for engine-exact ranking (operators/text.py:
+    distinctive_terms)."""
+    return tx.distinctive_terms(load_table(spark, sf_dir, "documents"), top_k=3)
+
+
+TEXT_DISTINCTIVE_TERMS_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tfreq AS (
+  SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tfreq GROUP BY token),
+scored AS (
+  SELECT doc_id, token, tf, df, tf * 1000000 // df AS score_ppm
+  FROM tfreq JOIN dfreq USING (token)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_ppm DESC, tf DESC, token ASC
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_ppm AS BIGINT) AS score_ppm, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # dedup
 # --------------------------------------------------------------------------
@@ -383,6 +413,41 @@ walk(node, comp) AS (
 )
 SELECT node AS doc_id, min(comp) AS cluster
 FROM walk GROUP BY node
+"""
+
+
+_SUBSTR_W = 32
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact-substring duplication profile over 32-char
+    sliding windows (operators/dedup.py:substring_dup_stats)."""
+    return dd.substring_dup_stats(
+        load_table(spark, sf_dir, "documents"), width=_SUBSTR_W
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, length(text) - {_SUBSTR_W - 1}),
+           i -> ('0x' || substr(md5(substring(text, CAST(i AS INT), {_SUBSTR_W})), 1, 15))::BIGINT
+         )) AS wh
+  FROM documents
+  WHERE length(text) >= {_SUBSTR_W}
+),
+shared AS (SELECT wh, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY wh),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_windows,
+         sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM w JOIN shared USING (wh) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(n_dup * 1000000 // n_windows, 0) AS BIGINT) AS dup_ppm
+FROM documents d LEFT JOIN per_doc USING (doc_id)
 """
 
 
@@ -1185,6 +1250,7 @@ QUERIES = {
     "text_vocabulary": text_vocabulary,
     "text_repetition": text_repetition,
     "text_boilerplate": text_boilerplate,
+    "text_distinctive_terms": text_distinctive_terms,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -1194,6 +1260,7 @@ QUERIES = {
     "dedup_embedding_clusters": dedup_embedding_clusters,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_substring": dedup_substring,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_split_decontamination": pipeline_split_decontamination,
     "pipeline_source_mixture": pipeline_source_mixture,
@@ -1219,6 +1286,7 @@ ORACLES = {
     "text_vocabulary": TEXT_VOCABULARY_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_boilerplate": TEXT_BOILERPLATE_SQL,
+    "text_distinctive_terms": TEXT_DISTINCTIVE_TERMS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_signatures": DEDUP_MINHASH_SIGNATURES_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
@@ -1228,6 +1296,7 @@ ORACLES = {
     "dedup_embedding_clusters": DEDUP_EMBEDDING_CLUSTERS_SQL,
     "dedup_simhash": _simhash_sql(16),
     "dedup_simhash_pairs": _simhash_pairs_sql(32, 3),
+    "dedup_substring": DEDUP_SUBSTRING_SQL,
     "pipeline_corpus_curation": PIPELINE_CORPUS_CURATION_SQL,
     "pipeline_split_decontamination": _split_decon_sql(),
     "pipeline_source_mixture": PIPELINE_SOURCE_MIXTURE_SQL,

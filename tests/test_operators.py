@@ -279,3 +279,58 @@ def test_kmeans_empty_input_returns_empty(spark):
     out = kmeans_assign(df, k=3, iterations=2)
     assert out.columns == ["id", "cluster", "sq_dist"]
     assert out.count() == 0
+
+
+def test_distinctive_terms_ranks_rare_terms_first(spark):
+    from connected_component_spark.operators.text import distinctive_terms
+
+    docs = _docs(
+        spark,
+        [
+            "apple apple banana common",
+            "cherry common common",
+            "banana common",
+        ],
+    )
+    out = {
+        (r.doc_id, r.rank): (r.token, r.tf, r.df, r.score_ppm)
+        for r in distinctive_terms(docs, top_k=2).collect()
+    }
+    # doc 0: apple tf=2 df=1 -> 2_000_000 beats banana (1M/2=500k)
+    assert out[(0, 1)] == ("apple", 2, 1, 2_000_000)
+    assert out[(0, 2)] == ("banana", 1, 2, 500_000)
+    # doc 1: cherry unique (1M) beats common (tf=2, df=3 -> 666_666)
+    assert out[(1, 1)] == ("cherry", 1, 1, 1_000_000)
+    assert out[(1, 2)] == ("common", 2, 3, 666_666)
+    # doc 2: banana (500k) vs common (1M/3=333_333)
+    assert out[(2, 1)] == ("banana", 1, 2, 500_000)
+    assert out[(2, 2)] == ("common", 1, 3, 333_333)
+
+
+def test_substring_dup_stats_finds_shared_spans(spark):
+    from connected_component_spark.operators.dedup import substring_dup_stats
+
+    shared = "X" * 40  # 9 windows of width 32, all duplicated
+    docs = _docs(
+        spark,
+        [
+            shared + " unique tail zero one two three",
+            "different head text here " + shared,
+            "totally unrelated document body that is long enough to window",
+            "short",  # below width -> 0 windows
+        ],
+    )
+    rows = {r.doc_id: r for r in substring_dup_stats(docs, width=32).collect()}
+    assert rows[3].n_windows == 0 and rows[3].dup_ppm == 0
+    for d in (0, 1):
+        assert rows[d].n_dup_windows == 9
+        assert 0 < rows[d].dup_ppm < 1_000_000
+    assert rows[2].n_dup_windows == 0 and rows[2].dup_ppm == 0
+    # window count is len - width + 1
+    texts = {
+        0: shared + " unique tail zero one two three",
+        1: "different head text here " + shared,
+        2: "totally unrelated document body that is long enough to window",
+    }
+    for d, t in texts.items():
+        assert rows[d].n_windows == len(t) - 31

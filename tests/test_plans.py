@@ -45,6 +45,7 @@ def test_q01_stays_jvm_side(spark, sf_dir):
 _LAZY_LLMOPS = [
     "text_token_stats", "text_quality", "text_lang_id", "text_fingerprint",
     "text_bpe_pieces", "text_vocabulary", "text_repetition", "text_boilerplate",
+    "text_distinctive_terms", "dedup_substring",
     "dedup_exact", "dedup_minhash_signatures",
     "dedup_minhash_pairs", "dedup_ngram_pairs", "dedup_simhash",
     "dedup_simhash_pairs", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
