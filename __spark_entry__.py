@@ -75,6 +75,7 @@ _PRIORITY = (
     "text_boilerplate",         # new this round (C4 cross-doc boilerplate)
     "graph_shortest_paths",     # new this round (landmark BFS)
     "graph_kcore",              # new this round (k-core peeling)
+    "graph_label_propagation",  # new this round (deterministic LPA communities)
     "embedding_kmeans",         # new this round (distributed Lloyd k-means)
     "stream_event_pairs_outer", # new this round (watermarked outer join)
     "q_session_overlap",        # new this round (interval-overlap join)

@@ -326,6 +326,44 @@ FROM e{rounds} GROUP BY src
 GRAPH_KCORE_SQL = _kcore_oracle_sql()
 
 
+_LPA_ROUNDS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (graph/lpa.py,
+    3 rounds, smallest-label tie-break) over the copresence graph —
+    the community-detection counterpart of the CC kernel, checked
+    against a fixed-unroll majority-vote oracle."""
+    from connected_component_spark.graph.lpa import label_propagation
+
+    labels = label_propagation(
+        copresence_edges(spark, sf_dir), iterations=_LPA_ROUNDS
+    )
+    return labels.select(F.col("node").alias("user_id"), "label")
+
+
+def _lpa_oracle_sql(rounds: int = _LPA_ROUNDS) -> str:
+    levels = ["r0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)"]
+    for i in range(1, rounds + 1):
+        levels.append(
+            f"r{i} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT s.src AS node, p.label AS label, "
+            f"row_number() OVER (PARTITION BY s.src "
+            f"ORDER BY count(*) DESC, p.label ASC) AS rn "
+            f"FROM sym s JOIN r{i - 1} p ON p.node = s.dst "
+            f"GROUP BY s.src, p.label) WHERE rn = 1)"
+        )
+    chain = ",\n".join(levels)
+    return f"""
+WITH {_COPRESENCE_EDGES_SQL.strip()},
+{chain}
+SELECT node AS user_id, CAST(label AS BIGINT) AS label FROM r{rounds}
+"""
+
+
+GRAPH_LABEL_PROP_SQL = _lpa_oracle_sql()
+
+
 QUERIES = {
     "cc_user_copresence": cc_user_copresence,
     "cc_copresence_rosters": cc_copresence_rosters,
@@ -333,6 +371,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_shortest_paths": graph_shortest_paths,
     "graph_kcore": graph_kcore,
+    "graph_label_propagation": graph_label_propagation,
 }
 
 ORACLES = {
@@ -342,4 +381,5 @@ ORACLES = {
     "graph_pagerank": GRAPH_PAGERANK_SQL,
     "graph_shortest_paths": GRAPH_SHORTEST_PATHS_SQL,
     "graph_kcore": GRAPH_KCORE_SQL,
+    "graph_label_propagation": GRAPH_LABEL_PROP_SQL,
 }

@@ -348,3 +348,61 @@ def test_kcore_differential_random_graph(spark):
             for r in k_core(_edges(spark, pairs), k=k, max_rounds=200).collect()
         }
         assert got == py_core(k), f"k={k}"
+
+
+def test_lpa_matches_python_simulator(spark):
+    import random
+
+    from connected_component_spark.graph.lpa import label_propagation
+
+    rng = random.Random(7)
+    nodes = list(range(1, 25))
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(40)
+        }
+    )
+
+    def py_lpa(edge_pairs, rounds):
+        nbrs = {}
+        for s, d in edge_pairs:
+            nbrs.setdefault(s, set()).add(d)
+            nbrs.setdefault(d, set()).add(s)
+        labels = {u: u for u in nbrs}
+        for _ in range(rounds):
+            new = {}
+            for u, vs in nbrs.items():
+                freq = {}
+                for v in vs:
+                    freq[labels[v]] = freq.get(labels[v], 0) + 1
+                best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[u] = best[0]
+            labels = new
+        return labels
+
+    for rounds in (0, 1, 3):
+        got = {
+            r.node: r.label
+            for r in label_propagation(
+                _edges(spark, pairs), iterations=rounds
+            ).collect()
+        }
+        assert got == py_lpa(pairs, rounds), f"rounds={rounds}"
+
+
+def test_lpa_two_cliques_bridge_forms_two_communities(spark):
+    from connected_component_spark.graph.lpa import label_propagation
+
+    a = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    b = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    bridge = [(4, 10)]
+    got = {
+        r.node: r.label
+        for r in label_propagation(
+            _edges(spark, a + b + bridge), iterations=3
+        ).collect()
+    }
+    assert len(set(got[n] for n in (1, 2, 3, 4))) == 1
+    assert len(set(got[n] for n in (10, 11, 12, 13))) == 1
+    assert got[1] != got[10]
