@@ -67,6 +67,7 @@ _PRIORITY = (
     "q_fuzzy_part_match",       # new this round (blocked fuzzy join)
     "text_distinctive_terms",   # new this round (TF-IDF keyword extraction)
     "dedup_substring",          # new this round (exact-substring dup profile)
+    "q_profile_lineitem",       # new this round (ANALYZE-style profiling)
     "q02_min_cost_supplier",    # new this round (TPC-H Q2 correlated min)
     "q11_important_stock",      # new this round (TPC-H Q11 scalar-threshold HAVING)
     "q16_supplier_relationship",  # new this round (TPC-H Q16 distinct-count + NOT IN)

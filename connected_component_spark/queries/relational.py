@@ -2327,6 +2327,72 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+# --------------------------------------------------------------------------
+# q_profile_lineitem — ANALYZE-style table profiling: per-column null
+# count, exact distinct count, min/max — the data-quality/stats pass a
+# pipeline runs before (or instead of) trusting catalog statistics.
+# One wide aggregate over one scan, unpivoted to long format with
+# stack(); multiple exact count-distincts share the single Expand-
+# based aggregate Spark plans for multi-distinct — no per-column scan.
+# --------------------------------------------------------------------------
+
+#: profiled columns (string-safe min/max: integers, flags, and a date)
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate_d", F.col("l_shipdate").cast("date")
+    )
+    cols = _PROFILE_COLS + ("l_shipdate_d",)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("long").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args})"
+        " as (column_name, n_nulls, n_distinct, min_str, max_str)",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str"
+    )
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS + ("l_shipdate_d",):
+        expr = "CAST(l_shipdate AS DATE)" if c == "l_shipdate_d" else c
+        parts.append(
+            f"SELECT '{c}' AS column_name, count(*) AS n_rows,\n"
+            f"       CAST(sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,\n"
+            f"       CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,\n"
+            f"       CAST(min({expr}) AS VARCHAR) AS min_str,\n"
+            f"       CAST(max({expr}) AS VARCHAR) AS max_str\n"
+            f"FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+Q_PROFILE_LINEITEM_SQL = _profile_sql()
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -2377,6 +2443,7 @@ QUERIES = {
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
     "q_fuzzy_part_match": q_fuzzy_part_match,
+    "q_profile_lineitem": q_profile_lineitem,
 }
 
 ORACLES = {
@@ -2429,4 +2496,5 @@ ORACLES = {
     "q_funnel": Q_FUNNEL_SQL,
     "q_cohort_retention": Q_COHORT_RETENTION_SQL,
     "q_fuzzy_part_match": Q_FUZZY_PART_MATCH_SQL,
+    "q_profile_lineitem": Q_PROFILE_LINEITEM_SQL,
 }
