@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from connected_component_spark.functions.hashing import affine_hash, hash64
@@ -540,19 +540,23 @@ def substring_dup_stats(docs: DataFrame, width: int = 32) -> DataFrame:
     wins = docs.select(
         "doc_id", F.explode(win).alias("_w")
     ).select("doc_id", hash64(F.col("_w")).alias("wh"))
-    # distinct docs per window hash; >= 2 means the span is shared
-    shared = wins.groupBy("wh").agg(
-        F.count_distinct(F.col("doc_id")).alias("_ndocs")
+    # A window is shared iff >= 2 distinct docs contain it, i.e. the
+    # min and max doc_id over its hash partition differ.  One window
+    # spec instead of groupBy + join-back: the window stream is
+    # shuffled ONCE on wh (vs once for the agg and again for the
+    # join), and no per-hash doc-count table is materialized.
+    by_wh = Window.partitionBy("wh")
+    marked = wins.select(
+        "doc_id",
+        (
+            F.min("doc_id").over(by_wh) != F.max("doc_id").over(by_wh)
+        ).alias("_shared"),
     )
-    per_doc = (
-        wins.join(shared, "wh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_windows"),
-            F.sum(F.when(F.col("_ndocs") >= 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_dup_windows"),
-        )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("_shared"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_windows"),
     )
     return (
         docs.select("doc_id")
