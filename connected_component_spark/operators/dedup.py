@@ -119,13 +119,14 @@ def ngram_jaccard_pairs(
     grams = docs.select(
         "doc_id", char_ngrams(F.col("text"), n).alias("g")
     ).localCheckpoint(eager=True)
+    vocab = None
     if strategy == "auto":
         vocab = (
             grams.select(F.explode("g").alias("gram")).agg(F.countDistinct("gram"))
         ).first()[0]
         strategy = "bitmap" if vocab <= _BITMAP_MAX_VOCAB else "prefix"
     if strategy == "bitmap":
-        return _ngram_jaccard_bitmap(grams, threshold)
+        return _ngram_jaccard_bitmap(grams, threshold, vocab=vocab)
     return _ngram_jaccard_prefix(grams, threshold)
 
 
@@ -185,7 +186,10 @@ def _ngram_jaccard_prefix(grams: DataFrame, threshold: float) -> DataFrame:
 
 
 def _ngram_jaccard_bitmap(
-    grams: DataFrame, threshold: float, doc_blocks: int = 8
+    grams: DataFrame,
+    threshold: float,
+    doc_blocks: int = 8,
+    vocab: int | None = None,
 ) -> DataFrame:
     """Dense dictionary-GEMM set-similarity join (see
     :func:`ngram_jaccard_pairs`).  Exact: intersection sizes are
@@ -208,17 +212,22 @@ def _ngram_jaccard_bitmap(
             (F.row_number().over(Window.orderBy("gram")) - 1).alias("gid"),
         )
     )
-    vocab = dic.count()
+    if vocab is None:
+        vocab = dic.count()
     gids = (
         posting.join(F.broadcast(dic), "gram")
         .groupBy("doc_id")
         .agg(F.collect_list("gid").alias("gids"))
     )
+    # materialize the block rows ONCE: the self-crossJoin below would
+    # otherwise execute the whole posting->dic->gids chain twice
     blocks = (
         gids.withColumn("blk", F.pmod(F.xxhash64("doc_id"), F.lit(doc_blocks)))
         .groupBy("blk")
         .agg(F.collect_list(F.struct("doc_id", "gids")).alias("items"))
+        .localCheckpoint(eager=True)
     )
+    n_pairs = doc_blocks * (doc_blocks + 1) // 2
     pairs = (
         blocks.alias("l")
         .crossJoin(blocks.alias("r"))
@@ -228,6 +237,10 @@ def _ngram_jaccard_bitmap(
             F.col("l.items").alias("litems"),
             F.col("r.items").alias("ritems"),
         )
+        # one block pair per task — the checkpointed block table is a
+        # single partition, so without this every GEMM runs serially
+        # in one Python worker
+        .repartition(n_pairs)
     )
     # loose numpy pre-filter; the exact rounded filter runs in Catalyst
     tau = threshold - 1e-6

@@ -128,21 +128,28 @@ def _plane_signs_sql(seed: int, dim: int = _SIGN_DIM) -> str:
     )
 
 
-def _hyperplane_bucket(vec_col, planes: int, seed_base: int = 7):
+def _hyperplane_bucket(
+    vec_col, planes: int, seed_base: int = 7, dim: int | None = None
+):
     """Sign-of-projection LSH: bucket id from ``planes`` pseudo-random
     hyperplanes.  The hyperplane components are derived per dimension
     from the portable hash family, so bucketing is deterministic and
     engine-independent (no stored model).
 
     Components are baked into the plan as literal arrays (they depend
-    only on the seed, not the data) covering dims ≤ ``_SIGN_DIM``;
-    wider vectors fail loudly at run time (``raise_error``) instead of
-    silently hashing into a wrong bucket — widen ``_SIGN_DIM`` for
-    wider embedding columns (signs are derived per dimension, so a
-    larger table changes nothing for narrower vectors).
+    only on the seed, not the data) covering dims ≤ ``dim``
+    (default ``_SIGN_DIM``); wider vectors fail loudly at run time
+    (``raise_error``) instead of silently hashing into a wrong
+    bucket.  Signs are derived per dimension, so any ``dim`` wide
+    enough for the data yields identical buckets — callers that know
+    their embedding width should pass it: a 64-wide literal parses,
+    codegens, and evaluates ~3x faster per plan than the 512-wide
+    default (measured ~2 s plan + 0.5 s exec per bucket build).
     """
+    width = _SIGN_DIM if dim is None else dim
+
     def proj_bit(p: int):
-        signs = F.expr(_plane_signs_sql(seed_base + p))
+        signs = F.expr(_plane_signs_sql(seed_base + p, width))
         terms = F.aggregate(
             F.zip_with(
                 vec_col,
@@ -152,11 +159,11 @@ def _hyperplane_bucket(vec_col, planes: int, seed_base: int = 7):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        guarded = F.when(F.size(vec_col) <= _SIGN_DIM, terms).otherwise(
+        guarded = F.when(F.size(vec_col) <= width, terms).otherwise(
             F.raise_error(
                 F.lit(
-                    f"hyperplane LSH sign table covers dim <= {_SIGN_DIM}; "
-                    "raise similarity._SIGN_DIM for wider embeddings"
+                    f"hyperplane LSH sign table covers dim <= {width}; "
+                    "pass a wider dim= for wider embeddings"
                 )
             )
         )
@@ -175,6 +182,7 @@ def lsh_bucketed_topk(
     planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the same
     random-hyperplane bucket, then exact cosine + window top-k.
@@ -186,13 +194,13 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),
-        _hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        _hyperplane_bucket(F.col(vec_col), planes, dim=dim).alias("bucket"),
     )
     cb = c.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("cn"),
-        _hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        _hyperplane_bucket(F.col(vec_col), planes, dim=dim).alias("bucket"),
     )
     scored = (
         qb.join(cb, "bucket")
@@ -407,6 +415,7 @@ def lsh_threshold_pairs(
     planes: int = 4,
     tables: int = 4,
     seed_stride: int = 100,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine-threshold pairs with LSH-pruned candidate generation —
     the 100 TB shape for near-dup edge building.
@@ -442,7 +451,10 @@ def lsh_threshold_pairs(
                     F.struct(
                         F.lit(t).alias("tab"),
                         _hyperplane_bucket(
-                            F.col("vv"), planes, seed_base=7 + seed_stride * t
+                            F.col("vv"),
+                            planes,
+                            seed_base=7 + seed_stride * t,
+                            dim=dim,
                         ).alias("bucket"),
                     )
                     for t in range(tables)
@@ -486,6 +498,7 @@ def embedding_dedup_clusters(
     planes: int = 4,
     tables: int = 4,
     max_iterations: int = 20,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dedup: LSH-candidate threshold pairs
     become edges; the CC kernel clusters the paired subgraph only;
@@ -499,7 +512,7 @@ def embedding_dedup_clusters(
     (one recalled edge merges the group).
     """
     pairs = lsh_threshold_pairs(
-        emb, threshold, id_col, vec_col, planes=planes, tables=tables
+        emb, threshold, id_col, vec_col, planes=planes, tables=tables, dim=dim
     )
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     return components_with_isolates(
@@ -630,6 +643,7 @@ def knn_edges(
     vec_col: str = "embedding",
     method: str = "lsh",
     planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """k-NN similarity graph edges: top-k neighbors per vector with
     cosine ≥ min_cosine, as (src, dst) pairs.
@@ -644,7 +658,7 @@ def knn_edges(
     """
     if method == "lsh":
         top = lsh_bucketed_topk(
-            emb, emb, k=k, planes=planes, id_col=id_col, vec_col=vec_col
+            emb, emb, k=k, planes=planes, id_col=id_col, vec_col=vec_col, dim=dim
         )
     elif method == "exact":
         top = block_cosine_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
@@ -664,6 +678,7 @@ def similarity_clusters(
     method: str = "lsh",
     planes: int = 4,
     max_iterations: int = 20,
+    dim: int | None = None,
 ) -> DataFrame:
     """Similarity clusters = connected components of the (approximate)
     k-NN graph (CC kernel as clustering backbone).  Every vector
@@ -673,7 +688,7 @@ def similarity_clusters(
     :func:`knn_edges`), so no stage of the pipeline does all-pairs
     work; vectors touching no k-NN edge are attached as singletons
     by one anti join (graph/cc.py:components_with_isolates)."""
-    edges = knn_edges(emb, k, min_cosine, id_col, vec_col, method, planes)
+    edges = knn_edges(emb, k, min_cosine, id_col, vec_col, method, planes, dim=dim)
     return components_with_isolates(
         edges, emb, id_col, max_iterations=max_iterations
     ).select(F.col("node").alias(id_col), F.col("component").alias("cluster"))

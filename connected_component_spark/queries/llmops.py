@@ -809,6 +809,10 @@ _LSH_PLANES = 4
 _LSH_SEED_BASE = 7
 _EMB_LSH_TABLES = 4
 _EMB_LSH_SEED_STRIDE = 100
+#: fixture embedding width — threaded into the LSH operators so sign
+#: literals are 64-wide, not the 512-wide engine default (the bucket
+#: values are identical; the guard still raises on wider vectors)
+_EMB_DIM = 64
 
 
 def _bucket_expr_sql(v: str, seed_base: int = _LSH_SEED_BASE) -> str:
@@ -933,7 +937,9 @@ def ann_similarity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked-GEMM path did O(n²) work regardless of blocking; the
     bucket equi-join is the shape that survives 100×)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.similarity_clusters(emb, k=3, min_cosine=0.1, method="lsh")
+    return sim.similarity_clusters(
+        emb, k=3, min_cosine=0.1, method="lsh", dim=_EMB_DIM
+    )
 
 
 ANN_SIMILARITY_CLUSTERS_SQL = f"""
@@ -984,6 +990,7 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_EMB_DEDUP_THRESHOLD,
         planes=_LSH_PLANES,
         tables=_EMB_LSH_TABLES,
+        dim=_EMB_DIM,
     )
 
 
@@ -1031,7 +1038,9 @@ FROM walk GROUP BY node
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    return sim.lsh_bucketed_topk(queries, emb, k=5, planes=_LSH_PLANES)
+    return sim.lsh_bucketed_topk(
+        queries, emb, k=5, planes=_LSH_PLANES, dim=_EMB_DIM
+    )
 
 
 ANN_LSH_TOPK_SQL = f"""
@@ -1119,7 +1128,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     exact = sim.cosine_topk(queries, emb, k=5).select("query_id", "neighbor_id")
-    lsh = sim.lsh_bucketed_topk(queries, emb, k=5, planes=_LSH_PLANES).select(
+    lsh = sim.lsh_bucketed_topk(
+        queries, emb, k=5, planes=_LSH_PLANES, dim=_EMB_DIM
+    ).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit_l")
     )
     ivf = sim.ivf_topk(queries, emb, k=5, centroid_stride=_IVF_STRIDE).select(

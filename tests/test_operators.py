@@ -199,7 +199,7 @@ def test_lsh_wide_vector_fails_loudly(spark):
     import connected_component_spark.operators.similarity as sim
 
     wide = _emb(spark, [[0.5] * (sim._SIGN_DIM + 1)])
-    with pytest.raises(Exception, match="_SIGN_DIM"):
+    with pytest.raises(Exception, match="sign table covers dim"):
         lsh_bucketed_topk(wide, wide, k=1).collect()
 
 
