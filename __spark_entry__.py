@@ -24,6 +24,12 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # guard against Spark's 200-partition default on a driver
+        # session: 32 matches the locally-tested config (wide enough
+        # for Python-heavy stages, no 200-task overhead at sf0.01).
+        # Partition count never affects declared results; iterative
+        # operators re-size further via plans/tuning.py.
+        ("spark.sql.shuffle.partitions", "32"),
     ]:
         try:
             spark.conf.set(k, v)
