@@ -67,6 +67,10 @@ _PRIORITY = (
     "multimodal_resize",        # absent from r2 run
     "q_approx_profile",         # oracle added this round (was no_oracle)
     "q_approx_quantiles",       # new this round (quantile sketch contract)
+    "q_scd2_customer_status",   # new this round (SCD2 effective-dated dim)
+    "q_copurchase_pairs",       # new this round (market-basket co-occurrence)
+    "ann_radius_search",        # new this round (fixed-threshold retrieval)
+    "text_token_rarity",        # new this round (corpus-frequency scoring)
     # -- new-this-round queries, hardest/least-TPC-H-like first ------
     "q_funnel",                 # new this round (time-constrained funnel)
     "q_cohort_retention",       # new this round (weekly cohort triangle)

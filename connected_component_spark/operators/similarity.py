@@ -21,6 +21,7 @@ from connected_component_spark.graph.cc import components_with_isolates
 
 __all__ = [
     "cosine_topk",
+    "cosine_radius_search",
     "block_cosine_topk",
     "cosine_threshold_pairs",
     "lsh_threshold_pairs",
@@ -89,6 +90,45 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_radius_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    radius: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine radius search: every (query_id, neighbor_id, cos)
+    with rounded cos ≥ ``radius`` — the fixed-threshold sibling of
+    :func:`cosine_topk` (retrieval "give me everything at least this
+    similar", no ranking).  Same scale contract: ``queries`` is a
+    bounded batch, broadcast against a corpus that is only scanned —
+    O(|q|·m) work, linear in corpus size, no corpus shuffle."""
+    q = _normed(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    c = _normed(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    return (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            roundd(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                round_to,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(radius))
     )
 
 

@@ -20,6 +20,7 @@ __all__ = [
     "vocabulary",
     "bpe_piece_stats",
     "quality_score",
+    "token_rarity",
     "language_id",
     "fingerprint",
     "distinctive_terms",
@@ -109,6 +110,46 @@ def bpe_piece_stats(docs: DataFrame) -> DataFrame:
             - F.size(F.filter(pieces, is_alpha))
             - F.size(F.filter(pieces, is_num))
         ).cast("long").alias("n_punct"),
+    )
+
+
+def token_rarity(docs: DataFrame) -> DataFrame:
+    """Corpus-frequency rarity profile per document: how common are a
+    doc's tokens in the whole corpus?  (doc_id, n_tokens, sum_tf,
+    min_tf, rare_ppm) where tf is the corpus-wide term frequency of a
+    token, min_tf the rarest token the doc contains, and
+    ``rare_ppm = 10^6 · min_tf · n_docs / corpus_tokens`` — exact
+    integer arithmetic end to end, so the contract is engine-exact
+    (no float log-prob whose last ulp differs across libm builds).
+
+    The plan is the corpus-statistics-join-back shape every LM-data
+    scorer uses: one word-count aggregate over the corpus, broadcast
+    back onto the exploded token stream, one per-doc aggregate.
+    """
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = ex.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = ex.agg(
+        F.count(F.lit(1)).alias("corpus_tokens"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return (
+        ex.join(F.broadcast(tf), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+            F.min("tf").cast("long").alias("min_tf"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_tf",
+            "min_tf",
+            F.expr("1000000 * min_tf * n_docs div corpus_tokens")
+            .cast("long")
+            .alias("rare_ppm"),
+        )
     )
 
 

@@ -154,6 +154,31 @@ FROM ranked WHERE rank <= 100
 """
 
 
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity scoring (operators/text.py:token_rarity)
+    — exact-integer contract, word-count + broadcast-join-back plan."""
+    return tx.token_rarity(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_TOKEN_RARITY_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (SELECT token, count(*) AS tf FROM ex GROUP BY token),
+tot AS (SELECT count(*) AS corpus_tokens, count(DISTINCT doc_id) AS n_docs FROM ex),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(tf) AS BIGINT) AS sum_tf,
+         CAST(min(tf) AS BIGINT) AS min_tf
+  FROM ex JOIN tf USING (token)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_tf, min_tf,
+       CAST(1000000 * min_tf * n_docs // corpus_tokens AS BIGINT) AS rare_ppm
+FROM per_doc CROSS JOIN tot
+"""
+
+
 def text_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_piece_stats(load_table(spark, sf_dir, "documents"))
 
@@ -931,6 +956,33 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
 
+def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-threshold retrieval over a bounded query batch: every
+    corpus vector with cosine ≥ 0.3 to one of ≤10 query vectors —
+    the "everything at least this similar" serving shape (broadcast
+    queries, one corpus scan, no ranking window)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    return sim.cosine_radius_search(queries, emb, radius=_RADIUS)
+
+
+_RADIUS = 0.3
+
+
+ANN_RADIUS_SEARCH_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0 AND vec_id < 500),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {roundd_sql(_DOT.format(a='qv', b='cv') + f" / ({_norm_sql('qv')} * {_norm_sql('cv')})", 6)} AS cos
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos FROM scored WHERE cos >= 0.3
+"""
+
+
 def ann_similarity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity clusters over the LSH-bucketed approximate k-NN
     graph — no all-pairs stage anywhere in the plan (the r1/r2
@@ -1281,6 +1333,8 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_similarity_clusters": ann_similarity_clusters,
+    "ann_radius_search": ann_radius_search,
+    "text_token_rarity": text_token_rarity,
     "ann_recall_report": ann_recall_report,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
@@ -1317,6 +1371,8 @@ ORACLES = {
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "ann_similarity_clusters": ANN_SIMILARITY_CLUSTERS_SQL,
+    "ann_radius_search": ANN_RADIUS_SEARCH_SQL,
+    "text_token_rarity": TEXT_TOKEN_RARITY_SQL,
     "ann_recall_report": ANN_RECALL_REPORT_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,

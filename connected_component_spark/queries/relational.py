@@ -2331,9 +2331,9 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 # q_profile_lineitem — ANALYZE-style table profiling: per-column null
 # count, exact distinct count, min/max — the data-quality/stats pass a
 # pipeline runs before (or instead of) trusting catalog statistics.
-# One wide aggregate over one scan, unpivoted to long format with
-# stack(); multiple exact count-distincts share the single Expand-
-# based aggregate Spark plans for multi-distinct — no per-column scan.
+# One unioned aggregate leg per column, each a column-pruned scan +
+# two-phase single-distinct aggregate (see the function docstring for
+# why this beats a single multi-distinct aggregate).
 # --------------------------------------------------------------------------
 
 #: profiled columns (string-safe min/max: integers, flags, and a date)
@@ -2405,6 +2405,125 @@ def _profile_sql() -> str:
 Q_PROFILE_LINEITEM_SQL = _profile_sql()
 
 
+# --------------------------------------------------------------------------
+# q_scd2_customer_status — slowly-changing-dimension (type 2) history
+# build: collapse each customer's order-status timeline into
+# effective-dated versions (status, valid_from, valid_to, n_orders).
+# The dimension-maintenance pass every warehouse pipeline runs when
+# folding a change stream into a versioned dim.  Gaps-and-islands via
+# two windows and one aggregate, all partitioned by the customer key —
+# a single hash exchange on o_custkey feeds every window.
+# --------------------------------------------------------------------------
+
+
+def q_scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    seq = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    run = seq.rowsBetween(Window.unboundedPreceding, 0)
+    marked = o.withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderstatus").over(seq).isNull()
+            | (F.lag("o_orderstatus").over(seq) != F.col("o_orderstatus")),
+            1,
+        ).otherwise(0),
+    ).withColumn("version", F.sum("chg").over(run))
+    grp = marked.groupBy("o_custkey", "version", "o_orderstatus").agg(
+        F.min("d").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    nxt = Window.partitionBy("o_custkey").orderBy("version")
+    return grp.select(
+        "o_custkey",
+        F.col("version").cast("long").alias("version"),
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        F.lead("valid_from").over(nxt).alias("valid_to"),
+        "n_orders",
+    )
+
+
+Q_SCD2_SQL = """
+WITH seq AS (
+  SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d, o_orderkey,
+         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                   OR lag(o_orderstatus) OVER w <> o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+),
+isl AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                           ORDER BY d, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM seq
+),
+grp AS (
+  SELECT o_custkey, version, o_orderstatus AS status,
+         min(d) AS valid_from, CAST(count(*) AS BIGINT) AS n_orders
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT o_custkey, CAST(version AS BIGINT) AS version, status, valid_from,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to,
+       n_orders
+FROM grp
+"""
+
+
+# --------------------------------------------------------------------------
+# q_copurchase_pairs — co-occurrence mining: the top part pairs that
+# appear together in the same order (market-basket association).  The
+# self-join is keyed on the order — its fan-out is bounded by
+# lines-per-order (k ≤ ~13 in TPC-H shape, so ≤ k(k-1)/2 pairs per
+# order), NOT by part popularity: total work is O(Σ k²) ≈ O(m·k),
+# never an all-pairs product over the catalog.  Same bounded-key
+# co-occurrence shape as the copresence edge builder feeding CC.
+# --------------------------------------------------------------------------
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+Q_COPURCHASE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -2456,6 +2575,8 @@ QUERIES = {
     "q_cohort_retention": q_cohort_retention,
     "q_fuzzy_part_match": q_fuzzy_part_match,
     "q_profile_lineitem": q_profile_lineitem,
+    "q_scd2_customer_status": q_scd2_customer_status,
+    "q_copurchase_pairs": q_copurchase_pairs,
 }
 
 ORACLES = {
@@ -2509,4 +2630,6 @@ ORACLES = {
     "q_cohort_retention": Q_COHORT_RETENTION_SQL,
     "q_fuzzy_part_match": Q_FUZZY_PART_MATCH_SQL,
     "q_profile_lineitem": Q_PROFILE_LINEITEM_SQL,
+    "q_scd2_customer_status": Q_SCD2_SQL,
+    "q_copurchase_pairs": Q_COPURCHASE_SQL,
 }

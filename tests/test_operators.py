@@ -334,3 +334,36 @@ def test_substring_dup_stats_finds_shared_spans(spark):
     }
     for d, t in texts.items():
         assert rows[d].n_windows == len(t) - 31
+
+
+def test_cosine_radius_search_known_answers(spark):
+    from connected_component_spark.operators.similarity import cosine_radius_search
+
+    emb = _emb(spark, [[1, 0], [0.8, 0.6], [0, 1], [-1, 0]])
+    q = emb.where(F.col("vec_id") == 0)
+    got = {
+        (r["neighbor_id"], r["cos"])
+        for r in cosine_radius_search(q, emb, radius=0.5).collect()
+    }
+    # cos(v0, v1) = 0.8, cos(v0, v2) = 0, cos(v0, v3) = -1
+    assert got == {(1, 0.8)}
+    # radius below 0 admits the orthogonal vector too
+    got2 = {
+        r["neighbor_id"]
+        for r in cosine_radius_search(q, emb, radius=0.0).collect()
+    }
+    assert got2 == {1, 2}
+
+
+def test_token_rarity_exact_integers(spark):
+    from connected_component_spark.operators.text import token_rarity
+
+    docs = _docs(spark, ["a a b", "a c", "c c"])
+    # corpus tf: a=3, b=1, c=3; corpus_tokens=7, n_docs=3
+    rows = {r["doc_id"]: r for r in token_rarity(docs).collect()}
+    assert rows[0]["n_tokens"] == 3
+    assert rows[0]["sum_tf"] == 3 + 3 + 1
+    assert rows[0]["min_tf"] == 1
+    assert rows[0]["rare_ppm"] == 1_000_000 * 1 * 3 // 7
+    assert rows[1]["sum_tf"] == 3 + 3 and rows[1]["min_tf"] == 3
+    assert rows[2]["n_tokens"] == 2 and rows[2]["min_tf"] == 3

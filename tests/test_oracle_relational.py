@@ -31,3 +31,25 @@ def test_relational_oracle(spark, sf_dir, con, name):
         return
     ok, msg = compare(df, con, relational.ORACLES[name])
     assert ok, f"{name}: {msg}"
+
+
+def test_scd2_versions_are_contiguous(spark):
+    """SCD2 invariants on the sf0.001 fixture: per customer, versions
+    start at 1 and are dense; valid_to of version k equals valid_from
+    of version k+1; adjacent versions never share a status."""
+    from connected_component_spark.queries.relational import (
+        q_scd2_customer_status,
+    )
+
+    rows = q_scd2_customer_status(spark, "/root/testdata/sf0.001").collect()
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    assert by_cust
+    for hist in by_cust.values():
+        hist.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in hist] == list(range(1, len(hist) + 1))
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["status"] != b["status"]
+        assert hist[-1]["valid_to"] is None
