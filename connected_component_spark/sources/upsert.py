@@ -1,0 +1,108 @@
+"""Keyed MERGE/upsert into a parquet dataset (copy-on-write).
+
+The lakehouse maintenance primitive the plain-parquet stack lacks:
+fold a batch of changes into a keyed table — update matched rows,
+insert unmatched ones, optionally delete tombstoned keys — by
+rewriting the table as one join, the way copy-on-write table formats
+execute MERGE INTO.
+
+Scale shape: ONE full-outer (or left-anti + union) join between the
+existing snapshot and the (typically much smaller) change batch, so
+the change side broadcasts whenever it fits and the snapshot is
+scanned once; the rewrite then goes through an atomic
+write-to-temp + rename so readers never observe a half-written
+table.  At warehouse scale the same plan runs partition-pruned (only
+partitions containing changed keys rewrite); here the dataset is one
+directory, so the rewrite is the whole snapshot — the join shape is
+the part that carries to 100 TB.
+
+Deterministic conflict rule: when a key appears in both sides, the
+change row wins wholesale (last-writer-wins per column set, the
+MERGE ``WHEN MATCHED THEN UPDATE SET *`` semantics); duplicate keys
+within the change batch itself are rejected loudly rather than
+resolved arbitrarily.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["merge_upsert", "read_snapshot"]
+
+
+def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Read the current table snapshot (plain parquet directory)."""
+    return spark.read.parquet(path)
+
+
+def _check_unique_keys(changes: DataFrame, key: str) -> None:
+    dup = (
+        changes.groupBy(key)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_upsert: change batch has duplicate key {key}="
+            f"{dup[0][0]!r}; resolve duplicates upstream (the merge "
+            "result would depend on row order)"
+        )
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    path: str,
+    delete_col: str | None = None,
+) -> None:
+    """MERGE ``changes`` into the table at ``path`` whose current
+    contents are ``snapshot``.
+
+    * key in both → the change row replaces the snapshot row
+      (``WHEN MATCHED THEN UPDATE SET *``)
+    * key only in changes → inserted (``WHEN NOT MATCHED THEN
+      INSERT *``)
+    * ``delete_col`` (boolean) true on a change row → the key is
+      removed (``WHEN MATCHED AND ... THEN DELETE``); the column is
+      dropped from the written schema.
+
+    The new table version is written to a temp directory next to
+    ``path`` and swapped in with a rename, so a failed rewrite never
+    corrupts the current version.
+    """
+    _check_unique_keys(changes, key)
+    if delete_col is not None:
+        deletes = changes.where(F.col(delete_col)).select(key)
+        upserts = changes.where(
+            ~F.col(delete_col) | F.col(delete_col).isNull()
+        ).drop(delete_col)
+    else:
+        deletes = None
+        upserts = changes
+
+    cols = snapshot.columns
+    if sorted(upserts.columns) != sorted(cols):
+        raise ValueError(
+            f"merge_upsert: change schema {sorted(upserts.columns)} != "
+            f"table schema {sorted(cols)}"
+        )
+
+    kept = snapshot.join(upserts.select(key), key, "left_anti")
+    if deletes is not None:
+        kept = kept.join(deletes, key, "left_anti")
+    merged = kept.select(*cols).unionByName(upserts.select(*cols))
+
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

@@ -1,0 +1,98 @@
+"""MERGE/upsert (sources/upsert.py): update-matched, insert-new,
+delete-tombstoned, atomicity of the swap, and loud duplicate-key
+rejection — checked against a plain-Python dict fold of the same
+change stream."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from connected_component_spark.sources.upsert import merge_upsert, read_snapshot
+
+SCHEMA = "id long, val string, n long"
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(path)
+
+
+def test_merge_update_insert_delete(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _write(spark, path, [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+
+    changes = spark.createDataFrame(
+        [(2, "B2", 21, False), (4, "d", 40, False), (3, None, 0, True)],
+        SCHEMA + ", _deleted boolean",
+    )
+    merge_upsert(read_snapshot(spark, path), changes, "id", path, delete_col="_deleted")
+
+    got = {r["id"]: (r["val"], r["n"]) for r in read_snapshot(spark, path).collect()}
+    assert got == {1: ("a", 10), 2: ("B2", 21), 4: ("d", 40)}
+
+
+def test_merge_is_idempotent_per_batch(spark, tmp_path):
+    """Re-applying the same change batch to the merged result is a
+    no-op (last-writer-wins makes the fold idempotent)."""
+    path = str(tmp_path / "tbl")
+    _write(spark, path, [(1, "a", 1), (2, "b", 2)])
+    changes = spark.createDataFrame([(2, "b9", 9), (5, "e", 5)], SCHEMA)
+    for _ in range(2):
+        merge_upsert(read_snapshot(spark, path), changes, "id", path)
+    got = {r["id"]: (r["val"], r["n"]) for r in read_snapshot(spark, path).collect()}
+    assert got == {1: ("a", 1), 2: ("b9", 9), 5: ("e", 5)}
+
+
+def test_merge_random_fold_matches_dict(spark, tmp_path):
+    """Differential: N random change batches folded by merge_upsert
+    equal the same batches folded into a Python dict."""
+    import random
+
+    rng = random.Random(4711)
+    path = str(tmp_path / "tbl")
+    state = {i: (f"v{i}", i) for i in range(20)}
+    _write(spark, path, [(k, v[0], v[1]) for k, v in state.items()])
+
+    for batch in range(4):
+        seen = set()
+        rows = []
+        for _ in range(8):
+            k = rng.randrange(30)
+            if k in seen:
+                continue
+            seen.add(k)
+            if rng.random() < 0.25:
+                rows.append((k, None, 0, True))
+                state.pop(k, None)
+            else:
+                v = (f"b{batch}k{k}", rng.randrange(1000))
+                rows.append((k, v[0], v[1], False))
+                state[k] = v
+        changes = spark.createDataFrame(rows, SCHEMA + ", _deleted boolean")
+        merge_upsert(
+            read_snapshot(spark, path), changes, "id", path, delete_col="_deleted"
+        )
+
+    got = {r["id"]: (r["val"], r["n"]) for r in read_snapshot(spark, path).collect()}
+    assert got == state
+
+
+def test_merge_rejects_duplicate_change_keys(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _write(spark, path, [(1, "a", 1)])
+    dup = spark.createDataFrame([(7, "x", 1), (7, "y", 2)], SCHEMA)
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert(read_snapshot(spark, path), dup, "id", path)
+    # table untouched by the rejected merge
+    assert read_snapshot(spark, path).count() == 1
+
+
+def test_merge_rejects_schema_drift(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _write(spark, path, [(1, "a", 1)])
+    bad = spark.createDataFrame([(2, "b")], "id long, val string")
+    with pytest.raises(ValueError, match="change schema"):
+        merge_upsert(read_snapshot(spark, path), bad, "id", path)
+    assert os.path.exists(path)
