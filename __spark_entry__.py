@@ -71,6 +71,7 @@ _PRIORITY = (
     "q_copurchase_pairs",       # new this round (market-basket co-occurrence)
     "ann_radius_search",        # new this round (fixed-threshold retrieval)
     "text_token_rarity",        # new this round (corpus-frequency scoring)
+    "graph_link_prediction",    # new this round (common-neighbor scoring)
     # -- new-this-round queries, hardest/least-TPC-H-like first ------
     "q_funnel",                 # new this round (time-constrained funnel)
     "q_cohort_retention",       # new this round (weekly cohort triangle)

@@ -364,6 +364,57 @@ SELECT node AS user_id, CAST(label AS BIGINT) AS label FROM r{rounds}
 GRAPH_LABEL_PROP_SQL = _lpa_oracle_sql()
 
 
+_LP_TOPK = 20
+_LP_MAX_DEG = 50
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the copresence graph
+    (graph/linkpred.py): top non-adjacent user pairs by shared
+    neighbors, ultra-hub wedge centers excluded by the degree cap
+    that is part of the declared (and oracle-mirrored) semantics."""
+    from connected_component_spark.graph.linkpred import (
+        common_neighbor_candidates,
+    )
+
+    return common_neighbor_candidates(
+        copresence_edges(spark, sf_dir),
+        top_k=_LP_TOPK,
+        max_center_degree=_LP_MAX_DEG,
+    )
+
+
+GRAPH_LINK_PREDICTION_SQL = f"""
+WITH {_COPRESENCE_EDGES_SQL.strip()},
+und AS (SELECT src AS u, dst AS v FROM sym WHERE src < dst),
+adj AS (
+  SELECT u AS b, v AS n FROM und
+  UNION ALL
+  SELECT v AS b, u AS n FROM und
+),
+deg AS (SELECT b, count(*) AS deg FROM adj GROUP BY b),
+capped AS (
+  SELECT adj.b, adj.n FROM adj JOIN deg USING (b)
+  WHERE deg.deg <= {_LP_MAX_DEG}
+),
+wedges AS (
+  SELECT l.n AS node_a, r.n AS node_b
+  FROM capped l JOIN capped r ON l.b = r.b AND l.n < r.n
+),
+scored AS (
+  SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM wedges GROUP BY 1, 2
+)
+SELECT node_a, node_b, common_neighbors
+FROM scored s
+WHERE NOT EXISTS (
+  SELECT 1 FROM und WHERE und.u = s.node_a AND und.v = s.node_b
+)
+ORDER BY common_neighbors DESC, node_a, node_b
+LIMIT {_LP_TOPK}
+"""
+
+
 QUERIES = {
     "cc_user_copresence": cc_user_copresence,
     "cc_copresence_rosters": cc_copresence_rosters,
@@ -372,6 +423,7 @@ QUERIES = {
     "graph_shortest_paths": graph_shortest_paths,
     "graph_kcore": graph_kcore,
     "graph_label_propagation": graph_label_propagation,
+    "graph_link_prediction": graph_link_prediction,
 }
 
 ORACLES = {
@@ -382,4 +434,5 @@ ORACLES = {
     "graph_shortest_paths": GRAPH_SHORTEST_PATHS_SQL,
     "graph_kcore": GRAPH_KCORE_SQL,
     "graph_label_propagation": GRAPH_LABEL_PROP_SQL,
+    "graph_link_prediction": GRAPH_LINK_PREDICTION_SQL,
 }

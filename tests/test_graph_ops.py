@@ -406,3 +406,36 @@ def test_lpa_two_cliques_bridge_forms_two_communities(spark):
     assert len(set(got[n] for n in (1, 2, 3, 4))) == 1
     assert len(set(got[n] for n in (10, 11, 12, 13))) == 1
     assert got[1] != got[10]
+
+
+def test_common_neighbor_candidates_known_graph(spark):
+    """Hand graph: 1-2, 1-3, 4-2, 4-3, 2-3 → non-adjacent pair (1,4)
+    shares neighbors {2,3}; adjacent pairs are excluded."""
+    from connected_component_spark.graph.linkpred import (
+        common_neighbor_candidates,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 2), (4, 3), (2, 3)], "src long, dst long"
+    )
+    rows = common_neighbor_candidates(edges, top_k=10).collect()
+    got = {(r["node_a"], r["node_b"]): r["common_neighbors"] for r in rows}
+    assert got == {(1, 4): 2}
+
+
+def test_common_neighbor_degree_cap_excludes_hub(spark):
+    """A center above the degree cap contributes no wedges: with
+    cap=2 the degree-3 hub 9 is excluded and nothing is predicted."""
+    from connected_component_spark.graph.linkpred import (
+        common_neighbor_candidates,
+    )
+
+    edges = spark.createDataFrame(
+        [(9, 1), (9, 2), (9, 3)], "src long, dst long"
+    )
+    assert common_neighbor_candidates(edges, max_center_degree=2).count() == 0
+    high = {
+        (r["node_a"], r["node_b"])
+        for r in common_neighbor_candidates(edges, max_center_degree=3).collect()
+    }
+    assert high == {(1, 2), (1, 3), (2, 3)}
