@@ -31,11 +31,40 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
-    # warm up the JVM/codegen paths once so per-query numbers measure
-    # the plan, not first-call JIT
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm up the JVM/codegen paths once so per-query numbers measure
+    # the plan, not first-call JIT.  The first queries in alphabetical
+    # order otherwise absorb every cold-start cost (file-index builds,
+    # higher-order-function codegen, window exec, broadcast machinery,
+    # Python worker spawn) — ~15 s misattributed to whichever queries
+    # happen to sort first.
+    from pyspark.sql import Window, functions as F
+
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64)
+    w = Window.partitionBy(F.lit(1)).orderBy("vec_id")
+    warm = (
+        emb.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("embedding", "embedding", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("n2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(emb.select("vec_id")), "vec_id")
+    )
+    warm.write.format("noop").mode("overwrite").save()
+    docs.select(F.explode(F.split("text", r"\s+"))).groupBy("col").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    docs.select("doc_id").mapInPandas(
+        lambda it: it, schema="doc_id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
