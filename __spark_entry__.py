@@ -72,6 +72,7 @@ _PRIORITY = (
     "ann_radius_search",        # new this round (fixed-threshold retrieval)
     "text_token_rarity",        # new this round (corpus-frequency scoring)
     "graph_link_prediction",    # new this round (common-neighbor scoring)
+    "q_gapfill_daily",          # new this round (time-series densification)
     # -- new-this-round queries, hardest/least-TPC-H-like first ------
     "q_funnel",                 # new this round (time-constrained funnel)
     "q_cohort_retention",       # new this round (weekly cohort triangle)

@@ -2524,6 +2524,67 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# q_gapfill_daily — time-series densification (resample): one row per
+# (user, day) across each user's OWN active span, zero-filled where no
+# events occurred — the gap-filling pass that precedes any window /
+# trend computation over sparse event data.  Per-user bounds come from
+# one aggregate; the day dimension is generated cluster-side with
+# sequence()+explode (never a driver-side calendar loop), and the
+# activity join stays keyed on (user, day) — generation and join both
+# shuffle on the user key only.
+# --------------------------------------------------------------------------
+
+
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    return calendar.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+    )
+
+
+Q_GAPFILL_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+daily AS (
+  SELECT user_id, day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM ev GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY 1),
+calendar AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT c.user_id, c.day,
+       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(d.n_types, 0) AS BIGINT) AS n_types
+FROM calendar c LEFT JOIN daily d USING (user_id, day)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -2577,6 +2638,7 @@ QUERIES = {
     "q_profile_lineitem": q_profile_lineitem,
     "q_scd2_customer_status": q_scd2_customer_status,
     "q_copurchase_pairs": q_copurchase_pairs,
+    "q_gapfill_daily": q_gapfill_daily,
 }
 
 ORACLES = {
@@ -2632,4 +2694,5 @@ ORACLES = {
     "q_profile_lineitem": Q_PROFILE_LINEITEM_SQL,
     "q_scd2_customer_status": Q_SCD2_SQL,
     "q_copurchase_pairs": Q_COPURCHASE_SQL,
+    "q_gapfill_daily": Q_GAPFILL_SQL,
 }

@@ -53,3 +53,26 @@ def test_scd2_versions_are_contiguous(spark):
             assert a["valid_to"] == b["valid_from"]
             assert a["status"] != b["status"]
         assert hist[-1]["valid_to"] is None
+
+
+def test_gapfill_covers_full_span_with_zeros(spark):
+    """Gap-fill invariants at sf0.001: per user the day sequence is
+    dense from first to last active day; zero-filled days really had
+    no events; active-day counts are positive."""
+    from connected_component_spark.queries.relational import q_gapfill_daily
+    import datetime
+
+    rows = q_gapfill_daily(spark, "/root/testdata/sf0.001").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    one_day = datetime.timedelta(days=1)
+    for days in by_user.values():
+        days.sort(key=lambda r: r["day"])
+        for a, b in zip(days, days[1:]):
+            assert b["day"] - a["day"] == one_day  # dense calendar
+        assert days[0]["n_events"] > 0  # span starts at first activity
+        assert days[-1]["n_events"] > 0  # and ends at the last
+        for r in days:
+            assert (r["n_events"] == 0) == (r["n_types"] == 0)
