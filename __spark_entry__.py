@@ -73,6 +73,8 @@ _PRIORITY = (
     "text_token_rarity",        # new this round (corpus-frequency scoring)
     "graph_link_prediction",    # new this round (common-neighbor scoring)
     "q_gapfill_daily",          # new this round (time-series densification)
+    "q_histogram",              # new this round (equi-width histogram)
+    "q_cumulative_users",       # new this round (cumulative distinct via first-seen)
     # -- new-this-round queries, hardest/least-TPC-H-like first ------
     "q_funnel",                 # new this round (time-constrained funnel)
     "q_cohort_retention",       # new this round (weekly cohort triangle)

@@ -2585,6 +2585,111 @@ FROM calendar c LEFT JOIN daily d USING (user_id, day)
 """
 
 
+# --------------------------------------------------------------------------
+# q_histogram — equi-width histogram of lineitem quantity: the OLAP
+# profiling primitive behind every distribution dashboard.  Bucket
+# assignment is a pure projection (floor over exact integer-ish
+# quantities), so the whole query is one scan + one hash aggregate;
+# empty buckets are densified cluster-side the same way as
+# q_gapfill_daily so the output is a complete axis.
+# --------------------------------------------------------------------------
+
+_HIST_WIDTH = 5
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity") / _HIST_WIDTH).cast("long").alias("bucket")
+    )
+    counts = li.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    bounds = counts.agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    axis = bounds.select(
+        F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    return (
+        axis.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            (F.col("bucket") * _HIST_WIDTH).cast("double").alias("lo"),
+            ((F.col("bucket") + 1) * _HIST_WIDTH).cast("double").alias("hi"),
+            F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+Q_HISTOGRAM_SQL = f"""
+WITH b AS (
+  SELECT CAST(floor(l_quantity / {_HIST_WIDTH}) AS BIGINT) AS bucket FROM lineitem
+),
+counts AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY 1),
+bounds AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM counts),
+axis AS (SELECT unnest(generate_series(b0, b1)) AS bucket FROM bounds)
+SELECT axis.bucket,
+       CAST(axis.bucket * {_HIST_WIDTH} AS DOUBLE) AS lo,
+       CAST((axis.bucket + 1) * {_HIST_WIDTH} AS DOUBLE) AS hi,
+       CAST(coalesce(counts.n_rows, 0) AS BIGINT) AS n_rows
+FROM axis LEFT JOIN counts USING (bucket)
+"""
+
+
+# --------------------------------------------------------------------------
+# q_cumulative_users — cumulative distinct users per day.  Window
+# functions cannot COUNT(DISTINCT) over a running frame; the exact
+# scalable formulation is the first-seen trick: distinct count to date
+# = running SUM of first-appearance events.  One per-user min
+# (hash agg) + one daily count + one running-sum window over the tiny
+# daily axis — the per-user exchange happens once, never per day.
+# --------------------------------------------------------------------------
+
+
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    active_per_day = ev.distinct().groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active_per_day.join(new_per_day, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("long")
+        )
+    )
+
+
+Q_CUMULATIVE_USERS_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first_seen AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+new_per_day AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM first_seen GROUP BY 1
+),
+active_per_day AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS active_users
+  FROM (SELECT DISTINCT user_id, day FROM ev) GROUP BY 1
+)
+SELECT a.day, a.active_users,
+       CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(coalesce(n.new_users, 0)) OVER (
+         ORDER BY a.day ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cumulative_users
+FROM active_per_day a LEFT JOIN new_per_day n USING (day)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -2639,6 +2744,8 @@ QUERIES = {
     "q_scd2_customer_status": q_scd2_customer_status,
     "q_copurchase_pairs": q_copurchase_pairs,
     "q_gapfill_daily": q_gapfill_daily,
+    "q_histogram": q_histogram,
+    "q_cumulative_users": q_cumulative_users,
 }
 
 ORACLES = {
@@ -2695,4 +2802,6 @@ ORACLES = {
     "q_scd2_customer_status": Q_SCD2_SQL,
     "q_copurchase_pairs": Q_COPURCHASE_SQL,
     "q_gapfill_daily": Q_GAPFILL_SQL,
+    "q_histogram": Q_HISTOGRAM_SQL,
+    "q_cumulative_users": Q_CUMULATIVE_USERS_SQL,
 }

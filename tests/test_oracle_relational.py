@@ -76,3 +76,44 @@ def test_gapfill_covers_full_span_with_zeros(spark):
         assert days[-1]["n_events"] > 0  # and ends at the last
         for r in days:
             assert (r["n_events"] == 0) == (r["n_types"] == 0)
+
+
+def test_histogram_buckets_partition_the_table(spark):
+    """Histogram invariants: bucket counts sum to the table row count,
+    the axis is dense, and bounds are width-consistent."""
+    from connected_component_spark.queries.relational import q_histogram
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(q_histogram(spark, sf).collect(), key=lambda r: r["bucket"])
+    li_n = spark.read.parquet(f"{sf}/lineitem.parquet").count()
+    assert sum(r["n_rows"] for r in rows) == li_n
+    buckets = [r["bucket"] for r in rows]
+    assert buckets == list(range(buckets[0], buckets[-1] + 1))
+    for r in rows:
+        assert r["hi"] - r["lo"] == 5.0
+
+
+def test_cumulative_users_monotone_and_bounded(spark):
+    """Cumulative distinct users: monotone nondecreasing, ends at the
+    total distinct user count, never below the day's active count."""
+    from connected_component_spark.queries.relational import q_cumulative_users
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        q_cumulative_users(spark, sf).collect(), key=lambda r: r["day"]
+    )
+    total = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["cumulative_users"] == total
+    prev = 0
+    for r in rows:
+        assert r["cumulative_users"] >= prev
+        # everyone active on day d has been seen by day d
+        assert r["cumulative_users"] >= r["active_users"]
+        prev = r["cumulative_users"]
+    assert sum(r["new_users"] for r in rows) == total
