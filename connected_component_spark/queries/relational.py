@@ -2690,6 +2690,58 @@ FROM active_per_day a LEFT JOIN new_per_day n USING (day)
 """
 
 
+# --------------------------------------------------------------------------
+# q_session_windows — gap sessions via Spark's NATIVE session_window
+# operator (the built-in the custom lag+cumsum formulation of
+# q_sessionization predates; in Structured Streaming the same
+# expression runs stateful with watermark-closed sessions).  Session
+# windows are half-open [first_ts, last_ts + gap): an event at exactly
+# last_ts + gap starts a NEW session, so the oracle's break predicate
+# is >= on microsecond epochs — not the > of the lag formulation.
+# --------------------------------------------------------------------------
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sw = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value").alias("session_value"),
+    )
+    return sw.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+
+
+Q_SESSION_WINDOWS_SQL = f"""
+WITH lagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM lagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {dsum_sql('value')} AS session_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -2746,6 +2798,7 @@ QUERIES = {
     "q_gapfill_daily": q_gapfill_daily,
     "q_histogram": q_histogram,
     "q_cumulative_users": q_cumulative_users,
+    "q_session_windows": q_session_windows,
 }
 
 ORACLES = {
@@ -2804,4 +2857,5 @@ ORACLES = {
     "q_gapfill_daily": Q_GAPFILL_SQL,
     "q_histogram": Q_HISTOGRAM_SQL,
     "q_cumulative_users": Q_CUMULATIVE_USERS_SQL,
+    "q_session_windows": Q_SESSION_WINDOWS_SQL,
 }

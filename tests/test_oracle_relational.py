@@ -117,3 +117,39 @@ def test_cumulative_users_monotone_and_bounded(spark):
         assert r["cumulative_users"] >= r["active_users"]
         prev = r["cumulative_users"]
     assert sum(r["new_users"] for r in rows) == total
+
+
+def test_session_windows_agree_with_lag_formulation(spark):
+    """The native session_window operator and the lag+cumsum custom
+    formulation must carve identical sessions (same per-user session
+    count and event totals) — boundary semantics aside, no fixture
+    event pair sits at exactly the 1800 s gap."""
+    from pyspark.sql import functions as F
+
+    from connected_component_spark.queries.relational import (
+        q_session_windows,
+        q_sessionization,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    native = q_session_windows(spark, sf)
+    custom = q_sessionization(spark, sf)
+    n_native = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in native.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    n_custom = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in custom.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    assert n_native == n_custom
