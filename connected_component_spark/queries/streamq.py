@@ -31,7 +31,10 @@ from connected_component_spark.queries.graph import (
     CC_USER_COPRESENCE_SQL,
     copresence_edges_from_events,
 )
-from connected_component_spark.queries.relational import Q_SESSIONIZATION_SQL
+from connected_component_spark.queries.relational import (
+    Q_SESSIONIZATION_SQL,
+    Q_SESSION_WINDOWS_SQL,
+)
 from connected_component_spark.queries.parity import dsum, dsum_sql
 from connected_component_spark.sources.tables import load_table
 from connected_component_spark.streaming.incremental import (
@@ -208,21 +211,13 @@ def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap sessionization via applyInPandasWithState.
-
-    The stateful fold is delivery-order-free (streaming/state.py:
-    events buffer in state; sessions emit only when provably closed
-    by watermark passage or the flush sentinel), so correctness does
-    NOT depend on the replay order of the staged slice files — only
-    the flush file, carrying one sentinel event per user, must come
-    last.  The emitted sessions must equal the batch lag+cumsum
-    formulation — Q_SESSIONIZATION_SQL is the oracle.
-    """
-    from connected_component_spark.streaming.state import (
-        FLUSH_EVENT_ID,
-        sessionize_stream,
-    )
+def _stage_session_files(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Stage the event table as event-time-ordered day-slice files
+    plus a trailing per-user flush-sentinel file (ts = max + 2 days);
+    returns (staged_dir, n_events).  Shared by the stateful custom
+    sessionizer and the native session_window stream — both need the
+    same bounded replay with a watermark-advancing tail."""
+    from connected_component_spark.streaming.state import FLUSH_EVENT_ID
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value"
@@ -274,22 +269,86 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp)
         os.utime(dst, (now + 10 * slices, now + 10 * slices))
         _mark_ready(staged)
+    return staged, n
 
-    stream = (
+
+def _session_replay_stream(
+    spark: SparkSession, staged: str, files_per_trigger: int = 2
+) -> DataFrame:
+    return (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, value double"
         )
-        # two files per trigger: the stateful fold is delivery-order-
+        # files per trigger: both session folds are delivery-order-
         # free (events buffer until provably closed), so batch grouping
         # is a pure throughput knob; only the flush file must come
         # last, and its mtime sorts after every slice
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", str(files_per_trigger))
         .parquet(staged)
     )
-    sessions = sessionize_stream(stream, gap_s=1800)
+
+
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via applyInPandasWithState.
+
+    The stateful fold is delivery-order-free (streaming/state.py:
+    events buffer in state; sessions emit only when provably closed
+    by watermark passage or the flush sentinel), so correctness does
+    NOT depend on the replay order of the staged slice files — only
+    the flush file, carrying one sentinel event per user, must come
+    last.  The emitted sessions must equal the batch lag+cumsum
+    formulation — Q_SESSIONIZATION_SQL is the oracle.
+    """
+    from connected_component_spark.streaming.state import sessionize_stream
+
+    staged, n = _stage_session_files(spark, sf_dir)
+    sessions = sessionize_stream(_session_replay_stream(spark, staged), gap_s=1800)
     with _scaled_shuffle(spark, n):
         result = run_stream_to_memory(sessions, output_mode="append")
     return result
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via Spark's NATIVE streaming session_window
+    operator — the built-in stateful sibling of the custom
+    applyInPandasWithState fold above, sharing its staged replay.
+
+    Append mode emits a session only once the watermark proves no
+    further event can extend it; the staged replay's trailing flush
+    file (per-user sentinels at max_ts + 2 days) advances the global
+    watermark past every real session, so the bounded stream flushes
+    completely.  Sentinel sessions are excluded by event time (a real
+    session must START at a real event, i.e. at or before the
+    table's max ts).  State is bounded by open sessions within the
+    watermark — the production memory contract of session windows.
+    Oracle: the same half-open-boundary lag+cumsum SQL as the batch
+    q_session_windows.
+    """
+    staged, n = _stage_session_files(spark, sf_dir)
+    hi = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    # bigger triggers than the custom fold: the built-in operator's
+    # per-batch fixed cost (state-store commit per partition) is what
+    # dominates a bounded replay, and watermark-closed emission only
+    # needs the flush file in a LATER batch than the data, which
+    # mtime order guarantees at any batch size
+    stream = _session_replay_stream(spark, staged, files_per_trigger=4)
+    sw = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+    )
+    with _scaled_shuffle(spark, n):
+        result = run_stream_to_memory(sw, output_mode="append")
+    return result.where(F.col("w.start") <= F.lit(hi)).select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
 
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,6 +660,7 @@ QUERIES = {
     "stream_event_pairs_outer": stream_event_pairs_outer,
     "stream_dedup": stream_dedup,
     "stream_static_enrich": stream_static_enrich,
+    "stream_session_windows": stream_session_windows,
 }
 
 ORACLES = {
@@ -611,4 +671,5 @@ ORACLES = {
     "stream_event_pairs_outer": STREAM_EVENT_PAIRS_OUTER_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
+    "stream_session_windows": Q_SESSION_WINDOWS_SQL,
 }
