@@ -29,6 +29,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "hash_split_case_sql",
+    "weighted_mixture_sample",
     "split_bucket_sql",
     "stratified_topn",
 ]
@@ -59,6 +60,42 @@ def hash_sample(
     # round, not truncate: int(0.7 * 1e6) == 699999 from float error,
     # silently shaving the documented boundary by one bucket
     return df.where(_bucket(key_col, seed) < round(fraction * SPLIT_DENOM))
+
+
+def weighted_mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str,
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-weights knob
+    of corpus assembly: each source/language/domain is downsampled at
+    its own rate (e.g. web 10%, books 100%) by the same portable hash
+    bucket as :func:`hash_sample`, so membership is a pure function of
+    the key, stable under reruns, appends, and engine changes.  Strata
+    absent from ``rates`` fall back to ``default_rate`` (0 = dropped).
+
+    Scale shape: one scan with a scan-side predicate — the rate table
+    folds into a CASE expression on the stratum column, so there is no
+    join, no shuffle, and the filter sits directly on the source.
+    """
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    threshold = None
+    for name, r in rates.items():
+        cond = F.col(stratum_col) == F.lit(name)
+        val = F.lit(round(r * SPLIT_DENOM))
+        threshold = (
+            F.when(cond, val) if threshold is None else threshold.when(cond, val)
+        )
+    default = F.lit(round(default_rate * SPLIT_DENOM))
+    threshold = default if threshold is None else threshold.otherwise(default)
+    return df.where(_bucket(key_col, seed) < threshold)
 
 
 def hash_split(

@@ -541,6 +541,49 @@ def pipeline_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+_MIX_SEED = 11
+
+
+def pipeline_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weights downsampling (operators/sampling.py:
+    weighted_mixture_sample): each language is kept at its own
+    deterministic rate — the temperature/weighting knob of corpus
+    composition, as one scan-side CASE predicate (no join, no
+    shuffle; membership is a pure function of doc_id)."""
+    from connected_component_spark.operators.sampling import (
+        weighted_mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_mixture_sample(
+        docs.select("doc_id", "source", "lang"),
+        rates=_MIX_RATES,
+        stratum_col="lang",
+        key_col="doc_id",
+        seed=_MIX_SEED,
+    )
+
+
+def _weighted_mixture_sql() -> str:
+    from connected_component_spark.operators.sampling import (
+        SPLIT_DENOM,
+        split_bucket_sql,
+    )
+
+    cases = " ".join(
+        f"WHEN lang = '{name}' THEN {round(r * SPLIT_DENOM)}"
+        for name, r in _MIX_RATES.items()
+    )
+    return (
+        "SELECT doc_id, source, lang FROM documents WHERE "
+        f"{split_bucket_sql('doc_id', _MIX_SEED)} < (CASE {cases} ELSE 0 END)"
+    )
+
+
+PIPELINE_WEIGHTED_MIXTURE_SQL = _weighted_mixture_sql()
+
+
 PIPELINE_SOURCE_MIXTURE_SQL = f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
 feat AS (
@@ -1327,6 +1370,7 @@ QUERIES = {
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_split_decontamination": pipeline_split_decontamination,
     "pipeline_source_mixture": pipeline_source_mixture,
+    "pipeline_weighted_mixture": pipeline_weighted_mixture,
     "pipeline_sequence_packing": pipeline_sequence_packing,
     "embedding_kmeans": embedding_kmeans,
     "ann_cosine_topk": ann_cosine_topk,
@@ -1365,6 +1409,7 @@ ORACLES = {
     "pipeline_corpus_curation": PIPELINE_CORPUS_CURATION_SQL,
     "pipeline_split_decontamination": _split_decon_sql(),
     "pipeline_source_mixture": PIPELINE_SOURCE_MIXTURE_SQL,
+    "pipeline_weighted_mixture": PIPELINE_WEIGHTED_MIXTURE_SQL,
     "pipeline_sequence_packing": PIPELINE_SEQUENCE_PACKING_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,

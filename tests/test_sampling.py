@@ -90,3 +90,35 @@ def test_stratified_topn_exact(spark):
             key=lambda t: (-t[0], t[1]),
         )
         assert have == want
+
+
+def test_weighted_mixture_rates_and_determinism(spark):
+    from connected_component_spark.operators.sampling import (
+        weighted_mixture_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = weighted_mixture_sample(
+        df, rates={"en": 1.0, "zh": 0.25}, stratum_col="lang", key_col="doc_id"
+    )
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    # rate-1.0 stratum is kept wholesale
+    assert sum(1 for _, l in got if l == "en") == 200
+    # rate-0.25 stratum is roughly a quarter (hash sample, not exact)
+    n_zh = sum(1 for _, l in got if l == "zh")
+    assert 20 <= n_zh <= 80
+    # strata without a rate default to dropped
+    df2 = df.withColumn("lang", df.lang.substr(1, 2))
+    out2 = weighted_mixture_sample(
+        df2, rates={"en": 1.0}, stratum_col="lang", key_col="doc_id"
+    )
+    assert {l for _, l in ((r["doc_id"], r["lang"]) for r in out2.collect())} == {"en"}
+    # same inputs => identical membership on a rerun
+    again = {
+        (r["doc_id"], r["lang"])
+        for r in weighted_mixture_sample(
+            df, rates={"en": 1.0, "zh": 0.25}, stratum_col="lang", key_col="doc_id"
+        ).collect()
+    }
+    assert again == got
