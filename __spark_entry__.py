@@ -78,6 +78,7 @@ _PRIORITY = (
     "q_session_windows",        # new this round (native session_window operator)
     "stream_session_windows",   # new this round (native streaming session windows)
     "pipeline_weighted_mixture",  # new this round (per-stratum mixture rates)
+    "graph_khop_sql",           # new this round (native recursive CTE, SQL entry path)
     # -- new-this-round queries, hardest/least-TPC-H-like first ------
     "q_funnel",                 # new this round (time-constrained funnel)
     "q_cohort_retention",       # new this round (weekly cohort triangle)

@@ -364,6 +364,62 @@ SELECT node AS user_id, CAST(label AS BIGINT) AS label FROM r{rounds}
 GRAPH_LABEL_PROP_SQL = _lpa_oracle_sql()
 
 
+_KHOP_K = 2
+
+
+_KHOP_SQL_BODY = """
+WITH RECURSIVE ev AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+),
+lagged AS (
+  SELECT user_id AS src,
+         lag(user_id) OVER (PARTITION BY event_type, hr ORDER BY user_id) AS dst
+  FROM ev
+),
+edges AS (SELECT src, dst FROM lagged WHERE dst IS NOT NULL),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+seeds AS (SELECT DISTINCT user_id FROM events WHERE user_id % 100 = 0),
+walk(node, dist) AS (
+  SELECT user_id, 0 FROM seeds
+  UNION ALL
+  SELECT s.dst, w.dist + 1
+  FROM walk w JOIN sym s ON s.src = w.node
+  WHERE w.dist < {k}
+)
+SELECT node AS user_id, CAST(min(dist) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
+
+
+def graph_khop_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability via Spark 4's native ``WITH RECURSIVE`` —
+    executed as ONE pure-SQL statement over registered views (the SQL
+    front door of the engine; every other query demonstrates the
+    DataFrame API).  Every user within ``_KHOP_K`` copresence hops of
+    a seed user, with the minimum hop count.
+
+    Recursive CTEs in Spark support UNION ALL only, so the recursion
+    is LEVEL-BOUNDED (dist < K) — exact, deterministic K-hop
+    semantics on both engines, but path-enumeration work: rows grow
+    with the PATH count, so K is held at 2 (the friends-of-friends
+    neighborhood) — K=4 over the copresence graph already trips
+    Spark's 1M-row recursion guard at sf0.01.  The
+    scale path for unbounded distances is the iterative frontier BFS
+    (graph/bfs.py) with per-round dedup + visited anti join; a
+    differential test pins the two to agree where their contracts
+    overlap.  DuckDB runs the identical statement as the oracle.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_KHOP_SQL_BODY.format(k=_KHOP_K))
+
+
+GRAPH_KHOP_SQL = _KHOP_SQL_BODY.format(k=_KHOP_K)
+
+
 _LP_TOPK = 20
 _LP_MAX_DEG = 50
 
@@ -424,6 +480,7 @@ QUERIES = {
     "graph_kcore": graph_kcore,
     "graph_label_propagation": graph_label_propagation,
     "graph_link_prediction": graph_link_prediction,
+    "graph_khop_sql": graph_khop_sql,
 }
 
 ORACLES = {
@@ -435,4 +492,5 @@ ORACLES = {
     "graph_kcore": GRAPH_KCORE_SQL,
     "graph_label_propagation": GRAPH_LABEL_PROP_SQL,
     "graph_link_prediction": GRAPH_LINK_PREDICTION_SQL,
+    "graph_khop_sql": GRAPH_KHOP_SQL,
 }

@@ -439,3 +439,34 @@ def test_common_neighbor_degree_cap_excludes_hub(spark):
         for r in common_neighbor_candidates(edges, max_center_degree=3).collect()
     }
     assert high == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_khop_sql_agrees_with_frontier_bfs(spark):
+    """The recursive-CTE 2-hop closure must agree with the iterative
+    frontier BFS (graph/bfs.py) truncated to distance <= 2 from the
+    same seeds — the SQL front door and the scale path pinned to each
+    other where their contracts overlap."""
+    from pyspark.sql import functions as F
+
+    from connected_component_spark.graph.bfs import shortest_paths
+    from connected_component_spark.queries.graph import (
+        copresence_edges,
+        graph_khop_sql,
+    )
+    from connected_component_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    via_sql = {
+        (r["user_id"], r["hops"]) for r in graph_khop_sql(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    seeds = ev.select("user_id").where(F.col("user_id") % 100 == 0).distinct()
+    bfs = shortest_paths(copresence_edges(spark, sf), seeds, max_depth=2)
+    via_bfs = {
+        (r["user_id"], r["hops"])
+        for r in bfs.groupBy(F.col("node").alias("user_id"))
+        .agg(F.min("distance").cast("long").alias("hops"))
+        .where(F.col("hops") <= 2)
+        .collect()
+    }
+    assert via_sql == via_bfs
