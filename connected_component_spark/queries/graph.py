@@ -368,20 +368,7 @@ _KHOP_K = 2
 
 
 _KHOP_SQL_BODY = """
-WITH RECURSIVE ev AS (
-  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
-),
-lagged AS (
-  SELECT user_id AS src,
-         lag(user_id) OVER (PARTITION BY event_type, hr ORDER BY user_id) AS dst
-  FROM ev
-),
-edges AS (SELECT src, dst FROM lagged WHERE dst IS NOT NULL),
-sym AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT dst, src FROM edges
-),
+WITH RECURSIVE {copresence},
 seeds AS (SELECT DISTINCT user_id FROM events WHERE user_id % 100 = 0),
 walk(node, dist) AS (
   SELECT user_id, 0 FROM seeds
@@ -414,10 +401,12 @@ def graph_khop_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap.  DuckDB runs the identical statement as the oracle.
     """
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_KHOP_SQL_BODY.format(k=_KHOP_K))
+    return spark.sql(GRAPH_KHOP_SQL)
 
 
-GRAPH_KHOP_SQL = _KHOP_SQL_BODY.format(k=_KHOP_K)
+GRAPH_KHOP_SQL = _KHOP_SQL_BODY.format(
+    copresence=_COPRESENCE_EDGES_SQL.strip(), k=_KHOP_K
+)
 
 
 _LP_TOPK = 20

@@ -999,6 +999,9 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
 
+_RADIUS = 0.3
+
+
 def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-threshold retrieval over a bounded query batch: every
     corpus vector with cosine ≥ 0.3 to one of ≤10 query vectors —
@@ -1007,9 +1010,6 @@ def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     return sim.cosine_radius_search(queries, emb, radius=_RADIUS)
-
-
-_RADIUS = 0.3
 
 
 ANN_RADIUS_SEARCH_SQL = f"""
@@ -1022,7 +1022,7 @@ scored AS (
   FROM q CROSS JOIN c
   WHERE query_id <> neighbor_id
 )
-SELECT query_id, neighbor_id, cos FROM scored WHERE cos >= 0.3
+SELECT query_id, neighbor_id, cos FROM scored WHERE cos >= {_RADIUS}
 """
 
 

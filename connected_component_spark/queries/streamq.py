@@ -104,6 +104,32 @@ def _n_events(spark: SparkSession, sf_dir: str) -> int:
     return load_table(spark, sf_dir, "events").count()
 
 
+def _events_max_ts(spark: SparkSession, sf_dir: str):
+    """max(ts) from parquet footer statistics — no Spark job.  Falls
+    back to the aggregate for multi-file layouts or stat-less files."""
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    if os.path.isfile(src):
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(src)
+        idx = f.schema_arrow.get_field_index("ts")
+        maxes = []
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                maxes = []
+                break
+            maxes.append(st.max)
+        import datetime
+
+        # only trust the stat when it decodes to a real timestamp —
+        # legacy nanosAsLong fixtures surface raw int64 here, and the
+        # comparison column is a session-normalized timestamp
+        if maxes and all(isinstance(m, datetime.datetime) for m in maxes):
+            return max(maxes)
+    return load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+
+
 @contextmanager
 def _scaled_shuffle(spark: SparkSession, n_rows: int, stores: int = 1):
     """Size shuffle partitions to the replay volume for the duration
@@ -325,13 +351,18 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_session_windows.
     """
     staged, n = _stage_session_files(spark, sf_dir)
-    hi = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    # bigger triggers than the custom fold: the built-in operator's
-    # per-batch fixed cost (state-store commit per partition) is what
-    # dominates a bounded replay, and watermark-closed emission only
-    # needs the flush file in a LATER batch than the data, which
-    # mtime order guarantees at any batch size
-    stream = _session_replay_stream(spark, staged, files_per_trigger=4)
+    hi = _events_max_ts(spark, sf_dir)
+    # one trigger holding ALL data slices, then the flush file ALONE
+    # in the next batch: append-mode emission requires the watermark
+    # to advance (at batch end) BEFORE the final batch processes —
+    # i.e. the flush file must land in a strictly later batch than
+    # the last data, which dividing the slice count guarantees
+    # (mtime order alone does not: a trigger size that swallows
+    # slices+flush together would leave emission to the optional
+    # no-data micro-batch)
+    stream = _session_replay_stream(
+        spark, staged, files_per_trigger=_n_slices(n)
+    )
     sw = (
         stream.withWatermark("ts", "30 minutes")
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))

@@ -41,18 +41,24 @@ def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _check_unique_keys(changes: DataFrame, key: str) -> None:
-    dup = (
+    bad = (
         changes.groupBy(key)
         .count()
-        .where(F.col("count") > 1)
+        .where((F.col("count") > 1) | F.col(key).isNull())
         .limit(1)
         .collect()
     )
-    if dup:
+    if bad:
+        what = (
+            "a NULL key"
+            if bad[0][0] is None
+            else f"duplicate key {key}={bad[0][0]!r}"
+        )
         raise ValueError(
-            f"merge_upsert: change batch has duplicate key {key}="
-            f"{dup[0][0]!r}; resolve duplicates upstream (the merge "
-            "result would depend on row order)"
+            f"merge_upsert: change batch has {what}; resolve upstream "
+            "(a null key can never match an existing row, so it would "
+            "re-insert on every merge; duplicate keys make the result "
+            "depend on row order)"
         )
 
 
@@ -75,8 +81,14 @@ def merge_upsert(
       dropped from the written schema.
 
     The new table version is written to a temp directory next to
-    ``path`` and swapped in with a rename, so a failed rewrite never
-    corrupts the current version.
+    ``path`` and swapped in by rename, so a failed REWRITE never
+    corrupts the current version.  The swap itself is two renames,
+    not one atomic op: if the second rename fails the previous
+    version is restored (rollback below), but a hard crash between
+    the renames can leave the table only under its ``__old`` name —
+    single-writer, recover-by-rename semantics, the same contract a
+    bare-parquet table has; a log-structured table format is the
+    right tool once concurrent writers exist.
     """
     _check_unique_keys(changes, key)
     if delete_col is not None:
@@ -101,8 +113,17 @@ def merge_upsert(
     merged = kept.select(*cols).unionByName(upserts.select(*cols))
 
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # roll the previous version back in
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(old)

@@ -441,7 +441,7 @@ def test_common_neighbor_degree_cap_excludes_hub(spark):
     assert high == {(1, 2), (1, 3), (2, 3)}
 
 
-def test_khop_sql_agrees_with_frontier_bfs(spark):
+def test_khop_sql_agrees_with_frontier_bfs(spark, sf_dir):
     """The recursive-CTE 2-hop closure must agree with the iterative
     frontier BFS (graph/bfs.py) truncated to distance <= 2 from the
     same seeds — the SQL front door and the scale path pinned to each
@@ -455,13 +455,13 @@ def test_khop_sql_agrees_with_frontier_bfs(spark):
     )
     from connected_component_spark.sources.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
     via_sql = {
-        (r["user_id"], r["hops"]) for r in graph_khop_sql(spark, sf).collect()
+        (r["user_id"], r["hops"])
+        for r in graph_khop_sql(spark, sf_dir).collect()
     }
-    ev = load_table(spark, sf, "events")
+    ev = load_table(spark, sf_dir, "events")
     seeds = ev.select("user_id").where(F.col("user_id") % 100 == 0).distinct()
-    bfs = shortest_paths(copresence_edges(spark, sf), seeds, max_depth=2)
+    bfs = shortest_paths(copresence_edges(spark, sf_dir), seeds, max_depth=2)
     via_bfs = {
         (r["user_id"], r["hops"])
         for r in bfs.groupBy(F.col("node").alias("user_id"))

@@ -33,7 +33,7 @@ def test_relational_oracle(spark, sf_dir, con, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_scd2_versions_are_contiguous(spark):
+def test_scd2_versions_are_contiguous(spark, sf_dir):
     """SCD2 invariants on the sf0.001 fixture: per customer, versions
     start at 1 and are dense; valid_to of version k equals valid_from
     of version k+1; adjacent versions never share a status."""
@@ -41,7 +41,7 @@ def test_scd2_versions_are_contiguous(spark):
         q_scd2_customer_status,
     )
 
-    rows = q_scd2_customer_status(spark, "/root/testdata/sf0.001").collect()
+    rows = q_scd2_customer_status(spark, sf_dir).collect()
     by_cust: dict = {}
     for r in rows:
         by_cust.setdefault(r["o_custkey"], []).append(r)
@@ -55,14 +55,14 @@ def test_scd2_versions_are_contiguous(spark):
         assert hist[-1]["valid_to"] is None
 
 
-def test_gapfill_covers_full_span_with_zeros(spark):
+def test_gapfill_covers_full_span_with_zeros(spark, sf_dir):
     """Gap-fill invariants at sf0.001: per user the day sequence is
     dense from first to last active day; zero-filled days really had
     no events; active-day counts are positive."""
     from connected_component_spark.queries.relational import q_gapfill_daily
     import datetime
 
-    rows = q_gapfill_daily(spark, "/root/testdata/sf0.001").collect()
+    rows = q_gapfill_daily(spark, sf_dir).collect()
     by_user: dict = {}
     for r in rows:
         by_user.setdefault(r["user_id"], []).append(r)
@@ -78,14 +78,15 @@ def test_gapfill_covers_full_span_with_zeros(spark):
             assert (r["n_events"] == 0) == (r["n_types"] == 0)
 
 
-def test_histogram_buckets_partition_the_table(spark):
+def test_histogram_buckets_partition_the_table(spark, sf_dir):
     """Histogram invariants: bucket counts sum to the table row count,
     the axis is dense, and bounds are width-consistent."""
     from connected_component_spark.queries.relational import q_histogram
 
-    sf = "/root/testdata/sf0.001"
-    rows = sorted(q_histogram(spark, sf).collect(), key=lambda r: r["bucket"])
-    li_n = spark.read.parquet(f"{sf}/lineitem.parquet").count()
+    rows = sorted(
+        q_histogram(spark, sf_dir).collect(), key=lambda r: r["bucket"]
+    )
+    li_n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     assert sum(r["n_rows"] for r in rows) == li_n
     buckets = [r["bucket"] for r in rows]
     assert buckets == list(range(buckets[0], buckets[-1] + 1))
@@ -93,18 +94,17 @@ def test_histogram_buckets_partition_the_table(spark):
         assert r["hi"] - r["lo"] == 5.0
 
 
-def test_cumulative_users_monotone_and_bounded(spark):
+def test_cumulative_users_monotone_and_bounded(spark, sf_dir):
     """Cumulative distinct users: monotone nondecreasing, ends at the
     total distinct user count, never below the day's active count."""
     from connected_component_spark.queries.relational import q_cumulative_users
     from pyspark.sql import functions as F
 
-    sf = "/root/testdata/sf0.001"
     rows = sorted(
-        q_cumulative_users(spark, sf).collect(), key=lambda r: r["day"]
+        q_cumulative_users(spark, sf_dir).collect(), key=lambda r: r["day"]
     )
     total = (
-        spark.read.parquet(f"{sf}/events.parquet")
+        spark.read.parquet(f"{sf_dir}/events.parquet")
         .select("user_id")
         .distinct()
         .count()
@@ -119,7 +119,7 @@ def test_cumulative_users_monotone_and_bounded(spark):
     assert sum(r["new_users"] for r in rows) == total
 
 
-def test_session_windows_agree_with_lag_formulation(spark):
+def test_session_windows_agree_with_lag_formulation(spark, sf_dir):
     """The native session_window operator and the lag+cumsum custom
     formulation must carve identical sessions (same per-user session
     count and event totals) — boundary semantics aside, no fixture
@@ -131,9 +131,8 @@ def test_session_windows_agree_with_lag_formulation(spark):
         q_sessionization,
     )
 
-    sf = "/root/testdata/sf0.001"
-    native = q_session_windows(spark, sf)
-    custom = q_sessionization(spark, sf)
+    native = q_session_windows(spark, sf_dir)
+    custom = q_sessionization(spark, sf_dir)
     n_native = {
         r["user_id"]: (r["n_sessions"], r["n_events"])
         for r in native.groupBy("user_id")

@@ -231,14 +231,15 @@ def test_sessionization_shuffled_replay(spark, sf_dir):
     assert expected.exceptAll(result).count() == 0
 
 
-def test_native_session_windows_stream_matches_batch(spark):
+def test_native_session_windows_stream_matches_batch(spark, sf_dir):
     """The streaming session_window pipeline (watermark-closed append
     emission over the staged replay) must produce exactly the batch
     session_window result — execution-mode differential."""
     from connected_component_spark.queries.relational import q_session_windows
     from connected_component_spark.queries.streamq import stream_session_windows
 
-    sf = "/root/testdata/sf0.001"
-    batch = {tuple(r) for r in q_session_windows(spark, sf).collect()}
-    streamed = {tuple(r) for r in stream_session_windows(spark, sf).collect()}
+    batch = {tuple(r) for r in q_session_windows(spark, sf_dir).collect()}
+    streamed = {
+        tuple(r) for r in stream_session_windows(spark, sf_dir).collect()
+    }
     assert streamed == batch

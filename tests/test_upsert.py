@@ -96,3 +96,12 @@ def test_merge_rejects_schema_drift(spark, tmp_path):
     with pytest.raises(ValueError, match="change schema"):
         merge_upsert(read_snapshot(spark, path), bad, "id", path)
     assert os.path.exists(path)
+
+
+def test_merge_rejects_null_key(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _write(spark, path, [(1, "a", 1)])
+    withnull = spark.createDataFrame([(None, "x", 1)], SCHEMA)
+    with pytest.raises(ValueError, match="NULL key"):
+        merge_upsert(read_snapshot(spark, path), withnull, "id", path)
+    assert read_snapshot(spark, path).count() == 1
