@@ -367,3 +367,46 @@ def test_token_rarity_exact_integers(spark):
     assert rows[0]["rare_ppm"] == 1_000_000 * 1 * 3 // 7
     assert rows[1]["sum_tf"] == 3 + 3 and rows[1]["min_tf"] == 3
     assert rows[2]["n_tokens"] == 2 and rows[2]["min_tf"] == 3
+
+
+def test_substring_dup_stats_random_differential(spark):
+    """Seeded random corpora vs a naive Python window counter — the
+    window-partition rewrite (min!=max doc_id over wh) must agree
+    with brute force on every doc, including duplicate windows within
+    one doc and docs shorter than the window."""
+    import random
+
+    from connected_component_spark.operators.dedup import substring_dup_stats
+
+    rng = random.Random(90210)
+    w = 8
+    for _ in range(3):
+        texts = []
+        for _i in range(12):
+            n = rng.randrange(0, 30)
+            texts.append("".join(rng.choice("abc") for _ in range(n)))
+        # force cross-doc sharing: clone one doc's text
+        if len(texts) > 2 and len(texts[0]) >= w:
+            texts[1] = texts[0]
+        docs = _docs(spark, texts)
+
+        windows = {
+            i: [t[j : j + w] for j in range(len(t) - w + 1)]
+            if len(t) >= w
+            else []
+            for i, t in enumerate(texts)
+        }
+        owners: dict = {}
+        for i, ws in windows.items():
+            for x in set(ws):
+                owners.setdefault(x, set()).add(i)
+        expected = {}
+        for i, ws in windows.items():
+            dup = sum(1 for x in ws if len(owners[x]) >= 2)
+            expected[i] = (len(ws), dup)
+
+        got = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in substring_dup_stats(docs, width=w).collect()
+        }
+        assert got == expected

@@ -152,3 +152,65 @@ def test_session_windows_agree_with_lag_formulation(spark, sf_dir):
         .collect()
     }
     assert n_native == n_custom
+
+
+def test_scd2_random_differential(spark):
+    """Seeded random order histories vs a pure-Python islands fold —
+    the gaps-and-islands SQL must produce exactly the dict-folded
+    version history for arbitrary status sequences and tied dates."""
+    import datetime
+    import random
+
+    from connected_component_spark.queries.relational import (
+        q_scd2_customer_status,
+    )
+
+    rng = random.Random(1337)
+    rows = []
+    okey = 0
+    for cust in range(8):
+        for _ in range(rng.randrange(1, 15)):
+            okey += 1
+            day = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                days=rng.randrange(0, 6)  # force plenty of date ties
+            )
+            rows.append(
+                (okey, cust, rng.choice("FOP"), 1.0, day, "1-URGENT")
+            )
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(f"{d}/orders.parquet")
+        got = {
+            (r["o_custkey"], r["version"]): (
+                r["status"],
+                r["valid_from"],
+                r["valid_to"],
+                r["n_orders"],
+            )
+            for r in q_scd2_customer_status(spark, d).collect()
+        }
+
+    # python reference: sort by (date, orderkey), fold islands
+    expected = {}
+    by_cust: dict = {}
+    for okey, cust, status, _p, day, _pr in rows:
+        by_cust.setdefault(cust, []).append((day.date(), okey, status))
+    for cust, hist in by_cust.items():
+        hist.sort()
+        islands = []
+        for day, _okey, status in hist:
+            if not islands or islands[-1][0] != status:
+                islands.append([status, day, None, 1])
+            else:
+                islands[-1][3] += 1
+        for k, isl in enumerate(islands):
+            nxt = islands[k + 1][1] if k + 1 < len(islands) else None
+            expected[(cust, k + 1)] = (isl[0], isl[1], nxt, isl[3])
+    assert got == expected
