@@ -162,3 +162,37 @@ def test_components_with_isolates_no_pairs(spark):
         for r in components_with_isolates(pairs, universe, "vec_id").collect()
     }
     assert got == {(1, 1), (2, 2)}
+
+
+def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
+    """checkpoint_dir mode (reliable HDFS-style checkpoints — the
+    fault-tolerance configuration for multi-hour cluster runs) must
+    produce identical assignments to localCheckpoint mode, actually
+    write checkpoint files, and converge in the same round count."""
+    import os
+
+    from connected_component_spark.graph.generator import (
+        generate_clique_chains,
+    )
+
+    cliques, _truth = generate_clique_chains(
+        cliques_count=200, max_nodes_per_component=30
+    )
+    edges = cliques_to_edges(_cliques_df(spark, cliques))
+
+    ckdir = str(tmp_path / "ck")
+    reliable = connected_components(edges, checkpoint_dir=ckdir)
+    local = connected_components(edges)
+
+    assert reliable.converged and local.converged
+    assert reliable.iterations == local.iterations
+    a = {(r["node"], r["component"]) for r in reliable.assignments.collect()}
+    b = {(r["node"], r["component"]) for r in local.assignments.collect()}
+    assert a == b
+    # reliable mode really checkpointed (files under the dir)
+    found = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(ckdir)
+        for f in files
+    ]
+    assert found, "no checkpoint files written in checkpoint_dir mode"
