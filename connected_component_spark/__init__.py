@@ -35,9 +35,26 @@ from connected_component_spark.operators.sampling import (
     hash_sample,
     hash_split,
     stratified_topn,
+    weighted_mixture_sample,
 )
 from connected_component_spark.session import get_spark
+from connected_component_spark.graph.lpa import label_propagation
+from connected_component_spark.graph.linkpred import common_neighbor_candidates
+from connected_component_spark.operators.similarity import (
+    cosine_radius_search,
+    cosine_topk,
+    embedding_dedup_clusters,
+    lsh_bucketed_topk,
+    similarity_clusters,
+)
+from connected_component_spark.operators.dedup import (
+    minhash_dedup_clusters,
+    ngram_dedup_clusters,
+    substring_dup_stats,
+)
+from connected_component_spark.operators.text import token_rarity
 from connected_component_spark.sources.compaction import compact_parquet
+from connected_component_spark.sources.upsert import merge_upsert, read_snapshot
 from connected_component_spark.sources.zorder import write_zordered, zorder_value
 
 __all__ = [
@@ -67,6 +84,20 @@ __all__ = [
     "kmeans_assign",
     "zorder_value",
     "write_zordered",
+    "weighted_mixture_sample",
+    "label_propagation",
+    "common_neighbor_candidates",
+    "cosine_topk",
+    "cosine_radius_search",
+    "lsh_bucketed_topk",
+    "similarity_clusters",
+    "embedding_dedup_clusters",
+    "minhash_dedup_clusters",
+    "ngram_dedup_clusters",
+    "substring_dup_stats",
+    "token_rarity",
+    "merge_upsert",
+    "read_snapshot",
 ]
 
 __version__ = "0.1.0"
