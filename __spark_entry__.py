@@ -54,71 +54,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round are rotated to the FRONT; long-stable queries absorb any
 # truncation.
 _PRIORITY = (
-    # -- r2-absent queries first (VERDICT task 2: these must get driver
-    # rows this round; multimodal_frames has never had one) ----------
-    "multimodal_frames",        # never driver-verified (r1+r2 truncation)
-    "multimodal_features",      # changed r2, no driver row since
-    "ann_similarity_clusters",  # re-routed through LSH this round
-    "dedup_embedding_clusters", # re-routed through LSH this round
-    "ann_cosine_topk",          # bounded query batch this round
-    "ann_lsh_topk",             # absent from r2 run
-    "ann_ivf_topk",             # absent from r2 run
-    "multimodal_metadata",      # absent from r2 run
-    "multimodal_resize",        # absent from r2 run
-    "q_approx_profile",         # oracle added this round (was no_oracle)
-    "q_approx_quantiles",       # new this round (quantile sketch contract)
-    "q_scd2_customer_status",   # new this round (SCD2 effective-dated dim)
-    "q_copurchase_pairs",       # new this round (market-basket co-occurrence)
-    "ann_radius_search",        # new this round (fixed-threshold retrieval)
-    "text_token_rarity",        # new this round (corpus-frequency scoring)
-    "graph_link_prediction",    # new this round (common-neighbor scoring)
-    "q_gapfill_daily",          # new this round (time-series densification)
-    "q_histogram",              # new this round (equi-width histogram)
-    "q_cumulative_users",       # new this round (cumulative distinct via first-seen)
-    "q_session_windows",        # new this round (native session_window operator)
-    "stream_session_windows",   # new this round (native streaming session windows)
-    "pipeline_weighted_mixture",  # new this round (per-stratum mixture rates)
-    "graph_khop_sql",           # new this round (native recursive CTE, SQL entry path)
-    # -- new-this-round queries, hardest/least-TPC-H-like first ------
-    "q_funnel",                 # new this round (time-constrained funnel)
-    "q_cohort_retention",       # new this round (weekly cohort triangle)
-    "q_fuzzy_part_match",       # new this round (blocked fuzzy join)
-    "text_distinctive_terms",   # new this round (TF-IDF keyword extraction)
-    "dedup_substring",          # new this round (exact-substring dup profile)
-    "q_profile_lineitem",       # new this round (ANALYZE-style profiling)
-    "q02_min_cost_supplier",    # new this round (TPC-H Q2 correlated min)
-    "q11_important_stock",      # new this round (TPC-H Q11 scalar-threshold HAVING)
-    "q16_supplier_relationship",  # new this round (TPC-H Q16 distinct-count + NOT IN)
-    "q20_excess_suppliers",     # new this round (TPC-H Q20 nested semi-joins)
-    "text_repetition",          # new this round (Gopher repetition filters)
-    "text_boilerplate",         # new this round (C4 cross-doc boilerplate)
-    "graph_shortest_paths",     # new this round (landmark BFS)
-    "graph_kcore",              # new this round (k-core peeling)
-    "graph_label_propagation",  # new this round (deterministic LPA communities)
-    "embedding_kmeans",         # new this round (distributed Lloyd k-means)
-    "stream_event_pairs_outer", # new this round (watermarked outer join)
-    "q_session_overlap",        # new this round (interval-overlap join)
-    "stream_static_enrich",     # new this round (stream-static dim join)
-    "q_window_time_range",      # new this round (event-time RANGE frame)
-    "graph_triangles",          # new this round (degree-ordered triangle census)
-    "graph_pagerank",           # new this round (fixed-iteration PageRank)
-    "q08_market_share",         # new this round (TPC-H Q8 conditional ratio)
-    "q09_product_profit",       # new this round (TPC-H Q9 profit, modeled cost)
-    "q13_order_distribution",   # new this round (TPC-H Q13 outer-join dist)
-    "q15_top_supplier",         # new this round (TPC-H Q15 argmax view)
-    "q17_small_qty_revenue",    # new this round (TPC-H Q17 correlated avg)
-    "q18_large_volume",         # new this round (TPC-H Q18 HAVING join-back)
-    "q21_late_suppliers",       # new this round (TPC-H Q21 exists/not-exists)
-    "q22_idle_balance",         # new this round (TPC-H Q22 anti join + scalar)
-    "q_asof_orders",            # new this round (distributed as-of join)
-    "pipeline_corpus_curation", # new this round (end-to-end curation)
-    "q_interval_spikes",        # new this round (bin-bucketed range join)
-    "pipeline_split_decontamination",  # new this round (hash split + leakage)
-    "stream_dedup",             # new this round (exactly-once stream dedup)
-    "pipeline_source_mixture",  # new this round (stratified source caps)
-    "pipeline_sequence_packing",  # new this round (distributed prefix-sum pack)
-    "text_vocabulary",          # new this round (top-n vocab aggregate)
-    "ann_recall_report",        # new this round (hash-checked ANN recall)
+    # -- the 12 queries that have never had a driver CORRECTNESS row in
+    # any round (r3 verdict task 1) — these MUST make the 50-row budget
+    # this round so every declared query has a hard-signal green row ---
+    "q_asof_orders",
+    "q_interval_spikes",
+    "q18_large_volume",
+    "q21_late_suppliers",
+    "q22_idle_balance",
+    "stream_dedup",
+    "text_vocabulary",
+    "pipeline_corpus_curation",
+    "pipeline_split_decontamination",
+    "pipeline_source_mixture",
+    "pipeline_sequence_packing",
+    "ann_recall_report",
+    # -- changed this round (must be re-verified) ---------------------
+    "ann_lsh_topk",             # corpus-sized LSH planes (r3 verdict task 2)
+    "ann_similarity_clusters",  # corpus-sized LSH planes
+    "dedup_embedding_clusters", # corpus-sized LSH planes
+    "ann_ivf_topk",             # k-means coarse quantizer (r3 verdict task 7)
+    "stream_session_windows",   # files-per-trigger from staged file count (ADVICE)
+    "text_token_rarity",        # broadcast hint gated on vocab size (ADVICE)
+    # -- new this round -----------------------------------------------
+    # (new queries are appended here as they land)
 )
 
 _MODULE_ORDER = ("relational", "graph", "streamq", "llmops")

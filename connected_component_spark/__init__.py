@@ -52,7 +52,10 @@ from connected_component_spark.operators.dedup import (
     ngram_dedup_clusters,
     substring_dup_stats,
 )
-from connected_component_spark.operators.text import token_rarity
+from connected_component_spark.operators.text import (
+    distinctive_terms,
+    token_rarity,
+)
 from connected_component_spark.sources.compaction import compact_parquet
 from connected_component_spark.sources.upsert import merge_upsert, read_snapshot
 from connected_component_spark.sources.zorder import write_zordered, zorder_value
@@ -95,6 +98,7 @@ __all__ = [
     "minhash_dedup_clusters",
     "ngram_dedup_clusters",
     "substring_dup_stats",
+    "distinctive_terms",
     "token_rarity",
     "merge_upsert",
     "read_snapshot",

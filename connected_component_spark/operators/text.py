@@ -123,8 +123,12 @@ def token_rarity(docs: DataFrame) -> DataFrame:
     (no float log-prob whose last ulp differs across libm builds).
 
     The plan is the corpus-statistics-join-back shape every LM-data
-    scorer uses: one word-count aggregate over the corpus, broadcast
-    back onto the exploded token stream, one per-doc aggregate.
+    scorer uses: one word-count aggregate over the corpus joined back
+    onto the exploded token stream, one per-doc aggregate.  The tf
+    join carries NO broadcast hint: vocabulary grows with the corpus
+    (Heaps' law), so at 100 TB the term-frequency table is itself
+    large — AQE picks broadcast when the vocab is small and falls
+    back to a shuffled hash join when it is not.
     """
     ex = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = ex.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
@@ -133,7 +137,7 @@ def token_rarity(docs: DataFrame) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs"),
     )
     return (
-        ex.join(F.broadcast(tf), "token")
+        ex.join(tf, "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),

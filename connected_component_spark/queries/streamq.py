@@ -356,12 +356,19 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the next batch: append-mode emission requires the watermark
     # to advance (at batch end) BEFORE the final batch processes —
     # i.e. the flush file must land in a strictly later batch than
-    # the last data, which dividing the slice count guarantees
-    # (mtime order alone does not: a trigger size that swallows
-    # slices+flush together would leave emission to the optional
-    # no-data micro-batch)
+    # the last data.  Count the ACTUAL staged data files rather than
+    # assuming repartitionByRange emitted exactly _n_slices(n) parts:
+    # with fewer distinct days (or empty range partitions) some slices
+    # never materialize, and a trigger sized to the nominal slice
+    # count would swallow the flush file together with the last data,
+    # leaving emission to the unreliable optional no-data micro-batch.
+    n_data_files = sum(
+        1
+        for p in os.listdir(staged)
+        if p.endswith(".parquet") and not p.endswith("_flush.parquet")
+    )
     stream = _session_replay_stream(
-        spark, staged, files_per_trigger=_n_slices(n)
+        spark, staged, files_per_trigger=max(1, n_data_files)
     )
     sw = (
         stream.withWatermark("ts", "30 minutes")

@@ -90,6 +90,12 @@ def merge_upsert(
     bare-parquet table has; a log-structured table format is the
     right tool once concurrent writers exist.
     """
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"merge_upsert: no table at {path!r} — merge needs an "
+            "existing version to swap against; write the initial "
+            "snapshot with df.write.parquet(path) first"
+        )
     _check_unique_keys(changes, key)
     if delete_col is not None:
         deletes = changes.where(F.col(delete_col)).select(key)
@@ -119,7 +125,11 @@ def merge_upsert(
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
+    try:
+        os.rename(path, old)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, path)
     except BaseException:
