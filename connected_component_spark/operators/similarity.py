@@ -20,6 +20,7 @@ from connected_component_spark.functions.vectors import as_double, cosine, dot, 
 from connected_component_spark.graph.cc import components_with_isolates
 
 __all__ = [
+    "auto_planes",
     "cosine_topk",
     "cosine_radius_search",
     "block_cosine_topk",
@@ -136,6 +137,55 @@ def cosine_radius_search(
 #: than this fall back to computing signs inside the expression
 _SIGN_DIM = 512
 
+#: auto_planes defaults — shared verbatim by the DuckDB oracle twins
+#: (queries/llmops.py), which gate plane p on the SQL predicate
+#: ``count(*) > AUTO_TARGET_BUCKET_ROWS * 2^p`` so both engines derive
+#: the identical plane count from the same corpus cardinality.
+AUTO_PLANES_FLOOR = 4
+AUTO_PLANES_CAP = 16
+AUTO_TARGET_BUCKET_ROWS = 128
+
+
+def auto_planes(
+    n_rows: int,
+    target_bucket_rows: int = AUTO_TARGET_BUCKET_ROWS,
+    floor: int = AUTO_PLANES_FLOOR,
+    cap: int = AUTO_PLANES_CAP,
+) -> int:
+    """Size the hyperplane count to the corpus so expected bucket
+    occupancy stays ~``target_bucket_rows`` as the corpus grows.
+
+    A fixed plane count is the one quadratic hazard of bucketed LSH:
+    bucket occupancy is O(n / 2^planes), so the within-bucket join is
+    O(n² / 2^planes) — fine at one scale, a scale-killer at 100×.
+    Growing ``planes`` with ⌈log2(n / target)⌉ keeps per-bucket work
+    constant; the reference's own skew warnings
+    (ConnectedComponent.scala:62-63,135-136) are the same concern for
+    its shuffle partitioning.
+
+    Exact-integer contract (the oracle depends on it): plane p ≥ floor
+    is active iff ``n_rows > target_bucket_rows * 2**p`` — no float
+    log2, so an engine evaluating that predicate in SQL agrees with
+    this loop bit-for-bit at every boundary.  ``cap`` bounds plan size
+    (2^cap buckets is plenty before re-sharding strategy changes).
+    """
+    planes = floor
+    while planes < cap and n_rows > target_bucket_rows * (2 ** planes):
+        planes += 1
+    return planes
+
+
+def _resolve_planes(
+    planes: int | None, corpus: DataFrame, corpus_count: int | None
+) -> int:
+    """planes=None → derive from the corpus cardinality (one cheap
+    column-pruned count unless the caller supplies ``corpus_count``,
+    e.g. from a parquet footer)."""
+    if planes is not None:
+        return planes
+    n = corpus_count if corpus_count is not None else corpus.count()
+    return auto_planes(n)
+
 
 @lru_cache(maxsize=None)
 def _plane_signs(seed: int, dim: int = _SIGN_DIM) -> tuple[float, ...]:
@@ -219,15 +269,22 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    planes: int = 4,
+    planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the same
     random-hyperplane bucket, then exact cosine + window top-k.
     Recall < 1.0 by construction; the scale win is replacing the
-    cross join with an equi-join on the bucket key."""
+    cross join with an equi-join on the bucket key.
+
+    ``planes=None`` (default) sizes the bucket count to the corpus via
+    :func:`auto_planes`, so expected bucket occupancy — and with it
+    the within-bucket join cost — stays constant as the corpus grows
+    instead of degrading O(n²/2^planes) at a fixed plane count."""
+    planes = _resolve_planes(planes, corpus, corpus_count)
     q = _normed(queries, id_col, vec_col)
     c = _normed(corpus, id_col, vec_col)
     qb = q.select(
@@ -452,10 +509,11 @@ def lsh_threshold_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
-    planes: int = 4,
+    planes: int | None = None,
     tables: int = 4,
     seed_stride: int = 100,
     dim: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Cosine-threshold pairs with LSH-pruned candidate generation —
     the 100 TB shape for near-dup edge building.
@@ -473,8 +531,11 @@ def lsh_threshold_pairs(
     standard OR-of-AND LSH curve: raise ``tables`` (or lower
     ``planes``) for more recall, both without changing the plan
     shape.  Buckets are derived from the portable hash family — no
-    stored model, deterministic across engines.
+    stored model, deterministic across engines.  ``planes=None``
+    sizes buckets to the corpus via :func:`auto_planes` (see
+    :func:`lsh_bucketed_topk`).
     """
+    planes = _resolve_planes(planes, emb, corpus_count)
     v = _normed(emb, id_col, vec_col).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vv"),
@@ -535,10 +596,11 @@ def embedding_dedup_clusters(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 4,
+    planes: int | None = None,
     tables: int = 4,
     max_iterations: int = 20,
     dim: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dedup: LSH-candidate threshold pairs
     become edges; the CC kernel clusters the paired subgraph only;
@@ -552,7 +614,14 @@ def embedding_dedup_clusters(
     (one recalled edge merges the group).
     """
     pairs = lsh_threshold_pairs(
-        emb, threshold, id_col, vec_col, planes=planes, tables=tables, dim=dim
+        emb,
+        threshold,
+        id_col,
+        vec_col,
+        planes=planes,
+        tables=tables,
+        dim=dim,
+        corpus_count=corpus_count,
     )
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     return components_with_isolates(
@@ -682,8 +751,9 @@ def knn_edges(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "lsh",
-    planes: int = 4,
+    planes: int | None = None,
     dim: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """k-NN similarity graph edges: top-k neighbors per vector with
     cosine ≥ min_cosine, as (src, dst) pairs.
@@ -692,13 +762,21 @@ def knn_edges(
     candidates to the vector's random-hyperplane bucket — a bucket-key
     equi-join, no all-pairs product anywhere in the plan.  The graph
     is the standard approximate k-NN graph every large-scale pipeline
-    builds; raise ``planes`` as n grows to keep buckets bounded.
+    builds; ``planes=None`` sizes buckets to the corpus
+    (:func:`auto_planes`) so occupancy stays bounded as n grows.
     ``method='exact'`` keeps the blocked-GEMM exact path for corpora
     small enough to afford corpus × corpus work.
     """
     if method == "lsh":
         top = lsh_bucketed_topk(
-            emb, emb, k=k, planes=planes, id_col=id_col, vec_col=vec_col, dim=dim
+            emb,
+            emb,
+            k=k,
+            planes=planes,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            corpus_count=corpus_count,
         )
     elif method == "exact":
         top = block_cosine_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
@@ -716,9 +794,10 @@ def similarity_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "lsh",
-    planes: int = 4,
+    planes: int | None = None,
     max_iterations: int = 20,
     dim: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Similarity clusters = connected components of the (approximate)
     k-NN graph (CC kernel as clustering backbone).  Every vector
@@ -728,7 +807,17 @@ def similarity_clusters(
     :func:`knn_edges`), so no stage of the pipeline does all-pairs
     work; vectors touching no k-NN edge are attached as singletons
     by one anti join (graph/cc.py:components_with_isolates)."""
-    edges = knn_edges(emb, k, min_cosine, id_col, vec_col, method, planes, dim=dim)
+    edges = knn_edges(
+        emb,
+        k,
+        min_cosine,
+        id_col,
+        vec_col,
+        method,
+        planes,
+        dim=dim,
+        corpus_count=corpus_count,
+    )
     return components_with_isolates(
         edges, emb, id_col, max_iterations=max_iterations
     ).select(F.col("node").alias(id_col), F.col("component").alias("cluster"))

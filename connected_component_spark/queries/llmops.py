@@ -23,7 +23,7 @@ from connected_component_spark.operators import multimodal as mm
 from connected_component_spark.operators import similarity as sim
 from connected_component_spark.operators import text as tx
 from connected_component_spark.queries.parity import roundd, roundd_sql
-from connected_component_spark.sources.tables import load_table
+from connected_component_spark.sources.tables import load_table, table_row_count
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -873,7 +873,6 @@ def _cos_sql(x: str, y: str) -> str:
     )
 
 
-_LSH_PLANES = 4
 _LSH_SEED_BASE = 7
 _EMB_LSH_TABLES = 4
 _EMB_LSH_SEED_STRIDE = 100
@@ -884,9 +883,26 @@ _EMB_DIM = 64
 
 
 def _bucket_expr_sql(v: str, seed_base: int = _LSH_SEED_BASE) -> str:
-    """DuckDB twin of operators.similarity._hyperplane_bucket."""
+    """DuckDB twin of operators.similarity._hyperplane_bucket with
+    corpus-sized plane count (operators.similarity.auto_planes).
+
+    The Spark side derives ``planes`` from the corpus row count with
+    exact integer arithmetic: plane p ≥ floor is active iff
+    ``n > target * 2^p``.  The SQL twin expresses the SAME rule as a
+    per-plane gate on a scalar-subquery ``count(*)`` over the corpus
+    table, so both engines activate the identical plane set at every
+    corpus size — buckets stay hash-identical while the bucket count
+    scales with the data.
+    """
+    from connected_component_spark.operators.similarity import (
+        AUTO_PLANES_CAP,
+        AUTO_PLANES_FLOOR,
+        AUTO_TARGET_BUCKET_ROWS,
+    )
+
+    n = "(SELECT count(*) FROM embeddings)"
     bits = []
-    for p in range(_LSH_PLANES):
+    for p in range(AUTO_PLANES_CAP):
         sign = (
             f"CASE WHEN ({seeded_hash64_sql('CAST(i - 1 AS VARCHAR)', seed_base + p)}"
             f" & 1) = 1 THEN 1.0 ELSE -1.0 END"
@@ -895,7 +911,13 @@ def _bucket_expr_sql(v: str, seed_base: int = _LSH_SEED_BASE) -> str:
             f"list_sum(list_transform(generate_series(1, len({v})), "
             f"i -> {v}[i]::DOUBLE * ({sign})))"
         )
-        bits.append(f"(CASE WHEN {s} > 0 THEN {2 ** p} ELSE 0 END)")
+        bit = f"(CASE WHEN {s} > 0 THEN {2 ** p} ELSE 0 END)"
+        if p >= AUTO_PLANES_FLOOR:
+            bit = (
+                f"(CASE WHEN {n} > {AUTO_TARGET_BUCKET_ROWS * 2 ** p} "
+                f"THEN {bit} ELSE 0 END)"
+            )
+        bits.append(bit)
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
@@ -1033,7 +1055,12 @@ def ann_similarity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket equi-join is the shape that survives 100×)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.similarity_clusters(
-        emb, k=3, min_cosine=0.1, method="lsh", dim=_EMB_DIM
+        emb,
+        k=3,
+        min_cosine=0.1,
+        method="lsh",
+        dim=_EMB_DIM,
+        corpus_count=table_row_count(spark, sf_dir, "embeddings"),
     )
 
 
@@ -1083,9 +1110,9 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_dedup_clusters(
         load_table(spark, sf_dir, "embeddings"),
         threshold=_EMB_DEDUP_THRESHOLD,
-        planes=_LSH_PLANES,
         tables=_EMB_LSH_TABLES,
         dim=_EMB_DIM,
+        corpus_count=table_row_count(spark, sf_dir, "embeddings"),
     )
 
 
@@ -1134,7 +1161,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return sim.lsh_bucketed_topk(
-        queries, emb, k=5, planes=_LSH_PLANES, dim=_EMB_DIM
+        queries,
+        emb,
+        k=5,
+        dim=_EMB_DIM,
+        corpus_count=table_row_count(spark, sf_dir, "embeddings"),
     )
 
 
@@ -1224,7 +1255,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
     exact = sim.cosine_topk(queries, emb, k=5).select("query_id", "neighbor_id")
     lsh = sim.lsh_bucketed_topk(
-        queries, emb, k=5, planes=_LSH_PLANES, dim=_EMB_DIM
+        queries,
+        emb,
+        k=5,
+        dim=_EMB_DIM,
+        corpus_count=table_row_count(spark, sf_dir, "embeddings"),
     ).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit_l")
     )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["load_table", "TABLE_NAMES"]
+__all__ = ["load_table", "table_row_count", "TABLE_NAMES"]
 
 TABLE_NAMES = [
     "region", "nation", "customer", "supplier", "part",
@@ -36,6 +36,20 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass
+
+
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from the parquet footer —
+    no Spark job for the single-file fixture layout; falls back to a
+    (column-pruned, metadata-served) Spark count for directories."""
+    import os
+
+    src = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    if os.path.isfile(src):
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(src).metadata.num_rows
+    return load_table(spark, sf_dir, name).count()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -410,3 +410,155 @@ def test_substring_dup_stats_random_differential(spark):
             for r in substring_dup_stats(docs, width=w).collect()
         }
         assert got == expected
+
+
+# --------------------------------------------------------------------------
+# corpus-sized LSH bucketing (auto_planes)
+# --------------------------------------------------------------------------
+
+
+def test_auto_planes_exact_integer_rule():
+    """Plane p >= floor activates iff n > target * 2^p — the exact
+    rule the DuckDB oracle twin evaluates as a scalar-subquery gate,
+    so boundaries must match bit-for-bit (no float log2)."""
+    from connected_component_spark.operators.similarity import (
+        AUTO_PLANES_CAP,
+        AUTO_PLANES_FLOOR,
+        AUTO_TARGET_BUCKET_ROWS,
+        auto_planes,
+    )
+
+    t, f = AUTO_TARGET_BUCKET_ROWS, AUTO_PLANES_FLOOR
+    assert auto_planes(0) == f
+    assert auto_planes(1) == f
+    # boundary: exactly target * 2^floor rows stays at the floor,
+    # one more row adds a plane
+    assert auto_planes(t * 2 ** f) == f
+    assert auto_planes(t * 2 ** f + 1) == f + 1
+    assert auto_planes(10 ** 15) == AUTO_PLANES_CAP
+    ns = [10, 500, 2049, 5000, 50_000, 10 ** 7, 10 ** 10]
+    ps = [auto_planes(n) for n in ns]
+    assert ps == sorted(ps)  # monotone in corpus size
+    # sf0.01 fixture (500 vectors) stays at the floor: existing
+    # driver-green hashes are unchanged by auto-sizing
+    assert auto_planes(500) == f
+
+
+def test_auto_planes_bounds_bucket_occupancy_at_10x(spark):
+    """r3 verdict task 2: on a corpus 10x the sf0.01 fixture, derived
+    planes must keep mean bucket occupancy near the target where the
+    old fixed floor planes would blow past it."""
+    import numpy as np
+
+    from connected_component_spark.operators.similarity import (
+        AUTO_PLANES_FLOOR,
+        AUTO_TARGET_BUCKET_ROWS,
+        _hyperplane_bucket,
+        auto_planes,
+    )
+
+    n, d = 5000, 16  # 10x the sf0.01 embeddings table
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((n, d))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = auto_planes(n)
+    assert planes > AUTO_PLANES_FLOOR  # the adaptive path is exercised
+
+    def occupancy(p):
+        rows = (
+            emb.select(
+                _hyperplane_bucket(F.col("embedding"), p, dim=d).alias("b")
+            )
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        sizes = [r["count"] for r in rows]
+        return sum(sizes) / len(sizes), max(sizes)
+
+    mean_auto, max_auto = occupancy(planes)
+    mean_fixed, _ = occupancy(AUTO_PLANES_FLOOR)
+    assert mean_auto <= 2 * AUTO_TARGET_BUCKET_ROWS
+    assert max_auto <= 6 * AUTO_TARGET_BUCKET_ROWS
+    # the fixed floor planes would already violate the occupancy
+    # target at this scale — the hazard auto-sizing removes
+    assert mean_fixed > 2 * AUTO_TARGET_BUCKET_ROWS
+
+
+def test_lsh_auto_planes_cross_engine_at_10x(spark, tmp_path):
+    """Spark auto-planes bucketing vs the DuckDB scalar-subquery-gated
+    twin on a 10x corpus: identical top-k at a plane count ABOVE the
+    floor (the sf0.01 driver run only exercises the floor)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from connected_component_spark.operators.similarity import (
+        AUTO_PLANES_FLOOR,
+        auto_planes,
+    )
+    from connected_component_spark.queries.llmops import (
+        _DOT,
+        _bucket_expr_sql,
+        _norm_sql,
+    )
+    from connected_component_spark.queries.parity import roundd_sql
+
+    n, d = 5000, 16
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((n, d))
+    assert auto_planes(n) > AUTO_PLANES_FLOOR
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [[float(x) for x in v] for v in vecs],
+        }
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pdf.to_parquet(path)
+
+    emb = spark.read.parquet(path)
+    queries = emb.where(F.col("vec_id") % 500 == 0)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in lsh_bucketed_topk(queries, emb, k=3, dim=d).collect()
+    }
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    cos = roundd_sql(
+        _DOT.format(a="qv", b="cv")
+        + f" / ({_norm_sql('qv')} * {_norm_sql('cv')})",
+        6,
+    )
+    oracle = con.sql(
+        f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 {_bucket_expr_sql('embedding')} AS bucket
+          FROM embeddings WHERE vec_id % 500 = 0
+        ),
+        c AS (
+          SELECT vec_id AS neighbor_id, embedding AS cv,
+                 {_bucket_expr_sql('embedding')} AS bucket
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT query_id, neighbor_id, {cos} AS cos
+          FROM q JOIN c USING (bucket)
+          WHERE query_id <> neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3
+        """
+    ).fetchall()
+    assert got == {tuple(r) for r in oracle}
+    assert len(got) > 0
