@@ -88,6 +88,28 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+    # Also persist the FULL per-query map next to the repo: the
+    # driver's BENCH_r{N}.json stores a truncated stdout tail, which
+    # deleted the first ~38 queries (alphabetically) from the r3
+    # record.  The round number is inferred as max(existing
+    # BENCH_r*) + 1 — the driver runs this after writing the previous
+    # round's artifact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    n = (max(rounds) + 1) if rounds else 0
+    local = dict(out, n_queries=len(timings))
+    try:
+        with open(os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json"), "w") as f:
+            json.dump(local, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout must not void the bench output
     spark.stop()
 
 
