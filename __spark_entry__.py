@@ -77,7 +77,7 @@ _PRIORITY = (
     "stream_session_windows",   # files-per-trigger from staged file count (ADVICE)
     "text_token_rarity",        # broadcast hint gated on vocab size (ADVICE)
     # -- new this round -----------------------------------------------
-    # (new queries are appended here as they land)
+    "ann_ivf_kmeans_topk",      # trained spherical-k-means IVF codebook
 )
 
 _MODULE_ORDER = ("relational", "graph", "streamq", "llmops")

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_assign"]
+__all__ = ["kmeans_assign", "kmeans_centroids"]
 
 
 def _vec_literal(vals: list[float]) -> Column:
@@ -68,44 +68,47 @@ def _best(cents: list[tuple[int, list[float]]]) -> Column:
     )
 
 
-def kmeans_assign(
-    emb: DataFrame,
-    k: int = 8,
-    iterations: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, cluster, sq_dist) after ``iterations`` Lloyd rounds.
+def _normalized(vals: list[float]) -> list[float]:
+    """Unit-normalize with a left-fold sum of squares — the exact
+    float-op order of ``sqrt(list_sum(list_transform(cv, y->y*y)))``
+    in the DuckDB oracle chain, so normalized centroid components are
+    bit-identical across engines."""
+    s = 0.0
+    for y in vals:
+        s += y * y
+    n = s ** 0.5
+    if n == 0.0:
+        return vals
+    return [y / n for y in vals]
 
-    ``cluster`` is the seed point's id (stable, engine-independent).
-    ``sq_dist`` is the squared Euclidean distance to the final
-    centroid of the assigned cluster (raw double — round for
-    display).  Empty clusters drop out of later rounds, exactly as
-    in the unrolled SQL oracle.
+
+def _lloyd_centroids(
+    pts: DataFrame,
+    k: int,
+    iterations: int,
+    seeds: DataFrame | None = None,
+    normalize: bool = False,
+) -> list[tuple[int, list[float]]]:
+    """Run ``iterations`` Lloyd rounds over ``pts (id, v)``; returns
+    the final ``(cid, centroid_vector)`` list (cid = seed point id).
+
+    ``seeds`` overrides the default k-smallest-id seeding with an
+    explicit ``(id, v)`` seed set.  ``normalize=True`` unit-normalizes
+    every centroid after each mean update (spherical k-means): over a
+    unit-norm corpus the Euclidean argmin to unit centroids IS the
+    cosine argmax, so the trained cells follow direction, the metric
+    cosine retrieval actually uses.
+
+    k bounded rows to the driver per round — the per-round scalar
+    state of the fixpoint loop, not a data collect (same budget as
+    convergence counts in graph/cc.py).
     """
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    if iterations < 0:
-        raise ValueError(f"iterations must be >= 0, got {iterations}")
-    pts = emb.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    # k bounded rows to the driver — the per-round scalar state of the
-    # fixpoint loop, not a data collect (same budget as convergence
-    # counts in graph/cc.py)
+    seed_src = pts if seeds is None else seeds
     cents: list[tuple[int, list[float]]] = [
-        (r.id, list(r.v)) for r in pts.orderBy("id").limit(k).collect()
+        (r.id, list(r.v)) for r in seed_src.orderBy("id").limit(k).collect()
     ]
-    if not cents:
-        # empty corpus: stable empty schema instead of the analysis
-        # error _best([]) would raise on a void array_min
-        return pts.select(
-            "id",
-            F.lit(None).cast("long").alias("cluster"),
-            F.lit(None).cast("double").alias("sq_dist"),
-        )
-
+    if normalize:
+        cents = [(cid, _normalized(cv)) for cid, cv in cents]
     for _ in range(iterations):
         if not cents:
             break
@@ -133,6 +136,79 @@ def kmeans_assign(
             .collect()
         )
         cents = sorted((r.cid, list(r.cv)) for r in new_cents)
+        if normalize:
+            cents = [(cid, _normalized(cv)) for cid, cv in cents]
+    return cents
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds: DataFrame | None = None,
+    normalize: bool = False,
+) -> list[tuple[int, list[float]]]:
+    """Final Lloyd centroids as ``[(cid, vector), ...]`` — the learned
+    coarse-quantizer codebook (e.g. for IVF cell partitioning,
+    operators/similarity.py:ivf_topk).  Deterministic and
+    engine-reproducible: same seeding/update rules as
+    :func:`kmeans_assign`, so the unrolled SQL oracle chain produces
+    bit-identical centroid vectors.  ``seeds``/``normalize``: see
+    :func:`_lloyd_centroids` (spherical variant for cosine
+    retrieval)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    pts = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    seed_pts = (
+        None
+        if seeds is None
+        else seeds.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    return _lloyd_centroids(pts, k, iterations, seeds=seed_pts, normalize=normalize)
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, sq_dist) after ``iterations`` Lloyd rounds.
+
+    ``cluster`` is the seed point's id (stable, engine-independent).
+    ``sq_dist`` is the squared Euclidean distance to the final
+    centroid of the assigned cluster (raw double — round for
+    display).  Empty clusters drop out of later rounds, exactly as
+    in the unrolled SQL oracle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    pts = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = _lloyd_centroids(pts, k, iterations)
+    if not cents:
+        # empty corpus: stable empty schema instead of the analysis
+        # error _best([]) would raise on a void array_min
+        return pts.select(
+            "id",
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("double").alias("sq_dist"),
+        )
     best = _best(cents)
     return pts.select(
         "id",

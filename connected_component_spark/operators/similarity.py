@@ -686,6 +686,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF partitioning: corpus vectors
     live in their nearest centroid cell; each query probes its
@@ -697,8 +698,16 @@ def ivf_topk(
     Recall < 1 by construction, like any IVF index, and rises with
     ``nprobe`` at the same plan shape — the standard recall/latency
     dial.
+
+    ``centroids`` (a ``(id_col, vec_col)`` DataFrame) overrides the
+    default strided corpus subset — pass a LEARNED codebook (e.g.
+    operators/clustering.py:kmeans_centroids, the standard IVF
+    training step) for cells that follow the data distribution
+    instead of id order; recall at equal nprobe improves because
+    near-duplicate regions share a cell by construction.
     """
-    centroids = corpus.where(F.col(id_col) % centroid_stride == 0)
+    if centroids is None:
+        centroids = corpus.where(F.col(id_col) % centroid_stride == 0)
     # ONE corpus-x-centroids scoring pass at width nprobe; storage is
     # its rank-1 slice (a second ivf_cell_assignments call would run
     # the whole coarse quantizer again)

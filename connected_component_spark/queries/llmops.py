@@ -955,18 +955,47 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+#: left-fold unit normalization of a double list — the float-op-order
+#: twin of operators/clustering.py:_normalized
+_NORM_LIST = (
+    "list_transform({v}, x -> x / sqrt(list_sum(list_transform({v}, y -> y*y))))"
+)
+
+
+def _kmeans_chain_parts(
+    k: int,
+    iters: int,
+    final_assign: bool,
+    seed_where: str | None = None,
+    normalize: bool = False,
+) -> list[str]:
+    """Unrolled Lloyd CTE chain (DuckDB twin of
+    operators/clustering.py): ``c{iters}`` is the final centroid
+    codebook ``(cid, cv)``.  ``final_assign=True`` additionally emits
+    ``a{iters}``, the per-point assignment against that codebook.
+    ``seed_where`` seeds from a predicate subset instead of the k
+    smallest ids; ``normalize=True`` unit-normalizes every codebook
+    generation (spherical k-means)."""
     sqd = (
         "list_sum(list_transform(generate_series(1, len(v)), "
         "i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
     )
+    seed = (
+        f"SELECT id AS cid, v AS cv FROM pts WHERE {seed_where}"
+        if seed_where is not None
+        else f"SELECT id AS cid, v AS cv FROM pts ORDER BY id LIMIT {k}"
+    )
+    if normalize:
+        seed = (
+            f"SELECT cid, {_NORM_LIST.format(v='cv')} AS cv FROM ({seed})"
+        )
     parts = [
         "pts AS MATERIALIZED (SELECT vec_id AS id, "
         "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
-        f"c0 AS MATERIALIZED (SELECT id AS cid, v AS cv FROM pts "
-        f"ORDER BY id LIMIT {k})",
+        f"c0 AS MATERIALIZED ({seed})",
     ]
-    for i in range(iters + 1):
+    last = iters if final_assign else iters - 1
+    for i in range(last + 1):
         parts.append(
             f"""a{i} AS MATERIALIZED (
   SELECT id, v, cid AS cluster, dist,
@@ -975,9 +1004,7 @@ def _kmeans_oracle_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
 )"""
         )
         if i < iters:
-            parts.append(
-                f"""c{i + 1} AS MATERIALIZED (
-  SELECT cluster AS cid, list(mean ORDER BY pos) AS cv
+            raw = f"""SELECT cluster AS cid, list(mean ORDER BY pos) AS cv
   FROM (
     SELECT cluster, pos,
            CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mean
@@ -988,10 +1015,18 @@ def _kmeans_oracle_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
         FROM a{i} WHERE rn = 1
       )
     ) GROUP BY cluster, pos
-  ) GROUP BY cluster
-)"""
-            )
-    chain = ",\n".join(parts)
+  ) GROUP BY cluster"""
+            if normalize:
+                raw = (
+                    f"SELECT cid, {_NORM_LIST.format(v='cv')} AS cv "
+                    f"FROM ({raw})"
+                )
+            parts.append(f"c{i + 1} AS MATERIALIZED (\n  {raw}\n)")
+    return parts
+
+
+def _kmeans_oracle_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    chain = ",\n".join(_kmeans_chain_parts(k, iters, final_assign=True))
     return f"""
 WITH {chain}
 SELECT id AS vec_id, cluster, {roundd_sql('dist', 6)} AS sq_dist
@@ -1239,6 +1274,91 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 
 
 # --------------------------------------------------------------------------
+# ann_ivf_kmeans_topk — IVF with a TRAINED coarse quantizer: the
+# codebook is spherical k-means (operators/clustering.py:
+# kmeans_centroids(normalize=True)) seeded from the stride landmark
+# subset — the standard IVF training step, as an oracle-checked query.
+#
+# Honest scale note (r4 measurement): on THIS fixture a learned
+# codebook cannot beat the stride landmarks' recall — the fixture
+# embeddings are isotropic on the unit sphere (no cluster structure
+# to learn: mean max-cosine ≈ 0.38, no id-block structure), and the
+# stride baseline's nprobe=1 recall (0.94 at sf0.01) is inflated by a
+# query∈codebook artifact: every query vector (vec_id%50) is itself a
+# stride centroid (vec_id%25), so its cell IS its own Voronoi region.
+# Trained spherical cells measure 0.90 here.  On real corpora —
+# clustered embeddings, queries not in the codebook — the trained
+# quantizer is the right tool, which is why it is a first-class
+# declared query; ann_recall_report carries both numbers side by side
+# so the tradeoff is part of the verified record, not a claim.
+# --------------------------------------------------------------------------
+
+_IVF_KM_ITERS = 2
+
+
+def _ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connected_component_spark.operators.clustering import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = table_row_count(spark, sf_dir, "embeddings")
+    k = (n + _IVF_STRIDE - 1) // _IVF_STRIDE  # same cell count as stride
+    cents = kmeans_centroids(
+        emb,
+        k=k,
+        iterations=_IVF_KM_ITERS,
+        seeds=emb.where(F.col("vec_id") % _IVF_STRIDE == 0),
+        normalize=True,
+    )
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return sim.ivf_topk(
+        queries, emb, k=5, centroids=_ivf_kmeans_centroids(spark, sf_dir)
+    )
+
+
+ANN_IVF_KMEANS_TOPK_SQL = f"""
+WITH {",".join(_kmeans_chain_parts(0, _IVF_KM_ITERS, final_assign=False, seed_where=f"id % {_IVF_STRIDE} = 0", normalize=True))},
+cent AS (
+  SELECT cid, cv FROM c{_IVF_KM_ITERS}
+),
+assign AS (
+  SELECT vec_id, cid AS cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {_cos_sql('embedding', 'cv')} DESC, cid ASC) AS rn
+  FROM embeddings CROSS JOIN cent
+),
+cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell
+  FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
+  WHERE e.vec_id % 50 = 0
+),
+cand AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell
+  FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+  FROM q JOIN cand USING (cell)
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # multimodal metadata (stubbed decode, real mapInPandas plumbing)
 # --------------------------------------------------------------------------
 
@@ -1266,8 +1386,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = sim.ivf_topk(queries, emb, k=5, centroid_stride=_IVF_STRIDE).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit_i")
     )
-    joined = exact.join(lsh, ["query_id", "neighbor_id"], "left").join(
-        ivf, ["query_id", "neighbor_id"], "left"
+    ivf_km = sim.ivf_topk(
+        queries, emb, k=5, centroids=_ivf_kmeans_centroids(spark, sf_dir)
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit_k"))
+    joined = (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .join(ivf, ["query_id", "neighbor_id"], "left")
+        .join(ivf_km, ["query_id", "neighbor_id"], "left")
     )
     return joined.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("k_exact"),
@@ -1275,6 +1400,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_lsh"),
         roundd(F.sum(F.coalesce(F.col("hit_i"), F.lit(0))) / F.count(F.lit(1)), 4)
         .alias("recall_ivf"),
+        roundd(F.sum(F.coalesce(F.col("hit_k"), F.lit(0))) / F.count(F.lit(1)), 4)
+        .alias("recall_ivf_km"),
     )
 
 
@@ -1287,14 +1414,19 @@ lshk AS (
 ),
 ivfk AS (
   SELECT query_id, neighbor_id FROM ({ANN_IVF_TOPK_SQL}) t WHERE query_id < 500
+),
+ivfkm AS (
+  SELECT query_id, neighbor_id FROM ({ANN_IVF_KMEANS_TOPK_SQL}) t WHERE query_id < 500
 )
 SELECT e.query_id,
        count(*) AS k_exact,
        {roundd_sql('sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)', 4)} AS recall_lsh,
-       {roundd_sql('sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)', 4)} AS recall_ivf
+       {roundd_sql('sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)', 4)} AS recall_ivf,
+       {roundd_sql('sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)', 4)} AS recall_ivf_km
 FROM exact e
 LEFT JOIN lshk l ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
 LEFT JOIN ivfk i ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+LEFT JOIN ivfkm m ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
 GROUP BY e.query_id
 """
 
@@ -1411,6 +1543,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "ann_similarity_clusters": ann_similarity_clusters,
     "ann_radius_search": ann_radius_search,
     "text_token_rarity": text_token_rarity,
@@ -1450,6 +1583,7 @@ ORACLES = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
+    "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_TOPK_SQL,
     "ann_similarity_clusters": ANN_SIMILARITY_CLUSTERS_SQL,
     "ann_radius_search": ANN_RADIUS_SEARCH_SQL,
     "text_token_rarity": TEXT_TOKEN_RARITY_SQL,
