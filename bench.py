@@ -87,6 +87,33 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # CC-kernel telemetry on a generated graph: iteration count and
+    # per-round shuffle-write bytes — the scalability metrics the
+    # reference itself publishes/tunes (README.md:72), reported per
+    # round so regressions in shuffle volume are visible, not just
+    # wall-clock.
+    try:
+        from connected_component_spark.graph.cc import connected_components
+        from connected_component_spark.graph.cliques import cliques_to_edges
+        from connected_component_spark.graph.generator import (
+            distributed_clique_chains,
+        )
+
+        t0 = time.perf_counter()
+        cliques, _ = distributed_clique_chains(spark, 100_000)
+        res = connected_components(cliques_to_edges(cliques))
+        out["cc_kernel"] = {
+            "cliques": 100_000,
+            "wall_sec": round(time.perf_counter() - t0, 3),
+            "iterations": res.iterations,
+            "converged": res.converged,
+            "round_pair_counts": res.round_pair_counts,
+            "round_shuffle_bytes": res.round_shuffle_bytes,
+        }
+    except Exception as ex:
+        out["cc_kernel"] = {"err": f"{type(ex).__name__}: {ex}"[:200]}
+
     print(json.dumps(out))
 
     # Also persist the FULL per-query map next to the repo: the

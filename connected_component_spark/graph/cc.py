@@ -64,12 +64,21 @@ class CCResult:
     optimizes for at scale (README.md:72 reports iteration counts;
     shrinking pair counts are the per-round progress signal).  Free
     in stable-set mode (the convergence scalar already computes it).
+
+    ``round_shuffle_bytes`` is the shuffle-write volume each round
+    added (delta of the app status store's completed-stage totals) —
+    the cost metric the reference's at-scale tuning actually targets
+    (README.md:72 tunes partitions/memory against shuffle pressure).
+    ``None`` when the status store is unavailable; in a shared session
+    concurrent jobs would inflate the deltas (the kernel loop itself
+    is the only job source in normal use).
     """
 
     assignments: DataFrame
     converged: bool
     iterations: int
     round_pair_counts: list[int] | None = None
+    round_shuffle_bytes: list[int] | None = None
 
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
@@ -153,6 +162,30 @@ def small_star(edges: DataFrame) -> DataFrame:
     )
     from_self = mins.select(F.col("src"), F.col("m").alias("dst"))
     return from_neighbors.union(from_self).distinct()
+
+
+def _shuffle_write_bytes_total(spark) -> int | None:
+    """Total shuffle-write bytes across the app's completed stages,
+    from the JVM AppStatusStore (the store that backs the UI/REST
+    stage API — present with the UI disabled too).  ``None`` when the
+    internal signature is unavailable: telemetry must never fail a
+    CC run, so any reflection error degrades to "no telemetry"."""
+    try:
+        sc = spark.sparkContext
+        gw = sc._gateway
+        store = sc._jsc.sc().statusStore()
+        stages = store.stageList(
+            gw.jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(gw.jvm.double, 0),
+            gw.jvm.java.util.ArrayList(),
+        )
+        return sum(
+            stages.apply(i).shuffleWriteBytes() for i in range(stages.size())
+        )
+    except Exception:
+        return None
 
 
 def _set_fingerprint(pairs: DataFrame) -> tuple[int, int]:
@@ -272,6 +305,7 @@ def connected_components(
     converged = False
     iterations = 0
     round_counts: list[int] = []
+    round_shuffle: list[int] = []
 
     # Right-size the per-round shuffles to the graph (shared policy:
     # plans/tuning.py:shrunk_shuffle — shrink-only, restored on exit;
@@ -298,12 +332,20 @@ def connected_components(
                 prev_counts = counts
         else:
             prev_fp: tuple[int, int] | None = None
+            shuffle_before = _shuffle_write_bytes_total(spark)
             for iterations in range(1, max_iterations + 1):
                 # lazy checkpoint: the fingerprint aggregation is the
                 # one action per round and materializes the blocks
                 pairs = _checkpoint(small_star(large_star(pairs)), eager=False)
                 fp = _set_fingerprint(pairs)
                 round_counts.append(fp[0])
+                if shuffle_before is not None:
+                    after = _shuffle_write_bytes_total(spark)
+                    if after is not None:
+                        round_shuffle.append(after - shuffle_before)
+                        shuffle_before = after
+                    else:
+                        shuffle_before = None
                 if fp == prev_fp:
                     converged = True
                     break
@@ -313,11 +355,17 @@ def connected_components(
         pairs.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("component"))
     )
+    stable = convergence == "stable-set"
     return CCResult(
         assignments=assignments,
         converged=converged,
         iterations=iterations,
-        round_pair_counts=round_counts if convergence == "stable-set" else None,
+        round_pair_counts=round_counts if stable else None,
+        round_shuffle_bytes=(
+            round_shuffle
+            if stable and len(round_shuffle) == len(round_counts)
+            else None
+        ),
     )
 
 
