@@ -4,23 +4,37 @@ metadata, processed by Arrow-batched ``mapInPandas``.
 Design for 100 TB: media bytes ride as a ``binary`` column next to
 typed metadata; decode / feature-extraction runs as ``mapInPandas``
 over Arrow batches so Python touches data once per batch, not per
-row, and the schema contract is explicit.  The actual codec step is
-STUBBED (this container has no image/audio libraries): decode
-produces a deterministic fake derived from the byte stream, clearly
-marked below.  The Spark-side plumbing — binary encoding, batch
-iteration, output schema, partition preservation — is real and
-tested; swapping the stub for PIL/ffmpeg is a local change inside
-``_decode_stub``.
+row, and the schema contract is explicit.
+
+Codec selection is an EXPLICIT parameter, never an environment sniff:
+
+* ``codec="stub"`` (default) — a deterministic fake derived from the
+  byte stream, clearly marked below.  The declared driver queries pin
+  this codec so their oracles are environment-independent (and the
+  fixture payloads are text bytes, not real media).
+* ``codec="pil"`` — the real image codec (Pillow), available only
+  where the library is installed (:func:`available_codecs`); asking
+  for it without the library raises loudly instead of silently
+  falling back.  The Spark-side plumbing — binary encoding, batch
+  iteration, output schema, partition preservation — is identical
+  for both codecs and is what the fixture tests exercise; the pil
+  path is exercised by import-gated tests wherever Pillow exists.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # optional real image codec — absent in many runtimes
+    from PIL import Image as _PILImage
+except Exception:  # pragma: no cover - environment-dependent
+    _PILImage = None
 
 __all__ = [
     "with_binary_payload",
@@ -28,11 +42,28 @@ __all__ = [
     "extract_features",
     "resize_payload",
     "sample_frames",
+    "available_codecs",
     "DECODE_SCHEMA",
     "FEATURE_SCHEMA",
     "RESIZE_SCHEMA",
     "FRAME_SCHEMA",
 ]
+
+
+def available_codecs() -> tuple[str, ...]:
+    """Codecs usable in this runtime (``stub`` always; ``pil`` when
+    Pillow imports)."""
+    return ("stub", "pil") if _PILImage is not None else ("stub",)
+
+
+def _require_codec(codec: str) -> None:
+    if codec not in ("stub", "pil"):
+        raise ValueError(f"unknown codec {codec!r}; use one of ('stub', 'pil')")
+    if codec == "pil" and _PILImage is None:
+        raise RuntimeError(
+            "codec='pil' requires Pillow, which is not installed in this "
+            "runtime; available: " + repr(available_codecs())
+        )
 
 DECODE_SCHEMA = (
     "doc_id long, n_bytes long, width long, height long, fmt string"
@@ -52,13 +83,9 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
-    """STUB decoder (no media libs in this environment).
-
-    Deterministic fake 'image header parse' from the byte stream;
-    replace with a real codec (PIL / soundfile / pyav) in production.
-    Raises nothing — a real implementation would NotImplementedError
-    on unsupported formats.
-    """
+    """STUB decoder: deterministic fake 'image header parse' from the
+    byte stream — the codec for fixtures whose payloads are not real
+    media.  Raises nothing."""
     n = len(payload)
     width = n % 640 + 1
     height = (n // 7) % 480 + 1
@@ -66,16 +93,33 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
     return n, width, height, fmt
 
 
-def decode_metadata(docs_with_payload: DataFrame) -> DataFrame:
+_PIL_FMT = {"RGB": "rgb", "RGBA": "rgba", "L": "gray"}
+
+
+def _decode_pil(payload: bytes) -> tuple[int, int, int, str]:
+    """Real image header parse via Pillow.  Raises (PIL's
+    UnidentifiedImageError) on bytes that are not a decodable image —
+    loud failure over a silently wrong answer."""
+    with _PILImage.open(io.BytesIO(bytes(payload))) as im:
+        fmt = _PIL_FMT.get(im.mode, im.mode.lower())
+        return len(payload), im.width, im.height, fmt
+
+
+def decode_metadata(
+    docs_with_payload: DataFrame, codec: str = "stub"
+) -> DataFrame:
     """Extract typed metadata from binary payloads via mapInPandas.
 
     One Arrow batch in, one out; no shuffle — runs map-side wherever
-    the payload partitions already live.
+    the payload partitions already live.  ``codec``: see module
+    docstring.
     """
+    _require_codec(codec)
+    decode = _decode_pil if codec == "pil" else _decode_stub
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_decode_stub(p) for p in pdf["payload"]]
+            decoded = [decode(p) for p in pdf["payload"]]
             out = pd.DataFrame(
                 decoded, columns=["n_bytes", "width", "height", "fmt"]
             )
@@ -106,21 +150,42 @@ def extract_features(docs_with_payload: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def resize_payload(
-    docs_with_payload: DataFrame, width: int = 32, height: int = 32
+    docs_with_payload: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    codec: str = "stub",
 ) -> DataFrame:
-    """STUB resize: re-buffer the payload to exactly width×height×3
-    bytes (cycle-and-truncate stands in for real resampling) and
-    fingerprint the result.  Returns metadata + md5, not the bytes —
-    at 100 TB the resized media would be written to a sink column,
-    not collected."""
+    """Resize to width×height and fingerprint the result.  Returns
+    metadata + md5, not the bytes — at 100 TB the resized media would
+    be written to a sink column, not collected.
+
+    ``codec="stub"`` re-buffers the payload to exactly
+    width×height×3 bytes (cycle-and-truncate stands in for real
+    resampling); ``codec="pil"`` decodes, nearest-neighbor-resamples
+    (deterministic across Pillow builds, unlike antialiased filters)
+    to RGB width×height, and fingerprints the raw pixel buffer."""
+    _require_codec(codec)
     target = width * height * 3
+
+    def stub_one(p: bytes) -> bytes:
+        reps = -(-target // max(len(p), 1))
+        return (bytes(p) * reps)[:target]
+
+    def pil_one(p: bytes) -> bytes:
+        with _PILImage.open(io.BytesIO(bytes(p))) as im:
+            return (
+                im.convert("RGB")
+                .resize((width, height), _PILImage.NEAREST)
+                .tobytes()
+            )
+
+    resize_one = pil_one if codec == "pil" else stub_one
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                reps = -(-target // max(len(p), 1))
-                out = (bytes(p) * reps)[:target]
+                out = resize_one(p)
                 rows.append(
                     (doc_id, width, height, len(out), hashlib.md5(out).hexdigest())
                 )
@@ -133,25 +198,46 @@ def resize_payload(
 
 
 def sample_frames(
-    docs_with_payload: DataFrame, frame_size: int = 64, every: int = 2
+    docs_with_payload: DataFrame,
+    frame_size: int = 64,
+    every: int = 2,
+    codec: str = "stub",
 ) -> DataFrame:
-    """STUB frame sampler: split the payload into ``frame_size``-byte
-    frames (a real implementation seeks keyframes in a video
-    container) and keep every ``every``-th.  Demonstrates the 1→N
-    mapInPandas shape: one input row explodes into a row per sampled
-    frame, still with no shuffle."""
+    """Frame sampler — the 1→N mapInPandas shape: one input row
+    explodes into a row per sampled frame, still with no shuffle.
+
+    ``codec="stub"`` splits the payload into ``frame_size``-byte
+    chunks and keeps every ``every``-th.  ``codec="pil"`` seeks real
+    frames of an animated container (GIF/APNG/TIFF via Pillow's
+    ``seek``), keeps every ``every``-th, and fingerprints each
+    frame's RGB pixel buffer (``frame_size`` is ignored — real frames
+    have their own dimensions).  A full video path would swap Pillow
+    for pyav behind the same signature."""
+    _require_codec(codec)
+
+    def stub_frames(p: bytes):
+        b = bytes(p)
+        n_frames = max(-(-len(b) // frame_size), 1)
+        for idx in range(0, n_frames, every):
+            frame = b[idx * frame_size : (idx + 1) * frame_size]
+            yield idx, len(frame), hashlib.md5(frame).hexdigest()
+
+    def pil_frames(p: bytes):
+        with _PILImage.open(io.BytesIO(bytes(p))) as im:
+            n_frames = getattr(im, "n_frames", 1)
+            for idx in range(0, n_frames, every):
+                im.seek(idx)
+                raw = im.convert("RGB").tobytes()
+                yield idx, len(raw), hashlib.md5(raw).hexdigest()
+
+    frames_of = pil_frames if codec == "pil" else stub_frames
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(p)
-                n_frames = max(-(-len(b) // frame_size), 1)
-                for idx in range(0, n_frames, every):
-                    frame = b[idx * frame_size : (idx + 1) * frame_size]
-                    rows.append(
-                        (doc_id, idx, len(frame), hashlib.md5(frame).hexdigest())
-                    )
+                for idx, ln, md5 in frames_of(p):
+                    rows.append((doc_id, idx, ln, md5))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame_len", "frame_md5"]
             )
