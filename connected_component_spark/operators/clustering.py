@@ -103,41 +103,48 @@ def _lloyd_centroids(
     state of the fixpoint loop, not a data collect (same budget as
     convergence counts in graph/cc.py).
     """
+    from connected_component_spark.plans.tuning import shrunk_shuffle
+
     seed_src = pts if seeds is None else seeds
     cents: list[tuple[int, list[float]]] = [
         (r.id, list(r.v)) for r in seed_src.orderBy("id").limit(k).collect()
     ]
     if normalize:
         cents = [(cid, _normalized(cv)) for cid, cv in cents]
-    for _ in range(iterations):
-        if not cents:
-            break
-        assigned = pts.select(
-            "id", "v", _best(cents)["cid"].alias("cluster")
-        )
-        means = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(
-                (
-                    F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mean")
+    # the per-round update aggregate has k·dim groups — right-size the
+    # exchange to that, not the session width (shrink-only; at cluster
+    # scale the session width wins and the shrink never triggers)
+    n_groups = (len(cents) or 1) * (len(cents[0][1]) if cents else 1)
+    with shrunk_shuffle(pts.sparkSession, n_groups):
+        for _ in range(iterations):
+            if not cents:
+                break
+            assigned = pts.select(
+                "id", "v", _best(cents)["cid"].alias("cluster")
             )
-        )
-        new_cents = (
-            means.groupBy(F.col("cluster").alias("cid"))
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mean"))),
-                    lambda s: s["mean"],
-                ).alias("cv")
+            means = (
+                assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("mean")
+                )
             )
-            .collect()
-        )
-        cents = sorted((r.cid, list(r.cv)) for r in new_cents)
-        if normalize:
-            cents = [(cid, _normalized(cv)) for cid, cv in cents]
+            new_cents = (
+                means.groupBy(F.col("cluster").alias("cid"))
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                        lambda s: s["mean"],
+                    ).alias("cv")
+                )
+                .collect()
+            )
+            cents = sorted((r.cid, list(r.cv)) for r in new_cents)
+            if normalize:
+                cents = [(cid, _normalized(cv)) for cid, cv in cents]
     return cents
 
 

@@ -252,7 +252,9 @@ def _stage_session_files(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     slices = _n_slices(n)
     staged, build = _staged_cache("ccs_stream_sessions", sf_dir, str(slices))
     if build:
-        _lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        # parquet footer stats, no Spark job (ADVICE r3: staging jobs
+        # were part of what capped the driver's correctness budget)
+        hi = _events_max_ts(spark, sf_dir)
 
         # ONE range-partitioned write: partition i covers the i-th day
         # range, and part-file name order equals range order — so
@@ -544,7 +546,7 @@ def stream_event_pairs_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices = 3
     staged, build = _staged_cache("ccs_stream_pairs_outer", sf_dir, str(slices))
     if build:
-        _lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        hi = _events_max_ts(spark, sf_dir)  # footer stats, no Spark job
         now = time.time()
         tmp = os.path.join(staged, "_tmp_slices")
         (
