@@ -91,3 +91,26 @@ def test_generator_chains_vs_union_find(spark):
     # and the generator's built-in truth agrees too
     truth_pairs = {(n, comp) for comp, members in truth for n in members}
     assert got == truth_pairs
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_adjacency_implementation_matches_union_find(spark, edges):
+    """The second distributed CC implementation (collect_set stars,
+    graph/cc_adjacency.py) against the union-find oracle on random
+    edge lists — the same property the join-based kernel satisfies,
+    so the two implementations are pinned to each other through an
+    independent third."""
+    from connected_component_spark.graph.cc_adjacency import (
+        connected_components_adjacency,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    result = connected_components_adjacency(df)
+    assert result.converged
+    got = {(r.node, r.component) for r in result.assignments.collect()}
+    assert got == set(union_find(edges).items())
