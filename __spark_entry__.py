@@ -78,6 +78,7 @@ _PRIORITY = (
     "text_token_rarity",        # broadcast hint gated on vocab size (ADVICE)
     # -- new this round -----------------------------------------------
     "ann_ivf_kmeans_topk",      # trained spherical-k-means IVF codebook
+    "text_source_divergence",   # per-source KL mixture diagnostic
 )
 
 _MODULE_ORDER = ("relational", "graph", "streamq", "llmops")

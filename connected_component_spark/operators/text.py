@@ -26,6 +26,7 @@ __all__ = [
     "distinctive_terms",
     "repetition_stats",
     "boilerplate_ngrams",
+    "source_divergence",
     "STOPWORDS",
 ]
 
@@ -423,4 +424,46 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         hash64(F.col("text")).alias("text_hash"),
         hash64(canon).alias("bow_fingerprint"),
+    )
+
+
+def source_divergence(docs: DataFrame) -> DataFrame:
+    """Per-source domain-shift diagnostic: KL(p_source || p_corpus)
+    over unigram distributions — (source, n_tokens, n_types, kl).
+
+    The mixture-monitoring number a training pipeline tracks per data
+    source: how far a source's token distribution sits from the
+    corpus blend (0 = indistinguishable; rising KL flags drift or a
+    mis-weighted source).  Word-count shapes only: one (source,
+    token) aggregate, one source aggregate, one token aggregate, a
+    join-back, and a per-source sum — every stage partial-aggregates
+    map-side and shuffles word-count-sized rows, never documents.
+
+    Cross-engine determinism: probabilities are integer-ratio double
+    divisions (identical in both engines), the log is the one libm
+    call — its ≤1-ulp divergence is absorbed by snap-rounding each
+    term at 9 decimals (term magnitudes ~1e-3, boundaries 1e10 ulps
+    away); rounded terms are summed as exact DECIMAL(38,18), so
+    partial-aggregation order cannot move the sum.
+    """
+    tok = docs.select("source", F.explode(tokens("text")).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    s_tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    t_tot = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
+    corpus = tok.agg(F.count(F.lit(1)).alias("n_corpus"))
+    p_s = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    p_c = F.col("c_t").cast("double") / F.col("n_corpus").cast("double")
+    term = roundd(p_s * F.log(p_s / p_c), 9)
+    return (
+        st.join(s_tot, "source")
+        .join(t_tot, "token")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            roundd(
+                F.sum(term.cast("decimal(38,18)")).cast("double"), 6
+            ).alias("kl"),
+        )
     )

@@ -287,6 +287,40 @@ FROM ranked WHERE rank <= 100
 """
 
 
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(p_source || p_corpus) over unigram distributions
+    — the mixture-monitoring / domain-drift diagnostic (operators/
+    text.py:source_divergence)."""
+    return tx.source_divergence(load_table(spark, sf_dir, "documents"))
+
+
+_KL_PS = "(c_st::DOUBLE / n_s::DOUBLE)"
+_KL_PC = "(c_t::DOUBLE / n_corpus::DOUBLE)"
+
+TEXT_SOURCE_DIVERGENCE_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({TOKS}) AS token FROM documents
+),
+st AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
+stot AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+tt AS (SELECT token, count(*) AS c_t FROM tok GROUP BY 1),
+tot AS (SELECT count(*) AS n_corpus FROM tok),
+terms AS (
+  SELECT st.source, n_s,
+         {roundd_sql(f"{_KL_PS} * ln({_KL_PS} / {_KL_PC})", 9)} AS term
+  FROM st
+  JOIN stot USING (source)
+  JOIN tt USING (token)
+  CROSS JOIN tot
+)
+SELECT source,
+       CAST(max(n_s) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       {roundd_sql('CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE)', 6)} AS kl
+FROM terms GROUP BY source
+"""
+
+
 def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinctive (TF-IDF-style) terms per document; rational
     tf/df score for engine-exact ranking (operators/text.py:
@@ -1544,6 +1578,7 @@ QUERIES = {
     "text_vocabulary": text_vocabulary,
     "text_repetition": text_repetition,
     "text_boilerplate": text_boilerplate,
+    "text_source_divergence": text_source_divergence,
     "text_distinctive_terms": text_distinctive_terms,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
@@ -1584,6 +1619,7 @@ ORACLES = {
     "text_vocabulary": TEXT_VOCABULARY_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_boilerplate": TEXT_BOILERPLATE_SQL,
+    "text_source_divergence": TEXT_SOURCE_DIVERGENCE_SQL,
     "text_distinctive_terms": TEXT_DISTINCTIVE_TERMS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_signatures": DEDUP_MINHASH_SIGNATURES_SQL,
