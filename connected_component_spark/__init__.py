@@ -13,6 +13,9 @@ from connected_component_spark.graph.cc import (
     component_rosters,
     connected_components,
 )
+from connected_component_spark.graph.cc_adjacency import (
+    connected_components_adjacency,
+)
 from connected_component_spark.graph.cliques import (
     cliques_to_edges,
     cliques_to_edges_pairwise,
@@ -25,7 +28,10 @@ from connected_component_spark.graph.pagerank import pagerank
 from connected_component_spark.graph.triangles import triangle_stats
 from connected_component_spark.operators.asof import asof_join
 from connected_component_spark.operators.fuzzy import fuzzy_join, fuzzy_self_pairs
-from connected_component_spark.operators.clustering import kmeans_assign
+from connected_component_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_centroids,
+)
 from connected_component_spark.operators.packing import (
     concat_pack,
     exclusive_prefix_sum,
@@ -41,6 +47,7 @@ from connected_component_spark.session import get_spark
 from connected_component_spark.graph.lpa import label_propagation
 from connected_component_spark.graph.linkpred import common_neighbor_candidates
 from connected_component_spark.operators.similarity import (
+    auto_planes,
     cosine_radius_search,
     cosine_topk,
     embedding_dedup_clusters,
@@ -54,6 +61,7 @@ from connected_component_spark.operators.dedup import (
 )
 from connected_component_spark.operators.text import (
     distinctive_terms,
+    source_divergence,
     token_rarity,
 )
 from connected_component_spark.sources.compaction import compact_parquet
@@ -63,6 +71,7 @@ from connected_component_spark.sources.zorder import write_zordered, zorder_valu
 __all__ = [
     "CCResult",
     "connected_components",
+    "connected_components_adjacency",
     "component_rosters",
     "cliques_to_edges",
     "cliques_to_edges_pairwise",
@@ -85,6 +94,8 @@ __all__ = [
     "shortest_paths",
     "k_core",
     "kmeans_assign",
+    "kmeans_centroids",
+    "auto_planes",
     "zorder_value",
     "write_zordered",
     "weighted_mixture_sample",
@@ -99,6 +110,7 @@ __all__ = [
     "ngram_dedup_clusters",
     "substring_dup_stats",
     "distinctive_terms",
+    "source_divergence",
     "token_rarity",
     "merge_upsert",
     "read_snapshot",
