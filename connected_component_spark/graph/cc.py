@@ -165,25 +165,27 @@ def small_star(edges: DataFrame) -> DataFrame:
 
 
 def _shuffle_write_bytes_total(spark) -> int | None:
-    """Total shuffle-write bytes across the app's completed stages,
-    from the JVM AppStatusStore (the store that backs the UI/REST
-    stage API — present with the UI disabled too).  ``None`` when the
-    internal signature is unavailable: telemetry must never fail a
-    CC run, so any reflection error degrades to "no telemetry"."""
+    """Total shuffle-write bytes across the app so far, from the JVM
+    AppStatusStore (the store that backs the UI/REST API — present
+    with the UI disabled too).  ``None`` when the internal signature
+    is unavailable: telemetry must never fail a CC run, so any
+    reflection error degrades to "no telemetry".
+
+    Two care points (review findings): the status store is fed
+    ASYNCHRONOUSLY by the listener bus, so the bus is drained first
+    (bounded wait) to keep per-round delta attribution honest; and
+    the total is read from the per-EXECUTOR summaries — O(#executors)
+    py4j calls — rather than the per-stage list, whose cost grows
+    with every stage the app has ever run (a long bench session has
+    thousands)."""
     try:
-        sc = spark.sparkContext
-        gw = sc._gateway
-        store = sc._jsc.sc().statusStore()
-        stages = store.stageList(
-            gw.jvm.java.util.ArrayList(),
-            False,
-            False,
-            gw.new_array(gw.jvm.double, 0),
-            gw.jvm.java.util.ArrayList(),
-        )
-        return sum(
-            stages.apply(i).shuffleWriteBytes() for i in range(stages.size())
-        )
+        jsc = spark.sparkContext._jsc.sc()
+        try:
+            jsc.listenerBus().waitUntilEmpty(10_000)
+        except Exception:
+            pass  # best-effort drain; totals may lag one round
+        ex = jsc.statusStore().executorList(False)
+        return sum(ex.apply(i).totalShuffleWrite() for i in range(ex.size()))
     except Exception:
         return None
 

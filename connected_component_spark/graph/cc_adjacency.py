@@ -34,7 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from connected_component_spark.graph.cc import CCResult, _canonical_edges
+from connected_component_spark.graph.cc import (
+    CCResult,
+    _canonical_edges,
+    _set_fingerprint,
+)
 
 __all__ = [
     "large_star_adjacency",
@@ -121,13 +125,9 @@ def connected_components_adjacency(
         pairs = small_star_adjacency(large_star_adjacency(pairs)).localCheckpoint(
             eager=False
         )
-        row = pairs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.xxhash64("src", "dst").cast("decimal(20,0)")), F.lit(0)
-            ).cast("decimal(38,0)").alias("h"),
-        ).first()
-        fp = (int(row["n"]), int(row["h"]))
+        # shared with the join-based kernel so the convergence rule
+        # can never drift between the two differential twins
+        fp = _set_fingerprint(pairs)
         if fp == prev_fp:
             converged = True
             break

@@ -37,21 +37,6 @@ from pyspark.sql import functions as F
 __all__ = ["kmeans_assign", "kmeans_centroids"]
 
 
-def _vec_literal(vals: list[float]) -> Column:
-    # one expression string per vector (the LSH literal lesson:
-    # element-wise F.lit costs a py4j call per element); %.17e keeps
-    # the double bit pattern through the SQL parser
-    return F.expr("array(" + ",".join("%.17e" % v for v in vals) + ")")
-
-
-def _sq_dist(v: Column, cv: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(v, cv, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _best(cents: list[tuple[int, list[float]]]) -> Column:
     """(dist, cid) of the nearest centroid — pure map-side expression
     over literal centroid arrays, ties to the lower cid.

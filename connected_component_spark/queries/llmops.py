@@ -990,9 +990,13 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: left-fold unit normalization of a double list — the float-op-order
-#: twin of operators/clustering.py:_normalized
+#: twin of operators/clustering.py:_normalized, including its
+#: zero-vector guard (an all-zero centroid passes through unchanged
+#: instead of dividing by sqrt(0) into NaN components)
 _NORM_LIST = (
-    "list_transform({v}, x -> x / sqrt(list_sum(list_transform({v}, y -> y*y))))"
+    "CASE WHEN list_sum(list_transform({v}, y -> y*y)) = 0 THEN {v} "
+    "ELSE list_transform({v}, x -> x / "
+    "sqrt(list_sum(list_transform({v}, y -> y*y)))) END"
 )
 
 

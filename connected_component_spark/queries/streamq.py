@@ -96,12 +96,9 @@ def _n_slices(n_events: int) -> int:
 def _n_events(spark: SparkSession, sf_dir: str) -> int:
     """Event-count from the parquet footer — no Spark job.  Falls back
     to a Spark count for multi-file layouts."""
-    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
-    if os.path.isfile(src):
-        import pyarrow.parquet as pq
+    from connected_component_spark.sources.tables import table_row_count
 
-        return pq.ParquetFile(src).metadata.num_rows
-    return load_table(spark, sf_dir, "events").count()
+    return table_row_count(spark, sf_dir, "events")
 
 
 def _events_max_ts(spark: SparkSession, sf_dir: str):

@@ -13,8 +13,6 @@ expected near-dup pair set is known by construction.
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import functions as F
 
 from connected_component_spark.operators.dedup import (
