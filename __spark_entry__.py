@@ -79,6 +79,7 @@ _PRIORITY = (
     # -- new this round -----------------------------------------------
     "ann_ivf_kmeans_topk",      # trained spherical-k-means IVF codebook
     "text_source_divergence",   # per-source KL mixture diagnostic
+    "pipeline_doc_chunks",      # overlapping-window doc chunking
 )
 
 _MODULE_ORDER = ("relational", "graph", "streamq", "llmops")

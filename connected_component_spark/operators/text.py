@@ -27,6 +27,7 @@ __all__ = [
     "repetition_stats",
     "boilerplate_ngrams",
     "source_divergence",
+    "chunk_documents",
     "STOPWORDS",
 ]
 
@@ -466,4 +467,49 @@ def source_divergence(docs: DataFrame) -> DataFrame:
                 F.sum(term.cast("decimal(38,18)")).cast("double"), 6
             ).alias("kl"),
         )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, max_tokens: int = 64, overlap: int = 8
+) -> DataFrame:
+    """Split over-long documents into overlapping token windows:
+    (doc_id, chunk_idx, chunk_text, n_tokens) — the context-assembly
+    complement of operators/packing.py:concat_pack (packing joins
+    short docs up to the context length; chunking cuts long ones
+    down, with ``overlap`` tokens of continuity between consecutive
+    windows, the standard RAG/pre-training chunking rule).
+
+    Pure Catalyst 1→N row expansion: sequence + explode + slice —
+    no shuffle at all; chunking a 100 TB corpus is one map-side scan.
+    Chunk count per doc is exact integer arithmetic
+    (``max(1, ceil((n - overlap) / (max_tokens - overlap)))``), so
+    the oracle agrees at every boundary; every doc emits at least one
+    (possibly empty) chunk so the output covers the corpus.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}"
+        )
+    stride = max_tokens - overlap
+    t = tokens("text")
+    base = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    n_chunks = F.expr(
+        f"greatest(1, (n - {overlap} + {stride} - 1) div {stride})"
+    )
+    idx = base.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = idx["chunk_idx"] * stride + 1
+    length = F.least(F.lit(max_tokens), F.col("n") - start + 1)
+    return idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("t", start, length)).alias("chunk_text"),
+        F.least(
+            F.lit(max_tokens), F.col("n") - F.col("chunk_idx") * stride
+        ).cast("long").alias("n_tokens"),
     )

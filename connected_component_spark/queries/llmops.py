@@ -321,6 +321,43 @@ FROM terms GROUP BY source
 """
 
 
+_CHUNK_MAX, _CHUNK_OVERLAP = 24, 4
+_CHUNK_STRIDE = _CHUNK_MAX - _CHUNK_OVERLAP
+
+
+def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (operators/text.py:
+    chunk_documents) — the context-assembly complement of sequence
+    packing, sized so typical fixture docs emit 2-3 chunks."""
+    return tx.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        max_tokens=_CHUNK_MAX,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+PIPELINE_DOC_CHUNKS_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+meta AS (SELECT doc_id, t, len(t) AS n FROM toks),
+idx AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(
+           0,
+           greatest(1, (n - {_CHUNK_OVERLAP} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}) - 1
+         )) AS chunk_idx
+  FROM meta
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(
+         t[chunk_idx * {_CHUNK_STRIDE} + 1 : chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_MAX}],
+         ' '
+       ) AS chunk_text,
+       CAST(least({_CHUNK_MAX}, n - chunk_idx * {_CHUNK_STRIDE}) AS BIGINT) AS n_tokens
+FROM idx
+"""
+
+
 def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinctive (TF-IDF-style) terms per document; rational
     tf/df score for engine-exact ranking (operators/text.py:
@@ -1583,6 +1620,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "text_boilerplate": text_boilerplate,
     "text_source_divergence": text_source_divergence,
+    "pipeline_doc_chunks": pipeline_doc_chunks,
     "text_distinctive_terms": text_distinctive_terms,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
@@ -1624,6 +1662,7 @@ ORACLES = {
     "text_repetition": TEXT_REPETITION_SQL,
     "text_boilerplate": TEXT_BOILERPLATE_SQL,
     "text_source_divergence": TEXT_SOURCE_DIVERGENCE_SQL,
+    "pipeline_doc_chunks": PIPELINE_DOC_CHUNKS_SQL,
     "text_distinctive_terms": TEXT_DISTINCTIVE_TERMS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_signatures": DEDUP_MINHASH_SIGNATURES_SQL,
