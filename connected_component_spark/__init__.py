@@ -60,6 +60,7 @@ from connected_component_spark.operators.dedup import (
     substring_dup_stats,
 )
 from connected_component_spark.operators.text import (
+    chunk_documents,
     distinctive_terms,
     source_divergence,
     token_rarity,
@@ -109,6 +110,7 @@ __all__ = [
     "minhash_dedup_clusters",
     "ngram_dedup_clusters",
     "substring_dup_stats",
+    "chunk_documents",
     "distinctive_terms",
     "source_divergence",
     "token_rarity",

@@ -562,3 +562,32 @@ def test_lsh_auto_planes_cross_engine_at_10x(spark, tmp_path):
     ).fetchall()
     assert got == {tuple(r) for r in oracle}
     assert len(got) > 0
+
+
+def test_chunk_documents_boundaries(spark):
+    """Empty doc -> one empty chunk; exactly max_tokens -> one chunk;
+    max_tokens+1 -> two chunks whose second starts overlap tokens
+    before the first's end (continuity)."""
+    from connected_component_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, " ".join(f"t{i}" for i in range(24))),
+            (3, " ".join(f"t{i}" for i in range(25))),
+            (4, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, max_tokens=24, overlap=4).collect()
+    }
+    assert rows[(1, 0)] == (0, "")
+    assert rows[(2, 0)][0] == 24 and (2, 1) not in rows
+    assert rows[(3, 0)][0] == 24
+    # second chunk: starts at token index 20 (overlap=4 before 24)
+    assert rows[(3, 1)] == (5, "t20 t21 t22 t23 t24")
+    assert rows[(4, 0)] == (1, "a")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, max_tokens=8, overlap=8)
