@@ -80,6 +80,7 @@ _PRIORITY = (
     "ann_ivf_kmeans_topk",      # trained spherical-k-means IVF codebook
     "text_source_divergence",   # per-source KL mixture diagnostic
     "pipeline_doc_chunks",      # overlapping-window doc chunking
+    "pipeline_semantic_dedup",  # SemDeDup: kmeans partition + in-cluster dedup
 )
 
 _MODULE_ORDER = ("relational", "graph", "streamq", "llmops")

@@ -27,6 +27,7 @@ __all__ = [
     "cosine_threshold_pairs",
     "lsh_threshold_pairs",
     "embedding_dedup_clusters",
+    "semantic_dedup",
     "lsh_bucketed_topk",
     "ivf_cell_assignments",
     "ivf_topk",
@@ -830,3 +831,100 @@ def similarity_clusters(
     return components_with_isolates(
         edges, emb, id_col, max_iterations=max_iterations
     ).select(F.col("node").alias(id_col), F.col("component").alias("cluster"))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    k: int | None = None,
+    lloyd_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iterations: int = 20,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means groups the
+    corpus into semantic clusters, near-duplicate pairs are detected
+    ONLY within a cluster (exact rounded cosine >= threshold), CC
+    merges them into dup groups, and the minimum id of each group is
+    the kept representative.  Output: (id, sem_cluster, dup_group,
+    keep) with keep = 1 for the representative.
+
+    This is the architecture of Abbas et al., "SemDeDup" (2023): the
+    coarse semantic partition is what makes within-group pairwise
+    comparison tractable — the pair join is an equi-join on the
+    cluster key, and with k ~ sqrt(n) (the default, derived from the
+    corpus count) expected within-cluster pair work is O(n^1.5)
+    rather than O(n^2), falling further as k grows with the corpus.
+    Complementary to :func:`embedding_dedup_clusters` (LSH candidate
+    generation over the whole corpus): LSH recalls near-dups across
+    cluster boundaries, SemDeDup bounds work by semantic locality.
+
+    Deterministic end to end (Lloyd seeding/updates and the rounded
+    cosine are both engine-exact), so the whole pipeline is
+    oracle-checkable.
+    """
+    import math
+
+    from connected_component_spark.operators.clustering import kmeans_assign
+
+    if k is None:
+        n = corpus_count if corpus_count is not None else emb.count()
+        k = max(1, math.isqrt(n))
+    # materialize the (id, cluster) assignment once: it is joined into
+    # BOTH sides of the pair self-join and into the final output, and
+    # without the checkpoint each occurrence re-evaluates the k-literal
+    # argmin expression (and re-plans its large tree) independently
+    assign = (
+        kmeans_assign(
+            emb, k=k, iterations=lloyd_iterations, id_col=id_col, vec_col=vec_col
+        )
+        .select(F.col("id").alias("vid"), F.col("cluster").alias("sem_cluster"))
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        _normed(emb, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vv"),
+            l2_norm(F.col(vec_col)).alias("vn"),
+        )
+        .join(assign, "vid")
+    )
+    a = v.select(
+        F.col("vid").alias("a"),
+        F.col("sem_cluster").alias("ca"),
+        F.col("vv").alias("av"),
+        F.col("vn").alias("an"),
+    )
+    b = v.select(
+        F.col("vid").alias("b"),
+        F.col("sem_cluster").alias("cb"),
+        F.col("vv").alias("bv"),
+        F.col("vn").alias("bn"),
+    )
+    pairs = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("a") < F.col("b")))
+        .select(
+            "a",
+            "b",
+            roundd(
+                dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    groups = components_with_isolates(
+        edges, emb, id_col, max_iterations=max_iterations
+    )
+    return (
+        groups.select(F.col("node").alias("vid"), F.col("component").alias("dup_group"))
+        .join(assign, "vid")
+        .select(
+            F.col("vid").alias(id_col),
+            "sem_cluster",
+            "dup_group",
+            (F.col("vid") == F.col("dup_group")).cast("long").alias("keep"),
+        )
+    )

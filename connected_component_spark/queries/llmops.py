@@ -1006,6 +1006,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 8
 _KM_ITERS = 2
 
+#: sqrt(n) codebook/partition size derived in-SQL from the corpus —
+#: the exact integer twin of Python's math.isqrt(table_row_count(...))
+_IVF_KM_K_SQL = "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+
 
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus
@@ -1269,6 +1273,61 @@ FROM walk GROUP BY node
 """
 
 
+#: one Lloyd round for the SemDeDup partition: the coarse grouping
+#: only needs to bound pair work by semantic locality, not converge —
+#: and every extra round pays another k-literal argmin plan
+_SEMDEDUP_ITERS = 1
+
+
+def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py:
+    semantic_dedup): sqrt(n)-cell k-means partitions the corpus, exact
+    near-dup pairs are found only WITHIN a semantic cluster, CC merges
+    dup groups, min-id is kept — the whole pipeline deterministic and
+    oracle-checked, including the Lloyd round."""
+    return sim.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_EMB_DEDUP_THRESHOLD,
+        lloyd_iterations=_SEMDEDUP_ITERS,
+        corpus_count=table_row_count(spark, sf_dir, "embeddings"),
+    )
+
+
+PIPELINE_SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE {",".join(_kmeans_chain_parts(_IVF_KM_K_SQL, _SEMDEDUP_ITERS, final_assign=True))},
+assign AS (SELECT id AS vec_id, cluster AS sem_cluster FROM a{_SEMDEDUP_ITERS} WHERE rn = 1),
+v AS (
+  SELECT e.vec_id, a.sem_cluster, e.embedding
+  FROM embeddings e JOIN assign a USING (vec_id)
+),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         {_cos_sql('l.embedding', 'r.embedding')} AS cos
+  FROM v l JOIN v r
+    ON l.sem_cluster = r.sem_cluster AND l.vec_id < r.vec_id
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs WHERE cos >= {_EMB_DEDUP_THRESHOLD}
+),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+walk(node, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+),
+groups AS (
+  SELECT node AS vec_id, min(comp) AS dup_group FROM walk GROUP BY node
+)
+SELECT g.vec_id, a.sem_cluster, g.dup_group,
+       CAST(CASE WHEN g.vec_id = g.dup_group THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM groups g JOIN assign a USING (vec_id)
+"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
@@ -1416,8 +1475,6 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, k=5, centroids=_ivf_kmeans_centroids(spark, sf_dir)
     )
 
-
-_IVF_KM_K_SQL = "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
 
 ANN_IVF_KMEANS_TOPK_SQL = f"""
 WITH {",".join(_kmeans_chain_parts(_IVF_KM_K_SQL, _IVF_KM_ITERS, final_assign=False, seed_where=f"id % {_IVF_STRIDE} = 0", normalize=True))},
@@ -1621,6 +1678,7 @@ QUERIES = {
     "text_boilerplate": text_boilerplate,
     "text_source_divergence": text_source_divergence,
     "pipeline_doc_chunks": pipeline_doc_chunks,
+    "pipeline_semantic_dedup": pipeline_semantic_dedup,
     "text_distinctive_terms": text_distinctive_terms,
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": dedup_minhash_signatures,
@@ -1663,6 +1721,7 @@ ORACLES = {
     "text_boilerplate": TEXT_BOILERPLATE_SQL,
     "text_source_divergence": TEXT_SOURCE_DIVERGENCE_SQL,
     "pipeline_doc_chunks": PIPELINE_DOC_CHUNKS_SQL,
+    "pipeline_semantic_dedup": PIPELINE_SEMANTIC_DEDUP_SQL,
     "text_distinctive_terms": TEXT_DISTINCTIVE_TERMS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_signatures": DEDUP_MINHASH_SIGNATURES_SQL,
