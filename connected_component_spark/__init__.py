@@ -52,6 +52,7 @@ from connected_component_spark.operators.similarity import (
     cosine_topk,
     embedding_dedup_clusters,
     lsh_bucketed_topk,
+    semantic_dedup,
     similarity_clusters,
 )
 from connected_component_spark.operators.dedup import (
@@ -107,6 +108,7 @@ __all__ = [
     "lsh_bucketed_topk",
     "similarity_clusters",
     "embedding_dedup_clusters",
+    "semantic_dedup",
     "minhash_dedup_clusters",
     "ngram_dedup_clusters",
     "substring_dup_stats",
