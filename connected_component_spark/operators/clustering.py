@@ -41,22 +41,29 @@ def _best(cents: list[tuple[int, list[float]]]) -> Column:
     """(dist, cid) of the nearest centroid — pure map-side expression
     over literal centroid arrays, ties to the lower cid.
 
-    Built as ONE SQL text string: the Column-combinator formulation
-    issues thousands of py4j calls for large k (k structs × per-dim
-    literals — measured ~2 s of pure driver time per assignment pass
-    at k=200), while one ``F.expr`` parse is a single JVM round trip
-    producing the identical Catalyst tree (same fold/zip_with ops,
-    %.17e literals round-trip the double bit patterns).
+    Built as ONE SQL text string (one JVM parse instead of thousands
+    of py4j Column calls; %.17e literals round-trip the double bit
+    patterns), and — the part that matters at large k — shaped so the
+    GENERATED CODE size is independent of k: the codebook enters the
+    plan as one nested array<array<double>> LITERAL looped by a
+    single higher-order ``transform``, instead of k unrolled
+    per-centroid expressions whose codegen/janino cost grows with the
+    codebook (an unrolled k=200 argmin costs seconds to compile per
+    plan; data-as-literal compiles once at any k).  Arithmetic per
+    centroid is the identical zip_with/fold, so assignments are
+    bit-identical to the unrolled form and the unchanged oracle.
     """
-    terms = ",".join(
-        "named_struct('dist', aggregate(zip_with(v, array("
-        + ",".join("%.17e" % x for x in cv)
-        + "), (a, b) -> (a - b) * (a - b)), cast(0.0 as double), "
-        "(acc, x) -> acc + x), 'cid', "
-        f"{int(cid)}L)"
-        for cid, cv in cents
+    cvs = ",".join(
+        "array(" + ",".join("%.17e" % x for x in cv) + ")" for _, cv in cents
     )
-    return F.expr(f"array_min(array({terms}))")
+    cids = ",".join(f"{int(cid)}L" for cid, _ in cents)
+    return F.expr(
+        f"array_min(transform(array({cvs}), (cv, i) -> "
+        "named_struct('dist', aggregate(zip_with(v, cv, "
+        "(a, b) -> (a - b) * (a - b)), cast(0.0 as double), "
+        "(acc, x) -> acc + x), "
+        f"'cid', element_at(array({cids}), i + 1))))"
+    )
 
 
 def _normalized(vals: list[float]) -> list[float]:
