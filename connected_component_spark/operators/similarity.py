@@ -842,6 +842,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_iterations: int = 20,
     corpus_count: int | None = None,
+    max_cluster_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means groups the
     corpus into semantic clusters, near-duplicate pairs are detected
@@ -853,16 +854,24 @@ def semantic_dedup(
     This is the architecture of Abbas et al., "SemDeDup" (2023): the
     coarse semantic partition is what makes within-group pairwise
     comparison tractable — the pair join is an equi-join on the
-    cluster key, and with k ~ sqrt(n) (the default, derived from the
-    corpus count) expected within-cluster pair work is O(n^1.5)
-    rather than O(n^2), falling further as k grows with the corpus.
-    Complementary to :func:`embedding_dedup_clusters` (LSH candidate
-    generation over the whole corpus): LSH recalls near-dups across
-    cluster boundaries, SemDeDup bounds work by semantic locality.
+    cluster key.  With k ~ sqrt(n) (the default, derived from the
+    corpus count) and roughly balanced clusters, within-cluster pair
+    work is ~O(n^1.5); but k-means gives NO balance guarantee — a
+    corpus whose semantic mass concentrates in one region can put a
+    constant fraction of n into one cluster and degrade that join
+    toward O(n^2).  ``max_cluster_rows`` is the valve for that skew
+    (the SemDeDup paper's own move — it dedups within bounded chunks
+    of each cluster): rows of an oversized cluster are deterministically
+    hash-sub-split so no join group exceeds the cap, trading recall of
+    cross-sub-split pairs (partially absorbed by CC transitivity) for
+    a hard per-group work bound.  Complementary to
+    :func:`embedding_dedup_clusters` (LSH candidate generation over
+    the whole corpus): LSH recalls near-dups across cluster
+    boundaries, SemDeDup bounds work by semantic locality.
 
-    Deterministic end to end (Lloyd seeding/updates and the rounded
-    cosine are both engine-exact), so the whole pipeline is
-    oracle-checkable.
+    Deterministic end to end (Lloyd seeding/updates, the rounded
+    cosine, and the md5 sub-split are all engine-exact), so the whole
+    pipeline is oracle-checkable.
     """
     import math
 
@@ -882,6 +891,26 @@ def semantic_dedup(
         .select(F.col("id").alias("vid"), F.col("cluster").alias("sem_cluster"))
         .localCheckpoint(eager=True)
     )
+    if max_cluster_rows is not None:
+        from connected_component_spark.functions.hashing import hash64
+
+        sizes = assign.groupBy("sem_cluster").agg(
+            F.count(F.lit(1)).alias("_csz")
+        )
+        splits = F.greatest(
+            F.lit(1),
+            F.expr(f"cast(ceil(_csz / {float(max_cluster_rows)}) as bigint)"),
+        )
+        assign = (
+            assign.join(sizes, "sem_cluster")
+            .select(
+                "vid",
+                "sem_cluster",
+                F.pmod(hash64(F.col("vid").cast("string")), splits).alias("_sub"),
+            )
+        )
+    else:
+        assign = assign.select("vid", "sem_cluster", F.lit(0).alias("_sub"))
     v = (
         _normed(emb, id_col, vec_col)
         .select(
@@ -894,17 +923,24 @@ def semantic_dedup(
     a = v.select(
         F.col("vid").alias("a"),
         F.col("sem_cluster").alias("ca"),
+        F.col("_sub").alias("sa"),
         F.col("vv").alias("av"),
         F.col("vn").alias("an"),
     )
     b = v.select(
         F.col("vid").alias("b"),
         F.col("sem_cluster").alias("cb"),
+        F.col("_sub").alias("sb"),
         F.col("vv").alias("bv"),
         F.col("vn").alias("bn"),
     )
     pairs = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("a") < F.col("b")))
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("a") < F.col("b")),
+        )
         .select(
             "a",
             "b",

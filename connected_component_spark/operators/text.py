@@ -492,7 +492,11 @@ def chunk_documents(
             f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}"
         )
     stride = max_tokens - overlap
-    t = tokens("text")
+    # NULL text = empty doc (one empty chunk), NOT a phantom
+    # max_tokens-sized chunk: size(NULL) is NULL and greatest/least
+    # SKIP nulls rather than propagate them, so without the coalesce a
+    # NULL doc would emit n_tokens=max_tokens with a null/'' text
+    t = tokens(F.coalesce(F.col("text"), F.lit("")))
     base = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
     n_chunks = F.expr(
         f"greatest(1, (n - {overlap} + {stride} - 1) div {stride})"

@@ -336,8 +336,11 @@ def pipeline_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: like TOKS but NULL-text-safe (chunking treats a NULL doc as empty)
+_TOKS_COALESCED = TOKS.replace("trim(text)", "trim(coalesce(text, ''))")
+
 PIPELINE_DOC_CHUNKS_SQL = f"""
-WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+WITH toks AS (SELECT doc_id, {_TOKS_COALESCED} AS t FROM documents),
 meta AS (SELECT doc_id, t, len(t) AS n FROM toks),
 idx AS (
   SELECT doc_id, t, n,

@@ -591,3 +591,59 @@ def test_chunk_documents_boundaries(spark):
     assert rows[(4, 0)] == (1, "a")
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, max_tokens=8, overlap=8)
+
+
+def test_chunk_documents_null_text(spark):
+    """NULL text = empty doc: one empty chunk with n_tokens=0, never a
+    phantom max_tokens-sized chunk (greatest/least SKIP nulls, so the
+    unguarded arithmetic would emit n_tokens=max_tokens)."""
+    from connected_component_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, max_tokens=8, overlap=2).collect()
+    }
+    assert rows[1] == (0, 0, "")
+    assert rows[2] == (0, 2, "a b")
+
+
+def test_semantic_dedup_cluster_cap_bounds_groups(spark):
+    """max_cluster_rows hash-sub-splits oversized semantic clusters:
+    every vector still appears exactly once in the output, kept reps
+    are group minima, and the capped run finds a subset of the
+    uncapped run's merges (sub-splitting only removes pairs)."""
+    import numpy as np
+
+    from connected_component_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    # one dominant direction: most vectors land in one k-means cluster
+    base = rng.standard_normal(8)
+    vecs = [
+        list(base + rng.standard_normal(8) * 0.05) for _ in range(40)
+    ] + [list(rng.standard_normal(8)) for _ in range(10)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    full = {
+        r["vec_id"]: r["dup_group"]
+        for r in semantic_dedup(emb, threshold=0.9, k=4).collect()
+    }
+    capped_rows = semantic_dedup(
+        emb, threshold=0.9, k=4, max_cluster_rows=10
+    ).collect()
+    capped = {r["vec_id"]: r["dup_group"] for r in capped_rows}
+    assert set(capped) == set(range(50))  # full coverage, once each
+    assert sum(r["keep"] for r in capped_rows) == len(
+        {r["dup_group"] for r in capped_rows}
+    )
+    # capped merges are a refinement: two ids merged under the cap
+    # must also be merged without it
+    for i in range(50):
+        for j in range(50):
+            if capped[i] == capped[j]:
+                assert full[i] == full[j]
