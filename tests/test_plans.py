@@ -131,3 +131,32 @@ def test_cc_round_is_pure_relational(spark):
     s = summarize_plan(small_star(large_star(edges)))
     assert s.python_evals == 0
     assert s.cartesian_products == 0
+
+
+def test_chunk_documents_is_exchange_free(spark, sf_dir):
+    """Chunking is a pure map-side 1->N expansion: zero Exchanges and
+    zero Python evals — chunking a 100 TB corpus must be one scan."""
+    from connected_component_spark.operators.text import chunk_documents
+    from connected_component_spark.sources.tables import load_table
+
+    s = summarize_plan(
+        chunk_documents(load_table(spark, sf_dir, "documents"))
+    )
+    assert s.exchanges == 0
+    assert s.python_evals == 0
+    assert s.cartesian_products == 0
+
+
+def test_semantic_dedup_pair_join_is_equi_join(spark, sf_dir):
+    """The SemDeDup in-cluster pair stage must be an equi-join on the
+    cluster key (plus optional sub-split key) — never an all-pairs
+    product, with or without the cluster-size cap."""
+    from connected_component_spark.operators.similarity import semantic_dedup
+    from connected_component_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for kwargs in ({}, {"max_cluster_rows": 16}):
+        s = summarize_plan(semantic_dedup(emb, threshold=0.4, k=4, **kwargs))
+        assert s.cartesian_products == 0
+        assert s.broadcast_nested_loop_joins == 0
+        assert s.python_evals == 0
