@@ -51,12 +51,15 @@ _LAZY_LLMOPS = [
     "dedup_simhash_pairs", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "ann_recall_report", "multimodal_metadata", "multimodal_features",
     "multimodal_resize", "multimodal_frames",
+    "pipeline_doc_chunks", "text_source_divergence",
 ]
 
 #: intentional bounded cross joins: a broadcast query/centroid batch
-#: (O(|q|·m), not m²) or block-aggregate pairs (blocks², not n²)
+#: (O(|q|·m), not m²), block-aggregate pairs (blocks², not n²), or a
+#: 1-row corpus-totals broadcast (text_source_divergence)
 _ALLOWED_NESTED_LOOP = {
     "ann_cosine_topk", "ann_ivf_topk", "dedup_ngram_pairs", "ann_recall_report",
+    "text_source_divergence",
 }
 
 
