@@ -862,9 +862,10 @@ def semantic_dedup(
     toward O(n^2).  ``max_cluster_rows`` is the valve for that skew
     (the SemDeDup paper's own move — it dedups within bounded chunks
     of each cluster): rows of an oversized cluster are deterministically
-    hash-sub-split so no join group exceeds the cap, trading recall of
-    cross-sub-split pairs (partially absorbed by CC transitivity) for
-    a hard per-group work bound.  Complementary to
+    hash-sub-split so EXPECTED join-group size stays at the cap (md5
+    spread; a group can exceed it only by hash imbalance), trading
+    recall of cross-sub-split pairs (partially absorbed by CC
+    transitivity) for per-group work bounded in expectation.  Complementary to
     :func:`embedding_dedup_clusters` (LSH candidate generation over
     the whole corpus): LSH recalls near-dups across cluster
     boundaries, SemDeDup bounds work by semantic locality.

@@ -165,3 +165,28 @@ def test_cc_round_shuffle_telemetry(spark):
     assert tel is not None and len(tel) == res.iterations
     assert all(b >= 0 for b in tel)
     assert sum(tel) > 0  # star rounds genuinely shuffle
+
+
+def test_cc_handles_megahub_star_graph(spark):
+    """Degree-skew stress: a single hub adjacent to 2M spokes — the
+    exact hazard the reference's comments warn about
+    (ConnectedComponent.scala:62-63,135-136) and the reason its
+    aggregateByKey adjacency sets OOM on hubs.  The join-based kernel
+    keeps the hub's group as a scalar min aggregation (no adjacency
+    array anywhere), so the star must converge in the minimum round
+    count with every spoke assigned to the hub's component."""
+    from pyspark.sql import functions as F
+
+    n = 2_000_000
+    edges = spark.range(1, n + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    res = connected_components(edges)
+    assert res.converged
+    assert res.iterations <= 3  # one compression round + confirm
+    stats = res.assignments.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("component").alias("c"),
+        F.max("component").alias("m"),
+    ).first()
+    assert (stats["n"], stats["c"], stats["m"]) == (n + 1, 1, 0)
