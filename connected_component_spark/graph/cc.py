@@ -66,12 +66,16 @@ class CCResult:
     in stable-set mode (the convergence scalar already computes it).
 
     ``round_shuffle_bytes`` is the shuffle-write volume each round
-    added (delta of the app status store's completed-stage totals) —
-    the cost metric the reference's at-scale tuning actually targets
-    (README.md:72 tunes partitions/memory against shuffle pressure).
-    ``None`` when the status store is unavailable; in a shared session
-    concurrent jobs would inflate the deltas (the kernel loop itself
-    is the only job source in normal use).
+    added — per-round deltas of the app-wide per-EXECUTOR
+    ``totalShuffleWrite`` summaries from the JVM status store (read
+    that way because the per-stage list costs O(total stages ever
+    run) to walk) — the cost metric the reference's at-scale tuning
+    actually targets (README.md:72 tunes partitions/memory against
+    shuffle pressure).  ``None`` when the status store is
+    unavailable.  The totals are app-wide, so in a shared session any
+    CONCURRENT job's shuffle writes land in whichever round's delta
+    is open (the kernel loop itself is the only job source in normal
+    single-threaded use).
     """
 
     assignments: DataFrame

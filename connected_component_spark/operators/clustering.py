@@ -70,11 +70,17 @@ def _normalized(vals: list[float]) -> list[float]:
     """Unit-normalize with a left-fold sum of squares — the exact
     float-op order of ``sqrt(list_sum(list_transform(cv, y->y*y)))``
     in the DuckDB oracle chain, so normalized centroid components are
-    bit-identical across engines."""
+    bit-identical across engines.  ``math.sqrt`` specifically:
+    IEEE-754 sqrt is correctly rounded in every engine, while
+    ``s ** 0.5`` goes through libm pow and differs in the last ulp
+    for ~1 in 1000 inputs — enough to flip an argmin/rounding
+    boundary once per a few hundred centroid builds."""
+    import math
+
     s = 0.0
     for y in vals:
         s += y * y
-    n = s ** 0.5
+    n = math.sqrt(s)
     if n == 0.0:
         return vals
     return [y / n for y in vals]

@@ -880,7 +880,12 @@ def semantic_dedup(
 
     if k is None:
         n = corpus_count if corpus_count is not None else emb.count()
-        k = max(1, math.isqrt(n))
+        # floor of IEEE double sqrt, NOT isqrt: the SQL oracle twin
+        # derives k as floor(sqrt(count(*))) and double sqrt can
+        # round up across perfect-square boundaries for n > 2^52 —
+        # both sides must use the identical float op to agree at
+        # every n (queries/llmops.py:_IVF_KM_K_SQL)
+        k = max(1, int(math.floor(math.sqrt(n))))
     # materialize the (id, cluster) assignment once: it is joined into
     # BOTH sides of the pair self-join and into the final output, and
     # without the checkpoint each occurrence re-evaluates the k-literal

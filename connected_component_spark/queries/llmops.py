@@ -1009,8 +1009,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 8
 _KM_ITERS = 2
 
-#: sqrt(n) codebook/partition size derived in-SQL from the corpus —
-#: the exact integer twin of Python's math.isqrt(table_row_count(...))
+#: sqrt(n) codebook/partition size derived in-SQL from the corpus.
+#: The Spark side computes the IDENTICAL float expression
+#: (int(floor(sqrt(n))) over IEEE double sqrt) rather than isqrt:
+#: double sqrt can round UP across a perfect-square boundary for
+#: n > 2^52, where floor(sqrt(n)) != isqrt(n) — both engines using
+#: the same float op agree at every n, which is what the oracle
+#: contract needs (the k value itself being off-by-one from the
+#: mathematical isqrt at astronomical n is irrelevant).
 _IVF_KM_K_SQL = "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
 
 
@@ -1454,9 +1460,9 @@ def _ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         n = table_row_count(spark, sf_dir, "embeddings")
         # sqrt(n) cells — the standard IVF sizing (cell scan cost ~
-        # n/k balances the k-centroid probe at k=sqrt(n)); exact
-        # integer so the oracle's floor(sqrt(count(*))) agrees
-        k = max(1, math.isqrt(n))
+        # n/k balances the k-centroid probe at k=sqrt(n)); the SAME
+        # float expression as _IVF_KM_K_SQL, see its comment
+        k = max(1, int(math.floor(math.sqrt(n))))
         cents = kmeans_centroids(
             emb,
             k=k,
