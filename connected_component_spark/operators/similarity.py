@@ -706,17 +706,26 @@ def ivf_topk(
     training step) for cells that follow the data distribution
     instead of id order; recall at equal nprobe improves because
     near-duplicate regions share a cell by construction.
+
+    Query cells are derived by scoring the QUERY vectors against the
+    broadcast centroids directly (one bounded-batch
+    :func:`ivf_cell_assignments` call on ``queries``), never by
+    joining corpus-derived assignments — so out-of-corpus query
+    vectors (the serving path: queries usually are NOT index members)
+    are scored like any other instead of silently vanishing from the
+    result.  For in-corpus queries the assignment expression is
+    identical, so results are unchanged.
     """
     if centroids is None:
         centroids = corpus.where(F.col(id_col) % centroid_stride == 0)
-    # ONE corpus-x-centroids scoring pass at width nprobe; storage is
-    # its rank-1 slice (a second ivf_cell_assignments call would run
-    # the whole coarse quantizer again)
-    cells = ivf_cell_assignments(
-        corpus, centroids, id_col, vec_col, max(1, nprobe)
+    # storage assignment: one corpus-x-centroids pass at width 1;
+    # probe assignment: an independent bounded-batch pass over the
+    # query vectors (O(|q|·k), broadcast centroids — queries need not
+    # exist in the corpus)
+    storage = ivf_cell_assignments(corpus, centroids, id_col, vec_col, 1)
+    probe = ivf_cell_assignments(
+        queries, centroids, id_col, vec_col, max(1, nprobe)
     )
-    storage = cells.where(F.col("probe_rank") == 1)
-    probe = cells
     q = _normed(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
