@@ -1300,33 +1300,72 @@ FROM walk GROUP BY node
 #: and every extra round pays another k-literal argmin plan
 _SEMDEDUP_ITERS = 1
 
+#: skew valve on the DECLARED path (r4 verdict #2): cluster rows are
+#: capped at this multiple of the EXPECTED cluster size ceil(n/k), so
+#: the in-cluster pair join stays bounded even when k-means drops a
+#: constant fraction of the corpus into one semantic cell.  Relative
+#: (not absolute) so the cap tracks the sqrt(n) expected occupancy as
+#: the corpus grows; both engines derive it from the same exact
+#: integer/double ops.
+_SEMDEDUP_CAP_MULT = 2
+
+
+def _semdedup_cap(n: int) -> int:
+    import math
+
+    k = max(1, int(math.floor(math.sqrt(n))))
+    return _SEMDEDUP_CAP_MULT * int(math.ceil(n / k)) if n else 1
+
+
+#: SQL twin of :func:`_semdedup_cap` — same IEEE double division +
+#: ceil over the same exact integers
+_SEMDEDUP_CAP_SQL = (
+    f"({_SEMDEDUP_CAP_MULT} * ceil(CAST((SELECT count(*) FROM embeddings) AS DOUBLE)"
+    f" / {_IVF_KM_K_SQL}))"
+)
+
 
 def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.py:
     semantic_dedup): sqrt(n)-cell k-means partitions the corpus, exact
     near-dup pairs are found only WITHIN a semantic cluster, CC merges
     dup groups, min-id is kept — the whole pipeline deterministic and
-    oracle-checked, including the Lloyd round."""
+    oracle-checked, including the Lloyd round and the skew valve
+    (``max_cluster_rows``: oversized clusters are md5-hash-sub-split
+    so join-group size stays bounded in expectation — k-means gives
+    no balance guarantee, and without the valve one overloaded cell
+    degrades the pair join toward O(n²))."""
+    n = table_row_count(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(
         load_table(spark, sf_dir, "embeddings"),
         threshold=_EMB_DEDUP_THRESHOLD,
         lloyd_iterations=_SEMDEDUP_ITERS,
-        corpus_count=table_row_count(spark, sf_dir, "embeddings"),
+        corpus_count=n,
+        max_cluster_rows=_semdedup_cap(n),
     )
 
 
 PIPELINE_SEMANTIC_DEDUP_SQL = f"""
 WITH RECURSIVE {",".join(_kmeans_chain_parts(_IVF_KM_K_SQL, _SEMDEDUP_ITERS, final_assign=True))},
 assign AS (SELECT id AS vec_id, cluster AS sem_cluster FROM a{_SEMDEDUP_ITERS} WHERE rn = 1),
+csizes AS (
+  SELECT sem_cluster, count(*) AS csz FROM assign GROUP BY sem_cluster
+),
+subsplit AS (
+  SELECT a.vec_id, a.sem_cluster,
+         ({hash64_sql('CAST(a.vec_id AS VARCHAR)')})
+           % greatest(1, CAST(ceil(csz / CAST({_SEMDEDUP_CAP_SQL} AS DOUBLE)) AS BIGINT)) AS sub
+  FROM assign a JOIN csizes USING (sem_cluster)
+),
 v AS (
-  SELECT e.vec_id, a.sem_cluster, e.embedding
-  FROM embeddings e JOIN assign a USING (vec_id)
+  SELECT e.vec_id, s.sem_cluster, s.sub, e.embedding
+  FROM embeddings e JOIN subsplit s USING (vec_id)
 ),
 pairs AS (
   SELECT l.vec_id AS a, r.vec_id AS b,
          {_cos_sql('l.embedding', 'r.embedding')} AS cos
   FROM v l JOIN v r
-    ON l.sem_cluster = r.sem_cluster AND l.vec_id < r.vec_id
+    ON l.sem_cluster = r.sem_cluster AND l.sub = r.sub AND l.vec_id < r.vec_id
 ),
 edges AS (
   SELECT a AS src, b AS dst FROM pairs WHERE cos >= {_EMB_DEDUP_THRESHOLD}

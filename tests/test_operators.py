@@ -649,6 +649,70 @@ def test_chunk_documents_null_text(spark):
     assert rows[2] == (0, 2, "a b")
 
 
+def test_semantic_dedup_valve_cross_engine_when_splitting(spark, tmp_path):
+    """The DECLARED SemDeDup path with the valve actually BITING:
+    a skewed corpus (90% of vectors share one dominant direction)
+    overloads one k-means cell past the cap, so the md5 hash-sub-split
+    runs with splits > 1 in both engines — the fixture corpus never
+    exercises that regime (its clusters stay under the cap).  Full
+    row-for-row equality with the DuckDB oracle, plus the bounded
+    join-group-size property the valve exists for."""
+    import hashlib
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from connected_component_spark.queries.llmops import (
+        PIPELINE_SEMANTIC_DEDUP_SQL,
+        _semdedup_cap,
+        pipeline_semantic_dedup,
+    )
+
+    n, d = 2000, 8
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal(d)
+    vecs = np.vstack(
+        [
+            base + rng.standard_normal((int(n * 0.9), d)) * 0.05,
+            rng.standard_normal((n - int(n * 0.9), d)),
+        ]
+    )
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [[float(x) for x in v] for v in vecs],
+        }
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pdf.to_parquet(path)
+
+    rows = pipeline_semantic_dedup(spark, str(tmp_path)).collect()
+    got = sorted((r.vec_id, r.sem_cluster, r.dup_group, r.keep) for r in rows)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    want = sorted(tuple(r) for r in con.sql(PIPELINE_SEMANTIC_DEDUP_SQL).fetchall())
+    assert got == want
+    assert len(got) == n
+
+    # the valve must actually have split: the dominant cell holds far
+    # more rows than the cap, and the replicated (cluster, sub) groups
+    # all stay bounded (md5 spread — 2x slack for hash imbalance)
+    cap = _semdedup_cap(n)
+    csz: dict = {}
+    for _, c, _, _ in got:
+        csz[c] = csz.get(c, 0) + 1
+    assert max(csz.values()) > cap, "fixture not skewed enough to split"
+    groups: dict = {}
+    for vid, c, _, _ in got:
+        splits = max(1, math.ceil(csz[c] / float(cap)))
+        sub = int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16) % splits
+        groups[(c, sub)] = groups.get((c, sub), 0) + 1
+    assert max(groups.values()) <= 2 * cap
+
+
 def test_semantic_dedup_cluster_cap_bounds_groups(spark):
     """max_cluster_rows hash-sub-splits oversized semantic clusters:
     every vector still appears exactly once in the output, kept reps
