@@ -49,39 +49,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registry order = verification priority.  The driver's correctness
-# run is time-budgeted (r1 and r2 both truncated at 50 rows), so
-# queries that have never been driver-verified or whose code changed
-# this round are rotated to the FRONT; long-stable queries absorb any
-# truncation.
-_PRIORITY = (
-    # -- the 12 queries that have never had a driver CORRECTNESS row in
-    # any round (r3 verdict task 1) — these MUST make the 50-row budget
-    # this round so every declared query has a hard-signal green row ---
-    "q_asof_orders",
-    "q_interval_spikes",
-    "q18_large_volume",
-    "q21_late_suppliers",
-    "q22_idle_balance",
-    "stream_dedup",
-    "text_vocabulary",
-    "pipeline_corpus_curation",
-    "pipeline_split_decontamination",
-    "pipeline_source_mixture",
-    "pipeline_sequence_packing",
-    "ann_recall_report",
-    # -- changed this round (must be re-verified) ---------------------
-    "ann_lsh_topk",             # corpus-sized LSH planes (r3 verdict task 2)
-    "ann_similarity_clusters",  # corpus-sized LSH planes
-    "dedup_embedding_clusters", # corpus-sized LSH planes
-    "ann_ivf_topk",             # k-means coarse quantizer (r3 verdict task 7)
-    "stream_session_windows",   # files-per-trigger from staged file count (ADVICE)
-    "text_token_rarity",        # broadcast hint gated on vocab size (ADVICE)
-    # -- new this round -----------------------------------------------
-    "ann_ivf_kmeans_topk",      # trained spherical-k-means IVF codebook
-    "text_source_divergence",   # per-source KL mixture diagnostic
-    "pipeline_doc_chunks",      # overlapping-window doc chunking
-    "pipeline_semantic_dedup",  # SemDeDup: kmeans partition + in-cluster dedup
+# run is time-budgeted (~50 rows per round), so the registry is
+# ordered by STALENESS computed from the committed CORRECTNESS_r*.json
+# artifacts (r4 verdict task 4 — no hand-maintained priority tuple):
+#   1. never driver-verified (no green row in any round) — includes
+#      every query new this round,
+#   2. changed this round (listed below, must re-earn a row),
+#   3. everything else, oldest-last-verified-round first,
+# with registry order as the deterministic tie-break.  Under the
+# 50-row budget every query re-earns a hard-signal row within ~2-3
+# rounds.
+
+#: queries whose code path changed this round — re-verify first.
+#: Maintained per round alongside the change itself.
+_CHANGED_THIS_ROUND = (
+    "ann_ivf_topk",             # ivf_topk probes query vectors directly (r4 verdict #3)
+    "ann_ivf_kmeans_topk",      # same ivf_topk change + codebook cache key (ADVICE)
+    "ann_recall_report",        # consumes both ivf paths above
+    "pipeline_semantic_dedup",  # max_cluster_rows valve pinned (r4 verdict #2)
 )
+
+
+def _green_rounds() -> dict[str, int]:
+    """name -> latest round with a green driver CORRECTNESS row
+    (err=null and every recorded *_match flag true)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            flags = [v for k, v in row.items() if k.endswith("_match")]
+            if flags and all(v is not False for v in flags):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
 
 _MODULE_ORDER = ("relational", "graph", "streamq", "llmops")
 
@@ -102,9 +120,20 @@ def _ordered(registries: list[dict]) -> dict:
     merged: dict = {}
     for reg in registries:
         merged.update(reg)
-    out = {name: merged[name] for name in _PRIORITY if name in merged}
-    out.update(merged)
-    return out
+    verified = _green_rounds()
+    registry_pos = {name: i for i, name in enumerate(merged)}
+
+    def staleness(name: str):
+        last = verified.get(name, 0)
+        if last == 0:
+            tier = 0  # never driver-verified
+        elif name in _CHANGED_THIS_ROUND:
+            tier = 1  # changed this round
+        else:
+            tier = 2  # stable: stalest first
+        return (tier, last, registry_pos[name])
+
+    return {name: merged[name] for name in sorted(merged, key=staleness)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

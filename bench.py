@@ -66,16 +66,37 @@ def main() -> None:
         lambda it: it, schema="doc_id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in sorted(qs):
-        t0 = time.perf_counter()
-        try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as ex:  # one broken query must not void the bench
-            timings[name] = round(time.perf_counter() - t0, 3)
-            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+    def one_draw() -> tuple[dict[str, float], dict[str, str]]:
+        draw: dict[str, float] = {}
+        errs: dict[str, str] = {}
+        for name in sorted(qs):
+            t0 = time.perf_counter()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                draw[name] = round(time.perf_counter() - t0, 3)
+            except Exception as ex:  # one broken query must not void the bench
+                draw[name] = round(time.perf_counter() - t0, 3)
+                errs[name] = f"{type(ex).__name__}: {ex}"[:200]
+        return draw, errs
+
+    # Draw 1 is THE driver-comparable number (same protocol as every
+    # earlier round: one warmed sequential sweep).  Additional draws
+    # (default 3 total; SPARK_GRAFT_BENCH_DRAWS=1 to opt out) feed
+    # per-query MEDIANS into the local artifact only — under ambient
+    # load a single draw of the same code spreads ±30%, so regression
+    # claims need a noise-robust statistic (r4 verdict #9).
+    timings, errors = one_draw()
+    n_draws = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_DRAWS", "3")))
+    draws = [timings]
+    for _ in range(n_draws - 1):
+        d, _errs = one_draw()
+        draws.append(d)
+    import statistics
+
+    medians = {
+        name: round(statistics.median(d[name] for d in draws if name in d), 3)
+        for name in timings
+    }
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -119,22 +140,36 @@ def main() -> None:
     # Also persist the FULL per-query map next to the repo: the
     # driver's BENCH_r{N}.json stores a truncated stdout tail, which
     # deleted the first ~38 queries (alphabetically) from the r3
-    # record.  The round number is inferred as max(existing
-    # BENCH_r*) + 1 — the driver runs this after writing the previous
-    # round's artifact.
+    # record.  Round number: $SPARK_GRAFT_BENCH_ROUND when set, else
+    # inferred as max(existing BENCH_r*) + 1 (assumes the driver wrote
+    # the previous round's artifact before this runs); an existing
+    # target file is never overwritten — the write is skipped instead
+    # (ADVICE r4: a mis-inferred round must not clobber a real record).
     here = os.path.dirname(os.path.abspath(__file__))
     import re
 
-    rounds = [
-        int(m.group(1))
-        for f in os.listdir(here)
-        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
-    ]
-    n = (max(rounds) + 1) if rounds else 0
-    local = dict(out, n_queries=len(timings))
+    env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if env_round and env_round.isdigit():
+        n = int(env_round)
+    else:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        n = (max(rounds) + 1) if rounds else 0
+    local = dict(
+        out,
+        n_queries=len(timings),
+        n_draws=len(draws),
+        query_medians=medians,
+        total_of_medians=round(sum(medians.values()), 3),
+    )
+    target = os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json")
     try:
-        with open(os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json"), "w") as f:
-            json.dump(local, f, indent=1, sort_keys=True)
+        if not os.path.exists(target):
+            with open(target, "w") as f:
+                json.dump(local, f, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout must not void the bench output
     spark.stop()
