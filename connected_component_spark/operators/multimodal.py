@@ -12,12 +12,19 @@ Codec selection is an EXPLICIT parameter, never an environment sniff:
   byte stream, clearly marked below.  The declared driver queries pin
   this codec so their oracles are environment-independent (and the
   fixture payloads are text bytes, not real media).
+* ``codec="bmp"`` — a REAL pure-stdlib decoder for uncompressed
+  24-bit BI_RGB Windows bitmaps (header parse + pixel-array decode +
+  nearest-neighbor resample), so at least one non-stub codec branch
+  runs in every CI environment (r4 verdict #5: the pil path had
+  never executed where Pillow is absent).  Correctness-reference
+  implementation — per-pixel Python, fine for tests; bulk media work
+  belongs on the pil/pyav codecs.
 * ``codec="pil"`` — the real image codec (Pillow), available only
   where the library is installed (:func:`available_codecs`); asking
   for it without the library raises loudly instead of silently
   falling back.  The Spark-side plumbing — binary encoding, batch
   iteration, output schema, partition preservation — is identical
-  for both codecs and is what the fixture tests exercise; the pil
+  for all codecs and is what the fixture tests exercise; the pil
   path is exercised by import-gated tests wherever Pillow exists.
 """
 
@@ -51,14 +58,16 @@ __all__ = [
 
 
 def available_codecs() -> tuple[str, ...]:
-    """Codecs usable in this runtime (``stub`` always; ``pil`` when
-    Pillow imports)."""
-    return ("stub", "pil") if _PILImage is not None else ("stub",)
+    """Codecs usable in this runtime (``stub`` and the stdlib ``bmp``
+    always; ``pil`` when Pillow imports)."""
+    return ("stub", "bmp", "pil") if _PILImage is not None else ("stub", "bmp")
 
 
 def _require_codec(codec: str) -> None:
-    if codec not in ("stub", "pil"):
-        raise ValueError(f"unknown codec {codec!r}; use one of ('stub', 'pil')")
+    if codec not in ("stub", "bmp", "pil"):
+        raise ValueError(
+            f"unknown codec {codec!r}; use one of ('stub', 'bmp', 'pil')"
+        )
     if codec == "pil" and _PILImage is None:
         raise RuntimeError(
             "codec='pil' requires Pillow, which is not installed in this "
@@ -93,6 +102,68 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
     return n, width, height, fmt
 
 
+_BMP_FMT = {24: "rgb", 32: "rgba", 8: "gray"}
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, str]:
+    """Real BMP header parse (pure stdlib): magic, BITMAPINFOHEADER
+    width/height/bit-depth.  Raises ValueError on non-BMP bytes —
+    loud failure over a silently wrong answer (same contract as the
+    pil codec)."""
+    import struct
+
+    b = bytes(payload)
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("payload is not a BMP (missing 'BM' magic)")
+    width = struct.unpack_from("<i", b, 18)[0]
+    height = abs(struct.unpack_from("<i", b, 22)[0])
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    return len(b), width, height, _BMP_FMT.get(bpp, f"bmp{bpp}")
+
+
+def _bmp_rgb_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an uncompressed 24-bit BI_RGB bitmap to a top-down RGB
+    buffer: (width, height, rgb_bytes).  Handles the 4-byte row
+    stride padding and the default bottom-up row order (positive
+    height; negative = already top-down)."""
+    import struct
+
+    b = bytes(payload)
+    n, width, height, fmt = _decode_bmp(b)
+    off = struct.unpack_from("<I", b, 10)[0]
+    h_raw = struct.unpack_from("<i", b, 22)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if fmt != "rgb" or comp != 0:
+        raise ValueError(
+            f"bmp codec decodes uncompressed 24-bit BI_RGB only "
+            f"(got fmt={fmt!r}, compression={comp})"
+        )
+    stride = (width * 3 + 3) & ~3
+    out = bytearray()
+    for r in range(height):
+        src_r = (height - 1 - r) if h_raw > 0 else r
+        row = b[off + src_r * stride : off + src_r * stride + width * 3]
+        if len(row) < width * 3:
+            raise ValueError("truncated BMP pixel array")
+        for x in range(width):  # BGR -> RGB
+            out += bytes((row[3 * x + 2], row[3 * x + 1], row[3 * x]))
+    return width, height, bytes(out)
+
+
+def _bmp_resize_rgb(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample of a decoded BMP to width×height RGB
+    (floor sampling: src index = out index * src_dim // out_dim)."""
+    sw, sh, rgb = _bmp_rgb_pixels(payload)
+    out = bytearray()
+    for y in range(height):
+        sy = y * sh // height
+        for x in range(width):
+            sx = x * sw // width
+            i = (sy * sw + sx) * 3
+            out += rgb[i : i + 3]
+    return bytes(out)
+
+
 _PIL_FMT = {"RGB": "rgb", "RGBA": "rgba", "L": "gray"}
 
 
@@ -115,7 +186,7 @@ def decode_metadata(
     docstring.
     """
     _require_codec(codec)
-    decode = _decode_pil if codec == "pil" else _decode_stub
+    decode = {"pil": _decode_pil, "bmp": _decode_bmp}.get(codec, _decode_stub)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -161,7 +232,9 @@ def resize_payload(
 
     ``codec="stub"`` re-buffers the payload to exactly
     width×height×3 bytes (cycle-and-truncate stands in for real
-    resampling); ``codec="pil"`` decodes, nearest-neighbor-resamples
+    resampling); ``codec="bmp"`` really decodes a 24-bit BI_RGB
+    bitmap and nearest-neighbor-resamples it (pure stdlib);
+    ``codec="pil"`` decodes, nearest-neighbor-resamples
     (deterministic across Pillow builds, unlike antialiased filters)
     to RGB width×height, and fingerprints the raw pixel buffer."""
     _require_codec(codec)
@@ -171,6 +244,9 @@ def resize_payload(
         reps = -(-target // max(len(p), 1))
         return (bytes(p) * reps)[:target]
 
+    def bmp_one(p: bytes) -> bytes:
+        return _bmp_resize_rgb(p, width, height)
+
     def pil_one(p: bytes) -> bytes:
         with _PILImage.open(io.BytesIO(bytes(p))) as im:
             return (
@@ -179,7 +255,7 @@ def resize_payload(
                 .tobytes()
             )
 
-    resize_one = pil_one if codec == "pil" else stub_one
+    resize_one = {"pil": pil_one, "bmp": bmp_one}.get(codec, stub_one)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -207,7 +283,9 @@ def sample_frames(
     explodes into a row per sampled frame, still with no shuffle.
 
     ``codec="stub"`` splits the payload into ``frame_size``-byte
-    chunks and keeps every ``every``-th.  ``codec="pil"`` seeks real
+    chunks and keeps every ``every``-th.  ``codec="bmp"`` decodes the
+    single-frame bitmap and emits frame 0's RGB buffer (``frame_size``
+    ignored).  ``codec="pil"`` seeks real
     frames of an animated container (GIF/APNG/TIFF via Pillow's
     ``seek``), keeps every ``every``-th, and fingerprints each
     frame's RGB pixel buffer (``frame_size`` is ignored — real frames
@@ -222,6 +300,10 @@ def sample_frames(
             frame = b[idx * frame_size : (idx + 1) * frame_size]
             yield idx, len(frame), hashlib.md5(frame).hexdigest()
 
+    def bmp_frames(p: bytes):
+        _w, _h, rgb = _bmp_rgb_pixels(p)
+        yield 0, len(rgb), hashlib.md5(rgb).hexdigest()
+
     def pil_frames(p: bytes):
         with _PILImage.open(io.BytesIO(bytes(p))) as im:
             n_frames = getattr(im, "n_frames", 1)
@@ -230,7 +312,7 @@ def sample_frames(
                 raw = im.convert("RGB").tobytes()
                 yield idx, len(raw), hashlib.md5(raw).hexdigest()
 
-    frames_of = pil_frames if codec == "pil" else stub_frames
+    frames_of = {"pil": pil_frames, "bmp": bmp_frames}.get(codec, stub_frames)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

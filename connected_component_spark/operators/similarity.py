@@ -181,7 +181,15 @@ def _resolve_planes(
 ) -> int:
     """planes=None → derive from the corpus cardinality (one cheap
     column-pruned count unless the caller supplies ``corpus_count``,
-    e.g. from a parquet footer)."""
+    e.g. from a parquet footer).
+
+    Laziness contract (documented on every caller): when BOTH
+    ``planes`` and ``corpus_count`` are None, the count runs EAGERLY
+    at DataFrame-construction time, and the derived plane count is
+    frozen then — if the corpus DataFrame is later recomputed with
+    more rows, buckets keep the old sizing.  Library callers that
+    need full laziness pass an explicit ``planes`` (or a known
+    ``corpus_count``)."""
     if planes is not None:
         return planes
     n = corpus_count if corpus_count is not None else corpus.count()
@@ -284,7 +292,11 @@ def lsh_bucketed_topk(
     ``planes=None`` (default) sizes the bucket count to the corpus via
     :func:`auto_planes`, so expected bucket occupancy — and with it
     the within-bucket join cost — stays constant as the corpus grows
-    instead of degrading O(n²/2^planes) at a fixed plane count."""
+    instead of degrading O(n²/2^planes) at a fixed plane count.
+    NOTE: with ``planes=None`` and no ``corpus_count``, the corpus is
+    counted EAGERLY at construction time and the plane count frozen
+    (see :func:`_resolve_planes`); pass ``planes`` explicitly for a
+    fully lazy plan."""
     planes = _resolve_planes(planes, corpus, corpus_count)
     q = _normed(queries, id_col, vec_col)
     c = _normed(corpus, id_col, vec_col)
@@ -533,8 +545,9 @@ def lsh_threshold_pairs(
     ``planes``) for more recall, both without changing the plan
     shape.  Buckets are derived from the portable hash family — no
     stored model, deterministic across engines.  ``planes=None``
-    sizes buckets to the corpus via :func:`auto_planes` (see
-    :func:`lsh_bucketed_topk`).
+    sizes buckets to the corpus via :func:`auto_planes`; with no
+    ``corpus_count`` that count runs EAGERLY at construction time and
+    the plane count is frozen (see :func:`_resolve_planes`).
     """
     planes = _resolve_planes(planes, emb, corpus_count)
     v = _normed(emb, id_col, vec_col).select(
@@ -612,7 +625,9 @@ def embedding_dedup_clusters(
     generation, not all-pairs — so the whole pipeline is shuffle-
     bounded equi-joins + the CC kernel at any corpus size.  CC
     transitivity absorbs per-pair LSH recall loss inside dup groups
-    (one recalled edge merges the group).
+    (one recalled edge merges the group).  ``planes=None`` with no
+    ``corpus_count`` counts the corpus eagerly at construction time
+    (see :func:`_resolve_planes`).
     """
     pairs = lsh_threshold_pairs(
         emb,
@@ -782,7 +797,9 @@ def knn_edges(
     equi-join, no all-pairs product anywhere in the plan.  The graph
     is the standard approximate k-NN graph every large-scale pipeline
     builds; ``planes=None`` sizes buckets to the corpus
-    (:func:`auto_planes`) so occupancy stays bounded as n grows.
+    (:func:`auto_planes`) so occupancy stays bounded as n grows —
+    note the construction-time eager count when no ``corpus_count``
+    is given (:func:`_resolve_planes`).
     ``method='exact'`` keeps the blocked-GEMM exact path for corpora
     small enough to afford corpus × corpus work.
     """
@@ -825,7 +842,9 @@ def similarity_clusters(
     The k-NN edges come from LSH-bucketed candidates by default (see
     :func:`knn_edges`), so no stage of the pipeline does all-pairs
     work; vectors touching no k-NN edge are attached as singletons
-    by one anti join (graph/cc.py:components_with_isolates)."""
+    by one anti join (graph/cc.py:components_with_isolates).
+    ``planes=None`` with no ``corpus_count`` counts the corpus eagerly
+    at construction time (see :func:`_resolve_planes`)."""
     edges = knn_edges(
         emb,
         k,

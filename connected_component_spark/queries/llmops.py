@@ -1506,7 +1506,26 @@ def _ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connected_component_spark.operators.clustering import kmeans_centroids
 
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    key = (src, os.stat(src).st_mtime_ns if os.path.exists(src) else 0)
+    # cache key carries a CONTENT fingerprint, not just path+mtime:
+    # directory-layout fixtures stat with mtime 0 and a regenerated
+    # same-mtime fixture at the same path must not serve a stale
+    # codebook (ADVICE r4).  Fingerprint = sorted file list with
+    # per-file (size, mtime) + total row count from the footers.
+    def _fingerprint(p: str):
+        if os.path.isfile(p):
+            st = os.stat(p)
+            return (st.st_size, st.st_mtime_ns)
+        if os.path.isdir(p):
+            parts = []
+            for f in sorted(os.listdir(p)):
+                fp = os.path.join(p, f)
+                if os.path.isfile(fp):
+                    st = os.stat(fp)
+                    parts.append((f, st.st_size, st.st_mtime_ns))
+            return tuple(parts)
+        return None
+
+    key = (src, _fingerprint(src), table_row_count(spark, sf_dir, "embeddings"))
     cents = _IVF_KM_CACHE.get(key)
     if cents is None:
         emb = load_table(spark, sf_dir, "embeddings")

@@ -158,6 +158,16 @@ def test_cc_round_shuffle_telemetry(spark):
     bytes (the cost the reference's at-scale tuning targets,
     README.md:72), one entry per round, non-negative and non-zero for
     real rounds on a non-trivial graph."""
+    from connected_component_spark.graph.cc import _shuffle_write_bytes_total
+
+    if _shuffle_write_bytes_total(spark) is None:
+        # the telemetry reads private[spark] JVM internals that shift
+        # across Spark minors; the library degrades gracefully to
+        # None, and a Spark bump must not turn that loss into a red
+        # CI signal (ADVICE r4)
+        import pytest
+
+        pytest.skip("AppStatusStore reflection path unavailable on this Spark")
     cliques, _ = distributed_clique_chains(spark, 1_000)
     res = connected_components(cliques_to_edges(cliques))
     assert res.converged

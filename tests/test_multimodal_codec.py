@@ -97,3 +97,95 @@ def test_stub_codec_unchanged_by_codec_plumbing(spark):
     assert (r["n_bytes"], r["width"], r["height"], r["fmt"]) == (
         n, n % 640 + 1, (n // 7) % 480 + 1, ("rgb", "rgba", "gray")[n % 3]
     )
+
+
+# ---- bmp: the always-available REAL codec (r4 verdict #5) -----------------
+
+def _bmp_bytes(pixels):
+    """Minimal 24-bit BI_RGB BMP encoder (test fixture generator).
+    ``pixels``: list of rows (top-down), each a list of (r, g, b)."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in reversed(pixels):  # file stores rows bottom-up
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))  # file stores BGR
+        line += b"\x00" * (stride - len(line))
+        body += line
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+_PX = [
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7)],
+    [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)],
+]  # 4x2, includes stride padding (4*3=12 bytes per row, already aligned)
+
+
+def test_bmp_codec_always_available():
+    assert "bmp" in mm.available_codecs()
+
+
+def test_bmp_decode_real_dimensions(spark):
+    data = _bmp_bytes(_PX)
+    df = _payload_df(spark, [(1, data)])
+    r = mm.decode_metadata(df, codec="bmp").first()
+    assert (r["n_bytes"], r["width"], r["height"], r["fmt"]) == (
+        len(data), 4, 2, "rgb"
+    )
+
+
+def test_bmp_decode_rejects_non_bmp(spark):
+    df = _payload_df(spark, [(1, b"not a bitmap at all, way too short?")])
+    with pytest.raises(Exception, match="BM"):
+        mm.decode_metadata(df, codec="bmp").collect()
+
+
+def test_bmp_pixel_roundtrip():
+    """The decoder recovers exactly the encoded pixels: BGR->RGB swap,
+    bottom-up row order, and stride handling all verified against the
+    independent test-side encoder."""
+    w, h, rgb = mm._bmp_rgb_pixels(_bmp_bytes(_PX))
+    assert (w, h) == (4, 2)
+    want = b"".join(bytes(px) for row in _PX for px in row)
+    assert rgb == want
+
+
+def test_bmp_pixel_roundtrip_with_padding():
+    """3-wide rows need 3 pad bytes per stride — the path the aligned
+    4-wide fixture never exercises."""
+    px = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+          [(10, 11, 12), (13, 14, 15), (16, 17, 18)]]
+    w, h, rgb = mm._bmp_rgb_pixels(_bmp_bytes(px))
+    assert (w, h) == (3, 2)
+    assert rgb == b"".join(bytes(p) for row in px for p in row)
+
+
+def test_bmp_resize_nearest_neighbor(spark):
+    import hashlib
+
+    df = _payload_df(spark, [(1, _bmp_bytes(_PX))])
+    row = mm.resize_payload(df, width=2, height=2, codec="bmp").first()
+    assert row["n_bytes_out"] == 2 * 2 * 3
+    # floor sampling: out(x,y) <- src(x*4//2, y*2//2) = src(2x, y)
+    want = b"".join(
+        bytes(_PX[y][x]) for y in (0, 1) for x in (0, 2)
+    )
+    assert row["out_md5"] == hashlib.md5(want).hexdigest()
+
+
+def test_bmp_frames_single_frame(spark):
+    import hashlib
+
+    df = _payload_df(spark, [(3, _bmp_bytes(_PX))])
+    rows = mm.sample_frames(df, codec="bmp").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    want = b"".join(bytes(px) for row_ in _PX for px in row_)
+    assert (r["frame_idx"], r["frame_len"]) == (0, len(want))
+    assert r["frame_md5"] == hashlib.md5(want).hexdigest()
