@@ -9,12 +9,26 @@ execute MERGE INTO.
 Scale shape: ONE full-outer (or left-anti + union) join between the
 existing snapshot and the (typically much smaller) change batch, so
 the change side broadcasts whenever it fits and the snapshot is
-scanned once; the rewrite then goes through an atomic
-write-to-temp + rename so readers never observe a half-written
-table.  At warehouse scale the same plan runs partition-pruned (only
-partitions containing changed keys rewrite); here the dataset is one
-directory, so the rewrite is the whole snapshot — the join shape is
-the part that carries to 100 TB.
+scanned once; the rewrite then goes through a
+write-to-temp + rename swap so a failed rewrite never corrupts the
+current version.  At warehouse scale the same plan runs
+partition-pruned (only partitions containing changed keys rewrite);
+here the dataset is one directory, so the rewrite is the whole
+snapshot — the join shape is the part that carries to 100 TB.
+
+ATOMICITY CAVEAT (r4 verdict #7): the swap's crash-safety rests on
+``os.rename`` being atomic, which holds on a LOCAL (POSIX)
+filesystem and on HDFS — NOT on object stores (S3/GCS/ABFS), where a
+directory "rename" is a non-atomic copy+delete and readers can
+observe partial listings mid-swap.  On an object store, commit via a
+MANIFEST instead: write the new version to an immutable
+``{path}__v{n}`` prefix and atomically flip one small pointer object
+(or a metastore entry) that names the current version — the
+log-structured commit protocol of Delta/Iceberg/Hudi, which is the
+right tool once concurrent writers exist.  :func:`recover_table` is
+the single-writer crash-recovery half of the local protocol: after a
+hard kill mid-swap the committed version survives under ``path`` or
+``{path}__old_*`` and one call restores the invariant.
 
 Deterministic conflict rule: when a key appears in both sides, the
 change row wins wholesale (last-writer-wins per column set, the
@@ -32,12 +46,50 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "read_snapshot"]
+__all__ = ["merge_upsert", "read_snapshot", "recover_table"]
 
 
 def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
     """Read the current table snapshot (plain parquet directory)."""
     return spark.read.parquet(path)
+
+
+def recover_table(path: str) -> str:
+    """Single-writer crash recovery for the rename-swap commit.
+
+    Invariant the swap maintains: at every instant a COMPLETE
+    committed version exists under ``path`` or under exactly one
+    ``{path}__old_*`` sibling (the ``__tmp_*`` version is complete
+    but never considered committed — the crash may have interrupted
+    its write).  Returns:
+
+    * ``"ok"`` — ``path`` exists; stale ``__old``/``__tmp`` siblings
+      from an interrupted swap are garbage-collected.
+    * ``"rolled-back"`` — ``path`` was missing (hard kill between the
+      two renames); the previous version is renamed back in and the
+      uncommitted temp discarded.
+
+    Raises ``FileNotFoundError`` when neither a current nor an old
+    version exists (nothing recoverable).  Local-filesystem semantics
+    only — see the module docstring for the object-store protocol.
+    """
+    import glob
+
+    olds = sorted(glob.glob(f"{path}__old_*"))
+    tmps = sorted(glob.glob(f"{path}__tmp_*"))
+    if os.path.exists(path):
+        for p in olds + tmps:
+            shutil.rmtree(p, ignore_errors=True)
+        return "ok"
+    if not olds:
+        raise FileNotFoundError(
+            f"recover_table: no committed version at {path!r} and no "
+            f"__old sibling to roll back to"
+        )
+    os.rename(olds[0], path)
+    for p in olds[1:] + tmps:
+        shutil.rmtree(p, ignore_errors=True)
+    return "rolled-back"
 
 
 def _check_unique_keys(changes: DataFrame, key: str) -> None:

@@ -200,3 +200,51 @@ def test_cc_handles_megahub_star_graph(spark):
         F.max("component").alias("m"),
     ).first()
     assert (stats["n"], stats["c"], stats["m"]) == (n + 1, 1, 0)
+
+
+def test_graphframes_differential_if_available(spark, tmp_path):
+    """Third-party CC differential (reference CCGraphXDriver.scala:
+    84-86 runs GraphX's Pregel connectedComponents as its comparison
+    path; PySpark has no GraphX binding, SURVEY.md §7.4).  When a
+    GraphFrames build IS discoverable at runtime — python package +
+    JVM jar — its connectedComponents() must agree with the
+    alternating-star kernel on every node assignment (component
+    LABELS may differ; the partition into components must not).
+    Skips cleanly where the package or jar is absent (this container
+    today), so a future environment with the jar gets the comparison
+    for free."""
+    import pytest
+
+    gf_mod = pytest.importorskip("graphframes")
+
+    cliques, _ = distributed_clique_chains(spark, 2_000)
+    edges = cliques_to_edges(cliques)
+    ours = connected_components(edges).assignments
+
+    from pyspark.sql import functions as F
+
+    v = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    try:
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "gf_ckpt"))
+        g = gf_mod.GraphFrame(v, edges)
+        theirs = g.connectedComponents()
+    except Exception as ex:  # python pkg present but jar missing
+        pytest.skip(f"GraphFrames jar unavailable: {type(ex).__name__}")
+
+    # same-partition check, label-independent: for every edge both
+    # implementations must agree on whether the endpoints are merged;
+    # equivalently, the (ours.component -> theirs.component) mapping
+    # is a bijection over nodes
+    j = ours.join(
+        theirs.select(F.col("id").alias("node"), F.col("component").alias("gfc")),
+        "node",
+    )
+    pairs = j.select("component", "gfc").distinct()
+    assert (
+        pairs.count()
+        == pairs.select("component").distinct().count()
+        == pairs.select("gfc").distinct().count()
+    )
+    assert j.count() == ours.count()

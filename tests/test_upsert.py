@@ -105,3 +105,70 @@ def test_merge_rejects_null_key(spark, tmp_path):
     with pytest.raises(ValueError, match="NULL key"):
         merge_upsert(read_snapshot(spark, path), withnull, "id", path)
     assert read_snapshot(spark, path).count() == 1
+
+
+def test_crash_between_renames_recovers(spark, tmp_path, monkeypatch):
+    """Failure injection (r4 verdict #7): a hard kill between the two
+    swap renames leaves the committed version only under __old;
+    recover_table must restore it and discard the uncommitted temp,
+    and the recovered table must read as the PRE-merge version."""
+    import connected_component_spark.sources.upsert as up
+
+    path = str(tmp_path / "tbl")
+    _write(spark, path, [(1, "a", 10), (2, "b", 20)])
+    changes = spark.createDataFrame([(2, "B2", 21), (3, "c", 30)], SCHEMA)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_rename(src, dst)  # path -> __old succeeds
+            raise KeyboardInterrupt("simulated hard kill mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(up.os, "rename", dying_rename)
+    # KeyboardInterrupt after the first rename models the kill: the
+    # library's cleanup discards the temp, leaving the committed
+    # version only under its __old name — exactly the hard-crash
+    # state the docstring describes
+    with pytest.raises(KeyboardInterrupt):
+        merge_upsert(read_snapshot(spark, path), changes, "id", path)
+    monkeypatch.undo()
+
+    assert not os.path.exists(path)  # the crash state
+    assert up.recover_table(path) == "rolled-back"
+    got = {r["id"]: (r["val"], r["n"]) for r in read_snapshot(spark, path).collect()}
+    assert got == {1: ("a", 10), 2: ("b", 20)}  # pre-merge version intact
+    # all swap debris gone
+    assert not [p for p in os.listdir(tmp_path) if "__old_" in p or "__tmp_" in p]
+    # second recovery is a no-op "ok"
+    assert up.recover_table(path) == "ok"
+
+
+def test_failed_second_rename_rolls_back_inline(spark, tmp_path, monkeypatch):
+    """A FAILED (not killed) second rename triggers the in-function
+    rollback: the original version stays readable at path."""
+    import connected_component_spark.sources.upsert as up
+
+    path = str(tmp_path / "tbl")
+    _write(spark, path, [(1, "a", 10)])
+    changes = spark.createDataFrame([(1, "A", 11)], SCHEMA)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # tmp -> path fails
+            raise OSError("simulated rename failure")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(up.os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated"):
+        merge_upsert(read_snapshot(spark, path), changes, "id", path)
+    monkeypatch.undo()
+
+    got = {r["id"]: (r["val"], r["n"]) for r in read_snapshot(spark, path).collect()}
+    assert got == {1: ("a", 10)}
