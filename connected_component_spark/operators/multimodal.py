@@ -49,11 +49,16 @@ __all__ = [
     "extract_features",
     "resize_payload",
     "sample_frames",
+    "decode_audio_metadata",
+    "audio_energy",
     "available_codecs",
+    "available_audio_codecs",
     "DECODE_SCHEMA",
     "FEATURE_SCHEMA",
     "RESIZE_SCHEMA",
     "FRAME_SCHEMA",
+    "AUDIO_SCHEMA",
+    "AUDIO_ENERGY_SCHEMA",
 ]
 
 
@@ -80,6 +85,154 @@ DECODE_SCHEMA = (
 FEATURE_SCHEMA = "doc_id long, features array<double>"
 RESIZE_SCHEMA = "doc_id long, width long, height long, n_bytes_out long, out_md5 string"
 FRAME_SCHEMA = "doc_id long, frame_idx long, frame_len long, frame_md5 string"
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate long, channels long, "
+    "sample_width long, n_samples long, duration_ms long"
+)
+AUDIO_ENERGY_SCHEMA = "doc_id long, window_idx long, rms double"
+
+
+def available_audio_codecs() -> tuple[str, ...]:
+    """Audio codecs usable in this runtime.  ``wav`` is stdlib
+    (``wave`` module) so both are always available; a soundfile/pyav
+    codec would slot in behind the same signatures."""
+    return ("stub", "wav")
+
+
+def _require_audio_codec(codec: str) -> None:
+    if codec not in ("stub", "wav"):
+        raise ValueError(
+            f"unknown audio codec {codec!r}; use one of ('stub', 'wav')"
+        )
+
+
+def _audio_stub(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """STUB audio 'header parse': deterministic fake PCM parameters
+    from the byte stream (fixture payloads are text bytes, not
+    media).  Mirrors :func:`_decode_stub`; SQL-expressible so the
+    declared query gets an exact oracle."""
+    n = len(payload)
+    sample_rate = (8000, 16000, 44100)[n % 3]
+    channels = n % 2 + 1
+    sample_width = 2
+    n_samples = n // (channels * sample_width)
+    duration_ms = n_samples * 1000 // sample_rate
+    return n, sample_rate, channels, sample_width, n_samples, duration_ms
+
+
+def _audio_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """REAL RIFF/WAVE header parse via the stdlib ``wave`` module.
+    Raises (wave.Error) on non-WAV bytes — loud failure over a
+    silently wrong answer (same contract as the image codecs)."""
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload))) as w:
+        rate, ch, width, n = (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getnframes(),
+        )
+    return len(payload), rate, ch, width, n, n * 1000 // rate
+
+
+def decode_audio_metadata(
+    docs_with_payload: DataFrame, codec: str = "stub"
+) -> DataFrame:
+    """Audio sibling of :func:`decode_metadata`: typed PCM metadata
+    from binary payloads, one Arrow batch in/out, no shuffle.
+
+    ``codec="wav"`` is a REAL stdlib decoder (RIFF/WAVE header via
+    ``wave``); ``codec="stub"`` is the deterministic fake the
+    declared driver queries pin (fixture payloads are text bytes)."""
+    _require_audio_codec(codec)
+    decode = _audio_wav if codec == "wav" else _audio_stub
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [decode(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "n_bytes",
+                    "sample_rate",
+                    "channels",
+                    "sample_width",
+                    "n_samples",
+                    "duration_ms",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return docs_with_payload.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+def audio_energy(
+    docs_with_payload: DataFrame,
+    window: int = 1024,
+    codec: str = "stub",
+) -> DataFrame:
+    """Windowed RMS energy — the canonical audio feature pass (VAD /
+    silence trimming / loudness normalization all start here).  1 row
+    → one row per window, map-side only (the 1→N mapInPandas shape of
+    :func:`sample_frames`).
+
+    ``codec="wav"`` REALLY decodes 16-bit PCM via ``wave`` and
+    computes per-window RMS over samples normalized by 1/32768
+    (channels interleaved — windows are in samples, not frames);
+    ``codec="stub"`` computes the same RMS over the raw byte values
+    normalized by 1/255 so declared fixtures stay environment-
+    independent.  Both paths accumulate the sum of squares as an
+    EXACT integer, then apply only correctly-rounded IEEE ops
+    (``sqrt(ss / n) / norm``) — so the doubles are bit-identical to a
+    SQL oracle evaluating the same expression, no rounding needed."""
+    import math
+
+    _require_audio_codec(codec)
+
+    def wav_values(p: bytes) -> tuple[list[int], float]:
+        import wave
+
+        with wave.open(io.BytesIO(bytes(p))) as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"audio_energy wav codec handles 16-bit PCM only "
+                    f"(got sample_width={w.getsampwidth()})"
+                )
+            raw = w.readframes(w.getnframes())
+        import array
+        import sys
+
+        a = array.array("h")
+        a.frombytes(raw)
+        if sys.byteorder == "big":  # WAV PCM is little-endian
+            a.byteswap()
+        return a.tolist(), 32768.0
+
+    def stub_values(p: bytes) -> tuple[list[int], float]:
+        return list(bytes(p)), 255.0
+
+    values_of = wav_values if codec == "wav" else stub_values
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                vals, norm = values_of(p)
+                for i in range(0, max(len(vals), 1), window):
+                    chunk = vals[i : i + window]
+                    if chunk:
+                        ss = sum(v * v for v in chunk)  # exact int
+                        rms = math.sqrt(ss / len(chunk)) / norm
+                    else:
+                        rms = 0.0
+                    rows.append((doc_id, i // window, rms))
+            yield pd.DataFrame(rows, columns=["doc_id", "window_idx", "rms"])
+
+    return docs_with_payload.mapInPandas(batches, schema=AUDIO_ENERGY_SCHEMA)
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:

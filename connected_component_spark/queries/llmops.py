@@ -1747,6 +1747,70 @@ WHERE frame_idx % 2 = 0
 """
 
 
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality metadata decode (operators/multimodal.py:
+    decode_audio_metadata) — stub codec pinned for the oracle; the
+    REAL stdlib wav codec shares the exact Spark plumbing and is
+    exercised by tests/test_multimodal_codec.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.decode_audio_metadata(mm.with_binary_payload(docs))
+
+
+#: twin of operators/multimodal.py:_audio_stub over ASCII text bytes
+_AUDIO_RATE = "CASE length(text) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END"
+_AUDIO_CH = "(length(text) % 2 + 1)"
+_AUDIO_NSAMP = f"(length(text) // (2 * {_AUDIO_CH}))"
+
+MULTIMODAL_AUDIO_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST({_AUDIO_RATE} AS BIGINT) AS sample_rate,
+       CAST({_AUDIO_CH} AS BIGINT) AS channels,
+       CAST(2 AS BIGINT) AS sample_width,
+       CAST({_AUDIO_NSAMP} AS BIGINT) AS n_samples,
+       CAST(({_AUDIO_NSAMP} * 1000) // ({_AUDIO_RATE}) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+_AUDIO_WINDOW = 64
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over the payload byte stream
+    (operators/multimodal.py:audio_energy, 1→N mapInPandas, zero
+    shuffles).  Exact-parity contract: the sum of squares is an exact
+    integer in both engines; sqrt and the two divisions are
+    correctly-rounded IEEE ops, so the doubles hash-match with no
+    rounding step.  Window 64 bytes → several windows per fixture
+    doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.audio_energy(
+        mm.with_binary_payload(docs), window=_AUDIO_WINDOW
+    )
+
+
+MULTIMODAL_AUDIO_ENERGY_SQL = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(greatest(ceil(length(text) / {_AUDIO_WINDOW}.0), 1) AS BIGINT) - 1)) AS window_idx
+  FROM documents
+),
+c AS (
+  SELECT doc_id, window_idx,
+         substring(text, CAST(window_idx * {_AUDIO_WINDOW} + 1 AS INTEGER), {_AUDIO_WINDOW}) AS ch
+  FROM w
+)
+SELECT doc_id, window_idx,
+       CASE WHEN length(ch) = 0 THEN 0.0
+            ELSE sqrt(CAST(list_sum(list_transform(generate_series(1, length(ch)),
+                                                   i -> ascii(ch[i]) * ascii(ch[i]))) AS DOUBLE)
+                      / length(ch)) / 255.0
+       END AS rms
+FROM c
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -1789,6 +1853,8 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_frames": multimodal_frames,
+    "multimodal_audio": multimodal_audio,
+    "multimodal_audio_energy": multimodal_audio_energy,
 }
 
 ORACLES = {
@@ -1833,4 +1899,6 @@ ORACLES = {
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+    "multimodal_audio": MULTIMODAL_AUDIO_SQL,
+    "multimodal_audio_energy": MULTIMODAL_AUDIO_ENERGY_SQL,
 }

@@ -189,3 +189,105 @@ def test_bmp_frames_single_frame(spark):
     want = b"".join(bytes(px) for row_ in _PX for px in row_)
     assert (r["frame_idx"], r["frame_len"]) == (0, len(want))
     assert r["frame_md5"] == hashlib.md5(want).hexdigest()
+
+
+# ---- wav: the always-available REAL audio codec ---------------------------
+
+def _wav_bytes(samples, rate=8000, channels=1):
+    """Minimal 16-bit PCM WAV encoder via the stdlib wave module.
+    ``samples``: list of int16 values (interleaved when channels>1)."""
+    import array
+    import io
+    import sys
+    import wave
+
+    a = array.array("h", samples)
+    if sys.byteorder == "big":
+        a.byteswap()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(a.tobytes())
+    return buf.getvalue()
+
+
+def test_wav_codec_always_available():
+    assert "wav" in mm.available_audio_codecs()
+
+
+def test_wav_decode_real_metadata(spark):
+    data = _wav_bytes([0, 1000, -1000, 32767], rate=16000, channels=2)
+    df = _payload_df(spark, [(1, data)])
+    r = mm.decode_audio_metadata(df, codec="wav").first()
+    assert (
+        r["n_bytes"],
+        r["sample_rate"],
+        r["channels"],
+        r["sample_width"],
+        r["n_samples"],
+    ) == (len(data), 16000, 2, 2, 2)  # 4 samples / 2 channels = 2 frames
+    assert r["duration_ms"] == 2 * 1000 // 16000
+
+
+def test_wav_decode_rejects_non_wav(spark):
+    df = _payload_df(spark, [(1, b"x" * 64)])
+    with pytest.raises(Exception):
+        mm.decode_audio_metadata(df, codec="wav").collect()
+
+
+def test_wav_energy_known_values(spark):
+    """RMS computed independently: constant amplitude A over a full
+    window gives exactly A/32768."""
+    import math
+
+    samples = [16384] * 4 + [-16384] * 4  # |s| constant = 16384
+    df = _payload_df(spark, [(1, _wav_bytes(samples))])
+    rows = sorted(
+        mm.audio_energy(df, window=4, codec="wav").collect(),
+        key=lambda r: r["window_idx"],
+    )
+    assert [r["window_idx"] for r in rows] == [0, 1]
+    for r in rows:
+        assert math.isclose(r["rms"], 16384 / 32768.0, rel_tol=0, abs_tol=0)
+
+
+def test_wav_energy_partial_tail_window(spark):
+    import math
+
+    samples = [100, 200, 300, 400, 500]  # window 4 -> tail of 1
+    df = _payload_df(spark, [(1, _wav_bytes(samples))])
+    rows = sorted(
+        mm.audio_energy(df, window=4, codec="wav").collect(),
+        key=lambda r: r["window_idx"],
+    )
+    assert len(rows) == 2
+    want0 = math.sqrt((100**2 + 200**2 + 300**2 + 400**2) / 4) / 32768.0
+    want1 = math.sqrt(500**2 / 1) / 32768.0
+    assert rows[0]["rms"] == want0
+    assert rows[1]["rms"] == want1
+
+
+def test_audio_stub_energy_matches_bytes(spark):
+    """Stub path: exact integer sum-of-squares over the raw bytes."""
+    import math
+
+    payload = b"abcd" * 3  # 12 bytes, window 8 -> windows of 8 and 4
+    df = _payload_df(spark, [(1, payload)])
+    rows = sorted(
+        mm.audio_energy(df, window=8, codec="stub").collect(),
+        key=lambda r: r["window_idx"],
+    )
+    b = list(payload)
+    want = [
+        math.sqrt(sum(v * v for v in b[:8]) / 8) / 255.0,
+        math.sqrt(sum(v * v for v in b[8:]) / 4) / 255.0,
+    ]
+    assert [r["rms"] for r in rows] == want
+
+
+def test_unknown_audio_codec_rejected(spark):
+    df = _payload_df(spark, [(1, b"abc")])
+    with pytest.raises(ValueError, match="unknown audio codec"):
+        mm.decode_audio_metadata(df, codec="mp3")

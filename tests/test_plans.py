@@ -52,6 +52,10 @@ _LAZY_LLMOPS = [
     "ann_recall_report", "multimodal_metadata", "multimodal_features",
     "multimodal_resize", "multimodal_frames",
     "pipeline_doc_chunks", "text_source_divergence",
+    # r5: the prefix set-similarity strategy is equi-join + window —
+    # it must pass WITHOUT a nested-loop allowance (unlike the bitmap
+    # branch's block-pair enumeration); audio ops are pure mapInPandas
+    "dedup_ngram_pairs_prefix", "multimodal_audio", "multimodal_audio_energy",
 ]
 
 #: intentional bounded cross joins: a broadcast query/centroid batch
