@@ -143,6 +143,11 @@ def _ngram_jaccard_prefix(grams: DataFrame, threshold: float) -> DataFrame:
     # rank each doc's grams rarest-first; keep the Jaccard prefix
 
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("gram").asc())
+    # the prefix table appears on BOTH sides of the candidate
+    # self-join; without a checkpoint each side re-runs the df-count
+    # aggregate + rank window + size join (measured 3-4x the whole
+    # query's cost at 500 docs).  Same persist-at-cluster-scale note
+    # as the grams checkpoint above.
     prefix = (
         posting.join(df_counts, "gram")
         .withColumn("rn", F.row_number().over(w))
@@ -152,6 +157,7 @@ def _ngram_jaccard_prefix(grams: DataFrame, threshold: float) -> DataFrame:
             <= F.floor((1.0 - F.lit(threshold)) * F.col("sz")).cast("int") + 1
         )
         .select("doc_id", "gram")
+        .localCheckpoint(eager=True)
     )
     cand = (
         prefix.alias("l")
@@ -163,22 +169,41 @@ def _ngram_jaccard_prefix(grams: DataFrame, threshold: float) -> DataFrame:
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    return (
+    # verify: set sizes ride as precomputed ints (not re-derived from
+    # the shuffled arrays), and the intersection COUNT row
+    # (a, b, sz_a, sz_b, ni — ids and ints only, arrays dropped) is
+    # materialized once: array_intersect over string arrays is the
+    # expensive expression here, and without the barrier the
+    # filter-through-project collapse evaluates it twice (measured 2x
+    # the whole verify cost); the checkpoint also keeps the final
+    # jaccard+threshold stage free to re-optimize
+    ni = F.size(F.array_intersect("g_a", "g_b"))
+    counted = (
         cand.join(
-            sets.select(F.col("doc_id").alias("a"), F.col("g").alias("g_a")), "a"
+            sets.select(
+                F.col("doc_id").alias("a"),
+                F.col("g").alias("g_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "a",
         )
-        .join(sets.select(F.col("doc_id").alias("b"), F.col("g").alias("g_b")), "b")
-        .select(
+        .join(
+            sets.select(
+                F.col("doc_id").alias("b"),
+                F.col("g").alias("g_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "b",
+        )
+        .select("a", "b", "sz_a", "sz_b", ni.alias("ni"))
+        .localCheckpoint(eager=True)
+    )
+    return (
+        counted.select(
             "a",
             "b",
             roundd(
-                F.size(F.array_intersect("g_a", "g_b"))
-                / (
-                    F.size("g_a")
-                    + F.size("g_b")
-                    - F.size(F.array_intersect("g_a", "g_b"))
-                ),
-                6,
+                F.col("ni") / (F.col("sz_a") + F.col("sz_b") - F.col("ni")), 6
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= F.lit(threshold))

@@ -27,6 +27,7 @@ __all__ = [
     "repetition_stats",
     "boilerplate_ngrams",
     "source_divergence",
+    "lm_score",
     "chunk_documents",
     "STOPWORDS",
 ]
@@ -466,6 +467,72 @@ def source_divergence(docs: DataFrame) -> DataFrame:
             roundd(
                 F.sum(term.cast("decimal(38,18)")).cast("double"), 6
             ).alias("kl"),
+        )
+    )
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """CCNet-style per-document unigram LM quality score:
+    (doc_id, n_tokens, nll) where nll is the mean negative natural
+    log-probability of the doc's tokens under the CORPUS unigram
+    distribution (lower = more typical of the corpus; high nll flags
+    rare-token noise, the CCNet/Gopher perplexity-filter signal with
+    the corpus itself as the LM — no external model artifact).
+
+    Word-count shapes only: one (doc, token) aggregate, one token
+    aggregate, one corpus total, a token-keyed join-back (word-count-
+    sized rows, AQE broadcasts the vocabulary side when it fits), and
+    a per-doc sum — documents themselves are never shuffled.
+
+    Cross-engine determinism (the source_divergence recipe):
+    p_t = c_t / n_corpus is an integer-ratio double division
+    (identical in both engines); ln is the one libm call, its ≤1-ulp
+    divergence absorbed by snap-rounding each token's -log(p) at 9
+    decimals; per-doc contributions multiply the rounded term by the
+    exact integer occurrence count and sum as DECIMAL(38,18), so
+    partial-aggregation order cannot move the total.
+    """
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c_dt"))
+    t_tot = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
+    corpus = tok.agg(F.count(F.lit(1)).alias("n_corpus"))
+    neg_logp = roundd(
+        -F.log(F.col("c_t").cast("double") / F.col("n_corpus").cast("double")), 9
+    )
+    # decimal widths chosen so the product stays exact in BOTH
+    # engines without hitting the 38-digit cap: c_dt < 10^10
+    # (decimal(10,0)), rounded -log(p) < 10^3 at scale 9
+    # (decimal(12,9)) → product ≤ 23 digits, sums exact
+    per_doc = (
+        dt.join(t_tot, "token")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dt").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("c_dt").cast("decimal(10,0)") * neg_logp.cast("decimal(12,9)")
+            ).alias("_nll_sum"),
+        )
+    )
+    # empty docs (no tokens) never appear in tok; attach them with
+    # nll 0.0 so the output covers every input document
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(
+                F.col("n_tokens").isNull() | (F.col("n_tokens") == 0), F.lit(0.0)
+            )
+            .otherwise(
+                roundd(
+                    F.col("_nll_sum").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                )
+            )
+            .alias("nll"),
         )
     )
 

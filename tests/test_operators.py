@@ -750,3 +750,32 @@ def test_semantic_dedup_cluster_cap_bounds_groups(spark):
         for j in range(50):
             if capped[i] == capped[j]:
                 assert full[i] == full[j]
+
+
+def test_lm_score_hand_computed(spark):
+    """Uniform 2-token corpus: every token has p=0.5, so every
+    non-empty doc's mean NLL is exactly round(-ln(0.5), 9) and empty
+    docs report (0, 0.0)."""
+    import math
+
+    from connected_component_spark.operators.text import lm_score
+
+    docs = _docs(spark, ["a a b", "b", ""])
+    rows = {r["doc_id"]: (r["n_tokens"], r["nll"]) for r in lm_score(docs).collect()}
+    want_nll = round(round(-math.log(0.5), 9), 6)
+    assert rows[0] == (3, want_nll)
+    assert rows[1] == (1, want_nll)
+    assert rows[2] == (0, 0.0)
+
+
+def test_lm_score_ranks_rare_tokens_higher(spark):
+    """A doc of corpus-rare tokens must score a higher NLL than a doc
+    of corpus-common tokens (the filter's entire point)."""
+    from connected_component_spark.operators.text import lm_score
+
+    docs = _docs(
+        spark,
+        ["the the the the", "the the the the", "zq xv wk jt"],
+    )
+    rows = {r["doc_id"]: r["nll"] for r in lm_score(docs).collect()}
+    assert rows[2] > rows[0] == rows[1]

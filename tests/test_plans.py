@@ -56,6 +56,7 @@ _LAZY_LLMOPS = [
     # it must pass WITHOUT a nested-loop allowance (unlike the bitmap
     # branch's block-pair enumeration); audio ops are pure mapInPandas
     "dedup_ngram_pairs_prefix", "multimodal_audio", "multimodal_audio_energy",
+    "text_lm_score",
 ]
 
 #: intentional bounded cross joins: a broadcast query/centroid batch
@@ -64,6 +65,7 @@ _LAZY_LLMOPS = [
 _ALLOWED_NESTED_LOOP = {
     "ann_cosine_topk", "ann_ivf_topk", "dedup_ngram_pairs", "ann_recall_report",
     "text_source_divergence",
+    "text_lm_score",  # 1-row corpus-total broadcast, same as divergence
 }
 
 
