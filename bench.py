@@ -80,24 +80,8 @@ def main() -> None:
         return draw, errs
 
     # Draw 1 is THE driver-comparable number (same protocol as every
-    # earlier round: one warmed sequential sweep).  Additional draws
-    # (default 3 total; SPARK_GRAFT_BENCH_DRAWS=1 to opt out) feed
-    # per-query MEDIANS into the local artifact only — under ambient
-    # load a single draw of the same code spreads ±30%, so regression
-    # claims need a noise-robust statistic (r4 verdict #9).
+    # earlier round: one warmed sequential sweep).
     timings, errors = one_draw()
-    n_draws = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_DRAWS", "3")))
-    draws = [timings]
-    for _ in range(n_draws - 1):
-        d, _errs = one_draw()
-        draws.append(d)
-    import statistics
-
-    medians = {
-        name: round(statistics.median(d[name] for d in draws if name in d), 3)
-        for name in timings
-    }
-
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_query_wall_clock",
@@ -135,7 +119,27 @@ def main() -> None:
     except Exception as ex:
         out["cc_kernel"] = {"err": f"{type(ex).__name__}: {ex}"[:200]}
 
-    print(json.dumps(out))
+    # The driver-facing JSON line goes out (flushed) BEFORE the extra
+    # median draws run, so a driver-side timeout during draws 2-3 can
+    # never void the round's bench record.
+    print(json.dumps(out), flush=True)
+
+    # Additional draws (default 3 total; SPARK_GRAFT_BENCH_DRAWS=1 to
+    # opt out) feed per-query MEDIANS into the local artifact only —
+    # under ambient load a single draw of the same code spreads ±30%,
+    # so regression claims need a noise-robust statistic (r4 verdict
+    # #9).
+    n_draws = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_DRAWS", "3")))
+    draws = [timings]
+    for _ in range(n_draws - 1):
+        d, _errs = one_draw()
+        draws.append(d)
+    import statistics
+
+    medians = {
+        name: round(statistics.median(d[name] for d in draws if name in d), 3)
+        for name in timings
+    }
 
     # Also persist the FULL per-query map next to the repo: the
     # driver's BENCH_r{N}.json stores a truncated stdout tail, which

@@ -2742,6 +2742,38 @@ FROM sess GROUP BY user_id, session_seq
 """
 
 
+# --------------------------------------------------------------------------
+# q_customer_value_tiers — the ranking-window family not covered
+# elsewhere (row_number/rank are used throughout): ntile quartiles,
+# percent_rank, cume_dist over customers per nation.  All three are
+# exact rationals of ints ((rank-1)/(n-1), count≤/n, balanced tile
+# split), so doubles are engine-identical given the deterministic
+# (acctbal desc, custkey asc) order.
+# --------------------------------------------------------------------------
+
+def q_customer_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+Q_CUSTOMER_VALUE_TIERS_SQL = """
+SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -2773,6 +2805,7 @@ QUERIES = {
     "q_user_event_profile": q_user_event_profile,
     "q_approx_profile": q_approx_profile,
     "q_approx_quantiles": q_approx_quantiles,
+    "q_customer_value_tiers": q_customer_value_tiers,
     "q_asof_orders": q_asof_orders,
     "q_interval_spikes": q_interval_spikes,
     "q08_market_share": q08_market_share,
@@ -2832,6 +2865,7 @@ ORACLES = {
     "q_user_event_profile": Q_USER_EVENT_PROFILE_SQL,
     "q_approx_profile": Q_APPROX_PROFILE_SQL,
     "q_approx_quantiles": Q_APPROX_QUANTILES_SQL,
+    "q_customer_value_tiers": Q_CUSTOMER_VALUE_TIERS_SQL,
     "q_asof_orders": Q_ASOF_ORDERS_SQL,
     "q_interval_spikes": Q_INTERVAL_SPIKES_SQL,
     "q08_market_share": Q08_SQL,
