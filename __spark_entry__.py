@@ -61,13 +61,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # rounds.
 
 #: queries whose code path changed this round — re-verify first.
-#: Maintained per round alongside the change itself.
-_CHANGED_THIS_ROUND = (
-    "ann_ivf_topk",             # ivf_topk probes query vectors directly (r4 verdict #3)
-    "ann_ivf_kmeans_topk",      # same ivf_topk change + codebook cache key (ADVICE)
-    "ann_recall_report",        # consumes both ivf paths above
-    "pipeline_semantic_dedup",  # max_cluster_rows valve pinned (r4 verdict #2)
-)
+#: Maintained per round alongside the change itself.  (Round 6: no
+#: existing query's result-affecting path changed — the round's new
+#: queries rank first automatically as never-driver-verified.)
+_CHANGED_THIS_ROUND = ()
 
 
 def _green_rounds() -> dict[str, int]:
@@ -96,7 +93,11 @@ def _green_rounds() -> dict[str, int]:
             if not isinstance(row, dict) or row.get("err") is not None:
                 continue
             flags = [v for k, v in row.items() if k.endswith("_match")]
-            if flags and all(v is not False for v in flags):
+            # Only affirmatively-true flags count: a null/None flag
+            # (e.g. a skipped hash check) must not earn a verified
+            # round and deprioritize the query out of the 50-row
+            # budget (ADVICE r5).
+            if flags and all(v is True for v in flags):
                 out[name] = max(out.get(name, 0), rnd)
     return out
 

@@ -26,6 +26,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="cc-spark-bench")
+    # Benign-but-noisy WARNs (bounded top-N WindowExec, etc.) flooded the
+    # driver's short stdout tail in r5 and voided the bench record; the
+    # bench session logs errors only.
+    spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod
 
@@ -131,15 +135,24 @@ def main() -> None:
     # #9).
     n_draws = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_DRAWS", "3")))
     draws = [timings]
+    draw_errors = [errors]
     for _ in range(n_draws - 1):
-        d, _errs = one_draw()
+        d, errs = one_draw()
         draws.append(d)
+        draw_errors.append(errs)
     import statistics
 
-    medians = {
-        name: round(statistics.median(d[name] for d in draws if name in d), 3)
-        for name in timings
-    }
+    # A query that errors in a draw records its (fast) error-path wall
+    # clock in that draw; excluding those timings keeps the median an
+    # honest full-execution statistic (ADVICE r5).
+    medians = {}
+    for name in timings:
+        ok = [
+            d[name]
+            for d, e in zip(draws, draw_errors)
+            if name in d and name not in e
+        ]
+        medians[name] = round(statistics.median(ok), 3) if ok else timings[name]
 
     # Also persist the FULL per-query map next to the repo: the
     # driver's BENCH_r{N}.json stores a truncated stdout tail, which
@@ -169,14 +182,40 @@ def main() -> None:
         query_medians=medians,
         total_of_medians=round(sum(medians.values()), 3),
     )
+    if any(draw_errors):
+        local["draw_errors"] = draw_errors
     target = os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json")
     try:
-        if not os.path.exists(target):
+        # An env-pinned round number is an intentional request and may
+        # refresh its own artifact; only the *inferred*-round path keeps
+        # the never-overwrite guard (a mis-inferred round must not
+        # clobber a real record — ADVICE r4 / VERDICT r5 #2).
+        if env_round or not os.path.exists(target):
             with open(target, "w") as f:
                 json.dump(local, f, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout must not void the bench output
     spark.stop()
+
+    # The driver records only a ~200-char stdout TAIL and parses JSON
+    # from it; the full 118-query line can never fit (BENCH_r03..r05 all
+    # came back `parsed: null`).  Re-print the full line for human/full-
+    # stdout consumers, then end stdout with a COMPACT line that fits
+    # the tail — the per-query map lives in the committed
+    # BENCH_LOCAL_r{N}.json artifact.
+    print(json.dumps(out), flush=True)
+    compact = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "total_of_medians": local["total_of_medians"],
+        "queries_in": f"BENCH_LOCAL_r{n:02d}.json",
+    }
+    if errors:
+        compact["n_errors"] = len(errors)
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -90,9 +90,16 @@ def ngram_jaccard_pairs(
     threshold: float,
     n: int = 3,
     strategy: str = "auto",
+    unit: str = "char",
 ) -> DataFrame:
-    """Exact character-n-gram Jaccard similarity join: every
+    """Exact n-gram Jaccard similarity join: every
     (a, b, jaccard) with jaccard ≥ threshold, a < b.
+
+    ``unit="char"`` shingles by character n-grams (tiny vocabulary —
+    ~|alphabet|^n — so ``auto`` picks the bitmap strategy);
+    ``unit="word"`` shingles by word k-shingles (vocabulary grows
+    with the corpus, the regime prefix filtering is built for, so
+    ``auto`` routes to prefix naturally).
 
     Two physical strategies, chosen by vocabulary size when
     ``strategy="auto"`` (one cheap count-distinct action):
@@ -116,9 +123,15 @@ def ngram_jaccard_pairs(
     # narrow pass — materialize it ONCE and derive dictionary,
     # postings, and verify sets from the checkpoint.  (At cluster
     # scale this would be persist(MEMORY_AND_DISK) + unpersist.)
-    grams = docs.select(
-        "doc_id", char_ngrams(F.col("text"), n).alias("g")
-    ).localCheckpoint(eager=True)
+    if unit == "word":
+        gram_expr = word_shingles(F.col("text"), n)
+    elif unit == "char":
+        gram_expr = char_ngrams(F.col("text"), n)
+    else:
+        raise ValueError(f"unit must be 'char' or 'word', got {unit!r}")
+    grams = docs.select("doc_id", gram_expr.alias("g")).localCheckpoint(
+        eager=True
+    )
     vocab = None
     if strategy == "auto":
         vocab = (

@@ -271,6 +271,15 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, str]:
     width = struct.unpack_from("<i", b, 18)[0]
     height = abs(struct.unpack_from("<i", b, 22)[0])
     bpp = struct.unpack_from("<H", b, 28)[0]
+    # A non-positive width (or zero height) would make the pixel-array
+    # truncation check downstream vacuously pass and yield an empty
+    # buffer silently — enforce the loud-failure contract here
+    # (ADVICE r5).  Negative HEIGHT is legal BMP (top-down rows) and
+    # already abs()'d above; negative width is not.
+    if width <= 0 or height == 0:
+        raise ValueError(
+            f"invalid BMP dimensions width={width} height={height}"
+        )
     return len(b), width, height, _BMP_FMT.get(bpp, f"bmp{bpp}")
 
 

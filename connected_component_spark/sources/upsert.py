@@ -86,9 +86,18 @@ def recover_table(path: str) -> str:
             f"recover_table: no committed version at {path!r} and no "
             f"__old sibling to roll back to"
         )
-    os.rename(olds[0], path)
-    for p in olds[1:] + tmps:
-        shutil.rmtree(p, ignore_errors=True)
+    # Multiple __old siblings are reachable (a committed merge whose
+    # final cleanup rmtree was interrupted leaves one behind; a later
+    # crashed swap adds another).  The uuid-hex suffixes carry no
+    # order, so pick the NEWEST version by mtime — a directory's mtime
+    # is set when its parquet contents were written and rename does
+    # not touch it, so the newest __old is the most recently committed
+    # version (ADVICE r5).
+    newest = max(olds, key=lambda p: os.stat(p).st_mtime_ns)
+    os.rename(newest, path)
+    for p in olds + tmps:
+        if p != newest:
+            shutil.rmtree(p, ignore_errors=True)
     return "rolled-back"
 
 
@@ -188,4 +197,8 @@ def merge_upsert(
         os.rename(old, path)  # roll the previous version back in
         shutil.rmtree(tmp, ignore_errors=True)
         raise
-    shutil.rmtree(old)
+    # The merge is committed at this point; a cleanup failure must not
+    # raise (and must not strand an __old that recovery could prefer —
+    # recover_table now picks by mtime, but best-effort preserving the
+    # single-__old invariant keeps recovery unambiguous).
+    shutil.rmtree(old, ignore_errors=True)

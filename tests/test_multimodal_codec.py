@@ -291,3 +291,31 @@ def test_unknown_audio_codec_rejected(spark):
     df = _payload_df(spark, [(1, b"abc")])
     with pytest.raises(ValueError, match="unknown audio codec"):
         mm.decode_audio_metadata(df, codec="mp3")
+
+
+def test_bmp_rejects_nonpositive_dimensions():
+    """A crafted header with negative width (or zero height) must fail
+    LOUDLY: with width*3 negative the pixel-array truncation check is
+    vacuously true and the old code returned an empty buffer silently
+    (ADVICE r5)."""
+    import struct
+
+    import pytest
+
+    good = _bmp_bytes(_PX)
+    neg_w = bytearray(good)
+    struct.pack_into("<i", neg_w, 18, -4)
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        mm._decode_bmp(bytes(neg_w))
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        mm._bmp_rgb_pixels(bytes(neg_w))
+
+    zero_h = bytearray(good)
+    struct.pack_into("<i", zero_h, 22, 0)
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        mm._decode_bmp(bytes(zero_h))
+
+    zero_w = bytearray(good)
+    struct.pack_into("<i", zero_w, 18, 0)
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        mm._decode_bmp(bytes(zero_w))

@@ -58,3 +58,34 @@ def test_entry_staleness_rotation():
     assert lasts == sorted(lasts), "stable queries not ordered stalest-first"
     # the artifacts the rotation reads exist and parse
     assert green, "no CORRECTNESS_r*.json artifacts found"
+
+
+def test_staleness_window_bounded():
+    """Freshness guarantee of the rotation, regression-proofed (r5
+    verdict #7): every ONCE-VERIFIED query's latest green driver row
+    is at most 3 rounds old, so growing the surface can never silently
+    starve a query of re-verification.  (Queries added after the last
+    committed artifact have no row yet — they sit at the FRONT of the
+    rotation and earn one next round, so they are exempt here.)"""
+    import glob
+    import os
+    import re
+
+    import __spark_entry__ as e
+
+    root = os.path.dirname(os.path.abspath(e.__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    assert rounds, "no CORRECTNESS_r*.json artifacts found"
+    current = max(rounds)
+    green = e._green_rounds()
+    stale = {
+        q: last for q, last in green.items() if current - last > 3
+    }
+    assert not stale, (
+        f"queries with last green driver row >3 rounds old "
+        f"(current={current}): {stale}"
+    )

@@ -172,3 +172,100 @@ def test_failed_second_rename_rolls_back_inline(spark, tmp_path, monkeypatch):
 
     got = {r["id"]: (r["val"], r["n"]) for r in read_snapshot(spark, path).collect()}
     assert got == {1: ("a", 10)}
+
+
+def test_recovery_with_multiple_olds_picks_newest(spark, tmp_path, monkeypatch):
+    """Two __old siblings are reachable (a committed merge whose final
+    cleanup failed leaves one; a later crashed swap adds another).
+    recover_table must restore the NEWEST committed version by mtime
+    — the uuid suffixes carry no order, and lexicographic choice
+    could resurrect the older version and delete the newer one
+    (ADVICE r5)."""
+    import time
+
+    import connected_component_spark.sources.upsert as up
+
+    path = str(tmp_path / "tbl")
+    _write(spark, path, [(1, "a", 10)])
+
+    # merge 1 commits, but its final cleanup "fails": simulate by
+    # blocking rmtree so the old version survives as __old debris
+    monkeypatch.setattr(
+        up.shutil, "rmtree", lambda *a, **k: None
+    )
+    merge_upsert(
+        read_snapshot(spark, path),
+        spark.createDataFrame([(1, "A1", 11)], SCHEMA),
+        "id",
+        path,
+    )
+    monkeypatch.undo()
+    olds = [p for p in os.listdir(tmp_path) if "__old_" in p]
+    assert len(olds) == 1  # merge 1's stranded debris (v0 contents)
+
+    # directory mtimes must differ for the ordering to be observable
+    time.sleep(0.05)
+
+    # merge 2 commits, then a crash between the renames of merge 3
+    # leaves the v2 table only under a second __old name
+    merge_upsert(
+        read_snapshot(spark, path),
+        spark.createDataFrame([(1, "A2", 12)], SCHEMA),
+        "id",
+        path,
+    )
+    time.sleep(0.05)
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_rename(src, dst)
+            raise KeyboardInterrupt("simulated hard kill mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(up.os, "rename", dying_rename)
+    with pytest.raises(KeyboardInterrupt):
+        merge_upsert(
+            read_snapshot(spark, path),
+            spark.createDataFrame([(1, "A3", 13)], SCHEMA),
+            "id",
+            path,
+        )
+    monkeypatch.undo()
+
+    assert not os.path.exists(path)
+    assert len([p for p in os.listdir(tmp_path) if "__old_" in p]) == 2
+    assert up.recover_table(path) == "rolled-back"
+    got = {r["id"]: (r["val"], r["n"]) for r in read_snapshot(spark, path).collect()}
+    assert got == {1: ("A2", 12)}  # the NEWER committed version, not v0
+    assert not [p for p in os.listdir(tmp_path) if "__old_" in p or "__tmp_" in p]
+
+
+def test_committed_merge_survives_cleanup_failure(spark, tmp_path, monkeypatch):
+    """The post-commit rmtree of the __old version is best-effort: a
+    cleanup failure must not raise (the merge IS committed) and the
+    table must read as the merged version (ADVICE r5)."""
+    import connected_component_spark.sources.upsert as up
+
+    path = str(tmp_path / "tbl")
+    _write(spark, path, [(1, "a", 10)])
+
+    real_rmtree = up.shutil.rmtree
+
+    def failing_rmtree(p, *a, **k):
+        if "__old_" in str(p) and not k.get("ignore_errors"):
+            raise OSError("simulated cleanup failure")
+        return real_rmtree(p, *a, **k)
+
+    monkeypatch.setattr(up.shutil, "rmtree", failing_rmtree)
+    merge_upsert(  # must not raise
+        read_snapshot(spark, path),
+        spark.createDataFrame([(1, "A", 11)], SCHEMA),
+        "id",
+        path,
+    )
+    monkeypatch.undo()
+    got = {r["id"]: (r["val"], r["n"]) for r in read_snapshot(spark, path).collect()}
+    assert got == {1: ("A", 11)}
