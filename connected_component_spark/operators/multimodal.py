@@ -19,6 +19,12 @@ Codec selection is an EXPLICIT parameter, never an environment sniff:
   never executed where Pillow is absent).  Correctness-reference
   implementation — per-pixel Python, fine for tests; bulk media work
   belongs on the pil/pyav codecs.
+* ``codec="ppm"`` — a second REAL pure-stdlib decoder (binary Netpbm
+  P6: text header with comments, raw top-down RGB samples), added so
+  the real-codec family has a cross-codec differential in every
+  environment (r5 verdict #6): the same pixel matrix encoded as BMP
+  and as PPM must decode and resample to byte-identical RGB buffers
+  through the shared :func:`_resize_rgb_nearest`.
 * ``codec="pil"`` — the real image codec (Pillow), available only
   where the library is installed (:func:`available_codecs`); asking
   for it without the library raises loudly instead of silently
@@ -63,15 +69,16 @@ __all__ = [
 
 
 def available_codecs() -> tuple[str, ...]:
-    """Codecs usable in this runtime (``stub`` and the stdlib ``bmp``
-    always; ``pil`` when Pillow imports)."""
-    return ("stub", "bmp", "pil") if _PILImage is not None else ("stub", "bmp")
+    """Codecs usable in this runtime (``stub`` and the pure-stdlib
+    ``bmp``/``ppm`` always; ``pil`` when Pillow imports)."""
+    base = ("stub", "bmp", "ppm")
+    return base + ("pil",) if _PILImage is not None else base
 
 
 def _require_codec(codec: str) -> None:
-    if codec not in ("stub", "bmp", "pil"):
+    if codec not in ("stub", "bmp", "ppm", "pil"):
         raise ValueError(
-            f"unknown codec {codec!r}; use one of ('stub', 'bmp', 'pil')"
+            f"unknown codec {codec!r}; use one of ('stub', 'bmp', 'ppm', 'pil')"
         )
     if codec == "pil" and _PILImage is None:
         raise RuntimeError(
@@ -312,10 +319,13 @@ def _bmp_rgb_pixels(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
-def _bmp_resize_rgb(payload: bytes, width: int, height: int) -> bytes:
-    """Nearest-neighbor resample of a decoded BMP to width×height RGB
-    (floor sampling: src index = out index * src_dim // out_dim)."""
-    sw, sh, rgb = _bmp_rgb_pixels(payload)
+def _resize_rgb_nearest(
+    sw: int, sh: int, rgb: bytes, width: int, height: int
+) -> bytes:
+    """Nearest-neighbor resample of a top-down RGB buffer to
+    width×height (floor sampling: src index = out index * src_dim //
+    out_dim).  Shared by every real codec so a cross-codec
+    differential on the same pixel matrix is byte-identical."""
     out = bytearray()
     for y in range(height):
         sy = y * sh // height
@@ -324,6 +334,77 @@ def _bmp_resize_rgb(payload: bytes, width: int, height: int) -> bytes:
             i = (sy * sw + sx) * 3
             out += rgb[i : i + 3]
     return bytes(out)
+
+
+def _bmp_resize_rgb(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample of a decoded BMP to width×height RGB."""
+    sw, sh, rgb = _bmp_rgb_pixels(payload)
+    return _resize_rgb_nearest(sw, sh, rgb, width, height)
+
+
+def _ppm_header(b: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary PPM (P6) header: returns (width, height, maxval,
+    pixel_data_offset).  Netpbm grammar: 'P6', then three decimal
+    fields (width, height, maxval) separated by whitespace, with
+    '#'-to-end-of-line comments allowed between fields, then EXACTLY
+    one whitespace byte before the raw RGB samples."""
+    if b[:2] != b"P6":
+        raise ValueError("payload is not a binary PPM (missing 'P6' magic)")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and comments
+        while pos < len(b) and (b[pos : pos + 1].isspace() or b[pos : pos + 1] == b"#"):
+            if b[pos : pos + 1] == b"#":
+                nl = b.find(b"\n", pos)
+                pos = len(b) if nl < 0 else nl + 1
+            else:
+                pos += 1
+        start = pos
+        while pos < len(b) and b[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(b[start:pos]))
+    if pos >= len(b) or not b[pos : pos + 1].isspace():
+        raise ValueError("PPM header not terminated by whitespace")
+    pos += 1  # exactly one whitespace byte before the pixel data
+    width, height, maxval = fields
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid PPM dimensions width={width} height={height}")
+    if not 0 < maxval < 256:
+        raise ValueError(
+            f"ppm codec handles 8-bit samples only (maxval={maxval})"
+        )
+    return width, height, maxval, pos
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, int, str]:
+    """Real binary-PPM (Netpbm P6) header parse, pure stdlib.  Raises
+    ValueError on non-PPM bytes — loud failure over a silently wrong
+    answer (same contract as the bmp/pil codecs)."""
+    b = bytes(payload)
+    width, height, _maxval, _off = _ppm_header(b)
+    return len(b), width, height, "rgb"
+
+
+def _ppm_rgb_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a P6 PPM to a top-down RGB buffer: (width, height,
+    rgb_bytes).  P6 stores rows top-down with no stride padding, so
+    the pixel array is the buffer itself — after a length check."""
+    b = bytes(payload)
+    width, height, _maxval, off = _ppm_header(b)
+    need = width * height * 3
+    rgb = b[off : off + need]
+    if len(rgb) < need:
+        raise ValueError("truncated PPM pixel array")
+    return width, height, rgb
+
+
+def _ppm_resize_rgb(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample of a decoded PPM to width×height RGB."""
+    sw, sh, rgb = _ppm_rgb_pixels(payload)
+    return _resize_rgb_nearest(sw, sh, rgb, width, height)
 
 
 _PIL_FMT = {"RGB": "rgb", "RGBA": "rgba", "L": "gray"}
@@ -348,7 +429,9 @@ def decode_metadata(
     docstring.
     """
     _require_codec(codec)
-    decode = {"pil": _decode_pil, "bmp": _decode_bmp}.get(codec, _decode_stub)
+    decode = {"pil": _decode_pil, "bmp": _decode_bmp, "ppm": _decode_ppm}.get(
+        codec, _decode_stub
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -409,6 +492,9 @@ def resize_payload(
     def bmp_one(p: bytes) -> bytes:
         return _bmp_resize_rgb(p, width, height)
 
+    def ppm_one(p: bytes) -> bytes:
+        return _ppm_resize_rgb(p, width, height)
+
     def pil_one(p: bytes) -> bytes:
         with _PILImage.open(io.BytesIO(bytes(p))) as im:
             return (
@@ -417,7 +503,9 @@ def resize_payload(
                 .tobytes()
             )
 
-    resize_one = {"pil": pil_one, "bmp": bmp_one}.get(codec, stub_one)
+    resize_one = {"pil": pil_one, "bmp": bmp_one, "ppm": ppm_one}.get(
+        codec, stub_one
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -466,6 +554,10 @@ def sample_frames(
         _w, _h, rgb = _bmp_rgb_pixels(p)
         yield 0, len(rgb), hashlib.md5(rgb).hexdigest()
 
+    def ppm_frames(p: bytes):
+        _w, _h, rgb = _ppm_rgb_pixels(p)
+        yield 0, len(rgb), hashlib.md5(rgb).hexdigest()
+
     def pil_frames(p: bytes):
         with _PILImage.open(io.BytesIO(bytes(p))) as im:
             n_frames = getattr(im, "n_frames", 1)
@@ -474,7 +566,9 @@ def sample_frames(
                 raw = im.convert("RGB").tobytes()
                 yield idx, len(raw), hashlib.md5(raw).hexdigest()
 
-    frames_of = {"pil": pil_frames, "bmp": bmp_frames}.get(codec, stub_frames)
+    frames_of = {"pil": pil_frames, "bmp": bmp_frames, "ppm": ppm_frames}.get(
+        codec, stub_frames
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

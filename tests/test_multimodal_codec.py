@@ -319,3 +319,99 @@ def test_bmp_rejects_nonpositive_dimensions():
     struct.pack_into("<i", zero_w, 18, 0)
     with pytest.raises(ValueError, match="invalid BMP dimensions"):
         mm._decode_bmp(bytes(zero_w))
+
+
+# ---- ppm: the SECOND always-available real codec (r5 verdict #6) -----------
+
+def _ppm_bytes(pixels, comment=False):
+    """Minimal binary-PPM (P6) encoder (test fixture generator).
+    ``pixels``: list of rows (top-down), each a list of (r, g, b)."""
+    h, w = len(pixels), len(pixels[0])
+    head = b"P6\n"
+    if comment:
+        head += b"# test fixture comment\n"
+    head += f"{w} {h}\n255\n".encode()
+    body = bytearray()
+    for row in pixels:  # P6 stores rows top-down, RGB, no padding
+        for r, g, b in row:
+            body += bytes((r, g, b))
+    return bytes(head + body)
+
+
+def test_ppm_codec_always_available():
+    assert "ppm" in mm.available_codecs()
+
+
+def test_ppm_decode_real_dimensions(spark):
+    data = _ppm_bytes(_PX)
+    df = spark.createDataFrame([(1, bytearray(data))], "doc_id long, payload binary")
+    row = mm.decode_metadata(df, codec="ppm").collect()[0]
+    assert (row["n_bytes"], row["width"], row["height"], row["fmt"]) == (
+        len(data),
+        4,
+        2,
+        "rgb",
+    )
+
+
+def test_ppm_header_comment_and_whitespace_forms():
+    for comment in (False, True):
+        data = _ppm_bytes(_PX, comment=comment)
+        assert mm._decode_ppm(data)[1:] == (4, 2, "rgb")
+
+
+def test_ppm_decode_rejects_bad_payloads(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="P6"):
+        mm._decode_ppm(b"not a ppm at all")
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        mm._decode_ppm(b"P6\n4 ")
+    with pytest.raises(ValueError, match="invalid PPM dimensions"):
+        mm._decode_ppm(b"P6\n0 2\n255\n")
+    with pytest.raises(ValueError, match="8-bit"):
+        mm._decode_ppm(b"P6\n4 2\n65535\n" + b"\x00" * 48)
+    with pytest.raises(ValueError, match="truncated PPM pixel array"):
+        mm._ppm_rgb_pixels(b"P6\n4 2\n255\n" + b"\x00" * 10)
+
+
+def test_ppm_pixel_roundtrip():
+    w, h, rgb = mm._ppm_rgb_pixels(_ppm_bytes(_PX))
+    assert (w, h) == (4, 2)
+    flat = [c for row in _PX for px in row for c in px]
+    assert list(rgb) == flat
+
+
+def test_bmp_ppm_cross_codec_differential(spark):
+    """The SAME pixel matrix encoded by two independent container
+    formats (BI_RGB bottom-up BGR with stride padding vs P6 top-down
+    RGB unpadded) must decode to identical RGB buffers and produce
+    identical resize fingerprints through the mapInPandas plumbing —
+    a real-codec differential that runs in every environment."""
+    px = [
+        [((x * 37 + y * 91) % 256, (x * 11) % 256, (y * 53) % 256) for x in range(5)]
+        for y in range(3)
+    ]  # 5x3: odd width exercises BMP's stride padding vs PPM's none
+    assert mm._bmp_rgb_pixels(_bmp_bytes(px)) == mm._ppm_rgb_pixels(_ppm_bytes(px))
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_bmp_bytes(px))),
+            (2, bytearray(_ppm_bytes(px))),
+        ],
+        "doc_id long, payload binary",
+    )
+    via_bmp = (
+        mm.resize_payload(df.where("doc_id = 1"), width=4, height=4, codec="bmp")
+        .collect()[0]
+    )
+    via_ppm = (
+        mm.resize_payload(df.where("doc_id = 2"), width=4, height=4, codec="ppm")
+        .collect()[0]
+    )
+    assert via_bmp["out_md5"] == via_ppm["out_md5"]
+    assert via_bmp["n_bytes_out"] == via_ppm["n_bytes_out"] == 4 * 4 * 3
+
+    f_bmp = mm.sample_frames(df.where("doc_id = 1"), codec="bmp").collect()[0]
+    f_ppm = mm.sample_frames(df.where("doc_id = 2"), codec="ppm").collect()[0]
+    assert f_bmp["frame_md5"] == f_ppm["frame_md5"]
