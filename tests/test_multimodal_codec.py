@@ -415,3 +415,83 @@ def test_bmp_ppm_cross_codec_differential(spark):
     f_bmp = mm.sample_frames(df.where("doc_id = 1"), codec="bmp").collect()[0]
     f_ppm = mm.sample_frames(df.where("doc_id = 2"), codec="ppm").collect()[0]
     assert f_bmp["frame_md5"] == f_ppm["frame_md5"]
+
+
+# ---- video: CCV1 clip container over real image frames --------------------
+
+def _clip_px_frames():
+    """Three distinct pixel matrices (the 'video')."""
+    return [
+        [[(255 - x * 40, y * 90, (x * y * 31) % 256) for x in range(4)]
+         for y in range(2)],
+        [[(x * 60, 255 - y * 80, (x + y) * 50 % 256) for x in range(4)]
+         for y in range(2)],
+        [[((x * 97) % 256, (y * 53) % 256, 128) for x in range(4)]
+         for y in range(2)],
+    ]
+
+
+def test_clip_container_roundtrip_and_errors():
+    import pytest
+
+    frames = [b"alpha", b"", b"gamma-longer-frame"]
+    clip = mm.pack_clip(frames)
+    assert mm.clip_frames(clip) == frames
+    assert mm.clip_frames(mm.pack_clip([])) == []
+    with pytest.raises(ValueError, match="missing magic"):
+        mm.clip_frames(b"MP4?" + clip[4:])
+    with pytest.raises(ValueError, match="truncated CCV1 clip header"):
+        mm.clip_frames(b"CCV1\x01")
+    with pytest.raises(ValueError, match="truncated CCV1 frame payload"):
+        mm.clip_frames(clip[:-3])
+    with pytest.raises(ValueError, match="truncated CCV1 frame table"):
+        mm.clip_frames(mm.pack_clip([b"x"])[:9])
+
+
+def test_clip_metadata_decodes_first_frame_via_real_codec(spark):
+    px = _clip_px_frames()
+    clip = mm.pack_clip([_bmp_bytes(p) for p in px])
+    df = spark.createDataFrame([(7, bytearray(clip))], "doc_id long, payload binary")
+    row = mm.decode_clip_metadata(df, frame_codec="bmp").collect()[0]
+    assert (row["n_frames"], row["width"], row["height"], row["fmt"]) == (3, 4, 2, "rgb")
+    assert row["total_frame_bytes"] == sum(len(_bmp_bytes(p)) for p in px)
+
+
+def test_clip_frames_cross_codec_differential(spark):
+    """The SAME three pixel matrices packed as a BMP-frame clip and a
+    PPM-frame clip must sample to identical per-frame RGB
+    fingerprints — the multi-frame (video) extension of the
+    single-image cross-codec differential; runs in every
+    environment."""
+    px = _clip_px_frames()
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(mm.pack_clip([_bmp_bytes(p) for p in px]))),
+            (2, bytearray(mm.pack_clip([_ppm_bytes(p) for p in px]))),
+        ],
+        "doc_id long, payload binary",
+    )
+    via_bmp = mm.sample_clip_frames(
+        df.where("doc_id = 1"), every=1, frame_codec="bmp"
+    ).collect()
+    via_ppm = mm.sample_clip_frames(
+        df.where("doc_id = 2"), every=1, frame_codec="ppm"
+    ).collect()
+    assert len(via_bmp) == len(via_ppm) == 3
+    for b, p in zip(
+        sorted(via_bmp, key=lambda r: r["frame_idx"]),
+        sorted(via_ppm, key=lambda r: r["frame_idx"]),
+    ):
+        assert (b["frame_idx"], b["frame_len"], b["frame_md5"]) == (
+            p["frame_idx"],
+            p["frame_len"],
+            p["frame_md5"],
+        )
+
+
+def test_clip_frame_sampling_every_2(spark):
+    px = _clip_px_frames()
+    clip = mm.pack_clip([_ppm_bytes(p) for p in px])
+    df = spark.createDataFrame([(1, bytearray(clip))], "doc_id long, payload binary")
+    rows = mm.sample_clip_frames(df, every=2, frame_codec="ppm").collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 2]
