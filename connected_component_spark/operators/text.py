@@ -20,6 +20,7 @@ __all__ = [
     "vocabulary",
     "bpe_piece_stats",
     "quality_score",
+    "filter_funnel",
     "token_rarity",
     "language_id",
     "fingerprint",
@@ -182,6 +183,45 @@ def quality_score(docs: DataFrame) -> DataFrame:
             4,
         ).alias("quality"),
     )
+
+
+def filter_funnel(df: DataFrame, stages) -> DataFrame:
+    """Yield report for an ORDERED chain of quality filters — the
+    per-stage observability a production cleaning pipeline publishes
+    (how many documents each rule costs, applied cumulatively).
+
+    ``stages`` is a list of (name, boolean Column); returns one row
+    per stage: (stage_idx, stage, entering, surviving, dropped)
+    where entering = survivors of all earlier stages.
+
+    Scale shape: ONE full aggregation pass regardless of stage count
+    (each stage is a map-side conditional sum over the cumulative
+    conjunction — no per-stage scans, no shuffle beyond the final
+    single-group agg), then a constant-size explode to rows.  The
+    input is scanned once at 100 TB no matter how many rules the
+    pipeline stacks."""
+    aggs = [F.count(F.lit(1)).alias("s_in")]
+    cum = None
+    for i, (_, cond) in enumerate(stages):
+        cum = cond if cum is None else (cum & cond)
+        aggs.append(F.sum(cum.cast("long")).alias(f"s_{i}"))
+    counts = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col("s_in" if i == 0 else f"s_{i - 1}").alias("entering"),
+                F.col(f"s_{i}").alias("surviving"),
+                (
+                    F.col("s_in" if i == 0 else f"s_{i - 1}")
+                    - F.col(f"s_{i}")
+                ).alias("dropped"),
+            )
+            for i, (name, _) in enumerate(stages)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")
 
 
 def language_id(docs: DataFrame) -> DataFrame:

@@ -20,6 +20,7 @@ from connected_component_spark.functions.hashing import (
 )
 from connected_component_spark.operators import dedup as dd
 from connected_component_spark.operators import multimodal as mm
+from connected_component_spark.operators import quantize as qz
 from connected_component_spark.operators import similarity as sim
 from connected_component_spark.operators import text as tx
 from connected_component_spark.queries.parity import roundd, roundd_sql
@@ -512,6 +513,55 @@ walk(node, comp) AS (
 )
 SELECT node AS doc_id, min(comp) AS cluster
 FROM walk GROUP BY node
+"""
+
+
+#: ingestion split for the incremental-dedup probe: doc_id < 400 is
+#: the existing corpus, >= 400 the incoming batch.  doc_id 0..499
+#: exists at every sf, so the corpus side is a fixed 400 docs and
+#: the batch grows with sf — the asymmetric regime the operator's
+#: broadcast plan is built for is exercised at every scale.
+_INCR_SPLIT = 400
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup (operators/dedup.py:incremental_dedup):
+    classify each incoming doc (doc_id >= 400) against the existing
+    corpus (doc_id < 400) as dup_of_corpus / dup_in_batch / novel
+    without ever re-pairing the corpus with itself — the batch band
+    table is broadcast into a single map-side corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.incremental_dedup(
+        docs.where(F.col("doc_id") < _INCR_SPLIT),
+        docs.where(F.col("doc_id") >= _INCR_SPLIT),
+        num_hashes=_MINHASH_N,
+        bands=_LSH_BANDS,
+        threshold=_JACCARD_THRESHOLD,
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {_minhash_sql_core()},
+{_lsh_pairs_sql()},
+edges AS (
+  SELECT a, b FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
+),
+corpus_m AS (
+  SELECT b AS doc_id, min(a) AS corpus_canon
+  FROM edges WHERE b >= {_INCR_SPLIT} AND a < {_INCR_SPLIT} GROUP BY b
+),
+batch_m AS (
+  SELECT b AS doc_id, min(a) AS batch_canon
+  FROM edges WHERE b >= {_INCR_SPLIT} AND a >= {_INCR_SPLIT} GROUP BY b
+)
+SELECT d.doc_id,
+       CASE WHEN corpus_canon IS NOT NULL THEN 'dup_of_corpus'
+            WHEN batch_canon IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'novel' END AS status,
+       coalesce(corpus_canon, batch_canon, d.doc_id) AS canonical_doc_id
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {_INCR_SPLIT}) d
+LEFT JOIN corpus_m USING (doc_id)
+LEFT JOIN batch_m USING (doc_id)
 """
 
 
@@ -1969,6 +2019,115 @@ FROM c
 """
 
 
+_SQ_BITS = 8
+
+
+def emb_quantize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 symmetric scalar-quantization reconstruction
+    report (operators/quantize.py): scale, max abs error, and
+    cosine(original, dequantized) — the compression-vs-recall number
+    an ANN store needs before serving SQ-compressed vectors.  Pure
+    Catalyst map pass, zero shuffle."""
+    return qz.quantization_report(
+        load_table(spark, sf_dir, "embeddings"), bits=_SQ_BITS
+    )
+
+
+_SQ_LEVELS = 2 ** (_SQ_BITS - 1) - 1
+
+EMB_QUANTIZE_REPORT_SQL = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS x,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / {_SQ_LEVELS}.0 AS scale
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, x, scale,
+         CASE WHEN scale = 0 THEN list_transform(x, e -> 0.0)
+              ELSE list_transform(x, e -> floor(e / scale + 0.5) * scale)
+         END AS deq
+  FROM v
+)
+SELECT vec_id,
+       {roundd_sql('scale', 9)} AS scale,
+       {roundd_sql('list_max(list_transform(generate_series(1, len(x)), i -> abs(x[i] - deq[i])))', 6)} AS max_abs_err,
+       CASE WHEN scale = 0 THEN 1.0
+            ELSE {roundd_sql(
+                'list_sum(list_transform(generate_series(1, len(x)), i -> x[i] * deq[i]))'
+                ' / (sqrt(list_sum(list_transform(x, e -> e * e)))'
+                ' * sqrt(list_sum(list_transform(deq, e -> e * e))))', 6)}
+       END AS cos_recon
+FROM d
+"""
+
+
+#: cumulative quality-filter chain for the funnel report — exact
+#: integer/string predicates only, so the two engines agree with no
+#: rounding anywhere (ratio thresholds are cross-multiplied).
+_FUNNEL_MIN_CHARS = 150
+_FUNNEL_MIN_TOKENS = 30
+
+
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage yield report of a cleaning chain
+    (operators/text.py:filter_funnel): min length → min tokens →
+    stopword density ≥ 1% → lexical diversity ≥ 50% → lang = 'en',
+    applied cumulatively; one scan, one single-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tx.tokens("text")
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(list(tx.STOPWORDS["en"]))))
+    n_uniq = F.size(F.array_distinct(t))
+    return tx.filter_funnel(
+        docs,
+        [
+            ("min_chars", F.col("n_chars") >= _FUNNEL_MIN_CHARS),
+            ("min_tokens", n_tok >= _FUNNEL_MIN_TOKENS),
+            ("stopword_density", n_stop * 100 >= n_tok),
+            ("lexical_diversity", n_uniq * 2 >= n_tok),
+            ("lang_en", F.col("lang") == "en"),
+        ],
+    )
+
+
+PIPELINE_QUALITY_FUNNEL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, n_chars, lang, {TOKS} AS t FROM documents
+),
+flags AS (
+  SELECT CAST(n_chars >= {_FUNNEL_MIN_CHARS} AS INT) AS f0,
+         CAST(len(t) >= {_FUNNEL_MIN_TOKENS} AS INT) AS f1,
+         CAST(len(list_filter(t, x -> x IN {_EN})) * 100 >= len(t) AS INT) AS f2,
+         CAST(len(list_distinct(t)) * 2 >= len(t) AS INT) AS f3,
+         CAST(lang = 'en' AS INT) AS f4
+  FROM toks
+),
+c AS (
+  SELECT count(*) AS s_in,
+         sum(f0) AS s0,
+         sum(f0 * f1) AS s1,
+         sum(f0 * f1 * f2) AS s2,
+         sum(f0 * f1 * f2 * f3) AS s3,
+         sum(f0 * f1 * f2 * f3 * f4) AS s4
+  FROM flags
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'min_chars' AS stage,
+         CAST(s_in AS BIGINT) AS entering, CAST(s0 AS BIGINT) AS surviving,
+         CAST(s_in - s0 AS BIGINT) AS dropped FROM c
+  UNION ALL
+  SELECT 1, 'min_tokens', s0, s1, s0 - s1 FROM c
+  UNION ALL
+  SELECT 2, 'stopword_density', s1, s2, s1 - s2 FROM c
+  UNION ALL
+  SELECT 3, 'lexical_diversity', s2, s3, s2 - s3 FROM c
+  UNION ALL
+  SELECT 4, 'lang_en', s3, s4, s3 - s4 FROM c
+)
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -1987,6 +2146,7 @@ QUERIES = {
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_clusters": dedup_minhash_clusters,
+    "dedup_incremental": dedup_incremental,
     "dedup_ngram_pairs": dedup_ngram_pairs,
     "dedup_ngram_pairs_prefix": dedup_ngram_pairs_prefix,
     "dedup_wordgram_pairs": dedup_wordgram_pairs,
@@ -2017,6 +2177,8 @@ QUERIES = {
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_video_metadata": multimodal_video_metadata,
     "multimodal_video_frames": multimodal_video_frames,
+    "emb_quantize_report": emb_quantize_report,
+    "pipeline_quality_funnel": pipeline_quality_funnel,
 }
 
 ORACLES = {
@@ -2037,6 +2199,7 @@ ORACLES = {
     "dedup_minhash_signatures": DEDUP_MINHASH_SIGNATURES_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_ngram_pairs": DEDUP_NGRAM_PAIRS_SQL,
     "dedup_ngram_pairs_prefix": DEDUP_NGRAM_PAIRS_PREFIX_SQL,
     "dedup_wordgram_pairs": DEDUP_WORDGRAM_PAIRS_SQL,
@@ -2067,4 +2230,6 @@ ORACLES = {
     "multimodal_audio_energy": MULTIMODAL_AUDIO_ENERGY_SQL,
     "multimodal_video_metadata": MULTIMODAL_VIDEO_METADATA_SQL,
     "multimodal_video_frames": MULTIMODAL_VIDEO_FRAMES_SQL,
+    "emb_quantize_report": EMB_QUANTIZE_REPORT_SQL,
+    "pipeline_quality_funnel": PIPELINE_QUALITY_FUNNEL_SQL,
 }

@@ -1,0 +1,184 @@
+"""Round-6 operator tests: incremental (corpus-vs-batch) dedup,
+int8 scalar quantization, and the filter-funnel yield report."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from connected_component_spark.operators.dedup import incremental_dedup
+from connected_component_spark.operators.quantize import (
+    quantization_report,
+    scalar_quantize,
+)
+from connected_component_spark.operators.text import filter_funnel
+
+
+# ---- incremental dedup ----------------------------------------------------
+
+_BASE = "the quick brown fox jumps over the lazy dog again and again today"
+_OTHER = "entirely different content about databases and distributed systems"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_classifies_three_ways(spark):
+    corpus = _docs(spark, [(1, _BASE), (2, _OTHER)])
+    batch = _docs(
+        spark,
+        [
+            (10, _BASE + " extra"),          # near-dup of corpus doc 1
+            (11, _OTHER + " suffix word"),   # near-dup of corpus doc 2
+            (12, "totally novel text about astronomy stars planets moons and comets tonight"),
+            (13, "totally novel text about astronomy stars planets moons and comets tonight ok"),
+        ],
+    )
+    rows = {
+        r["doc_id"]: (r["status"], r["canonical_doc_id"])
+        for r in incremental_dedup(corpus, batch, threshold=0.4).collect()
+    }
+    assert rows[10] == ("dup_of_corpus", 1)
+    assert rows[11] == ("dup_of_corpus", 2)
+    # 12 and 13 match each other only: earlier batch id is canonical
+    assert rows[12] == ("dup_in_batch", 12) or rows[12] == ("novel", 12)
+    assert rows[13][0] == "dup_in_batch"
+    assert rows[13][1] == 12
+
+
+def test_incremental_dedup_corpus_priority_and_novel(spark):
+    """A batch doc matching BOTH a corpus doc and an earlier batch doc
+    reports dup_of_corpus with the corpus canonical."""
+    corpus = _docs(spark, [(1, _BASE)])
+    batch = _docs(
+        spark,
+        [(10, _BASE + " x"), (11, _BASE + " y"), (12, _OTHER)],
+    )
+    rows = {
+        r["doc_id"]: (r["status"], r["canonical_doc_id"])
+        for r in incremental_dedup(corpus, batch, threshold=0.4).collect()
+    }
+    assert rows[10] == ("dup_of_corpus", 1)
+    assert rows[11] == ("dup_of_corpus", 1)
+    assert rows[12] == ("novel", 12)
+
+
+def test_incremental_dedup_broadcasts_batch_side(spark):
+    """The corpus band table must join the batch via broadcast — the
+    corpus side is never shuffled (the operator's 100 TB contract)."""
+    corpus = _docs(spark, [(i, f"{_BASE} {i}") for i in range(20)])
+    batch = _docs(spark, [(100, _BASE + " q")])
+    plan = (
+        incremental_dedup(corpus, batch)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ---- scalar quantization --------------------------------------------------
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_scalar_quantize_codes_bounded_and_exact_recon_bound(spark):
+    df = _emb(
+        spark,
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [3.0, 2.0, -3.0, 1.5]),
+        ],
+    )
+    rows = {r["vec_id"]: r for r in scalar_quantize(df).collect()}
+    for r in rows.values():
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        # reconstruction error bounded by scale/2 per element
+        for x, c in zip(r["embedding"], r["codes"]):
+            assert abs(x - c * r["scale"]) <= r["scale"] / 2 + 1e-12
+    # max element maps to ±127 exactly
+    assert max(abs(c) for c in rows[2]["codes"]) == 127
+
+
+def test_scalar_quantize_zero_vector(spark):
+    df = _emb(spark, [(1, [0.0, 0.0, 0.0])])
+    r = scalar_quantize(df).collect()[0]
+    assert r["scale"] == 0.0 and list(r["codes"]) == [0, 0, 0]
+    rep = quantization_report(df).collect()[0]
+    assert rep["cos_recon"] == 1.0 and rep["max_abs_err"] == 0.0
+
+
+def test_quantization_report_uses_unrounded_scale(spark):
+    """Regression for the lateral-column-alias capture: the output
+    aliases a ROUNDED 'scale'; the dequantization inside the same
+    select must keep using the unrounded scale.  With this vector the
+    two choices round max_abs_err to different 6th decimals."""
+    df = _emb(spark, [(37, [0.17885982990264893, 0.3415775597095489494] + [0.0] * 6)])
+    r = quantization_report(df).collect()[0]
+    s = max(abs(x) for x in [0.17885982990264893, 0.3415775597095489494]) / 127.0
+    expected = max(
+        abs(x - math.floor(x / s + 0.5) * s)
+        for x in [0.17885982990264893, 0.3415775597095489494, 0.0]
+    )
+    # snap-round at 6 like the operator does
+    from decimal import ROUND_HALF_UP, Decimal
+
+    exp6 = float(
+        Decimal(expected).quantize(Decimal("1e-9"), ROUND_HALF_UP).quantize(
+            Decimal("1e-6"), ROUND_HALF_UP
+        )
+    )
+    assert r["max_abs_err"] == pytest.approx(exp6, abs=0)
+
+
+def test_quantization_is_map_only(spark):
+    """Zero shuffles: the plan must contain no Exchange."""
+    df = _emb(spark, [(1, [0.5, -1.0]), (2, [2.0, 1.0])])
+    plan = (
+        quantization_report(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ---- filter funnel --------------------------------------------------------
+
+def test_filter_funnel_cumulative_counts(spark):
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0, i % 3 == 0) for i in range(12)],
+        "id long, even boolean, div3 boolean",
+    )
+    rows = {
+        r["stage"]: r
+        for r in filter_funnel(
+            df, [("even", F.col("even")), ("div3", F.col("div3"))]
+        ).collect()
+    }
+    assert rows["even"]["entering"] == 12
+    assert rows["even"]["surviving"] == 6
+    assert rows["even"]["dropped"] == 6
+    assert rows["div3"]["entering"] == 6
+    assert rows["div3"]["surviving"] == 2  # 0 and 6
+    assert rows["div3"]["dropped"] == 4
+    # stage ordering is preserved
+    idx = {r["stage"]: r["stage_idx"] for r in rows.values()}
+    assert idx == {"even": 0, "div3": 1}
+
+
+def test_filter_funnel_single_aggregation_pass(spark):
+    """One scan regardless of stage count: exactly one aggregate over
+    the input, no join/union of per-stage subplans."""
+    df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    plan = (
+        filter_funnel(
+            df,
+            [(f"s{k}", F.col("id") >= k) for k in range(6)],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ") <= 1 and "Union" not in plan
