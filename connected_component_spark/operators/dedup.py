@@ -36,7 +36,9 @@ __all__ = [
     "banded_buckets",
     "lsh_candidate_pairs",
     "jaccard_pairs",
+    "jaccard_pairs_from_sets",
     "incremental_dedup",
+    "classify_batch_matches",
     "ngram_jaccard_pairs",
     "ngram_dedup_clusters",
     "minhash_dedup_clusters",
@@ -425,7 +427,14 @@ def lsh_candidate_pairs(
     """Candidate near-dup pairs via LSH banding: pairs are generated
     by a self-join on (band, bucket_hash).  Returns distinct (a, b)
     with a < b."""
-    banded = banded_buckets(signatures, bands, rows_per_band)
+    return banded_pairs(banded_buckets(signatures, bands, rows_per_band))
+
+
+def banded_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct (a, b), a < b, from a (doc_id, band, bucket) band
+    table — the self-join half of :func:`lsh_candidate_pairs`, split
+    out so callers holding a materialized band table (streaming
+    state) don't recompute signatures."""
     left, right = banded.alias("l"), banded.alias("r")
     return (
         left.join(
@@ -448,6 +457,14 @@ def jaccard_pairs(
     sets = docs.select(
         F.col("doc_id"), word_shingles(F.col("text"), shingle_k).alias("sh")
     )
+    return jaccard_pairs_from_sets(sets, pairs)
+
+
+def jaccard_pairs_from_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
+    """As :func:`jaccard_pairs`, but over a pre-materialized
+    (doc_id, sh) shingle-set table — the form a stateful/streaming
+    caller keeps as its running state so shingling is never
+    recomputed for already-seen documents."""
     return (
         pairs.join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
         .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
@@ -541,11 +558,22 @@ def incremental_dedup(
     verified = jaccard_pairs(
         docs_all, cross.unionByName(intra), shingle_k
     ).where(F.col("jaccard") >= F.lit(threshold))
-    # corpus ids all precede batch ids, so a < b puts the corpus
-    # partner (when any) on the a side; batch-batch pairs orient the
-    # earlier batch doc as a.  Split matches by partner origin via an
-    # anti/semi against the batch key set (broadcast — batch is small).
-    batch_ids = batch.select("doc_id")
+    return classify_batch_matches(verified, batch.select("doc_id"))
+
+
+def classify_batch_matches(
+    verified: DataFrame, batch_ids: DataFrame
+) -> DataFrame:
+    """Classification tail shared by batch and streaming incremental
+    dedup: given verified (a, b, …) match pairs (a < b, every b a
+    batch doc) and the batch id set, emit one row per batch doc
+    (doc_id, status, canonical_doc_id).
+
+    Corpus ids all precede batch ids, so a < b puts the corpus
+    partner (when any) on the a side; batch-batch pairs orient the
+    earlier batch doc as a.  Matches split by partner origin via an
+    anti/semi against the batch key set (broadcast — batch is
+    small)."""
     corpus_match = (
         verified.join(
             F.broadcast(batch_ids.withColumnRenamed("doc_id", "a")),

@@ -57,7 +57,9 @@ __all__ = ["QUERIES", "ORACLES"]
 STAGE_VERSION = "3"
 
 
-def _staged_cache(kind: str, sf_dir: str, *extra: str) -> tuple[str, bool]:
+def _staged_cache(
+    kind: str, sf_dir: str, *extra: str, table: str = "events"
+) -> tuple[str, bool]:
     """Staging-dir cache for stream replays.
 
     Re-writing /tmp parquet on every invocation dominated the r1 cost
@@ -69,7 +71,7 @@ def _staged_cache(kind: str, sf_dir: str, *extra: str) -> tuple[str, bool]:
     after a successful build.  Spark's file listing ignores
     ``_``-prefixed files, so the marker never enters a stream.
     """
-    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
     key = hashlib.md5(
         "|".join([STAGE_VERSION, src, str(os.stat(src).st_mtime_ns), *extra]).encode()
     ).hexdigest()[:12]
@@ -689,6 +691,126 @@ GROUP BY 1, 2
 """
 
 
+_DEDUP_STREAM_SLICES = 5
+
+
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion near-dedup over a document stream
+    (streaming/dedup.py:IncrementalDedup).
+
+    Documents are staged as ``_DEDUP_STREAM_SLICES`` doc_id-range
+    files replayed one per trigger in ingestion order; foreachBatch
+    classifies each batch against the accumulated band/shingle state
+    (broadcast band join — the corpus is never re-minhashed) and then
+    folds the batch in.  Batch 0 seeds the corpus; the result is the
+    classification of every later doc, which must equal the batch
+    oracle computed over the whole corpus with batch boundaries
+    derived from doc_id ranges."""
+    from connected_component_spark.queries.llmops import (
+        _JACCARD_THRESHOLD,
+        _LSH_BANDS,
+        _MINHASH_N,
+    )
+    from connected_component_spark.sources.tables import table_row_count
+    from connected_component_spark.streaming.dedup import (
+        IncrementalDedup,
+        run_doc_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = table_row_count(spark, sf_dir, "documents")
+    stride = n // _DEDUP_STREAM_SLICES
+    staged, build = _staged_cache(
+        "ccs_stream_dedup", sf_dir, str(stride), table="documents"
+    )
+    if build:
+        now = time.time()
+        for i in range(_DEDUP_STREAM_SLICES):
+            lo = i * stride
+            cond = F.col("doc_id") >= lo
+            if i < _DEDUP_STREAM_SLICES - 1:
+                cond = cond & (F.col("doc_id") < lo + stride)
+            tmp = os.path.join(staged, "_tmp_slice")
+            docs.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                p
+                for p in os.listdir(tmp)
+                if p.startswith("part-") and p.endswith(".parquet")
+            )
+            dst = os.path.join(staged, f"{i:03d}.parquet")
+            os.replace(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        _mark_ready(staged)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    with _scaled_shuffle(spark, n):
+        state = run_doc_stream(
+            stream,
+            IncrementalDedup(
+                num_hashes=_MINHASH_N,
+                bands=_LSH_BANDS,
+                threshold=_JACCARD_THRESHOLD,
+            ),
+        )
+    assert (
+        state.batches_seen == _DEDUP_STREAM_SLICES
+        and state.results is not None
+    )
+    return state.results
+
+
+def _stream_incremental_dedup_sql() -> str:
+    from connected_component_spark.queries.llmops import (
+        _JACCARD_THRESHOLD,
+        _lsh_pairs_sql,
+        _minhash_sql_core,
+    )
+
+    s = _DEDUP_STREAM_SLICES
+    return f"""
+WITH {_minhash_sql_core()},
+{_lsh_pairs_sql()},
+edges AS (
+  SELECT a, b FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
+),
+params AS (SELECT count(*) // {s} AS stride FROM documents),
+bt AS (
+  SELECT doc_id, least(doc_id // stride, {s - 1}) AS b_no
+  FROM documents, params
+),
+e2 AS (
+  SELECT e.a, e.b, ba.b_no AS ba_no, bb.b_no AS bb_no
+  FROM edges e
+  JOIN bt ba ON ba.doc_id = e.a
+  JOIN bt bb ON bb.doc_id = e.b
+),
+corpus_m AS (
+  SELECT b AS doc_id, min(a) AS corpus_canon
+  FROM e2 WHERE ba_no < bb_no GROUP BY b
+),
+batch_m AS (
+  SELECT b AS doc_id, min(a) AS batch_canon
+  FROM e2 WHERE ba_no = bb_no GROUP BY b
+)
+SELECT d.doc_id,
+       CASE WHEN corpus_canon IS NOT NULL THEN 'dup_of_corpus'
+            WHEN batch_canon IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'novel' END AS status,
+       coalesce(corpus_canon, batch_canon, d.doc_id) AS canonical_doc_id
+FROM (SELECT doc_id FROM bt WHERE b_no >= 1) d
+LEFT JOIN corpus_m USING (doc_id)
+LEFT JOIN batch_m USING (doc_id)
+"""
+
+
+STREAM_INCREMENTAL_DEDUP_SQL = _stream_incremental_dedup_sql()
+
+
 QUERIES = {
     "stream_window_counts": stream_window_counts,
     "stream_incremental_cc": stream_incremental_cc,
@@ -698,6 +820,7 @@ QUERIES = {
     "stream_dedup": stream_dedup,
     "stream_static_enrich": stream_static_enrich,
     "stream_session_windows": stream_session_windows,
+    "stream_incremental_dedup": stream_incremental_dedup,
 }
 
 ORACLES = {
@@ -709,4 +832,5 @@ ORACLES = {
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_session_windows": Q_SESSION_WINDOWS_SQL,
+    "stream_incremental_dedup": STREAM_INCREMENTAL_DEDUP_SQL,
 }

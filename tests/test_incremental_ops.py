@@ -182,3 +182,53 @@ def test_filter_funnel_single_aggregation_pass(spark):
         .toString()
     )
     assert plan.count("Scan ") <= 1 and "Union" not in plan
+
+
+# ---- streaming incremental dedup -----------------------------------------
+
+def test_streaming_incremental_dedup_folds_batches(spark):
+    """Direct multi-batch fold: batch 0 seeds (no output); later
+    batches classify against everything seen before, matching the
+    batch operator's semantics per batch."""
+    from connected_component_spark.streaming.dedup import IncrementalDedup
+
+    state = IncrementalDedup(threshold=0.4)
+    state.update(_docs(spark, [(1, _BASE), (2, _OTHER)]))
+    assert state.results is None and state.batches_seen == 1
+    state.update(_docs(spark, [(10, _BASE + " x"), (11, "fresh unrelated news about sports teams winning championships this year")]))
+    state.update(_docs(spark, [(20, _OTHER + " y"), (21, _BASE + " z"), (22, "fresh unrelated news about sports teams winning championships this year ok")]))
+    rows = {
+        r["doc_id"]: (r["status"], r["canonical_doc_id"])
+        for r in state.results.collect()
+    }
+    assert rows[10] == ("dup_of_corpus", 1)
+    assert rows[11][0] == "novel"
+    assert rows[20] == ("dup_of_corpus", 2)
+    # 21 matches corpus doc 1 AND prior-batch doc 10 — both are
+    # "corpus" (earlier batches) at batch 3; canonical is the min
+    assert rows[21] == ("dup_of_corpus", 1)
+    assert rows[22] == ("dup_of_corpus", 11)
+
+
+def test_streaming_incremental_dedup_matches_batch_operator(spark):
+    """Folding batches one at a time must agree with calling the
+    batch operator with corpus = all earlier batches, per batch."""
+    from connected_component_spark.operators.dedup import incremental_dedup
+    from connected_component_spark.streaming.dedup import IncrementalDedup
+
+    batches = [
+        [(1, _BASE), (2, _OTHER)],
+        [(10, _BASE + " x"), (11, _OTHER + " q")],
+        [(20, _BASE + " y"), (21, "completely new topic entirely about gardening tomatoes peppers and herbs")],
+    ]
+    state = IncrementalDedup(threshold=0.4)
+    for b in batches:
+        state.update(_docs(spark, b))
+    streamed = sorted(map(tuple, state.results.collect()))
+
+    expected = []
+    for t in range(1, len(batches)):
+        corpus = _docs(spark, [r for b in batches[:t] for r in b])
+        out = incremental_dedup(corpus, _docs(spark, batches[t]), threshold=0.4)
+        expected.extend(map(tuple, out.collect()))
+    assert streamed == sorted(expected)
