@@ -1135,6 +1135,59 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(queries, emb, k=5)
 
 
+_SQ_BITS = 8
+_SQ_LEVELS = 2 ** (_SQ_BITS - 1) - 1
+
+
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k served from the int8-SQ-compressed store
+    (operators/quantize.py): the same bounded query batch as
+    ann_cosine_topk, scored against DEQUANTIZED corpus vectors — the
+    4×-smaller store an ANN service actually scans.  Dequantization
+    is a map-side transform on the corpus scan; the serving shape
+    (broadcast queries, one corpus pass) is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    deq = qz.scalar_quantize(emb).select(
+        "vec_id",
+        F.transform(
+            F.col("codes"), lambda c: c.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+    return sim.cosine_topk(queries, deq, k=5)
+
+
+ANN_SQ_TOPK_SQL = f"""
+WITH dq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS x,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / {_SQ_LEVELS}.0 AS scale
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS neighbor_id,
+         CASE WHEN scale = 0 THEN list_transform(x, e -> 0.0)
+              ELSE list_transform(x, e -> floor(e / scale + 0.5) * scale)
+         END AS cv
+  FROM dq
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 50 = 0 AND vec_id < 500),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {roundd_sql(_DOT.format(a='qv', b='cv') + f" / ({_norm_sql('qv')} * {_norm_sql('cv')})", 6)} AS cos
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
 _KM_K = 8
 _KM_ITERS = 2
 
@@ -2019,9 +2072,6 @@ FROM c
 """
 
 
-_SQ_BITS = 8
-
-
 def emb_quantize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 symmetric scalar-quantization reconstruction
     report (operators/quantize.py): scale, max abs error, and
@@ -2032,8 +2082,6 @@ def emb_quantize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), bits=_SQ_BITS
     )
 
-
-_SQ_LEVELS = 2 ** (_SQ_BITS - 1) - 1
 
 EMB_QUANTIZE_REPORT_SQL = f"""
 WITH v AS (
@@ -2179,6 +2227,7 @@ QUERIES = {
     "multimodal_video_frames": multimodal_video_frames,
     "emb_quantize_report": emb_quantize_report,
     "pipeline_quality_funnel": pipeline_quality_funnel,
+    "ann_sq_topk": ann_sq_topk,
 }
 
 ORACLES = {
@@ -2232,4 +2281,5 @@ ORACLES = {
     "multimodal_video_frames": MULTIMODAL_VIDEO_FRAMES_SQL,
     "emb_quantize_report": EMB_QUANTIZE_REPORT_SQL,
     "pipeline_quality_funnel": PIPELINE_QUALITY_FUNNEL_SQL,
+    "ann_sq_topk": ANN_SQ_TOPK_SQL,
 }
