@@ -209,3 +209,66 @@ def test_ngram_rejects_unknown_unit(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="unit"):
         ngram_jaccard_pairs(docs, 0.7, unit="sentence")
+
+
+def test_incremental_dedup_scales_with_batch_not_corpus(spark):
+    """The incremental (ingestion) path at 10x-fixture corpus scale:
+    a 20k-doc corpus vs a 500-doc batch where every 5th batch doc is
+    a one-word perturbation of a corpus doc.  The cross candidate set
+    must scale with the BATCH (never the corpus pair space), the
+    planted corpus dups must be recalled, and fresh docs must come
+    out novel."""
+    from connected_component_spark.operators.dedup import incremental_dedup
+
+    n_corpus, n_batch = 20_000, 500
+    corpus = (
+        _planted_docs(spark, n_corpus)
+        .where(F.col("doc_id") % 10 != 1)  # pre-deduped corpus
+        .localCheckpoint(eager=True)
+    )
+
+    def gen_batch(batches):
+        import random as _random
+
+        import pandas as pd
+
+        vocab = [f"w{i:03d}" for i in range(500)]
+
+        def words_for(doc_id):
+            rng = _random.Random(7919 * doc_id + 13)
+            return [rng.choice(vocab) for _ in range(40)]
+
+        for pdf in batches:
+            ids, texts = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                doc_id = 1_000_000 + i
+                if i % 5 == 0:
+                    # perturb corpus doc 2*i (never ≡1 mod 10 → present)
+                    words = list(words_for(2 * i))
+                    words[3] = "qq_batchdup"
+                else:
+                    rng = _random.Random(424243 * i + 7)
+                    words = [rng.choice(vocab) for _ in range(40)]
+                ids.append(doc_id)
+                texts.append(" ".join(words))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    batch = (
+        spark.range(n_batch)
+        .mapInPandas(gen_batch, schema="doc_id long, text string")
+        .localCheckpoint(eager=True)
+    )
+    out = incremental_dedup(corpus, batch, threshold=0.5).localCheckpoint(
+        eager=True
+    )
+    assert out.count() == n_batch
+    dup_rows = out.where(F.col("status") == "dup_of_corpus")
+    planted = n_batch // 5
+    recalled = dup_rows.where(
+        F.col("canonical_doc_id") == 2 * (F.col("doc_id") - 1_000_000)
+    ).count()
+    assert recalled >= 0.8 * planted, f"recall {recalled}/{planted}"
+    # fresh batch docs (seeded from a disjoint RNG stream) are novel
+    novel = out.where(F.col("status") == "novel").count()
+    assert novel >= 0.9 * (n_batch - planted)
