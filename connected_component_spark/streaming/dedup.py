@@ -33,6 +33,11 @@ from connected_component_spark.operators.dedup import (
 
 __all__ = ["IncrementalDedup", "run_doc_stream"]
 
+#: consolidate the per-batch union trees into one materialized leaf
+#: every this-many batches (keeps plan-analysis cost flat on a
+#: long-running stream; between consolidations unions stay free)
+_CONSOLIDATE_EVERY = 16
+
 
 class IncrementalDedup:
     """Mutable running near-dedup state folded over document
@@ -107,6 +112,14 @@ class IncrementalDedup:
             sh_b if self.set_state is None else self.set_state.unionByName(sh_b)
         )
         self.batches_seen += 1
+        # ... but the union TREE grows one leaf per batch, and plan
+        # analysis cost grows with it on a long-running stream —
+        # consolidate to a single materialized leaf periodically
+        if self.batches_seen % _CONSOLIDATE_EVERY == 0:
+            self.band_state = self.band_state.localCheckpoint(eager=True)
+            self.set_state = self.set_state.localCheckpoint(eager=True)
+            if self.results is not None:
+                self.results = self.results.localCheckpoint(eager=True)
 
 
 def run_doc_stream(

@@ -232,3 +232,28 @@ def test_streaming_incremental_dedup_matches_batch_operator(spark):
         out = incremental_dedup(corpus, _docs(spark, batches[t]), threshold=0.4)
         expected.extend(map(tuple, out.collect()))
     assert streamed == sorted(expected)
+
+
+def test_streaming_incremental_dedup_consolidation(spark):
+    """Past the consolidation threshold the state collapses to one
+    materialized leaf and classifications stay correct."""
+    import connected_component_spark.streaming.dedup as sd
+
+    orig = sd._CONSOLIDATE_EVERY
+    sd._CONSOLIDATE_EVERY = 3
+    try:
+        state = sd.IncrementalDedup(threshold=0.4)
+        state.update(_docs(spark, [(1, _BASE)]))
+        state.update(_docs(spark, [(10, _BASE + " x")]))
+        state.update(_docs(spark, [(20, _OTHER)]))      # consolidates here
+        state.update(_docs(spark, [(30, _OTHER + " y"), (31, _BASE + " w")]))
+        rows = {
+            r["doc_id"]: (r["status"], r["canonical_doc_id"])
+            for r in state.results.collect()
+        }
+        assert rows[10] == ("dup_of_corpus", 1)
+        assert rows[20][0] == "novel"
+        assert rows[30] == ("dup_of_corpus", 20)
+        assert rows[31] == ("dup_of_corpus", 1)
+    finally:
+        sd._CONSOLIDATE_EVERY = orig
