@@ -152,7 +152,11 @@ def main() -> None:
             for d, e in zip(draws, draw_errors)
             if name in d and name not in e
         ]
-        medians[name] = round(statistics.median(ok), 3) if ok else timings[name]
+        # a query that errored in EVERY draw has no honest timing —
+        # omitting it beats reporting its fast error-path wall clock
+        # as a performance number (its failure is in draw_errors)
+        if ok:
+            medians[name] = round(statistics.median(ok), 3)
 
     # Also persist the FULL per-query map next to the repo: the
     # driver's BENCH_r{N}.json stores a truncated stdout tail, which
@@ -166,7 +170,8 @@ def main() -> None:
     import re
 
     env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
-    if env_round and env_round.isdigit():
+    env_pinned = bool(env_round and env_round.isdigit())
+    if env_pinned:
         n = int(env_round)
     else:
         rounds = [
@@ -185,14 +190,17 @@ def main() -> None:
     if any(draw_errors):
         local["draw_errors"] = draw_errors
     target = os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json")
+    wrote_local = False
     try:
-        # An env-pinned round number is an intentional request and may
-        # refresh its own artifact; only the *inferred*-round path keeps
-        # the never-overwrite guard (a mis-inferred round must not
-        # clobber a real record — ADVICE r4 / VERDICT r5 #2).
-        if env_round or not os.path.exists(target):
+        # A VALIDATED env-pinned round number is an intentional request
+        # and may refresh its own artifact; the inferred-round path
+        # (including a malformed env value that fell back to inference)
+        # keeps the never-overwrite guard (a mis-inferred round must
+        # not clobber a real record — ADVICE r4 / VERDICT r5 #2).
+        if env_pinned or not os.path.exists(target):
             with open(target, "w") as f:
                 json.dump(local, f, indent=1, sort_keys=True)
+            wrote_local = True
     except OSError:
         pass  # read-only checkout must not void the bench output
     spark.stop()
@@ -211,7 +219,10 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "total_of_medians": local["total_of_medians"],
-        "queries_in": f"BENCH_LOCAL_r{n:02d}.json",
+        # only point at the artifact when THIS run actually wrote it —
+        # on a read-only checkout (or a skipped inferred-round write)
+        # the pointer would lead to nothing or to a stale record
+        "queries_in": f"BENCH_LOCAL_r{n:02d}.json" if wrote_local else None,
     }
     if errors:
         compact["n_errors"] = len(errors)

@@ -34,6 +34,7 @@ __all__ = [
     "char_ngrams",
     "minhash_signatures",
     "banded_buckets",
+    "banded_pairs",
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "jaccard_pairs_from_sets",
@@ -554,10 +555,24 @@ def incremental_dedup(
         .distinct()
     )
     intra = lsh_candidate_pairs(sig_b, bands, rows)
-    docs_all = corpus.unionByName(batch)
-    verified = jaccard_pairs(
-        docs_all, cross.unionByName(intra), shingle_k
-    ).where(F.col("jaccard") >= F.lit(threshold))
+    # LAZY checkpoint: the candidate set feeds both the id semi-filter
+    # and the verification join below — without it the corpus minhash
+    # pipeline would execute once per reference.  Lazy (not eager)
+    # keeps the operator free of build-time Spark jobs for library
+    # callers; the first action materializes it once.
+    cand = cross.unionByName(intra).localCheckpoint(eager=False)
+    # verify only candidate docs: semi-filter before shingling, so the
+    # exact-Jaccard step costs O(candidates) — without this the corpus
+    # would be re-shingled wholesale just to verify a handful of pairs
+    cand_ids = F.broadcast(
+        cand.select(F.col("a").alias("doc_id"))
+        .unionByName(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    docs_needed = corpus.unionByName(batch).join(cand_ids, "doc_id", "left_semi")
+    verified = jaccard_pairs(docs_needed, cand, shingle_k).where(
+        F.col("jaccard") >= F.lit(threshold)
+    )
     return classify_batch_matches(verified, batch.select("doc_id"))
 
 

@@ -357,6 +357,10 @@ def _ppm_header(b: bytes) -> tuple[int, int, int, int]:
     one whitespace byte before the raw RGB samples."""
     if b[:2] != b"P6":
         raise ValueError("payload is not a binary PPM (missing 'P6' magic)")
+    # the magic must be its own token: 'P6100 …' is a corrupted
+    # header (lost separator), not width=100
+    if len(b) < 3 or not (b[2:3].isspace() or b[2:3] == b"#"):
+        raise ValueError("PPM magic not followed by whitespace")
     pos = 2
     fields: list[int] = []
     while len(fields) < 3:
@@ -379,9 +383,12 @@ def _ppm_header(b: bytes) -> tuple[int, int, int, int]:
     width, height, maxval = fields
     if width <= 0 or height <= 0:
         raise ValueError(f"invalid PPM dimensions width={width} height={height}")
-    if not 0 < maxval < 256:
+    # maxval < 255 would need per-sample rescaling by 255/maxval to
+    # honor the byte-identical cross-codec contract; rejecting loudly
+    # beats decoding near-black pixels silently
+    if maxval != 255:
         raise ValueError(
-            f"ppm codec handles 8-bit samples only (maxval={maxval})"
+            f"ppm codec handles maxval=255 samples only (maxval={maxval})"
         )
     return width, height, maxval, pos
 

@@ -369,8 +369,16 @@ def test_ppm_decode_rejects_bad_payloads(spark):
         mm._decode_ppm(b"P6\n4 ")
     with pytest.raises(ValueError, match="invalid PPM dimensions"):
         mm._decode_ppm(b"P6\n0 2\n255\n")
-    with pytest.raises(ValueError, match="8-bit"):
+    with pytest.raises(ValueError, match="maxval=255"):
         mm._decode_ppm(b"P6\n4 2\n65535\n" + b"\x00" * 48)
+    # maxval < 255 would need sample rescaling the codec does not do —
+    # must be rejected loudly, never decoded as near-black pixels
+    with pytest.raises(ValueError, match="maxval=255"):
+        mm._decode_ppm(b"P6\n4 2\n15\n" + b"\x00" * 24)
+    # a lost separator after the magic is a corrupted header, not
+    # width=100
+    with pytest.raises(ValueError, match="magic not followed"):
+        mm._decode_ppm(b"P6100 50 255\n" + b"\x00" * 48)
     with pytest.raises(ValueError, match="truncated PPM pixel array"):
         mm._ppm_rgb_pixels(b"P6\n4 2\n255\n" + b"\x00" * 10)
 
