@@ -59,6 +59,7 @@ __all__ = [
     "audio_energy",
     "pack_clip",
     "clip_frames",
+    "encode_bmp",
     "with_clip_payload",
     "decode_clip_metadata",
     "sample_clip_frames",
@@ -655,22 +656,84 @@ def clip_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
-def with_clip_payload(docs: DataFrame, frame_bytes: int = 48) -> DataFrame:
+def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal 24-bit BI_RGB BMP encoder: ``pixels`` is a list of
+    rows (top-down), each a list of (r, g, b).  Inverse of
+    :func:`_bmp_rgb_pixels` — file stores rows bottom-up in BGR with
+    4-byte stride padding."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in reversed(pixels):
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        body += line
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header + info + body)
+
+
+#: fixed frame geometry for frame_format="bmp": 4×2 px × 3 bytes
+_CLIP_BMP_W, _CLIP_BMP_H = 4, 2
+CLIP_BMP_FRAME_BYTES = _CLIP_BMP_W * _CLIP_BMP_H * 3
+
+
+def with_clip_payload(
+    docs: DataFrame, frame_bytes: int = 48, frame_format: str = "raw"
+) -> DataFrame:
     """Synthesize a REAL CCV1 clip per document: consecutive
     ``frame_bytes``-sized chunks of the UTF-8 text become the frames
     (the fixtures carry no real media — the container, its builder,
     and its parser are the real plumbing under test; real pipelines
-    attach camera/encoder output through the same binary column)."""
+    attach camera/encoder output through the same binary column).
+
+    ``frame_format="raw"`` packs the chunks as-is (including a final
+    partial chunk).  ``frame_format="bmp"`` ENCODES each full
+    24-byte chunk as a real 4×2 24-bit BMP image (top-down RGB =
+    the chunk bytes; ``frame_bytes`` is ignored, partial tail chunks
+    are dropped) — so a downstream real-codec decode must recover
+    exactly the original text bytes."""
+    if frame_format not in ("raw", "bmp"):
+        raise ValueError(f"unknown frame_format {frame_format!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
             for text in pdf["text"]:
                 raw = text.encode("utf-8")
-                frames = [
-                    raw[i : i + frame_bytes]
-                    for i in range(0, max(len(raw), 1), frame_bytes)
-                ]
+                if frame_format == "bmp":
+                    n = CLIP_BMP_FRAME_BYTES
+                    frames = []
+                    for i in range(0, len(raw) - n + 1, n):
+                        chunk = raw[i : i + n]
+                        px = [
+                            [
+                                tuple(
+                                    chunk[
+                                        (y * _CLIP_BMP_W + x) * 3 : (
+                                            y * _CLIP_BMP_W + x
+                                        )
+                                        * 3
+                                        + 3
+                                    ]
+                                )
+                                for x in range(_CLIP_BMP_W)
+                            ]
+                            for y in range(_CLIP_BMP_H)
+                        ]
+                        frames.append(encode_bmp(px))
+                else:
+                    frames = [
+                        raw[i : i + frame_bytes]
+                        for i in range(0, max(len(raw), 1), frame_bytes)
+                    ]
                 payloads.append(pack_clip(frames))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}

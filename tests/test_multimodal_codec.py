@@ -503,3 +503,22 @@ def test_clip_frame_sampling_every_2(spark):
     df = spark.createDataFrame([(1, bytearray(clip))], "doc_id long, payload binary")
     rows = mm.sample_clip_frames(df, every=2, frame_codec="ppm").collect()
     assert sorted(r["frame_idx"] for r in rows) == [0, 2]
+
+
+def test_encode_bmp_roundtrip():
+    w, h, rgb = mm._bmp_rgb_pixels(mm.encode_bmp(_PX))
+    assert (w, h) == (4, 2)
+    assert list(rgb) == [c for row in _PX for px in row for c in px]
+
+
+def test_clip_payload_bmp_frames_recover_text_bytes(spark):
+    """frame_format="bmp": every frame is a REAL BMP whose decode
+    returns exactly the original 24-byte text chunk."""
+    text = "abcdefghijklmnopqrstuvwx" * 2 + "tail-dropped"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    clip = mm.with_clip_payload(df, frame_format="bmp").collect()[0]["payload"]
+    frames = mm.clip_frames(bytes(clip))
+    assert len(frames) == 2  # partial tail chunk dropped
+    for i, f in enumerate(frames):
+        _w, _h, rgb = mm._bmp_rgb_pixels(f)
+        assert bytes(rgb) == text.encode()[i * 24 : i * 24 + 24]
