@@ -64,7 +64,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Maintained per round alongside the change itself.  (Round 6: no
 #: existing query's result-affecting path changed — the round's new
 #: queries rank first automatically as never-driver-verified.)
-_CHANGED_THIS_ROUND = ()
+_CHANGED_THIS_ROUND = (
+    # r7: oracle-side BIGINT cast in PIPELINE_QUALITY_FUNNEL_SQL (the one
+    # red r6 row — engine values judge-verified equal; driver must re-hash).
+    "pipeline_quality_funnel",
+)
 
 
 def _green_rounds() -> dict[str, int]:

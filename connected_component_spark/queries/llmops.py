@@ -2185,12 +2185,16 @@ flags AS (
   FROM toks
 ),
 c AS (
-  SELECT count(*) AS s_in,
-         sum(f0) AS s0,
-         sum(f0 * f1) AS s1,
-         sum(f0 * f1 * f2) AS s2,
-         sum(f0 * f1 * f2 * f3) AS s3,
-         sum(f0 * f1 * f2 * f3 * f4) AS s4
+  -- CAST each survivor sum to BIGINT here: DuckDB types sum(INT) as HUGEINT,
+  -- and the UNION ALL below would promote every branch's columns to HUGEINT,
+  -- which the driver's dataframe fetch materializes as float64 (410.0 vs 410)
+  -- -> value-hash mismatch despite identical values (round-6 verdict item #1).
+  SELECT CAST(count(*) AS BIGINT) AS s_in,
+         CAST(sum(f0) AS BIGINT) AS s0,
+         CAST(sum(f0 * f1) AS BIGINT) AS s1,
+         CAST(sum(f0 * f1 * f2) AS BIGINT) AS s2,
+         CAST(sum(f0 * f1 * f2 * f3) AS BIGINT) AS s3,
+         CAST(sum(f0 * f1 * f2 * f3 * f4) AS BIGINT) AS s4
   FROM flags
 )
 SELECT * FROM (

@@ -42,6 +42,27 @@ def canon(rows, cols, keep_row_order=False):
     return out if keep_row_order else sorted(out, key=repr)
 
 
+# DuckDB types that the driver's dataframe-typed fetch materializes as
+# float64 (pandas has no 128-bit int), silently turning integer values
+# like 410 into 410.0 and failing the driver's value-hash even when the
+# engines agree row-for-row (round-6 `pipeline_quality_funnel` failure
+# mode: UNION ALL promoted uncast sum(INT) branches to HUGEINT).  The
+# plain `fetchall()` path surfaces them as Python ints and masked the
+# bug, so any oracle emitting one of these is a FAIL here regardless of
+# values.
+_DRIVER_UNSAFE_DUCK_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
+def driver_unsafe_cols(rel) -> list:
+    """Columns of a DuckDB relation whose type diverges under a
+    dataframe-typed fetch (the driver's fetch path)."""
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in _DRIVER_UNSAFE_DUCK_TYPES
+    ]
+
+
 def has_top_level_order_by(sql: str) -> bool:
     """True when the query declares a result ordering — i.e. an ORDER
     BY outside any parentheses (window-clause/subquery ORDER BYs don't
@@ -61,12 +82,46 @@ def has_top_level_order_by(sql: str) -> bool:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--oracle-types",
+        action="store_true",
+        help="Spark-free sweep: bind every oracle_sql() entry in DuckDB and "
+        "flag output columns whose type the driver's dataframe fetch would "
+        "materialize as float64 (HUGEINT class). Exit 1 on any flag.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     import duckdb
 
     import __spark_entry__ as entrymod
+
+    if args.oracle_types:
+        con = duckdb.connect()
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+        oracles = entrymod.oracle_sql()
+        names = args.names or list(oracles)
+        n_flag = 0
+        for name in names:
+            if name not in oracles:
+                print(f"{name:32s} SKIP (no oracle)")
+                continue
+            try:
+                unsafe = driver_unsafe_cols(con.sql(oracles[name]))
+            except Exception as e:  # noqa: BLE001
+                n_flag += 1
+                print(f"{name:32s} ERR   {type(e).__name__}: {e}")
+                continue
+            if unsafe:
+                n_flag += 1
+                print(f"{name:32s} FLAG  {unsafe}")
+        print(f"-- {len(names)} oracles, {n_flag} flagged")
+        return 1 if n_flag else 0
+
     from connected_component_spark.session import get_spark
 
     spark = get_spark()
@@ -97,9 +152,12 @@ def main() -> int:
                 continue
             d = con.sql(oracles[name])
             d_cols = d.columns
+            unsafe = driver_unsafe_cols(d)
             d_rows = d.fetchall()
             status, detail = "PASS", ""
-            if sorted(s_cols) != sorted(d_cols):
+            if unsafe:
+                status, detail = "FAIL", f"oracle-typing: driver fetch turns {unsafe} into float64"
+            elif sorted(s_cols) != sorted(d_cols):
                 status, detail = "FAIL", f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}"
             elif len(s_rows) != len(d_rows):
                 status, detail = "FAIL", f"rows spark={len(s_rows)} duck={len(d_rows)}"
