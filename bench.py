@@ -146,6 +146,7 @@ def main() -> None:
     # clock in that draw; excluding those timings keeps the median an
     # honest full-execution statistic (ADVICE r5).
     medians = {}
+    omitted = []
     for name in timings:
         ok = [
             d[name]
@@ -154,9 +155,15 @@ def main() -> None:
         ]
         # a query that errored in EVERY draw has no honest timing —
         # omitting it beats reporting its fast error-path wall clock
-        # as a performance number (its failure is in draw_errors)
+        # as a performance number (its failure is in draw_errors), but
+        # the omission must be VISIBLE: a shrunken query set makes
+        # total_of_medians non-comparable across rounds, so the names
+        # ride along in both the artifact and the compact line
+        # (ADVICE r6).
         if ok:
             medians[name] = round(statistics.median(ok), 3)
+        else:
+            omitted.append(name)
 
     # Also persist the FULL per-query map next to the repo: the
     # driver's BENCH_r{N}.json stores a truncated stdout tail, which
@@ -187,6 +194,8 @@ def main() -> None:
         query_medians=medians,
         total_of_medians=round(sum(medians.values()), 3),
     )
+    if omitted:
+        local["omitted"] = sorted(omitted)
     if any(draw_errors):
         local["draw_errors"] = draw_errors
     target = os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json")
@@ -226,6 +235,13 @@ def main() -> None:
     }
     if errors:
         compact["n_errors"] = len(errors)
+    if omitted:
+        # names, not just a count: total_of_medians excludes these, so
+        # a cross-round total comparison is only valid when the sets
+        # match (the compact line must stay <~200 chars — truncate to
+        # the first few names if a mass breakage ever hits)
+        compact["omitted"] = sorted(omitted)[:5]
+        compact["n_omitted"] = len(omitted)
     print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 

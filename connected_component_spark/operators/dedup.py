@@ -529,8 +529,11 @@ def incremental_dedup(
     with status ∈ {'dup_of_corpus', 'dup_in_batch', 'novel'} —
     corpus matches win over batch matches, canonical = the minimum
     matching doc_id (own id when novel).  Requires every corpus
-    doc_id < every batch doc_id (ingestion order), checked lazily by
-    the a < b canonicalization below.
+    doc_id < every batch doc_id (ingestion order); ENFORCED by a
+    lazy in-plan guard (max corpus id vs min batch id) that raises at
+    first action on violation — the guard's extra corpus pass reads
+    the doc_id column only (column-pruned), a small fraction of the
+    doc_id+text scan the minhash step already pays.
 
     Scale shape (the point of the operator): the corpus×corpus pair
     space is NEVER touched.  The batch's band table is broadcast into
@@ -573,7 +576,41 @@ def incremental_dedup(
     verified = jaccard_pairs(docs_needed, cand, shingle_k).where(
         F.col("jaccard") >= F.lit(threshold)
     )
-    return classify_batch_matches(verified, batch.select("doc_id"))
+    out = classify_batch_matches(verified, batch.select("doc_id"))
+    # Lazy precondition guard: classification orients pairs by a < b,
+    # so a corpus id >= a batch id would silently mislabel canonical
+    # ids.  The guard is a 1-row bounds aggregate whose FILTER raises
+    # on violation — a filter, not a projected column, so dropping the
+    # guard column below cannot prune the check out of the plan; an
+    # empty corpus or batch yields NULL bounds and passes (vacuously
+    # ordered).  No build-time job: evaluated at the caller's first
+    # action, like the rest of the operator.
+    guard = (
+        corpus.agg(F.max("doc_id").alias("_max_corpus_id"))
+        .crossJoin(batch.agg(F.min("doc_id").alias("_min_batch_id")))
+        .where(
+            F.when(
+                F.col("_max_corpus_id") >= F.col("_min_batch_id"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "incremental_dedup: corpus/batch ids out of "
+                            "ingestion order — max corpus doc_id "
+                        ),
+                        F.col("_max_corpus_id").cast("string"),
+                        F.lit(" >= min batch doc_id "),
+                        F.col("_min_batch_id").cast("string"),
+                        F.lit(
+                            "; every corpus doc_id must precede every "
+                            "batch doc_id"
+                        ),
+                    )
+                ),
+            ).otherwise(F.lit(True))
+        )
+        .select(F.lit(1).alias("_id_order_guard"))
+    )
+    return out.crossJoin(F.broadcast(guard)).drop("_id_order_guard")
 
 
 def classify_batch_matches(

@@ -48,6 +48,54 @@ from pyspark.sql import functions as F
 
 __all__ = ["merge_upsert", "read_snapshot", "recover_table"]
 
+# Commit-sequence marker written INSIDE each version directory at commit
+# time.  Underscore-prefixed so Spark's parquet reader treats it as a
+# hidden file (same class as _SUCCESS).  Recovery ranks candidate
+# versions by this monotonic sequence — never by directory mtime, which
+# an interrupted cleanup rmtree INFLATES on the stale version it was
+# deleting (removing children updates the parent dir's mtime), inverting
+# a newest-by-dir-mtime choice (ADVICE r6).
+_MARKER = "_commit_seq"
+
+
+def _read_seq(version_dir: str) -> int | None:
+    """Commit sequence of a version directory, or None when the
+    directory predates the marker protocol (e.g. the user's initial
+    ``df.write.parquet`` snapshot)."""
+    try:
+        with open(os.path.join(version_dir, _MARKER)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _max_parquet_mtime_ns(version_dir: str) -> int:
+    """Newest data-file mtime inside a version.  Fallback ranking for
+    markerless versions: file mtimes are set at write time and an
+    interrupted rmtree cannot inflate them (it deletes entries; it
+    never touches surviving files' mtimes — unlike the dir's own)."""
+    import glob
+
+    return max(
+        (
+            os.stat(p).st_mtime_ns
+            for p in glob.glob(os.path.join(version_dir, "*.parquet"))
+            if os.path.exists(p)
+        ),
+        default=-1,
+    )
+
+
+def _version_rank(version_dir: str) -> tuple:
+    """Sort key: any marker-committed version outranks any markerless
+    one (markers are stamped on every merge commit, so a markerless
+    sibling is necessarily older under the single-writer protocol);
+    within each class, higher seq / newer data files win."""
+    seq = _read_seq(version_dir)
+    if seq is not None:
+        return (1, seq, 0)
+    return (0, 0, _max_parquet_mtime_ns(version_dir))
+
 
 def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
     """Read the current table snapshot (plain parquet directory)."""
@@ -89,11 +137,13 @@ def recover_table(path: str) -> str:
     # Multiple __old siblings are reachable (a committed merge whose
     # final cleanup rmtree was interrupted leaves one behind; a later
     # crashed swap adds another).  The uuid-hex suffixes carry no
-    # order, so pick the NEWEST version by mtime — a directory's mtime
-    # is set when its parquet contents were written and rename does
-    # not touch it, so the newest __old is the most recently committed
-    # version (ADVICE r5).
-    newest = max(olds, key=lambda p: os.stat(p).st_mtime_ns)
+    # order, so rank by the per-version _commit_seq marker (monotonic,
+    # stamped at commit), falling back to newest data-file mtime for
+    # markerless versions.  Directory mtime is deliberately NOT used:
+    # an interrupted cleanup rmtree bumps the STALE dir's mtime while
+    # deleting its children, which would make half-deleted old data
+    # outrank the newest committed version (ADVICE r6).
+    newest = max(olds, key=_version_rank)
     os.rename(newest, path)
     for p in olds + tmps:
         if p != newest:
@@ -182,6 +232,13 @@ def merge_upsert(
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     try:
         merged.write.mode("overwrite").parquet(tmp)
+        # Stamp the new version's commit sequence before it becomes
+        # visible: strictly greater than the current version's (a
+        # markerless current counts as 0), so recovery can always rank
+        # versions without consulting directory mtimes.
+        seq = (_read_seq(path) or 0) + 1
+        with open(os.path.join(tmp, _MARKER), "w") as fh:
+            fh.write(str(seq))
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
@@ -198,7 +255,7 @@ def merge_upsert(
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     # The merge is committed at this point; a cleanup failure must not
-    # raise (and must not strand an __old that recovery could prefer —
-    # recover_table now picks by mtime, but best-effort preserving the
-    # single-__old invariant keeps recovery unambiguous).
+    # raise (and even an interrupted rmtree here is safe: recovery
+    # ranks versions by _commit_seq, which the half-deleted __old can
+    # never inflate the way a dir mtime could).
     shutil.rmtree(old, ignore_errors=True)

@@ -92,11 +92,20 @@ class IncrementalDedup:
             verified = jaccard_pairs_from_sets(
                 self.set_state.unionByName(sh_b), cross.unionByName(intra)
             ).where(F.col("jaccard") >= F.lit(self.threshold))
-            out = classify_batch_matches(verified, batch_docs.select("doc_id"))
+            # batch ids come from the CHECKPOINTED sh_b leaf (one row
+            # per doc), never from batch_docs: the accumulated results
+            # union is evaluated after the stream ends, and a plan that
+            # still referenced the raw micro-batch DataFrame would
+            # re-read source data the batch contract no longer
+            # guarantees exists (ADVICE r6) — with staged parquet it
+            # happens to work; with a cleaned-up or non-replayable
+            # source it would be wrong
+            out = classify_batch_matches(verified, sh_b.select("doc_id"))
             # no checkpoint: `out` is a bounded-depth plan over
-            # checkpointed leaves that stay valid after the fold (the
-            # state fields are rebound, never mutated), so the final
-            # union evaluates each batch's classification exactly once
+            # checkpointed leaves ONLY (banded_b/sh_b/the state unions)
+            # that stay valid after the fold (the state fields are
+            # rebound, never mutated), so the final union evaluates
+            # each batch's classification exactly once
             self.results = (
                 out if self.results is None else self.results.unionByName(out)
             )

@@ -66,6 +66,26 @@ def test_incremental_dedup_corpus_priority_and_novel(spark):
     assert rows[12] == ("novel", 12)
 
 
+def test_incremental_dedup_rejects_out_of_order_ids(spark):
+    """ADVICE r6: the 'every corpus doc_id < every batch doc_id'
+    precondition is ENFORCED, not just documented — a violating
+    caller gets a loud in-plan failure at first action instead of
+    silently wrong canonical ids (classification orients pairs a < b,
+    so an out-of-order corpus id would be misread as a batch doc)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    corpus = _docs(spark, [(1, _BASE), (50, _OTHER)])  # 50 >= batch min
+    batch = _docs(spark, [(10, _BASE + " x")])
+    out = incremental_dedup(corpus, batch, threshold=0.4)  # lazy: no raise yet
+    with pytest.raises(SparkRuntimeException, match="ingestion order"):
+        out.collect()
+    # boundary: max corpus id == min batch id is also a violation
+    with pytest.raises(SparkRuntimeException, match="ingestion order"):
+        incremental_dedup(
+            _docs(spark, [(10, _BASE)]), _docs(spark, [(10, _BASE)])
+        ).collect()
+
+
 def test_incremental_dedup_broadcasts_batch_side(spark):
     """The corpus band table must join the batch via broadcast — the
     corpus side is never shuffled (the operator's 100 TB contract)."""
@@ -232,6 +252,38 @@ def test_streaming_incremental_dedup_matches_batch_operator(spark):
         out = incremental_dedup(corpus, _docs(spark, batches[t]), threshold=0.4)
         expected.extend(map(tuple, out.collect()))
     assert streamed == sorted(expected)
+
+
+def test_streaming_results_survive_source_cleanup(spark, tmp_path):
+    """ADVICE r6 regression: the accumulated results plan must depend
+    only on checkpointed leaves, never on the per-batch input
+    DataFrame — foreachBatch guarantees a micro-batch's data only for
+    the duration of that batch, so the post-stream collect must still
+    work after the batch source is DELETED (a non-replayable source
+    behaves exactly like this)."""
+    import shutil
+
+    from connected_component_spark.streaming.dedup import IncrementalDedup
+
+    state = IncrementalDedup(threshold=0.4)
+    batches = [
+        [(1, _BASE), (2, _OTHER)],
+        [(10, _BASE + " x")],
+        [(20, _OTHER + " y"), (21, _BASE + " z")],
+    ]
+    for i, rows in enumerate(batches):
+        p = str(tmp_path / f"batch{i}")
+        _docs(spark, rows).write.parquet(p)
+        state.update(spark.read.parquet(p).select("doc_id", "text"))
+        shutil.rmtree(p)  # the batch contract: data gone after the fold
+
+    got = {
+        r["doc_id"]: (r["status"], r["canonical_doc_id"])
+        for r in state.results.collect()  # must not re-read batch dirs
+    }
+    assert got[10] == ("dup_of_corpus", 1)
+    assert got[20] == ("dup_of_corpus", 2)
+    assert got[21] == ("dup_of_corpus", 1)
 
 
 def test_streaming_incremental_dedup_consolidation(spark):

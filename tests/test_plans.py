@@ -66,6 +66,9 @@ _ALLOWED_NESTED_LOOP = {
     "ann_cosine_topk", "ann_ivf_topk", "dedup_ngram_pairs", "ann_recall_report",
     "text_source_divergence",
     "text_lm_score",  # 1-row corpus-total broadcast, same as divergence
+    # 1-row broadcast of the lazy id-ordering guard (max corpus id vs
+    # min batch id, raises on violation) — O(result), not a pair space
+    "dedup_incremental",
 }
 
 

@@ -177,10 +177,10 @@ def test_failed_second_rename_rolls_back_inline(spark, tmp_path, monkeypatch):
 def test_recovery_with_multiple_olds_picks_newest(spark, tmp_path, monkeypatch):
     """Two __old siblings are reachable (a committed merge whose final
     cleanup failed leaves one; a later crashed swap adds another).
-    recover_table must restore the NEWEST committed version by mtime
-    — the uuid suffixes carry no order, and lexicographic choice
-    could resurrect the older version and delete the newer one
-    (ADVICE r5)."""
+    recover_table must restore the NEWEST committed version — ranked
+    by the _commit_seq marker — because the uuid suffixes carry no
+    order, and lexicographic choice could resurrect the older version
+    and delete the newer one (ADVICE r5)."""
     import time
 
     import connected_component_spark.sources.upsert as up
@@ -240,6 +240,83 @@ def test_recovery_with_multiple_olds_picks_newest(spark, tmp_path, monkeypatch):
     assert up.recover_table(path) == "rolled-back"
     got = {r["id"]: (r["val"], r["n"]) for r in read_snapshot(spark, path).collect()}
     assert got == {1: ("A2", 12)}  # the NEWER committed version, not v0
+    assert not [p for p in os.listdir(tmp_path) if "__old_" in p or "__tmp_" in p]
+
+
+def test_recovery_ignores_inflated_dir_mtime(spark, tmp_path, monkeypatch):
+    """ADVICE r6 regression: an interrupted post-commit rmtree deletes
+    child entries of the STALE __old, which bumps that directory's
+    mtime past the newest committed version's (whose dir mtime is its
+    earlier write time).  A newest-by-dir-mtime recovery would rename
+    the half-deleted older version over path and rmtree the newest
+    committed data — silent data loss.  Ranking by _commit_seq must
+    pick the newest committed version regardless of dir mtimes."""
+    import glob
+    import time
+
+    import connected_component_spark.sources.upsert as up
+
+    path = str(tmp_path / "tbl")
+    _write(spark, path, [(1, "a", 10)])
+
+    # two committed merges whose cleanups "fail", stranding v0
+    # (markerless) and v1 (seq=1) as __old debris
+    monkeypatch.setattr(up.shutil, "rmtree", lambda *a, **k: None)
+    for val, n in [("A1", 11), ("A2", 12)]:
+        merge_upsert(
+            read_snapshot(spark, path),
+            spark.createDataFrame([(1, val, n)], SCHEMA),
+            "id",
+            path,
+        )
+        time.sleep(0.05)
+    monkeypatch.undo()
+
+    # crash mid-swap of merge 3: the newest committed version (v2,
+    # seq=2) survives only under a third __old name
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_rename(src, dst)
+            raise KeyboardInterrupt("simulated hard kill mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(up.os, "rename", dying_rename)
+    with pytest.raises(KeyboardInterrupt):
+        merge_upsert(
+            read_snapshot(spark, path),
+            spark.createDataFrame([(1, "A3", 13)], SCHEMA),
+            "id",
+            path,
+        )
+    monkeypatch.undo()
+    assert not os.path.exists(path)
+    olds = sorted(glob.glob(f"{path}__old_*"))
+    assert len(olds) == 3
+
+    # reproduce the interrupted-cleanup effect on the STALE v1 sibling:
+    # delete one of its data files (rmtree got partway), which bumps
+    # the stale DIR's mtime past every other version's
+    stale = next(p for p in olds if up._read_seq(p) == 1)
+    victim = glob.glob(os.path.join(stale, "*.parquet"))[0]
+    os.remove(victim)
+    newest_commit = max(olds, key=up._version_rank)
+    future = time.time_ns() + 10_000_000_000
+    os.utime(stale, ns=(future, future))  # make the inversion explicit
+    assert os.stat(stale).st_mtime_ns > max(
+        os.stat(p).st_mtime_ns for p in olds if p != stale
+    )
+    # dir-mtime ranking would now resurrect the half-deleted v1...
+    assert max(olds, key=lambda p: os.stat(p).st_mtime_ns) == stale
+    # ...but _commit_seq ranking still names v2
+    assert newest_commit != stale and up._read_seq(newest_commit) == 2
+
+    assert up.recover_table(path) == "rolled-back"
+    got = {r["id"]: (r["val"], r["n"]) for r in read_snapshot(spark, path).collect()}
+    assert got == {1: ("A2", 12)}  # newest committed version, intact
     assert not [p for p in os.listdir(tmp_path) if "__old_" in p or "__tmp_" in p]
 
 
