@@ -68,6 +68,8 @@ _CHANGED_THIS_ROUND = (
     # r7: oracle-side BIGINT cast in PIPELINE_QUALITY_FUNNEL_SQL (the one
     # red r6 row — engine values judge-verified equal; driver must re-hash).
     "pipeline_quality_funnel",
+    # r7: new declared query (compressed PNG codec on the video path)
+    "multimodal_video_png_frames",
 )
 
 

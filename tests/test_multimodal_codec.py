@@ -522,3 +522,176 @@ def test_clip_payload_bmp_frames_recover_text_bytes(spark):
     for i, f in enumerate(frames):
         _w, _h, rgb = mm._bmp_rgb_pixels(f)
         assert bytes(rgb) == text.encode()[i * 24 : i * 24 + 24]
+
+
+# ---- png: the real COMPRESSED stdlib codec (r6 verdict residue #1) --------
+
+def _px_grid(w, h, seed=0):
+    return [
+        [((x * 37 + y * 91 + seed) % 256, (x * 11 + seed) % 256, (y * 53) % 256)
+         for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def test_png_codec_always_available():
+    assert "png" in mm.available_codecs()
+
+
+def test_png_roundtrip_every_filter_type():
+    """Encode→decode must be the identity for every scanline filter
+    (0-4) and for mixed per-row filters — each de-filter branch of
+    the decoder is exercised against the same pixel matrix."""
+    px = _px_grid(7, 5)
+    flat = bytes(c for row in px for p in row for c in p)
+    for ft in [0, 1, 2, 3, 4, "mixed"]:
+        w, h, rgb = mm._png_rgb_pixels(mm.encode_png(px, filter_type=ft))
+        assert (w, h, rgb) == (7, 5, flat), f"filter {ft}"
+
+
+def test_png_decode_real_dimensions(spark):
+    px = _px_grid(6, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.encode_png(px)))], "doc_id long, payload binary"
+    )
+    row = mm.decode_metadata(df, codec="png").collect()[0]
+    assert (row["width"], row["height"], row["fmt"]) == (6, 4, "rgb")
+
+
+def test_png_rejects_bad_payloads(spark):
+    px = _px_grid(4, 3)
+    good = mm.encode_png(px)
+    with pytest.raises(ValueError, match="bad signature"):
+        mm._decode_png(b"JFIF" + good[4:])
+    # flip one payload bit: the chunk CRC must catch it before any
+    # pixel is decoded — compressed bitstreams turn single-bit damage
+    # into arbitrary pixel garbage, so integrity must be checked
+    corrupt = bytearray(good)
+    corrupt[45] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        mm._png_rgb_pixels(bytes(corrupt))
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        mm._png_rgb_pixels(good[:-6])
+    # unsupported shapes fail loudly, never misdecode
+    import struct
+    import zlib as _z
+
+    def _chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    gray = (
+        mm._PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", _z.compress(b"\x00ab\x00cd"))
+        + _chunk(b"IEND", b"")
+    )
+    assert mm._decode_png(gray)[3] == "gray"  # metadata parse is fine
+    with pytest.raises(ValueError, match="truecolor"):
+        mm._png_rgb_pixels(gray)  # full decode refuses non-RGB
+    bad_filter = bytearray(
+        mm._PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", _z.compress(b"\x09abc"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unknown PNG filter type 9"):
+        mm._png_rgb_pixels(bytes(bad_filter))
+
+
+def test_png_bmp_ppm_three_codec_differential(spark):
+    """The SAME pixel matrix through all three always-available real
+    codecs — uncompressed bottom-up BGR (bmp), uncompressed top-down
+    RGB (ppm), and the compressed filtered bitstream (png) — must
+    produce identical resize and frame fingerprints through the
+    mapInPandas plumbing."""
+    px = _px_grid(5, 3)  # odd width: stride padding vs none vs filters
+    payloads = {
+        "bmp": _bmp_bytes(px),
+        "ppm": _ppm_bytes(px),
+        "png": mm.encode_png(px, filter_type="mixed"),
+    }
+    assert (
+        mm._bmp_rgb_pixels(payloads["bmp"])
+        == mm._ppm_rgb_pixels(payloads["ppm"])
+        == mm._png_rgb_pixels(payloads["png"])
+    )
+    resized, framed = {}, {}
+    for codec, b in payloads.items():
+        df = spark.createDataFrame(
+            [(1, bytearray(b))], "doc_id long, payload binary"
+        )
+        resized[codec] = mm.resize_payload(
+            df, width=4, height=4, codec=codec
+        ).collect()[0]["out_md5"]
+        framed[codec] = mm.sample_frames(df, codec=codec).collect()[0][
+            "frame_md5"
+        ]
+    assert len(set(resized.values())) == 1, resized
+    assert len(set(framed.values())) == 1, framed
+
+
+def test_clip_png_frames_cross_codec_differential(spark):
+    """Clip-level: the same three-frame video as PNG frames and BMP
+    frames samples to identical per-frame RGB fingerprints."""
+    px = _clip_px_frames()
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(mm.pack_clip([mm.encode_png(p, filter_type=i % 5)
+                                        for i, p in enumerate(px)]))),
+            (2, bytearray(mm.pack_clip([_bmp_bytes(p) for p in px]))),
+        ],
+        "doc_id long, payload binary",
+    )
+    via_png = mm.sample_clip_frames(
+        df.where("doc_id = 1"), every=1, frame_codec="png"
+    ).collect()
+    via_bmp = mm.sample_clip_frames(
+        df.where("doc_id = 2"), every=1, frame_codec="bmp"
+    ).collect()
+    assert len(via_png) == len(via_bmp) == 3
+    assert sorted(
+        (r["frame_idx"], r["frame_len"], r["frame_md5"]) for r in via_png
+    ) == sorted((r["frame_idx"], r["frame_len"], r["frame_md5"]) for r in via_bmp)
+
+
+def test_clip_payload_png_frames_recover_text_bytes(spark):
+    """frame_format="png": every frame is a REAL compressed PNG whose
+    full decode (inflate + de-filter) returns exactly the original
+    24-byte text chunk — the declared-path contract."""
+    text = "abcdefghijklmnopqrstuvwx" * 6 + "tail-dropped"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    clip = mm.with_clip_payload(df, frame_format="png").collect()[0]["payload"]
+    frames = mm.clip_frames(bytes(clip))
+    assert len(frames) == 6  # partial tail chunk dropped
+    for i, f in enumerate(frames):
+        _w, _h, rgb = mm._png_rgb_pixels(f)
+        assert bytes(rgb) == text.encode()[i * 24 : i * 24 + 24]
+    # six frames rotate through filter types 0..4 (then 0 again)
+    idat_filters = set()
+    import zlib as _z
+
+    for f in frames:
+        for t, d in mm._png_chunks(bytes(f)):
+            if t == b"IDAT":
+                idat_filters.add(_z.decompress(d)[0])
+    assert idat_filters == {0, 1, 2, 3, 4}
+
+
+def test_png_pil_interop_differential(spark):
+    """Where Pillow exists: Pillow must decode our stdlib-encoded PNG
+    to the same RGB buffer our decoder produces (independent-author
+    differential for the compressed codec)."""
+    if "pil" in mm.available_codecs():
+        from PIL import Image
+        import io as _io
+
+        px = _px_grid(5, 4, seed=9)
+        b = mm.encode_png(px, filter_type="mixed")
+        with Image.open(_io.BytesIO(b)) as im:
+            pil_rgb = im.convert("RGB").tobytes()
+        assert pil_rgb == mm._png_rgb_pixels(b)[2]
+    else:
+        pytest.skip("Pillow absent; stdlib round-trip covers the codec here")
