@@ -2124,6 +2124,144 @@ FROM c
 """
 
 
+def pipeline_audio_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality admission funnel (r6 brief #5: compose the
+    modality operators with the analytics surface): per-clip PCM
+    metadata (decode_audio_metadata) joined to the windowed-RMS pass's
+    window count (audio_energy), reported through the shared
+    filter_funnel — min duration → sample rate ≥ 16 kHz → mono →
+    ≥ 4 energy windows, applied cumulatively.  Every predicate is an
+    integer comparison, so cross-engine parity needs no rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = mm.with_binary_payload(docs)
+    meta = mm.decode_audio_metadata(payload)
+    wins = (
+        mm.audio_energy(payload, window=_AUDIO_WINDOW)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+    )
+    feat = meta.join(wins, "doc_id")
+    return tx.filter_funnel(
+        feat,
+        [
+            ("min_duration", F.col("duration_ms") >= 2),
+            ("hi_rate", F.col("sample_rate") >= 16000),
+            ("mono", F.col("channels") == 1),
+            ("min_windows", F.col("n_windows") >= 4),
+        ],
+    )
+
+
+PIPELINE_AUDIO_FUNNEL_SQL = f"""
+WITH m AS (
+  SELECT length(text) AS n,
+         {_AUDIO_RATE} AS rate,
+         {_AUDIO_CH} AS ch
+  FROM documents
+),
+f AS (
+  SELECT (n // (2 * ch)) * 1000 // rate AS dur,
+         rate, ch,
+         greatest(CAST(ceil(n / {_AUDIO_WINDOW}.0) AS BIGINT), 1) AS nw
+  FROM m
+),
+flags AS (
+  SELECT CAST(dur >= 2 AS INT) AS f0,
+         CAST(rate >= 16000 AS INT) AS f1,
+         CAST(ch = 1 AS INT) AS f2,
+         CAST(nw >= 4 AS INT) AS f3
+  FROM f
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS s_in,
+         CAST(sum(f0) AS BIGINT) AS s0,
+         CAST(sum(f0 * f1) AS BIGINT) AS s1,
+         CAST(sum(f0 * f1 * f2) AS BIGINT) AS s2,
+         CAST(sum(f0 * f1 * f2 * f3) AS BIGINT) AS s3
+  FROM flags
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'min_duration' AS stage,
+         s_in AS entering, s0 AS surviving, s_in - s0 AS dropped FROM c
+  UNION ALL
+  SELECT 1, 'hi_rate', s0, s1, s0 - s1 FROM c
+  UNION ALL
+  SELECT 2, 'mono', s1, s2, s1 - s2 FROM c
+  UNION ALL
+  SELECT 3, 'min_windows', s2, s3, s2 - s3 FROM c
+)
+"""
+
+
+def pipeline_video_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality admission funnel: clip-container metadata
+    (decode_clip_metadata — real CCV1 demux walk) joined to the
+    per-frame size distribution (sample_clip_frames every=1, min
+    frame length), funneled cumulatively — ≥ 4 frames → ≥ 256 clip
+    bytes → even frame count → tail frame at least half-full.  All
+    integer predicates; composes three modality components with the
+    shared funnel reporter."""
+    docs = load_table(spark, sf_dir, "documents")
+    clips = mm.with_clip_payload(docs, frame_bytes=_CLIP_FRAME_BYTES)
+    meta = mm.decode_clip_metadata(clips)
+    sizes = (
+        mm.sample_clip_frames(clips, every=1)
+        .groupBy("doc_id")
+        .agg(F.min("frame_len").alias("min_frame_len"))
+    )
+    feat = meta.join(sizes, "doc_id")
+    return tx.filter_funnel(
+        feat,
+        [
+            ("min_frames", F.col("n_frames") >= 4),
+            ("min_clip_bytes", F.col("total_frame_bytes") >= 256),
+            ("even_frame_count", F.col("n_frames") % 2 == 0),
+            (
+                "tail_at_least_half",
+                F.col("min_frame_len") * 2 >= _CLIP_FRAME_BYTES,
+            ),
+        ],
+    )
+
+
+PIPELINE_VIDEO_FUNNEL_SQL = f"""
+WITH v AS (SELECT length(text) AS n FROM documents),
+g AS (
+  SELECT n,
+         greatest(CAST(ceil(n / {_CLIP_FRAME_BYTES}.0) AS BIGINT), 1) AS nf,
+         CASE WHEN n % {_CLIP_FRAME_BYTES} = 0
+              THEN least(n, {_CLIP_FRAME_BYTES})
+              ELSE n % {_CLIP_FRAME_BYTES} END AS min_fl
+  FROM v
+),
+flags AS (
+  SELECT CAST(nf >= 4 AS INT) AS f0,
+         CAST(n >= 256 AS INT) AS f1,
+         CAST(nf % 2 = 0 AS INT) AS f2,
+         CAST(min_fl * 2 >= {_CLIP_FRAME_BYTES} AS INT) AS f3
+  FROM g
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS s_in,
+         CAST(sum(f0) AS BIGINT) AS s0,
+         CAST(sum(f0 * f1) AS BIGINT) AS s1,
+         CAST(sum(f0 * f1 * f2) AS BIGINT) AS s2,
+         CAST(sum(f0 * f1 * f2 * f3) AS BIGINT) AS s3
+  FROM flags
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'min_frames' AS stage,
+         s_in AS entering, s0 AS surviving, s_in - s0 AS dropped FROM c
+  UNION ALL
+  SELECT 1, 'min_clip_bytes', s0, s1, s0 - s1 FROM c
+  UNION ALL
+  SELECT 2, 'even_frame_count', s1, s2, s1 - s2 FROM c
+  UNION ALL
+  SELECT 3, 'tail_at_least_half', s2, s3, s2 - s3 FROM c
+)
+"""
+
+
 def emb_quantize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 symmetric scalar-quantization reconstruction
     report (operators/quantize.py): scale, max abs error, and
@@ -2285,6 +2423,8 @@ QUERIES = {
     "multimodal_video_png_frames": multimodal_video_png_frames,
     "emb_quantize_report": emb_quantize_report,
     "pipeline_quality_funnel": pipeline_quality_funnel,
+    "pipeline_audio_funnel": pipeline_audio_funnel,
+    "pipeline_video_funnel": pipeline_video_funnel,
     "ann_sq_topk": ann_sq_topk,
 }
 
@@ -2341,5 +2481,7 @@ ORACLES = {
     "multimodal_video_png_frames": MULTIMODAL_VIDEO_PNG_FRAMES_SQL,
     "emb_quantize_report": EMB_QUANTIZE_REPORT_SQL,
     "pipeline_quality_funnel": PIPELINE_QUALITY_FUNNEL_SQL,
+    "pipeline_audio_funnel": PIPELINE_AUDIO_FUNNEL_SQL,
+    "pipeline_video_funnel": PIPELINE_VIDEO_FUNNEL_SQL,
     "ann_sq_topk": ANN_SQ_TOPK_SQL,
 }

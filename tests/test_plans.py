@@ -57,6 +57,10 @@ _LAZY_LLMOPS = [
     # branch's block-pair enumeration); audio ops are pure mapInPandas
     "dedup_ngram_pairs_prefix", "multimodal_audio", "multimodal_audio_energy",
     "text_lm_score",
+    # r7: modality funnels (mapInPandas feature passes + one equi-join
+    # + single-group funnel agg) and the compressed-codec clip path
+    "pipeline_audio_funnel", "pipeline_video_funnel",
+    "multimodal_video_png_frames",
 ]
 
 #: intentional bounded cross joins: a broadcast query/centroid batch
