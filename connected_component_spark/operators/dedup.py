@@ -38,6 +38,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "jaccard_pairs_from_sets",
+    "incremental_candidate_pairs",
     "incremental_dedup",
     "classify_batch_matches",
     "ngram_jaccard_pairs",
@@ -513,6 +514,37 @@ def minhash_dedup_clusters(
     ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
 
 
+def incremental_candidate_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate (a, b) pairs of :func:`incremental_dedup` BEFORE
+    exact-Jaccard verification: corpus×batch pairs from the broadcast
+    band join plus batch×batch pairs from the batch-only self-join.
+    Exposed so the scale tests can measure the candidate set directly
+    (the operator's 100 TB contract is that this count scales with
+    the BATCH and stays flat as the corpus grows — a measured curve,
+    not just a plan property)."""
+    rows = num_hashes // bands
+    sig_c = minhash_signatures(corpus, num_hashes, shingle_k)
+    sig_b = minhash_signatures(batch, num_hashes, shingle_k)
+    banded_c = banded_buckets(sig_c, bands, rows)
+    banded_b = banded_buckets(sig_b, bands, rows)
+    cross = (
+        banded_c.join(
+            F.broadcast(banded_b.withColumnRenamed("doc_id", "b_id")),
+            ["band", "bucket"],
+        )
+        .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
+        .distinct()
+    )
+    intra = lsh_candidate_pairs(sig_b, bands, rows)
+    return cross.unionByName(intra)
+
+
 def incremental_dedup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -544,26 +576,15 @@ def incremental_dedup(
     reference applies to its pair space
     (ConnectedComponent.scala:62-63,135-136).
     """
-    rows = num_hashes // bands
-    sig_c = minhash_signatures(corpus, num_hashes, shingle_k)
-    sig_b = minhash_signatures(batch, num_hashes, shingle_k)
-    banded_c = banded_buckets(sig_c, bands, rows)
-    banded_b = banded_buckets(sig_b, bands, rows)
-    cross = (
-        banded_c.join(
-            F.broadcast(banded_b.withColumnRenamed("doc_id", "b_id")),
-            ["band", "bucket"],
-        )
-        .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
-        .distinct()
+    cand_plan = incremental_candidate_pairs(
+        corpus, batch, num_hashes, bands, shingle_k
     )
-    intra = lsh_candidate_pairs(sig_b, bands, rows)
     # LAZY checkpoint: the candidate set feeds both the id semi-filter
     # and the verification join below — without it the corpus minhash
     # pipeline would execute once per reference.  Lazy (not eager)
     # keeps the operator free of build-time Spark jobs for library
     # callers; the first action materializes it once.
-    cand = cross.unionByName(intra).localCheckpoint(eager=False)
+    cand = cand_plan.localCheckpoint(eager=False)
     # verify only candidate docs: semi-filter before shingling, so the
     # exact-Jaccard step costs O(candidates) — without this the corpus
     # would be re-shingled wholesale just to verify a handful of pairs

@@ -272,3 +272,75 @@ def test_incremental_dedup_scales_with_batch_not_corpus(spark):
     # fresh batch docs (seeded from a disjoint RNG stream) are novel
     novel = out.where(F.col("status") == "novel").count()
     assert novel >= 0.9 * (n_batch - planted)
+
+
+def test_incremental_candidates_flat_as_corpus_doubles(spark):
+    """r6 brief #6: the 'corpus never re-paired' claim as a MEASURED
+    curve, not just a plan property.  The SAME batch is classified
+    against a corpus and against that corpus doubled; the candidate
+    set (corpus×batch band hits + batch×batch self-join) must stay
+    essentially flat — candidates ∝ batch, not corpus.  Doubling the
+    corpus can only add chance band collisions, so a small tolerance
+    is allowed; a corpus-proportional candidate set (~2×) fails."""
+    from connected_component_spark.operators.dedup import (
+        incremental_candidate_pairs,
+    )
+
+    n_small, n_batch = 4_000, 200
+    corpus_small = (
+        _planted_docs(spark, n_small)
+        .where(F.col("doc_id") % 10 != 1)
+        .localCheckpoint(eager=True)
+    )
+    corpus_big = (
+        _planted_docs(spark, 2 * n_small)
+        .where(F.col("doc_id") % 10 != 1)
+        .localCheckpoint(eager=True)
+    )
+
+    def gen_batch(batches):
+        import random as _random
+
+        import pandas as pd
+
+        vocab = [f"w{i:03d}" for i in range(500)]
+
+        def words_for(doc_id):
+            rng = _random.Random(7919 * doc_id + 13)
+            return [rng.choice(vocab) for _ in range(40)]
+
+        for pdf in batches:
+            ids, texts = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                doc_id = 1_000_000 + i
+                if i % 5 == 0:
+                    # perturb corpus doc 2*i — present in BOTH corpora
+                    # (2*i < 4000 for i < 200 and never ≡1 mod 10)
+                    words = list(words_for(2 * i))
+                    words[3] = "qq_batchdup"
+                else:
+                    rng = _random.Random(424243 * i + 7)
+                    words = [rng.choice(vocab) for _ in range(40)]
+                ids.append(doc_id)
+                texts.append(" ".join(words))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    batch = (
+        spark.range(n_batch)
+        .mapInPandas(gen_batch, schema="doc_id long, text string")
+        .localCheckpoint(eager=True)
+    )
+
+    n_cand_small = incremental_candidate_pairs(corpus_small, batch).count()
+    n_cand_big = incremental_candidate_pairs(corpus_big, batch).count()
+
+    # the planted corpus dups guarantee a non-trivial candidate set
+    # (LSH recall at 16 hashes / 4 bands is ~80-90% for a one-word
+    # perturbation, same expectation as the recall test above)
+    assert n_cand_small >= 0.6 * (n_batch // 5)
+    # flat curve: doubling the corpus must NOT double the candidates —
+    # allow 1.5× for chance band collisions from the new corpus half
+    assert n_cand_big <= 1.5 * n_cand_small, (n_cand_small, n_cand_big)
+    # and the candidate space is nowhere near corpus-sized
+    assert n_cand_big < 20 * n_batch, n_cand_big
