@@ -2774,6 +2774,162 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
 """
 
 
+# --------------------------------------------------------------------------
+# lakehouse maintenance surface (sources/zorder.py) on the declared
+# path (r6 brief #8: the sources/ tree was plan-tested but had no
+# driver row).  Determinism contract: the z-order cut points are
+# EXPLICIT — i·max/16 for i in 1..15 from the exact column max — so
+# the z-value is a pure integer/IEEE computation both engines repeat
+# bit-for-bit (approxQuantile cut points are partition-order-
+# sensitive and stay on the non-declared path).
+# --------------------------------------------------------------------------
+
+_Z_BITS = 4  # 2 dims × 4 bits → z ∈ [0, 256)
+
+
+def _sixteenths(mx: int) -> list[float]:
+    """Explicit cut points i·mx/16 (i = 1..15): exact doubles (integer
+    scaled by a power of two) in both engines."""
+    return [i * mx / 16.0 for i in range(1, 16)]
+
+
+def _zorder_inputs(spark: SparkSession, sf_dir: str):
+    li = _t(spark, sf_dir, "lineitem")
+    mp, ms = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    bounds = {"l_partkey": _sixteenths(mp), "l_suppkey": _sixteenths(ms)}
+    return li, bounds
+
+
+def maintenance_zorder_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-value histogram of lineitem over (l_partkey, l_suppkey): the
+    rank + bit-interleave machinery of sources/zorder.py:zorder_value
+    on the declared path, checked per-row via a per-z-cell rowcount +
+    orderkey checksum (any single misranked row moves a checksum)."""
+    from connected_component_spark.sources.zorder import zorder_value
+
+    li, bounds = _zorder_inputs(spark, sf_dir)
+    df, z = zorder_value(
+        li, ["l_partkey", "l_suppkey"], bits=_Z_BITS, bounds=bounds
+    )
+    return (
+        df.withColumn("z", z)
+        .groupBy("z")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").alias("sum_orderkey"),
+        )
+    )
+
+
+def _zrank_sql(col: str, mxcol: str) -> str:
+    """DuckDB twin of sources/zorder.py:_bucket_rank over the explicit
+    sixteenth cut points (count of bounds ≤ value)."""
+    return (
+        f"len(list_filter(list_transform(generate_series(1, 15), "
+        f"i -> i * {mxcol} / 16.0), b -> b <= CAST({col} AS DOUBLE)))"
+    )
+
+
+def _zinterleave_sql(r0: str, r1: str, bits: int) -> str:
+    """DuckDB twin of the bit interleave in zorder_value: column 0
+    owns the most significant slot of each bit pair (arithmetic form
+    of the shift/or chain — identical for non-negative ranks)."""
+    terms = []
+    for bit in range(bits):
+        for j, r in enumerate((r0, r1)):
+            pos = bit * 2 + (1 - j)
+            terms.append(f"(({r} // {1 << bit}) % 2) * {1 << pos}")
+    return " + ".join(terms)
+
+
+MAINTENANCE_ZORDER_RANK_SQL = f"""
+WITH mx AS (
+  SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem
+),
+r AS (
+  SELECT l_orderkey,
+         {_zrank_sql('l_partkey', 'mp')} AS r0,
+         {_zrank_sql('l_suppkey', 'ms')} AS r1
+  FROM lineitem CROSS JOIN mx
+),
+zt AS (
+  SELECT l_orderkey, {_zinterleave_sql('r0', 'r1', _Z_BITS)} AS z FROM r
+)
+SELECT CAST(z AS BIGINT) AS z,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey
+FROM zt GROUP BY z
+"""
+
+
+def _staged_zorder_dir(sf_dir: str) -> tuple[str, bool]:
+    """Staging-dir cache for the z-ordered lineitem rewrite, keyed by
+    fixture path + mtime (the streamq staging pattern): the rewrite
+    runs once per fixture, repeat invocations only re-read."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), "lineitem.parquet")
+    key = hashlib.md5(
+        f"zorder-v1|{src}|{os.stat(src).st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), "ccs_zorder", key)
+    if os.path.exists(os.path.join(path, "_READY")):
+        return path, False
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    return path, True
+
+
+def maintenance_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full write path end-to-end: lineitem rewritten via
+    sources/zorder.py:write_zordered (range shuffle on the z-value, 8
+    sorted files), read back, and proven multiset-identical to the
+    source by exact integer invariants — the check a table-maintenance
+    job runs after every OPTIMIZE rewrite.  The oracle computes the
+    same invariants on the original table (a correct rewrite preserves
+    the multiset, so staging layout never enters the result)."""
+    from connected_component_spark.sources.zorder import write_zordered
+
+    path, needs_build = _staged_zorder_dir(sf_dir)
+    if needs_build:
+        import os
+
+        li, bounds = _zorder_inputs(spark, sf_dir)
+        write_zordered(
+            li,
+            path,
+            ["l_partkey", "l_suppkey"],
+            n_files=8,
+            bits=_Z_BITS,
+            bounds=bounds,
+        )
+        with open(os.path.join(path, "_READY"), "w") as fh:
+            fh.write("ok")
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("sum_orderkey"),
+        F.sum("l_partkey").alias("sum_partkey"),
+        F.sum("l_suppkey").alias("sum_suppkey"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+MAINTENANCE_ZORDER_ROUNDTRIP_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+       CAST(sum(l_partkey) AS BIGINT) AS sum_partkey,
+       CAST(sum(l_suppkey) AS BIGINT) AS sum_suppkey,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -2806,6 +2962,8 @@ QUERIES = {
     "q_approx_profile": q_approx_profile,
     "q_approx_quantiles": q_approx_quantiles,
     "q_customer_value_tiers": q_customer_value_tiers,
+    "maintenance_zorder_rank": maintenance_zorder_rank,
+    "maintenance_zorder_roundtrip": maintenance_zorder_roundtrip,
     "q_asof_orders": q_asof_orders,
     "q_interval_spikes": q_interval_spikes,
     "q08_market_share": q08_market_share,
@@ -2866,6 +3024,8 @@ ORACLES = {
     "q_approx_profile": Q_APPROX_PROFILE_SQL,
     "q_approx_quantiles": Q_APPROX_QUANTILES_SQL,
     "q_customer_value_tiers": Q_CUSTOMER_VALUE_TIERS_SQL,
+    "maintenance_zorder_rank": MAINTENANCE_ZORDER_RANK_SQL,
+    "maintenance_zorder_roundtrip": MAINTENANCE_ZORDER_ROUNDTRIP_SQL,
     "q_asof_orders": Q_ASOF_ORDERS_SQL,
     "q_interval_spikes": Q_INTERVAL_SPIKES_SQL,
     "q08_market_share": Q08_SQL,

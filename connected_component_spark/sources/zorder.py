@@ -41,7 +41,10 @@ def _bucket_rank(col: Column, bounds: list[float]) -> Column:
 
 
 def zorder_value(
-    df: DataFrame, cols: list[str], bits: int = 8
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    bounds: dict[str, list[float]] | None = None,
 ) -> tuple[DataFrame, Column]:
     """Return (df, z) where ``z`` is the interleaved-bit z-value over
     ``cols`` with ``bits`` bits of quantile rank per column.
@@ -49,7 +52,11 @@ def zorder_value(
     ``len(cols) * bits`` must be ≤ 63 (the z-value is a signed long).
     Cut points come from one ``approxQuantile`` pass (relative error
     1/2^(bits+2)) — a bounded driver-side sample, not a collect of
-    data rows.
+    data rows.  ``bounds`` optionally supplies EXPLICIT cut points
+    per column (ascending); columns listed there skip the quantile
+    job entirely, which makes the z-value fully deterministic — the
+    contract an exact cross-engine oracle needs (approxQuantile's cut
+    points are partition-order-sensitive).
     """
     if not cols:
         raise ValueError("zorder_value needs at least one column")
@@ -57,11 +64,23 @@ def zorder_value(
         raise ValueError(
             f"len(cols) * bits = {len(cols) * bits} exceeds 63 z-value bits"
         )
+    bounds = bounds or {}
+    unknown = set(bounds) - set(cols)
+    if unknown:
+        raise ValueError(f"bounds given for non-z-order columns {sorted(unknown)}")
     n_buckets = 1 << bits
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    # list form: ONE quantile job covers every column — per-column
-    # calls would each rescan the full input
-    all_bounds = df.approxQuantile(list(cols), probs, 1.0 / (n_buckets * 4))
+    need_quantiles = [c for c in cols if c not in bounds]
+    sampled: dict[str, list[float]] = {}
+    if need_quantiles:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        # list form: ONE quantile job covers every column — per-column
+        # calls would each rescan the full input
+        qs = df.approxQuantile(need_quantiles, probs, 1.0 / (n_buckets * 4))
+        sampled = dict(zip(need_quantiles, qs))
+    all_bounds = [
+        [float(b) for b in bounds[c]] if c in bounds else sampled[c]
+        for c in cols
+    ]
     ranks = []
     for c, col_bounds in zip(cols, all_bounds):
         bounds = sorted(set(col_bounds))
@@ -99,11 +118,13 @@ def write_zordered(
     n_files: int,
     bits: int = 8,
     mode: str = "overwrite",
+    bounds: dict[str, list[float]] | None = None,
 ) -> None:
     """Rewrite ``df`` as ``n_files`` parquet files z-ordered on
     ``cols``: range-partition on the z-value (one shuffle), sort each
-    file internally, drop the helper column on write."""
-    df, z = zorder_value(df, cols, bits)
+    file internally, drop the helper column on write.  ``bounds`` as
+    in :func:`zorder_value` (explicit cut points, deterministic)."""
+    df, z = zorder_value(df, cols, bits, bounds=bounds)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, F.col("__z"))

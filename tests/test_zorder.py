@@ -103,3 +103,42 @@ def test_zordered_layout_prunes_on_both_dims(spark, sf_dir, tmp_path):
     # the single-column sort leaves the second dimension materially
     # less clustered than the z-order layout does
     assert z_val < n_val - 0.15, f"z={z_val:.3f} vs naive={n_val:.3f}"
+
+
+def test_explicit_bounds_skip_quantile_job_and_are_deterministic(spark):
+    """bounds= supplies explicit cut points: the quantile job is
+    skipped for covered columns and the z-value is a pure function of
+    the row — the determinism contract the declared maintenance
+    queries rely on."""
+    df = spark.range(64).select(
+        F.col("id").alias("a"), (63 - F.col("id")).alias("b")
+    )
+    cuts = [float(i * 8) for i in range(1, 8)]  # 7 cuts -> 8 buckets (bits=3)
+    _, z1 = zorder_value(df, ["a", "b"], bits=3, bounds={"a": cuts, "b": cuts})
+    _, z2 = zorder_value(df, ["a", "b"], bits=3, bounds={"a": cuts, "b": cuts})
+    r1 = [r["z"] for r in df.withColumn("z", z1).orderBy("a").collect()]
+    r2 = [r["z"] for r in df.withColumn("z", z2).orderBy("a").collect()]
+    assert r1 == r2
+    # hand-check one row: a=0 -> rank 0; b=63 -> rank 7 (all cuts <= 63)
+    # bits=3, k=2: a owns the high slot of each pair -> z = interleave(0, 7)
+    z_row0 = r1[0]
+    expect = sum(((7 >> bit) & 1) << (bit * 2) for bit in range(3))
+    assert z_row0 == expect
+
+    # unknown column in bounds fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="non-z-order columns"):
+        zorder_value(df, ["a"], bits=3, bounds={"nope": cuts})
+
+
+def test_partial_bounds_mix_with_sampled_quantiles(spark):
+    """Columns without explicit bounds still get approxQuantile cut
+    points; the two sources coexist in one z-value."""
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") * 3 % 100).alias("b")
+    )
+    cuts = [25.0, 50.0, 75.0]
+    _, z = zorder_value(df, ["a", "b"], bits=2, bounds={"a": cuts})
+    vals = df.withColumn("z", z).select("z").distinct().count()
+    assert vals > 1  # both dimensions contribute
