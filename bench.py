@@ -111,7 +111,7 @@ def main() -> None:
 
         t0 = time.perf_counter()
         cliques, _ = distributed_clique_chains(spark, 100_000)
-        res = connected_components(cliques_to_edges(cliques))
+        res = connected_components(cliques_to_edges(cliques), skew_telemetry=True)
         out["cc_kernel"] = {
             "cliques": 100_000,
             "wall_sec": round(time.perf_counter() - t0, 3),
@@ -119,6 +119,9 @@ def main() -> None:
             "converged": res.converged,
             "round_pair_counts": res.round_pair_counts,
             "round_shuffle_bytes": res.round_shuffle_bytes,
+            # per-round reducer-key skew (max/p50/p99 rows per src key):
+            # the straggler signal a 100 TB run tunes against
+            "round_key_skew": res.round_key_skew,
         }
     except Exception as ex:
         out["cc_kernel"] = {"err": f"{type(ex).__name__}: {ex}"[:200]}

@@ -65,6 +65,15 @@ class CCResult:
     shrinking pair counts are the per-round progress signal).  Free
     in stable-set mode (the convergence scalar already computes it).
 
+    ``round_key_skew`` (opt-in via ``skew_telemetry=True``) is the
+    per-round reducer-key skew of the star shuffles: max / p50 / p99
+    of rows-per-src-key after each round — the quantity that decides
+    whether a straggler reducer appears at 100 TB (a power-law
+    component makes one key's group arbitrarily large while the
+    median stays tiny; the reference tunes against exactly this,
+    README.md:72).  Costs one extra groupBy-count aggregation per
+    round, so it is off by default.
+
     ``round_shuffle_bytes`` is the shuffle-write volume each round
     added — per-round deltas of the app-wide per-EXECUTOR
     ``totalShuffleWrite`` summaries from the JVM status store (read
@@ -83,6 +92,7 @@ class CCResult:
     iterations: int
     round_pair_counts: list[int] | None = None
     round_shuffle_bytes: list[int] | None = None
+    round_key_skew: list[dict] | None = None
 
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
@@ -194,6 +204,32 @@ def _shuffle_write_bytes_total(spark) -> int | None:
         return None
 
 
+def _key_skew(pairs: DataFrame) -> dict:
+    """max / p50 / p99 of the BIDIRECTIONAL degree per key — the
+    reducer-input profile of the next large-star round, which groups
+    the pair set viewed in both directions (a converged star puts a
+    whole component's size on its hub key, so this is exactly where a
+    100 TB straggler appears).  One union + groupBy-count aggregation;
+    percentiles via percentile_approx (driver holds 3 scalars)."""
+    both = pairs.select("src").unionAll(
+        pairs.select(F.col("dst").alias("src"))
+    )
+    row = (
+        both.groupBy("src")
+        .count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.percentile_approx("count", [0.5, 0.99], 10_000).alias("pct"),
+        )
+        .first()
+    )
+    return {
+        "max": int(row["mx"]),
+        "p50": int(row["pct"][0]),
+        "p99": int(row["pct"][1]),
+    }
+
+
 def _set_fingerprint(pairs: DataFrame) -> tuple[int, int]:
     """(row count, order-insensitive checksum) of a distinct pair set.
 
@@ -283,6 +319,7 @@ def connected_components(
     max_iterations: int = 20,
     convergence: Literal["stable-set", "reference-counts"] = "stable-set",
     checkpoint_dir: str | None = None,
+    skew_telemetry: bool = False,
 ) -> CCResult:
     """Compute connected components of an undirected edge list.
 
@@ -312,6 +349,7 @@ def connected_components(
     iterations = 0
     round_counts: list[int] = []
     round_shuffle: list[int] = []
+    round_skew: list[dict] = []
 
     # Right-size the per-round shuffles to the graph (shared policy:
     # plans/tuning.py:shrunk_shuffle — shrink-only, restored on exit;
@@ -345,6 +383,8 @@ def connected_components(
                 pairs = _checkpoint(small_star(large_star(pairs)), eager=False)
                 fp = _set_fingerprint(pairs)
                 round_counts.append(fp[0])
+                if skew_telemetry:
+                    round_skew.append(_key_skew(pairs))
                 if shuffle_before is not None:
                     after = _shuffle_write_bytes_total(spark)
                     if after is not None:
@@ -372,6 +412,7 @@ def connected_components(
             if stable and len(round_shuffle) == len(round_counts)
             else None
         ),
+        round_key_skew=(round_skew if stable and skew_telemetry else None),
     )
 
 

@@ -248,3 +248,24 @@ def test_graphframes_differential_if_available(spark, tmp_path):
         == pairs.select("gfc").distinct().count()
     )
     assert j.count() == ours.count()
+
+
+def test_cc_skew_telemetry_profiles_rounds(spark):
+    """Opt-in reducer-skew telemetry: one (max, p50, p99) profile per
+    round, max >= p99 >= p50 >= 1, and a star graph (one hub key)
+    shows max far above the median — the straggler signal the
+    telemetry exists to surface.  Off by default (None)."""
+    from connected_component_spark.graph.cc import connected_components
+
+    hub = spark.range(1, 400).selectExpr("0 as src", "id as dst")
+    res = connected_components(hub, skew_telemetry=True)
+    assert res.converged
+    skew = res.round_key_skew
+    assert skew is not None and len(skew) == res.iterations
+    for prof in skew:
+        assert prof["max"] >= prof["p99"] >= prof["p50"] >= 1
+    # round 1 reflects the hub: one key holds ~all pairs
+    assert skew[0]["max"] >= 50 * skew[0]["p50"]
+
+    res_off = connected_components(hub)
+    assert res_off.round_key_skew is None
