@@ -223,6 +223,8 @@ def _key_skew(pairs: DataFrame) -> dict:
         )
         .first()
     )
+    if row["mx"] is None:  # empty pair set: no keys, no skew
+        return {"max": 0, "p50": 0, "p99": 0}
     return {
         "max": int(row["mx"]),
         "p50": int(row["pct"][0]),
@@ -383,8 +385,6 @@ def connected_components(
                 pairs = _checkpoint(small_star(large_star(pairs)), eager=False)
                 fp = _set_fingerprint(pairs)
                 round_counts.append(fp[0])
-                if skew_telemetry:
-                    round_skew.append(_key_skew(pairs))
                 if shuffle_before is not None:
                     after = _shuffle_write_bytes_total(spark)
                     if after is not None:
@@ -392,6 +392,18 @@ def connected_components(
                         shuffle_before = after
                     else:
                         shuffle_before = None
+                # skew telemetry runs AFTER the shuffle-byte delta is
+                # taken, then re-baselines the counter: its own
+                # union+groupBy shuffle must appear in neither this
+                # round's delta nor the next one's — round_shuffle_bytes
+                # stays comparable whether telemetry is on or off
+                # (review r7).
+                if skew_telemetry:
+                    round_skew.append(_key_skew(pairs))
+                    if shuffle_before is not None:
+                        shuffle_before = (
+                            _shuffle_write_bytes_total(spark) or shuffle_before
+                        )
                 if fp == prev_fp:
                     converged = True
                     break

@@ -581,6 +581,17 @@ def _png_resize_rgb(payload: bytes, width: int, height: int) -> bytes:
     return _resize_rgb_nearest(sw, sh, rgb, width, height)
 
 
+def _require_pixel_matrix(pixels) -> None:
+    """Loud-failure contract for the encoders (review r7): an empty or
+    ragged pixel matrix raises ValueError, never a bare IndexError or
+    a degenerate zero-dimension payload the decoder then rejects."""
+    if not pixels or not pixels[0]:
+        raise ValueError("pixel matrix must be non-empty (rows of (r,g,b))")
+    w = len(pixels[0])
+    if any(len(row) != w for row in pixels):
+        raise ValueError("pixel matrix rows must all have the same width")
+
+
 def encode_png(
     pixels: list[list[tuple[int, int, int]]], filter_type: int | str = 0
 ) -> bytes:
@@ -593,6 +604,7 @@ def encode_png(
     each de-filter branch of the decoder."""
     import struct
 
+    _require_pixel_matrix(pixels)
     h, w = len(pixels), len(pixels[0])
     bpp = 3
     stride = w * bpp
@@ -896,6 +908,7 @@ def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
     4-byte stride padding."""
     import struct
 
+    _require_pixel_matrix(pixels)
     h, w = len(pixels), len(pixels[0])
     stride = (w * 3 + 3) & ~3
     body = bytearray()

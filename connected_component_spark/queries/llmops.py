@@ -2133,7 +2133,10 @@ def pipeline_audio_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 4 energy windows, applied cumulatively.  Every predicate is an
     integer comparison, so cross-engine parity needs no rounding."""
     docs = load_table(spark, sf_dir, "documents")
-    payload = mm.with_binary_payload(docs)
+    # lazy checkpoint: the payload subtree feeds BOTH mapInPandas
+    # passes below — without it each join branch re-runs the payload
+    # synthesis per doc (the documented twice-evaluated-subtree trap)
+    payload = mm.with_binary_payload(docs).localCheckpoint(eager=False)
     meta = mm.decode_audio_metadata(payload)
     wins = (
         mm.audio_energy(payload, window=_AUDIO_WINDOW)
@@ -2202,7 +2205,11 @@ def pipeline_video_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer predicates; composes three modality components with the
     shared funnel reporter."""
     docs = load_table(spark, sf_dir, "documents")
-    clips = mm.with_clip_payload(docs, frame_bytes=_CLIP_FRAME_BYTES)
+    # lazy checkpoint: the clip-synthesis subtree feeds BOTH the
+    # metadata decode and the frame sampler — materialize once
+    clips = mm.with_clip_payload(
+        docs, frame_bytes=_CLIP_FRAME_BYTES
+    ).localCheckpoint(eager=False)
     meta = mm.decode_clip_metadata(clips)
     sizes = (
         mm.sample_clip_frames(clips, every=1)

@@ -2863,26 +2863,15 @@ FROM zt GROUP BY z
 
 
 def _staged_zorder_dir(sf_dir: str) -> tuple[str, bool]:
-    """Staging-dir cache for the z-ordered lineitem rewrite, keyed by
-    fixture path + mtime (the streamq staging pattern): the rewrite
-    runs once per fixture, repeat invocations only re-read."""
-    import hashlib
+    """Staging-dir cache for the z-ordered lineitem rewrite (shared
+    protocol: sources/staging.py): the rewrite runs once per fixture
+    mtime, repeat invocations only re-read."""
     import os
-    import tempfile
+
+    from connected_component_spark.sources.staging import staged_dir
 
     src = os.path.join(os.path.abspath(sf_dir), "lineitem.parquet")
-    key = hashlib.md5(
-        f"zorder-v1|{src}|{os.stat(src).st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), "ccs_zorder", key)
-    if os.path.exists(os.path.join(path, "_READY")):
-        return path, False
-    if os.path.exists(path):
-        import shutil
-
-        shutil.rmtree(path)
-    os.makedirs(path, exist_ok=True)
-    return path, True
+    return staged_dir("ccs_zorder", src, "zorder-v1")
 
 
 def maintenance_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2908,8 +2897,9 @@ def maintenance_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits=_Z_BITS,
             bounds=bounds,
         )
-        with open(os.path.join(path, "_READY"), "w") as fh:
-            fh.write("ok")
+        from connected_component_spark.sources.staging import mark_ready
+
+        mark_ready(path)
     back = spark.read.parquet(path)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -2932,25 +2922,15 @@ FROM lineitem
 
 def _staged_compaction_dir(sf_dir: str) -> tuple[str, str, bool]:
     """Staging cache for the compaction round-trip: (fragmented_src,
-    compacted_dst, needs_build), keyed by fixture path + mtime."""
-    import hashlib
+    compacted_dst, needs_build), shared protocol sources/staging.py."""
     import os
-    import tempfile
+
+    from connected_component_spark.sources.staging import staged_dir
 
     src_parquet = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
-    key = hashlib.md5(
-        f"compact-v1|{src_parquet}|{os.stat(src_parquet).st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), "ccs_compact", key)
+    base, needs_build = staged_dir("ccs_compact", src_parquet, "compact-v1")
     frag, dst = os.path.join(base, "fragmented"), os.path.join(base, "compacted")
-    if os.path.exists(os.path.join(base, "_READY")):
-        return frag, dst, False
-    if os.path.exists(base):
-        import shutil
-
-        shutil.rmtree(base)
-    os.makedirs(base, exist_ok=True)
-    return frag, dst, True
+    return frag, dst, needs_build
 
 
 def maintenance_compaction_roundtrip(
@@ -2983,8 +2963,9 @@ def maintenance_compaction_roundtrip(
             raise RuntimeError(
                 f"compaction did not reduce file count ({n_frag} -> {n_out})"
             )
-        with open(os.path.join(os.path.dirname(dst), "_READY"), "w") as fh:
-            fh.write("ok")
+        from connected_component_spark.sources.staging import mark_ready
+
+        mark_ready(os.path.dirname(dst))
     back = spark.read.parquet(dst)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),

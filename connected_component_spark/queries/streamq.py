@@ -17,10 +17,8 @@ star-edge compression invariant across batch boundaries.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
-import tempfile
 import time
 from contextlib import contextmanager
 
@@ -71,22 +69,16 @@ def _staged_cache(
     after a successful build.  Spark's file listing ignores
     ``_``-prefixed files, so the marker never enters a stream.
     """
+    from connected_component_spark.sources.staging import staged_dir
+
     src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
-    key = hashlib.md5(
-        "|".join([STAGE_VERSION, src, str(os.stat(src).st_mtime_ns), *extra]).encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), kind, key)
-    if os.path.exists(os.path.join(path, "_READY")):
-        return path, False
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.makedirs(path, exist_ok=True)
-    return path, True
+    return staged_dir(kind, src, STAGE_VERSION, *extra)
 
 
 def _mark_ready(path: str) -> None:
-    with open(os.path.join(path, "_READY"), "w") as f:
-        f.write("ok")
+    from connected_component_spark.sources.staging import mark_ready
+
+    mark_ready(path)
 
 
 def _n_slices(n_events: int) -> int:

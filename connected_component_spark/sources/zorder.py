@@ -83,17 +83,17 @@ def zorder_value(
     ]
     ranks = []
     for c, col_bounds in zip(cols, all_bounds):
-        bounds = sorted(set(col_bounds))
-        if not bounds:
+        col_cuts = sorted(set(col_bounds))  # not `bounds`: that's the param
+        if not col_cuts:
             ranks.append(F.lit(0))
             continue
         # a low-cardinality column yields < n_buckets distinct cut
         # points; stretch its rank to the full bit range, otherwise
         # the wider column's high bits dominate every interleaved
         # slot and the narrow dimension declusters
-        raw = _bucket_rank(F.col(c), bounds)
+        raw = _bucket_rank(F.col(c), col_cuts)
         ranks.append(
-            F.floor(raw * F.lit((n_buckets - 1) / len(bounds))).cast("long")
+            F.floor(raw * F.lit((n_buckets - 1) / len(col_cuts))).cast("long")
         )
     z = F.lit(0).cast("long")
     k = len(cols)

@@ -695,3 +695,15 @@ def test_png_pil_interop_differential(spark):
         assert pil_rgb == mm._png_rgb_pixels(b)[2]
     else:
         pytest.skip("Pillow absent; stdlib round-trip covers the codec here")
+
+
+def test_encoders_reject_empty_or_ragged_pixels():
+    """review r7: encoders fail loudly on degenerate input instead of
+    IndexError / zero-dimension payloads."""
+    for enc in (mm.encode_png, mm.encode_bmp):
+        with pytest.raises(ValueError, match="non-empty"):
+            enc([])
+        with pytest.raises(ValueError, match="non-empty"):
+            enc([[]])
+        with pytest.raises(ValueError, match="same width"):
+            enc([[(1, 2, 3), (4, 5, 6)], [(7, 8, 9)]])
