@@ -70,6 +70,9 @@ _CHANGED_THIS_ROUND = (
     "pipeline_quality_funnel",
     # r7: new declared query (compressed PNG codec on the video path)
     "multimodal_video_png_frames",
+    # r7: result-affecting plan change (shared-subtree checkpoint)
+    "pipeline_audio_funnel",
+    "pipeline_video_funnel",
 )
 
 

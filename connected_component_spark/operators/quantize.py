@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from connected_component_spark.queries.parity import roundd
 
-__all__ = ["scalar_quantize", "quantization_report"]
+__all__ = ["scalar_quantize", "quantization_report", "l2_normalize"]
 
 
 def _as_double(v):
@@ -93,4 +93,30 @@ def quantization_report(
         F.when(F.col("_sq_scale") == F.lit(0.0), F.lit(1.0))
         .otherwise(roundd(dot / (n1 * n2), 6))
         .alias("cos_recon"),
+    )
+
+
+def l2_normalize(
+    emb: DataFrame, col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, norm, unit): L2 norm and unit-normalized vector per row —
+    the transform a cosine-similarity store applies at ingest so
+    serving can use plain dot products.
+
+    Map-only, pure Catalyst higher-order functions, zero shuffle.
+    Exactness: the squared norm is a LEFT FOLD in array order
+    (``F.aggregate`` with acc + x*x), sqrt and the per-element
+    division are single correctly-rounded IEEE ops — so an oracle
+    replaying the same fold order reproduces every double bit-for-bit
+    (same discipline as :func:`quantization_report`).  A zero vector
+    passes through unchanged with norm 0 (division would yield NaN).
+    """
+    v = _as_double(F.col(col))
+    sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    norm = F.sqrt(sq)
+    unit = F.when(norm == F.lit(0.0), v).otherwise(
+        F.transform(v, lambda x: x / norm)
+    )
+    return emb.select(
+        F.col(id_col), norm.alias("norm"), unit.alias("unit")
     )

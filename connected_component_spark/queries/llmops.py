@@ -2124,6 +2124,35 @@ FROM c
 """
 
 
+def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm + unit vector (operators/quantize.py:
+    l2_normalize) — the ingest-time transform that lets a cosine ANN
+    store serve plain dot products.  Exact cross-engine parity: the
+    squared norm is a left fold in array order, sqrt/division are
+    single correctly-rounded IEEE ops, so the oracle replays the fold
+    and matches every double bit-for-bit."""
+    return qz.l2_normalize(load_table(spark, sf_dir, "embeddings"))
+
+
+EMB_L2_NORMALIZE_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), e),
+                          (a, b) -> a + b * b)) AS norm
+  FROM v
+)
+SELECT vec_id, norm,
+       CASE WHEN norm = 0 THEN e
+            ELSE list_transform(e, x -> x / norm) END AS unit
+FROM n
+"""
+
+
 def pipeline_audio_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality admission funnel (r6 brief #5: compose the
     modality operators with the analytics surface): per-clip PCM
@@ -2429,6 +2458,7 @@ QUERIES = {
     "multimodal_video_real_frames": multimodal_video_real_frames,
     "multimodal_video_png_frames": multimodal_video_png_frames,
     "emb_quantize_report": emb_quantize_report,
+    "emb_l2_normalize": emb_l2_normalize,
     "pipeline_quality_funnel": pipeline_quality_funnel,
     "pipeline_audio_funnel": pipeline_audio_funnel,
     "pipeline_video_funnel": pipeline_video_funnel,
@@ -2487,6 +2517,7 @@ ORACLES = {
     "multimodal_video_real_frames": MULTIMODAL_VIDEO_REAL_FRAMES_SQL,
     "multimodal_video_png_frames": MULTIMODAL_VIDEO_PNG_FRAMES_SQL,
     "emb_quantize_report": EMB_QUANTIZE_REPORT_SQL,
+    "emb_l2_normalize": EMB_L2_NORMALIZE_SQL,
     "pipeline_quality_funnel": PIPELINE_QUALITY_FUNNEL_SQL,
     "pipeline_audio_funnel": PIPELINE_AUDIO_FUNNEL_SQL,
     "pipeline_video_funnel": PIPELINE_VIDEO_FUNNEL_SQL,

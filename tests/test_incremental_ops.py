@@ -309,3 +309,34 @@ def test_streaming_incremental_dedup_consolidation(spark):
         assert rows[31] == ("dup_of_corpus", 1)
     finally:
         sd._CONSOLIDATE_EVERY = orig
+
+
+# ---- l2 normalization -----------------------------------------------------
+
+def test_l2_normalize_known_and_zero_vectors(spark):
+    from connected_component_spark.operators.quantize import l2_normalize
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [2.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in l2_normalize(emb).collect()}
+    assert rows[1]["norm"] == 5.0 and rows[1]["unit"] == [0.6, 0.8]
+    # zero vector: passes through, no NaN
+    assert rows[2]["norm"] == 0.0 and rows[2]["unit"] == [0.0, 0.0]
+    assert rows[3]["unit"] == [1.0, 0.0, 0.0]
+
+
+def test_l2_normalize_unit_norm_property(spark):
+    import math
+
+    from connected_component_spark.operators.quantize import l2_normalize
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j * 7 % 13) + 0.25 for j in range(8)]) for i in range(1, 30)],
+        "vec_id long, embedding array<double>",
+    )
+    out = l2_normalize(emb).collect()
+    for r in out:
+        n = math.sqrt(sum(x * x for x in r["unit"]))
+        assert abs(n - 1.0) < 1e-12, (r["vec_id"], n)

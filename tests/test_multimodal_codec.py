@@ -707,3 +707,62 @@ def test_encoders_reject_empty_or_ragged_pixels():
             enc([[]])
         with pytest.raises(ValueError, match="same width"):
             enc([[(1, 2, 3), (4, 5, 6)], [(7, 8, 9)]])
+
+
+# ---- property-based codec differentials (hypothesis) ----------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _px_strategy = st.integers(1, 9).flatmap(
+        lambda w: st.lists(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+                ),
+                min_size=w,
+                max_size=w,
+            ),
+            min_size=1,
+            max_size=9,
+        )
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        px=_px_strategy,
+        ft=st.sampled_from([0, 1, 2, 3, 4, "mixed"]),
+    )
+    def test_png_roundtrip_property(px, ft):
+        """Any pixel matrix, any filter choice: encode→decode is the
+        identity, and the three real codecs agree on the RGB buffer —
+        the property the hand-picked matrices can't sweep."""
+        flat = bytes(c for row in px for p in row for c in p)
+        w, h = len(px[0]), len(px)
+        got = mm._png_rgb_pixels(mm.encode_png(px, filter_type=ft))
+        assert got == (w, h, flat)
+        assert mm._bmp_rgb_pixels(mm.encode_bmp(px)) == (w, h, flat)
+
+    @settings(max_examples=30, deadline=None)
+    @given(px=_px_strategy, cut=st.integers(10, 200))
+    def test_png_truncation_never_silent(px, cut):
+        """Truncating an encoded PNG anywhere after the signature must
+        raise ValueError (or decode identically if the cut only
+        removed bytes past IEND) — never return wrong pixels."""
+        b = mm.encode_png(px)
+        cut = min(cut, len(b) - 1)
+        if cut < 8:
+            return  # signature-level truncation is covered elsewhere
+        truncated = b[:cut]
+        flat = bytes(c for row in px for p in row for c in p)
+        try:
+            got = mm._png_rgb_pixels(truncated)
+        except ValueError:
+            return  # loud failure: the contract
+        assert got == (len(px[0]), len(px), flat)

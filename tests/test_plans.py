@@ -61,6 +61,7 @@ _LAZY_LLMOPS = [
     # + single-group funnel agg) and the compressed-codec clip path
     "pipeline_audio_funnel", "pipeline_video_funnel",
     "multimodal_video_png_frames",
+    "emb_l2_normalize",  # map-only higher-order fns, zero shuffle
 ]
 
 #: intentional bounded cross joins: a broadcast query/centroid batch
