@@ -13,7 +13,11 @@ Scale notes (100 TB):
 * LSH banding turns the O(n²) pair problem into a groupBy on band
   buckets; the per-bucket pair expansion is a self-join on the
   bucket key, so AQE's skew-join splitting handles hot buckets
-  (e.g. boilerplate documents).
+  (e.g. boilerplate documents).  AQE splits a hot bucket's TASKS but
+  cannot shrink its m²/2 pair OUTPUT — for corpora where one bucket
+  holds millions of near-identical pages, ``banded_pairs``'s opt-in
+  ``max_bucket_size`` valve chains oversized buckets (O(m) pairs,
+  connectivity preserved for CC clustering) instead of crossing them.
 * Hashes are the portable md5-based family (functions/hashing.py),
   so results are engine-independent and oracle-checkable.
 """
@@ -424,30 +428,83 @@ def banded_buckets(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: pairs are generated
     by a self-join on (band, bucket_hash).  Returns distinct (a, b)
-    with a < b."""
-    return banded_pairs(banded_buckets(signatures, bands, rows_per_band))
+    with a < b.  ``max_bucket_size``: see :func:`banded_pairs`."""
+    return banded_pairs(
+        banded_buckets(signatures, bands, rows_per_band),
+        max_bucket_size=max_bucket_size,
+    )
 
 
-def banded_pairs(banded: DataFrame) -> DataFrame:
+def banded_pairs(
+    banded: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct (a, b), a < b, from a (doc_id, band, bucket) band
     table — the self-join half of :func:`lsh_candidate_pairs`, split
     out so callers holding a materialized band table (streaming
-    state) don't recompute signatures."""
+    state) don't recompute signatures.
+
+    ``max_bucket_size`` is the hot-bucket valve for boilerplate-heavy
+    corpora: a bucket of m members normally contributes m·(m-1)/2
+    pairs, so ONE mega-bucket (millions of near-identical template
+    pages landing in the same band hash) turns the self-join
+    quadratic — the classic 100 TB LSH failure.  Buckets larger than
+    the cap are CHAINED instead of crossed: members sorted by doc_id
+    are linked consecutively (a→b→c), m-1 pairs, which preserves the
+    bucket's CONNECTIVITY for CC-based clustering (every member still
+    reaches every other through the chain when verification accepts
+    the links) at O(m) cost.  Tradeoff, stated plainly: downstream
+    Jaccard verification sees only chain pairs for capped buckets, so
+    a cluster can split where consecutive members fail the threshold
+    but some non-adjacent pair would have passed — acceptable for
+    near-identical mega-buckets (links are near-certain to verify),
+    wrong for pair-ENUMERATION semantics; hence opt-in, default None
+    (exact all-pairs, current behavior)."""
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2 (or None)")
     left, right = banded.alias("l"), banded.alias("r")
-    return (
-        left.join(
-            right,
+    if max_bucket_size is None:
+        return (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+            .distinct()
+        )
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_bsz")
+    )
+    with_size = banded.join(sizes, ["band", "bucket"])
+    small = with_size.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    big = with_size.where(F.col("_bsz") > max_bucket_size).drop("_bsz")
+    ls, rs = small.alias("l"), small.alias("r")
+    small_pairs = (
+        ls.join(
+            rs,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
     )
+    # chain the oversized buckets: one window sort per (band, bucket),
+    # linear pairs, no quadratic product anywhere
+    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    chain_pairs = (
+        big.withColumn("_prev", F.lag("doc_id").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("a"), F.col("doc_id").alias("b"))
+    )
+    return small_pairs.unionByName(chain_pairs).distinct()
 
 
 def jaccard_pairs(

@@ -344,3 +344,47 @@ def test_incremental_candidates_flat_as_corpus_doubles(spark):
     assert n_cand_big <= 1.5 * n_cand_small, (n_cand_small, n_cand_big)
     # and the candidate space is nowhere near corpus-sized
     assert n_cand_big < 20 * n_batch, n_cand_big
+
+
+def test_hot_bucket_valve_chains_oversized_buckets(spark):
+    """The max_bucket_size valve: a mega-bucket of m near-identical
+    docs contributes m-1 chain pairs instead of m(m-1)/2, small
+    buckets keep exact all-pairs, and CC clustering over the chained
+    candidates still recovers the full dup cluster."""
+    from connected_component_spark.graph.cc import components_with_isolates
+    from connected_component_spark.operators.dedup import (
+        banded_buckets,
+        banded_pairs,
+        jaccard_pairs,
+        minhash_signatures,
+    )
+
+    m = 200
+    # one mega-cluster of identical docs + a pair of distinct near-dups
+    rows = [(i, "identical boilerplate page content repeated everywhere") for i in range(m)]
+    rows += [(1000, "a genuinely different document about oceans and tides"),
+             (1001, "a genuinely different document about oceans and tides !!")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").localCheckpoint()
+    banded = banded_buckets(minhash_signatures(docs, 16, 3), 4, 4).localCheckpoint()
+
+    exact = banded_pairs(banded)
+    capped = banded_pairs(banded, max_bucket_size=16)
+    n_exact, n_capped = exact.count(), capped.count()
+    assert n_exact >= m * (m - 1) // 2          # quadratic without the valve
+    assert n_capped <= 4 * m + 10, n_capped     # ~linear with it (≤1 chain/band)
+    # the small bucket (the ocean pair) still produces its exact pair
+    assert capped.where("a = 1000 and b = 1001").count() == 1
+
+    # connectivity: CC over verified chain pairs recovers ONE cluster
+    verified = jaccard_pairs(docs, capped, 3).where("jaccard >= 0.5")
+    comp = components_with_isolates(
+        verified.selectExpr("a as src", "b as dst"), docs, "doc_id"
+    )
+    clusters = comp.groupBy("component").count().collect()
+    sizes = sorted(r["count"] for r in clusters)
+    assert sizes == [2, m]  # mega-cluster intact + the ocean pair
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        banded_pairs(banded, max_bucket_size=1)
