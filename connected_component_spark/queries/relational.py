@@ -2986,6 +2986,46 @@ FROM orders
 """
 
 
+def q_salted_hot_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tooling driver row (operators/skew.py): per-user event
+    profile built with the two explicit skew rewrites — collect_set
+    state spread over salted partials (salted_collect_set) and the
+    customer enrichment joined via a salted equi-join (salted_join,
+    hot users spread across 8 reducers, the dim replicated per salt).
+    Both rewrites are semantics-preserving, so the oracle is the
+    PLAIN group-by + join — identical output proves the salting
+    changed the physical plan, never the result."""
+    from connected_component_spark.operators.skew import (
+        salted_collect_set,
+        salted_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    types = salted_collect_set(ev, "user_id", "event_type", salts=8)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    profile = types.withColumnRenamed("values", "event_types").join(
+        counts, "user_id"
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    return salted_join(profile, dim, on="user_id", salts=8).select(
+        "user_id", "n_events", "event_types", "c_nationkey"
+    )
+
+
+Q_SALTED_HOT_USER_PROFILE_SQL = """
+WITH t AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         list_sort(list(DISTINCT event_type)) AS event_types
+  FROM events GROUP BY user_id
+)
+SELECT t.user_id, t.n_events, t.event_types, c.c_nationkey
+FROM t JOIN customer c ON c.c_custkey = t.user_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -3021,6 +3061,7 @@ QUERIES = {
     "maintenance_zorder_rank": maintenance_zorder_rank,
     "maintenance_zorder_roundtrip": maintenance_zorder_roundtrip,
     "maintenance_compaction_roundtrip": maintenance_compaction_roundtrip,
+    "q_salted_hot_user_profile": q_salted_hot_user_profile,
     "q_asof_orders": q_asof_orders,
     "q_interval_spikes": q_interval_spikes,
     "q08_market_share": q08_market_share,
@@ -3084,6 +3125,7 @@ ORACLES = {
     "maintenance_zorder_rank": MAINTENANCE_ZORDER_RANK_SQL,
     "maintenance_zorder_roundtrip": MAINTENANCE_ZORDER_ROUNDTRIP_SQL,
     "maintenance_compaction_roundtrip": MAINTENANCE_COMPACTION_ROUNDTRIP_SQL,
+    "q_salted_hot_user_profile": Q_SALTED_HOT_USER_PROFILE_SQL,
     "q_asof_orders": Q_ASOF_ORDERS_SQL,
     "q_interval_spikes": Q_INTERVAL_SPIKES_SQL,
     "q08_market_share": Q08_SQL,
