@@ -2986,6 +2986,135 @@ FROM orders
 """
 
 
+def maintenance_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-storage driver row (sources/bucketing.py): orders and
+    lineitem persisted as same-bucketed sorted tables on the join key,
+    then joined SHUFFLE-FREE — the on-disk co-location that makes a
+    100 TB fact-fact join affordable.  The query RAISES if the join
+    plan contains an Exchange (a layout regression must be loud, not
+    hidden behind matching invariants); the oracle computes the same
+    exact integer invariants from the plain tables, so identical
+    output proves the bucketed layout never changes results.  Tables
+    are staged once per session + fixture mtime (catalog-checked)."""
+    import hashlib
+    import os
+
+    from connected_component_spark.sources.bucketing import (
+        bucketed_join_ready,
+        write_bucketed_table,
+    )
+
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    tag = hashlib.md5(
+        f"{src}|{os.stat(src).st_mtime_ns}".encode()
+    ).hexdigest()[:8]
+    t_o, t_l = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    if not (
+        spark.catalog.tableExists(t_o) and spark.catalog.tableExists(t_l)
+    ):
+        # a FRESH session's in-memory catalog has no tables, but a
+        # previous session may have left data under the warehouse
+        # location — drop both and clear the stale dirs, then rebuild
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = wh.removeprefix("file:")
+        for t in (t_o, t_l):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        write_bucketed_table(
+            _t(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("orderkey"), "o_custkey"
+            ),
+            t_o,
+            "orderkey",
+        )
+        write_bucketed_table(
+            _t(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("orderkey"), "l_linenumber"
+            ),
+            t_l,
+            "orderkey",
+        )
+    joined = bucketed_join_ready(spark, t_o, t_l, prefer_merge=True)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # a SHUFFLE exchange means the bucket layout failed; the broadcast
+    # exchange the planner would pick unhinted at fixture scale is not
+    # a layout property, hence prefer_merge + the specific pattern
+    if "Exchange hashpartitioning" in plan:
+        raise RuntimeError(
+            "bucketed join planned a shuffle Exchange — bucket layout regressed"
+        )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_linenumber").alias("sum_linenumber"),
+        F.countDistinct("orderkey").alias("n_orders"),
+    )
+
+
+MAINTENANCE_BUCKETED_JOIN_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_linenumber) AS BIGINT) AS sum_linenumber,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+
+_INTERCHANGE_FORMATS = ("csv", "json", "orc")
+
+
+def interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format driver row (sources/formats.py): the nation
+    table written and re-read through each text/columnar interchange
+    format (CSV, JSON, ORC — explicit schemas, never inferSchema),
+    one invariant row per format.  A lossy round-trip (quoting,
+    null-vs-empty, type coercion) changes a checksum; the oracle
+    computes the same invariants straight from the source table per
+    format name."""
+    import os
+
+    from connected_component_spark.sources import formats as fmts
+    from connected_component_spark.sources.staging import mark_ready, staged_dir
+
+    nation = _t(spark, sf_dir, "nation")
+    schema = "n_nationkey long, n_name string, n_regionkey long"
+    src = os.path.join(os.path.abspath(sf_dir), "nation.parquet")
+    base, needs_build = staged_dir("ccs_interchange", src, "interchange-v1")
+    if needs_build:
+        fmts.write_csv(nation, os.path.join(base, "csv"))
+        fmts.write_json(nation, os.path.join(base, "json"))
+        fmts.write_orc(nation, os.path.join(base, "orc"))
+        mark_ready(base)
+    readers = {
+        "csv": lambda: fmts.read_csv(spark, os.path.join(base, "csv"), schema),
+        "json": lambda: fmts.read_json(spark, os.path.join(base, "json"), schema),
+        "orc": lambda: fmts.read_orc(spark, os.path.join(base, "orc")),
+    }
+    parts = [
+        readers[f]().agg(
+            F.lit(f).alias("fmt"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").alias("sum_key"),
+            F.sum(F.length("n_name")).alias("sum_name_chars"),
+        )
+        for f in _INTERCHANGE_FORMATS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+INTERCHANGE_ROUNDTRIP_SQL = """
+SELECT f.fmt,
+       (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_rows,
+       (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS sum_key,
+       (SELECT CAST(sum(length(n_name)) AS BIGINT) FROM nation)
+         AS sum_name_chars
+FROM (VALUES ('csv'), ('json'), ('orc')) f(fmt)
+"""
+
+
 def q_salted_hot_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-tooling driver row (operators/skew.py): per-user event
     profile built with the two explicit skew rewrites — collect_set
@@ -3062,6 +3191,8 @@ QUERIES = {
     "maintenance_zorder_roundtrip": maintenance_zorder_roundtrip,
     "maintenance_compaction_roundtrip": maintenance_compaction_roundtrip,
     "q_salted_hot_user_profile": q_salted_hot_user_profile,
+    "maintenance_bucketed_join": maintenance_bucketed_join,
+    "interchange_roundtrip": interchange_roundtrip,
     "q_asof_orders": q_asof_orders,
     "q_interval_spikes": q_interval_spikes,
     "q08_market_share": q08_market_share,
@@ -3126,6 +3257,8 @@ ORACLES = {
     "maintenance_zorder_roundtrip": MAINTENANCE_ZORDER_ROUNDTRIP_SQL,
     "maintenance_compaction_roundtrip": MAINTENANCE_COMPACTION_ROUNDTRIP_SQL,
     "q_salted_hot_user_profile": Q_SALTED_HOT_USER_PROFILE_SQL,
+    "maintenance_bucketed_join": MAINTENANCE_BUCKETED_JOIN_SQL,
+    "interchange_roundtrip": INTERCHANGE_ROUNDTRIP_SQL,
     "q_asof_orders": Q_ASOF_ORDERS_SQL,
     "q_interval_spikes": Q_INTERVAL_SPIKES_SQL,
     "q08_market_share": Q08_SQL,

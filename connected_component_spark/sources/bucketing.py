@@ -39,11 +39,18 @@ def write_bucketed_table(
 
 
 def bucketed_join_ready(
-    spark: SparkSession, left_table: str, right_table: str
+    spark: SparkSession, left_table: str, right_table: str,
+    prefer_merge: bool = False,
 ) -> DataFrame:
     """Join two same-bucketed tables on their bucket key; with equal
-    bucket counts the planner elides both shuffle Exchanges."""
+    bucket counts the planner elides both shuffle Exchanges.
+    ``prefer_merge`` adds a merge-join hint so the bucketed SMJ path
+    is exercised even when one side is small enough to broadcast
+    (small fixtures) — at the fact-fact scale bucketing targets, the
+    planner picks SMJ unhinted."""
     left = spark.table(left_table)
     right = spark.table(right_table)
+    if prefer_merge:
+        left = left.hint("merge")
     (key,) = set(left.columns) & set(right.columns)
     return left.join(right, key)
