@@ -74,7 +74,13 @@ def main() -> None:
     # per-query cost): without this, draw 1 — the driver-comparable
     # number — would charge the whole rewrite to whichever query sorts
     # first into it.
-    for _m in ("maintenance_zorder_roundtrip", "maintenance_compaction_roundtrip"):
+    for _m in (
+        "maintenance_zorder_roundtrip",
+        "maintenance_compaction_roundtrip",
+        "maintenance_merge_upsert",
+        "maintenance_bucketed_join",
+        "interchange_roundtrip",
+    ):
         if _m in qs:
             try:
                 qs[_m](spark, sf_dir).write.format("noop").mode("overwrite").save()

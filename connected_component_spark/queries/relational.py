@@ -3060,6 +3060,80 @@ FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 """
 
 
+def maintenance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert driver row (sources/upsert.py): an orders snapshot
+    (keys ∤ 7) folded with one deterministic change batch — updates
+    (keys ÷ 5, ∤ 11: custkey shifted by 1,000,000), inserts (keys ÷ 21,
+    all outside the snapshot), deletes (keys ÷ 11, tombstoned) — via
+    the copy-on-write rename-swap commit, then read back.  The oracle
+    computes the same fold declaratively over the source table, so
+    matching invariants prove update-wins / insert-new /
+    delete-tombstoned semantics end-to-end.  Staged once per fixture
+    mtime."""
+    import os
+
+    from connected_component_spark.sources.staging import mark_ready, staged_dir
+    from connected_component_spark.sources.upsert import (
+        merge_upsert,
+        read_snapshot,
+    )
+
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    base, needs_build = staged_dir("ccs_upsert", src, "upsert-v1")
+    path = os.path.join(base, "tbl")
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    if needs_build:
+        orders.where(k % 7 != 0).write.mode("overwrite").parquet(path)
+        updates = (
+            orders.where((k % 7 != 0) & (k % 5 == 0) & (k % 11 != 0))
+            .withColumn("o_custkey", F.col("o_custkey") + F.lit(1_000_000))
+            .withColumn("_deleted", F.lit(False))
+        )
+        inserts = orders.where(k % 21 == 0).withColumn(
+            "_deleted", F.lit(False)
+        )
+        deletes = orders.where((k % 7 != 0) & (k % 11 == 0)).withColumn(
+            "_deleted", F.lit(True)
+        )
+        changes = updates.unionByName(inserts).unionByName(deletes)
+        merge_upsert(
+            read_snapshot(spark, path),
+            changes,
+            "o_orderkey",
+            path,
+            delete_col="_deleted",
+        )
+        mark_ready(base)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_orderkey"),
+        F.sum("o_custkey").alias("sum_custkey"),
+        F.sum((F.col("o_custkey") >= 1_000_000).cast("long")).alias(
+            "n_updated"
+        ),
+    )
+
+
+MAINTENANCE_MERGE_UPSERT_SQL = """
+WITH final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0
+              THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey
+  FROM orders
+  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 21 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_orderkey,
+       CAST(sum(o_custkey) AS BIGINT) AS sum_custkey,
+       CAST(sum(CAST(o_custkey >= 1000000 AS INT)) AS BIGINT) AS n_updated
+FROM final
+"""
+
+
 _INTERCHANGE_FORMATS = ("csv", "json", "orc")
 
 
@@ -3193,6 +3267,7 @@ QUERIES = {
     "q_salted_hot_user_profile": q_salted_hot_user_profile,
     "maintenance_bucketed_join": maintenance_bucketed_join,
     "interchange_roundtrip": interchange_roundtrip,
+    "maintenance_merge_upsert": maintenance_merge_upsert,
     "q_asof_orders": q_asof_orders,
     "q_interval_spikes": q_interval_spikes,
     "q08_market_share": q08_market_share,
@@ -3259,6 +3334,7 @@ ORACLES = {
     "q_salted_hot_user_profile": Q_SALTED_HOT_USER_PROFILE_SQL,
     "maintenance_bucketed_join": MAINTENANCE_BUCKETED_JOIN_SQL,
     "interchange_roundtrip": INTERCHANGE_ROUNDTRIP_SQL,
+    "maintenance_merge_upsert": MAINTENANCE_MERGE_UPSERT_SQL,
     "q_asof_orders": Q_ASOF_ORDERS_SQL,
     "q_interval_spikes": Q_INTERVAL_SPIKES_SQL,
     "q08_market_share": Q08_SQL,
