@@ -2986,6 +2986,56 @@ FROM orders
 """
 
 
+def q_exact_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-nation median (no percentile_approx anywhere): the
+    two-sided rank pick — rows ranked by (acctbal, custkey), the
+    median is the mean of positions ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋ (the same
+    element twice when n is odd).  Cross-engine exactness: both
+    engines pick the SAME rows (deterministic tie-break) and the mean
+    of two doubles is a commutative sum + one division — no
+    interpolation-formula divergence, the reason the quantile
+    builtins are avoided.  Scale shape: one window shuffle on the
+    group key, then a tiny agg on ≤2 rows per group."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    wc = Window.partitionBy("c_nationkey")
+    ranked = cust.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    p1 = F.floor((F.col("n") + 1) / 2)
+    p2 = F.floor((F.col("n") + 2) / 2)
+    return (
+        ranked.where((F.col("rn") == p1) | (F.col("rn") == p2))
+        .groupBy("c_nationkey")
+        .agg(
+            (F.sum("c_acctbal") / F.count(F.lit(1))).alias("median_acctbal"),
+            F.max("n").alias("n_customers"),
+        )
+    )
+
+
+Q_EXACT_MEDIAN_ACCTBAL_SQL = """
+WITH r AS (
+  SELECT c_nationkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+)
+SELECT c_nationkey,
+       sum(c_acctbal) / count(*) AS median_acctbal,
+       CAST(max(n) AS BIGINT) AS n_customers
+FROM r
+WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+GROUP BY c_nationkey
+"""
+
+
 def maintenance_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-storage driver row (sources/bucketing.py): orders and
     lineitem persisted as same-bucketed sorted tables on the join key,
@@ -3261,6 +3311,7 @@ QUERIES = {
     "q_approx_profile": q_approx_profile,
     "q_approx_quantiles": q_approx_quantiles,
     "q_customer_value_tiers": q_customer_value_tiers,
+    "q_exact_median_acctbal": q_exact_median_acctbal,
     "maintenance_zorder_rank": maintenance_zorder_rank,
     "maintenance_zorder_roundtrip": maintenance_zorder_roundtrip,
     "maintenance_compaction_roundtrip": maintenance_compaction_roundtrip,
@@ -3328,6 +3379,7 @@ ORACLES = {
     "q_approx_profile": Q_APPROX_PROFILE_SQL,
     "q_approx_quantiles": Q_APPROX_QUANTILES_SQL,
     "q_customer_value_tiers": Q_CUSTOMER_VALUE_TIERS_SQL,
+    "q_exact_median_acctbal": Q_EXACT_MEDIAN_ACCTBAL_SQL,
     "maintenance_zorder_rank": MAINTENANCE_ZORDER_RANK_SQL,
     "maintenance_zorder_roundtrip": MAINTENANCE_ZORDER_ROUNDTRIP_SQL,
     "maintenance_compaction_roundtrip": MAINTENANCE_COMPACTION_ROUNDTRIP_SQL,
