@@ -480,6 +480,12 @@ def banded_pairs(
             .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
             .distinct()
         )
+    # the capped branch references the band table from four plan
+    # positions (sizes agg, both sides of the small self-join, big) —
+    # lazily materialize it once or the upstream minhash/banding tree
+    # re-evaluates per reference (review r7; the same discipline as
+    # the candidate checkpoint in incremental_dedup)
+    banded = banded.localCheckpoint(eager=False)
     sizes = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("_bsz")
     )

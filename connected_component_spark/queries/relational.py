@@ -3054,9 +3054,15 @@ def maintenance_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed_table,
     )
 
-    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    # tag covers BOTH staged sources' mtimes (review r7: an
+    # orders-only key would reuse a stale bucketed lineitem after a
+    # lineitem-only fixture change)
+    paths = [
+        os.path.join(os.path.abspath(sf_dir), f"{t}.parquet")
+        for t in ("orders", "lineitem")
+    ]
     tag = hashlib.md5(
-        f"{src}|{os.stat(src).st_mtime_ns}".encode()
+        "|".join(f"{p}|{os.stat(p).st_mtime_ns}" for p in paths).encode()
     ).hexdigest()[:8]
     t_o, t_l = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
     if not (
@@ -3064,14 +3070,20 @@ def maintenance_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         # a FRESH session's in-memory catalog has no tables, but a
         # previous session may have left data under the warehouse
-        # location — drop both and clear the stale dirs, then rebuild
+        # location — clear ALL bkt_* staging dirs (current tag's for
+        # rebuild correctness, older tags so fixture regenerations
+        # don't accumulate dead tables in the warehouse), then rebuild
+        import glob
         import shutil
 
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         wh = wh.removeprefix("file:")
         for t in (t_o, t_l):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        for d in glob.glob(os.path.join(wh, "bkt_orders_*")) + glob.glob(
+            os.path.join(wh, "bkt_lineitem_*")
+        ):
+            shutil.rmtree(d, ignore_errors=True)
         write_bucketed_table(
             _t(spark, sf_dir, "orders").select(
                 F.col("o_orderkey").alias("orderkey"), "o_custkey"
@@ -3087,11 +3099,13 @@ def maintenance_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orderkey",
         )
     joined = bucketed_join_ready(spark, t_o, t_l, prefer_merge=True)
-    plan = joined._jdf.queryExecution().executedPlan().toString()
     # a SHUFFLE exchange means the bucket layout failed; the broadcast
     # exchange the planner would pick unhinted at fixture scale is not
-    # a layout property, hence prefer_merge + the specific pattern
-    if "Exchange hashpartitioning" in plan:
+    # a layout property (summarize_plan counts shuffle Exchanges only —
+    # the same helper tests/test_bucketing.py asserts with)
+    from connected_component_spark.plans.inspect import summarize_plan
+
+    if summarize_plan(joined).exchanges != 0:
         raise RuntimeError(
             "bucketed join planned a shuffle Exchange — bucket layout regressed"
         )

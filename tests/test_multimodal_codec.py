@@ -748,6 +748,7 @@ if _HAS_HYPOTHESIS:
         got = mm._png_rgb_pixels(mm.encode_png(px, filter_type=ft))
         assert got == (w, h, flat)
         assert mm._bmp_rgb_pixels(mm.encode_bmp(px)) == (w, h, flat)
+        assert mm._ppm_rgb_pixels(_ppm_bytes(px)) == (w, h, flat)
 
     @settings(max_examples=30, deadline=None)
     @given(px=_px_strategy, cut=st.integers(10, 200))
