@@ -65,14 +65,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: existing query's result-affecting path changed — the round's new
 #: queries rank first automatically as never-driver-verified.)
 _CHANGED_THIS_ROUND = (
-    # r7: oracle-side BIGINT cast in PIPELINE_QUALITY_FUNNEL_SQL (the one
-    # red r6 row — engine values judge-verified equal; driver must re-hash).
-    "pipeline_quality_funnel",
-    # r7: new declared query (compressed PNG codec on the video path)
-    "multimodal_video_png_frames",
-    # r7: result-affecting plan change (shared-subtree checkpoint)
-    "pipeline_audio_funnel",
-    "pipeline_video_funnel",
+    # r8: output re-shaped to scalar columns (concat_ws over the
+    # event_types set) — the r7 red row; engine values judge-verified
+    # equal, the driver canonicalizer needed a scalar shape.
+    "q_salted_hot_user_profile",
+    # r8: output re-shaped — unit vector posexploded to scalar-double
+    # (vec_id, norm, pos, elem) rows; same r7 canonicalizer fix.
+    "emb_l2_normalize",
 )
 
 

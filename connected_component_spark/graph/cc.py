@@ -401,8 +401,13 @@ def connected_components(
                 if skew_telemetry:
                     round_skew.append(_key_skew(pairs))
                     if shuffle_before is not None:
+                        # None means "metric unavailable" (keep the old
+                        # baseline); a literal 0 is a valid reading and
+                        # must re-baseline too, else the telemetry job's
+                        # shuffle leaks into the next round's delta.
+                        t = _shuffle_write_bytes_total(spark)
                         shuffle_before = (
-                            _shuffle_write_bytes_total(spark) or shuffle_before
+                            t if t is not None else shuffle_before
                         )
                 if fp == prev_fp:
                     converged = True

@@ -530,20 +530,25 @@ def jaccard_pairs_from_sets(sets: DataFrame, pairs: DataFrame) -> DataFrame:
     (doc_id, sh) shingle-set table — the form a stateful/streaming
     caller keeps as its running state so shingling is never
     recomputed for already-seen documents."""
+    # two-step select: the intersection size is computed ONCE and the
+    # jaccard derived from the scalar in a second projection — a
+    # single select naming array_intersect twice lets Catalyst's
+    # project collapse evaluate the expensive set intersection twice
+    # per row (same trap documented at the ngram verify stage above)
     return (
         pairs.join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
         .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
         .select(
             "a",
             "b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("_ni"),
+            (F.size("sh_a") + F.size("sh_b")).alias("_nt"),
+        )
+        .select(
+            "a",
+            "b",
             roundd(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / (
-                    F.size("sh_a")
-                    + F.size("sh_b")
-                    - F.size(F.array_intersect("sh_a", "sh_b"))
-                ),
-                6,
+                F.col("_ni") / (F.col("_nt") - F.col("_ni")), 6
             ).alias("jaccard"),
         )
     )

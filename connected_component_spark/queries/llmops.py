@@ -2130,8 +2130,18 @@ def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     store serve plain dot products.  Exact cross-engine parity: the
     squared norm is a left fold in array order, sqrt/division are
     single correctly-rounded IEEE ops, so the oracle replays the fold
-    and matches every double bit-for-bit."""
-    return qz.l2_normalize(load_table(spark, sf_dir, "embeddings"))
+    and matches every double bit-for-bit.  The unit vector is
+    posexploded to (vec_id, norm, pos, elem) scalar-double rows on
+    the declared surface — floats are NEVER stringified (Spark and
+    DuckDB double→string formats differ), the bit-exact double
+    comparison is preserved element-wise; the array-shaped operator
+    output stays available via operators/quantize.py directly."""
+    base = qz.l2_normalize(load_table(spark, sf_dir, "embeddings"))
+    return base.select(
+        "vec_id", "norm", F.posexplode("unit").alias("pos", "elem")
+    ).select(
+        "vec_id", "norm", F.col("pos").cast("long").alias("pos"), "elem"
+    )
 
 
 EMB_L2_NORMALIZE_SQL = """
@@ -2145,11 +2155,17 @@ n AS (
          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), e),
                           (a, b) -> a + b * b)) AS norm
   FROM v
+),
+u AS (
+  SELECT vec_id, norm,
+         CASE WHEN norm = 0 THEN e
+              ELSE list_transform(e, x -> x / norm) END AS unit
+  FROM n
 )
 SELECT vec_id, norm,
-       CASE WHEN norm = 0 THEN e
-            ELSE list_transform(e, x -> x / norm) END AS unit
-FROM n
+       unnest(range(len(unit))) AS pos,
+       unnest(unit) AS elem
+FROM u
 """
 
 

@@ -3078,7 +3078,17 @@ def maintenance_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         wh = wh.removeprefix("file:")
-        for t in (t_o, t_l):
+        # DROP every bkt_* catalog entry, not just the current tag's:
+        # after a same-session fixture regeneration the OLD tag's
+        # tables would otherwise stay registered while their data dirs
+        # are rmtree'd below — dangling entries whose first touch
+        # fails with a missing-path error (advice r7)
+        stale = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith(("bkt_orders_", "bkt_lineitem_"))
+        ]
+        for t in {t_o, t_l, *stale}:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         for d in glob.glob(os.path.join(wh, "bkt_orders_*")) + glob.glob(
             os.path.join(wh, "bkt_lineitem_*")
@@ -3261,7 +3271,11 @@ def q_salted_hot_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot users spread across 8 reducers, the dim replicated per salt).
     Both rewrites are semantics-preserving, so the oracle is the
     PLAIN group-by + join — identical output proves the salting
-    changed the physical plan, never the result."""
+    changed the physical plan, never the result.  The set is
+    serialized with concat_ws (array_to_string in the oracle) so the
+    declared surface carries only scalar columns — same convention as
+    q_user_event_profile; the raw-array form stays available through
+    operators/skew.py directly."""
     from connected_component_spark.operators.skew import (
         salted_collect_set,
         salted_join,
@@ -3277,7 +3291,10 @@ def q_salted_hot_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_nationkey"
     )
     return salted_join(profile, dim, on="user_id", salts=8).select(
-        "user_id", "n_events", "event_types", "c_nationkey"
+        "user_id",
+        "n_events",
+        F.concat_ws(",", "event_types").alias("event_types"),
+        "c_nationkey",
     )
 
 
@@ -3285,7 +3302,8 @@ Q_SALTED_HOT_USER_PROFILE_SQL = """
 WITH t AS (
   SELECT user_id,
          CAST(count(*) AS BIGINT) AS n_events,
-         list_sort(list(DISTINCT event_type)) AS event_types
+         array_to_string(list_sort(list(DISTINCT event_type)), ',')
+           AS event_types
   FROM events GROUP BY user_id
 )
 SELECT t.user_id, t.n_events, t.event_types, c.c_nationkey

@@ -53,13 +53,48 @@ def canon(rows, cols, keep_row_order=False):
 _DRIVER_UNSAFE_DUCK_TYPES = {"HUGEINT", "UHUGEINT"}
 
 
+def _duck_unsafe_reason(t: str) -> str | None:
+    """Why a DuckDB output type breaks the driver harness, or None.
+
+    Two classes, both of which this gate must catch because canon()
+    happily compares them while the driver cannot:
+      * typing — HUGEINT class: dataframe fetch → float64 (r6).
+      * shape  — ARRAY/LIST/STRUCT/MAP/UNION: the driver's pandas
+        canonicalizer sort_values throws `unhashable type` before any
+        value comparison (r7 `q_salted_hot_user_profile` /
+        `emb_l2_normalize` failure mode).  Declared queries must emit
+        atomic scalar columns only.
+    """
+    u = str(t).upper()
+    if u in _DRIVER_UNSAFE_DUCK_TYPES:
+        return "typing"
+    if "[]" in u or u.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+        return "shape"
+    return None
+
+
 def driver_unsafe_cols(rel) -> list:
-    """Columns of a DuckDB relation whose type diverges under a
-    dataframe-typed fetch (the driver's fetch path)."""
+    """Columns of a DuckDB relation that diverge or crash under the
+    driver's dataframe-typed fetch + pandas canonicalizer."""
+    out = []
+    for c, t in zip(rel.columns, rel.types):
+        reason = _duck_unsafe_reason(t)
+        if reason:
+            out.append((c, str(t), reason))
+    return out
+
+
+def spark_unsafe_cols(df) -> list:
+    """Spark output columns with non-atomic types — same shape class
+    as the DuckDB side: the driver's pandas canonicalizer cannot
+    hash/sort list/dict cells, so any declared query emitting one is
+    a FAIL here regardless of values."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     return [
-        (c, str(t))
-        for c, t in zip(rel.columns, rel.types)
-        if str(t).upper() in _DRIVER_UNSAFE_DUCK_TYPES
+        (f.name, f.dataType.simpleString(), "shape")
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
     ]
 
 
@@ -87,7 +122,9 @@ def main() -> int:
         action="store_true",
         help="Spark-free sweep: bind every oracle_sql() entry in DuckDB and "
         "flag output columns whose type the driver's dataframe fetch would "
-        "materialize as float64 (HUGEINT class). Exit 1 on any flag.",
+        "materialize as float64 (HUGEINT class) or whose non-atomic shape "
+        "(ARRAY/LIST/STRUCT/MAP) the driver's pandas canonicalizer cannot "
+        "sort. Exit 1 on any flag.",
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -145,9 +182,17 @@ def main() -> int:
         t0 = time.time()
         try:
             df = qs[name](spark, args.sf)
+            s_unsafe = spark_unsafe_cols(df)
             s_rows = [tuple(r) for r in df.collect()]
             s_cols = df.columns
             if name not in oracles:
+                if s_unsafe:
+                    n_fail += 1
+                    print(
+                        f"{name:32s} FAIL  {len(s_rows):6d} rows  "
+                        f"{time.time()-t0:6.1f}s  driver-unsafe spark output: {s_unsafe}"
+                    )
+                    continue
                 print(f"{name:32s} ROWS-ONLY  {len(s_rows):6d} rows  {time.time()-t0:6.1f}s")
                 continue
             d = con.sql(oracles[name])
@@ -155,8 +200,16 @@ def main() -> int:
             unsafe = driver_unsafe_cols(d)
             d_rows = d.fetchall()
             status, detail = "PASS", ""
-            if unsafe:
-                status, detail = "FAIL", f"oracle-typing: driver fetch turns {unsafe} into float64"
+            if s_unsafe:
+                status, detail = (
+                    "FAIL",
+                    f"driver-unsafe spark output (canonicalizer cannot sort): {s_unsafe}",
+                )
+            elif unsafe:
+                status, detail = (
+                    "FAIL",
+                    f"driver-unsafe oracle output: {unsafe}",
+                )
             elif sorted(s_cols) != sorted(d_cols):
                 status, detail = "FAIL", f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}"
             elif len(s_rows) != len(d_rows):

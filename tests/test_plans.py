@@ -77,29 +77,52 @@ _ALLOWED_NESTED_LOOP = {
 }
 
 
+def _non_atomic_cols(df) -> list[str]:
+    """Declared-surface shape rule (r8): the driver's pandas
+    canonicalizer can only hash/sort atomic scalar cells, so every
+    declared query must emit scalar output columns (arrays serialized
+    via concat_ws or exploded to rows — see q_user_event_profile /
+    emb_l2_normalize)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def test_every_lazy_query_plan_is_clean(spark, sf_dir):
     """Blanket scale gate for the whole declared lazy surface: no
     row/scalar Python eval anywhere (Arrow mapInPandas stages are
-    separate and allowed), and no cartesian/nested-loop join outside
-    the documented bounded exceptions — so a future query can't
-    silently regress into an all-pairs or Python-row plan."""
+    separate and allowed), no cartesian/nested-loop join outside
+    the documented bounded exceptions, and no non-atomic output
+    column (the r7 driver-canonicalizer failure class) — so a future
+    query can't silently regress into an all-pairs, Python-row, or
+    driver-unhashable plan."""
     from connected_component_spark.queries import llmops
 
     failures = []
     for name, fn in relational.QUERIES.items():
-        s = summarize_plan(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        s = summarize_plan(df)
         if s.python_evals:
             failures.append(f"{name}: python_evals={s.python_evals}")
         if s.cartesian_products or s.broadcast_nested_loop_joins:
             failures.append(f"{name}: all-pairs join")
+        if _non_atomic_cols(df):
+            failures.append(f"{name}: non-atomic output {_non_atomic_cols(df)}")
     for name in _LAZY_LLMOPS:
-        s = summarize_plan(llmops.QUERIES[name](spark, sf_dir))
+        df = llmops.QUERIES[name](spark, sf_dir)
+        s = summarize_plan(df)
         if s.python_evals:
             failures.append(f"{name}: python_evals={s.python_evals}")
         if s.cartesian_products and name not in _ALLOWED_NESTED_LOOP:
             failures.append(f"{name}: cartesian")
         if s.broadcast_nested_loop_joins and name not in _ALLOWED_NESTED_LOOP:
             failures.append(f"{name}: nested loop")
+        if _non_atomic_cols(df):
+            failures.append(f"{name}: non-atomic output {_non_atomic_cols(df)}")
     assert not failures, failures
 
 

@@ -1,0 +1,90 @@
+"""sources/staging.py: mtime-keyed cache + the r8 build lock
+(advice r7: two processes hitting the same unready key must not
+rmtree each other's half-built dir)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import threading
+import time
+
+from connected_component_spark.sources.staging import (
+    _lock_path,
+    mark_ready,
+    staged_dir,
+)
+
+
+def _touch_src(tmp_path):
+    src = tmp_path / "src.txt"
+    src.write_text("fixture")
+    return str(src)
+
+
+def test_build_then_reuse(tmp_path):
+    src = _touch_src(tmp_path)
+    path, needs = staged_dir("ccs_test_stage", src, "v1")
+    assert needs
+    (open(os.path.join(path, "data"), "w")).write("x")
+    mark_ready(path)
+    assert not os.path.exists(_lock_path(path))
+    path2, needs2 = staged_dir("ccs_test_stage", src, "v1")
+    assert path2 == path and not needs2
+    assert os.path.exists(os.path.join(path, "data"))
+
+
+def test_half_built_dir_is_wiped_and_lock_reclaimed_same_pid(tmp_path):
+    src = _touch_src(tmp_path)
+    path, needs = staged_dir("ccs_test_half", src, "v1")
+    assert needs
+    open(os.path.join(path, "partial"), "w").write("x")
+    # no mark_ready: simulates a build that raised — the lock is still
+    # held by THIS pid and must be reclaimed, the partial dir wiped
+    path2, needs2 = staged_dir("ccs_test_half", src, "v1")
+    assert path2 == path and needs2
+    assert not os.path.exists(os.path.join(path, "partial"))
+    mark_ready(path)
+
+
+def test_dead_holder_lock_is_stolen(tmp_path):
+    src = _touch_src(tmp_path)
+    path, needs = staged_dir("ccs_test_dead", src, "v1")
+    assert needs
+    mark_ready(path)
+    os.remove(os.path.join(path, "_READY"))
+    # plant a lock owned by a real-but-exited pid
+    proc = subprocess.Popen(["sleep", "0"])
+    proc.wait()
+    with open(_lock_path(path), "w") as fh:
+        fh.write(str(proc.pid))
+    path2, needs2 = staged_dir("ccs_test_dead", src, "v1")
+    assert path2 == path and needs2
+    mark_ready(path)
+
+
+def test_waiter_blocks_until_live_holder_finishes(tmp_path):
+    src = _touch_src(tmp_path)
+    path, needs = staged_dir("ccs_test_wait", src, "v1")
+    assert needs
+    mark_ready(path)
+    os.remove(os.path.join(path, "_READY"))
+    # lock held by pid 1 (alive forever, kill(1,0) → PermissionError →
+    # not stale): the waiter must poll, then pick up the sentinel the
+    # "holder" writes and return needs_build=False
+    with open(_lock_path(path), "w") as fh:
+        fh.write("1")
+
+    def finish():
+        time.sleep(0.4)
+        with open(os.path.join(path, "_READY"), "w") as fh:
+            fh.write("ok")
+
+    t = threading.Thread(target=finish)
+    t.start()
+    t0 = time.monotonic()
+    path2, needs2 = staged_dir("ccs_test_wait", src, "v1")
+    t.join()
+    assert path2 == path and not needs2
+    assert time.monotonic() - t0 >= 0.3
+    os.unlink(_lock_path(path))
