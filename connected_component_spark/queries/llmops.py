@@ -417,14 +417,16 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql_core() -> str:
+def _minhash_sql_core(table: str = "documents") -> str:
     """Shared CTE chain: tokens → shingles → exploded → one md5 base
-    per shingle → affine-family signatures."""
+    per shingle → affine-family signatures.  ``table`` lets a caller
+    point the chain at a derived-docs CTE (the capped-band query's
+    planted-boilerplate corpus) instead of the raw fixture."""
     mins = ",\n         ".join(
         f"min({affine_hash_sql('base', i)}) AS h{i}" for i in range(_MINHASH_N)
     )
     return f"""
-toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+toks AS (SELECT doc_id, {TOKS} AS t FROM {table}),
 sh AS (SELECT doc_id, {SHINGLES} AS shingles FROM toks),
 shex AS (SELECT doc_id, {hash64_sql('unnest(shingles)')} AS base FROM sh),
 sig AS (
@@ -513,6 +515,107 @@ walk(node, comp) AS (
 )
 SELECT node AS doc_id, min(comp) AS cluster
 FROM walk GROUP BY node
+"""
+
+
+#: hot-bucket valve probe: every doc_id % 5 == 0 gets its text
+#: replaced by this constant boilerplate page, so those n/5 docs
+#: share one identical signature → ONE band bucket of n/5 members in
+#: every band (100 at sf0.001/0.01, 1000 at sf0.1) — far above the
+#: cap, forcing banded_pairs through its chain branch at every sf.
+_BOILERPLATE_TEXT = (
+    "subscribe to our newsletter all rights reserved terms of service "
+    "privacy policy cookie settings contact us about this site"
+)
+_CAP_BUCKET = 16
+
+
+def dedup_capped_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket valve on the declared path (operators/dedup.py:
+    banded_pairs(max_bucket_size=)): a boilerplate-heavy corpus —
+    every fifth doc replaced by one constant template page — lands
+    n/5 docs in a single band bucket per band, the classic LSH
+    mega-bucket that would contribute m²/2 pairs.  With the cap the
+    oversized buckets are CHAINED (members sorted by doc_id, m−1
+    consecutive pairs, connectivity preserved for CC clustering)
+    while normal-sized buckets still cross exactly; candidates are
+    then exact-Jaccard verified as usual.  The oracle replays the
+    same cap decision (bucket size vs {cap}) and the same
+    deterministic sorted-consecutive chains, so identical output
+    proves the valve's semantics end-to-end, not just its pair
+    count."""
+    docs = load_table(spark, sf_dir, "documents")
+    boiler = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(_BOILERPLATE_TEXT)
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sigs = dd.minhash_signatures(boiler, _MINHASH_N)
+    banded = dd.banded_buckets(sigs, _LSH_BANDS, _LSH_ROWS)
+    pairs = dd.banded_pairs(banded, max_bucket_size=_CAP_BUCKET)
+    return dd.jaccard_pairs(boiler, pairs)
+
+
+def _capped_pairs_sql() -> str:
+    """CTE chain extension mirroring banded_pairs(max_bucket_size=):
+    per-bucket sizes, all-pairs for buckets ≤ cap, lag-chains for
+    buckets > cap, then the shared exact-jaccard verify."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_bucket_sql(b)} AS bucket FROM sig"
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
+banded AS ({band_rows}),
+sizes AS (
+  SELECT band, bucket, count(*) AS bsz
+  FROM banded GROUP BY band, bucket
+),
+ws AS (
+  SELECT b.doc_id, b.band, b.bucket, s.bsz
+  FROM banded b JOIN sizes s ON b.band = s.band AND b.bucket = s.bucket
+),
+small_pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM ws l JOIN ws r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+  WHERE l.bsz <= {_CAP_BUCKET}
+),
+chain_pairs AS (
+  SELECT a, b FROM (
+    SELECT lag(doc_id) OVER (PARTITION BY band, bucket ORDER BY doc_id) AS a,
+           doc_id AS b
+    FROM ws WHERE bsz > {_CAP_BUCKET}
+  ) WHERE a IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM small_pairs UNION ALL SELECT a, b FROM chain_pairs
+  )
+),
+jac AS (
+  SELECT a, b,
+         {roundd_sql('len(list_intersect(sa.shingles, sb.shingles)) / '
+                     '(len(sa.shingles) + len(sb.shingles) '
+                     '- len(list_intersect(sa.shingles, sb.shingles)))', 6)} AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = a
+  JOIN sh sb ON sb.doc_id = b
+)"""
+
+
+DEDUP_CAPPED_BAND_PAIRS_SQL = f"""
+WITH docs_boiler AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN '{_BOILERPLATE_TEXT}'
+              ELSE text END AS text
+  FROM documents
+),
+{_minhash_sql_core(table="docs_boiler")},
+{_capped_pairs_sql()}
+SELECT a, b, jaccard FROM jac
 """
 
 
@@ -2441,6 +2544,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_incremental": dedup_incremental,
+    "dedup_capped_band_pairs": dedup_capped_band_pairs,
     "dedup_ngram_pairs": dedup_ngram_pairs,
     "dedup_ngram_pairs_prefix": dedup_ngram_pairs_prefix,
     "dedup_wordgram_pairs": dedup_wordgram_pairs,
@@ -2500,6 +2604,7 @@ ORACLES = {
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "dedup_capped_band_pairs": DEDUP_CAPPED_BAND_PAIRS_SQL,
     "dedup_ngram_pairs": DEDUP_NGRAM_PAIRS_SQL,
     "dedup_ngram_pairs_prefix": DEDUP_NGRAM_PAIRS_PREFIX_SQL,
     "dedup_wordgram_pairs": DEDUP_WORDGRAM_PAIRS_SQL,

@@ -388,3 +388,25 @@ def test_hot_bucket_valve_chains_oversized_buckets(spark):
 
     with pytest.raises(ValueError, match="max_bucket_size"):
         banded_pairs(banded, max_bucket_size=1)
+
+
+def test_declared_capped_band_pairs_exercises_chain_branch(spark, sf_dir):
+    """The r8 declared query (dedup_capped_band_pairs) must actually
+    route its planted boilerplate mega-bucket through the chain
+    branch: at sf0.001 the 100 template docs (doc_id % 5 == 0) yield
+    exactly 99 consecutive-by-5 chain pairs at jaccard 1.0 — linear,
+    not the 4,950 a crossed bucket would emit — while organic
+    small-bucket pairs keep exact all-pairs semantics."""
+    from connected_component_spark.queries.llmops import (
+        dedup_capped_band_pairs,
+    )
+
+    rows = dedup_capped_band_pairs(spark, sf_dir).collect()
+    chain = [
+        r for r in rows
+        if r.a % 5 == 0 and r.b % 5 == 0 and r.jaccard == 1.0
+    ]
+    assert len(chain) == 99, len(chain)
+    assert all(r.b - r.a == 5 for r in chain)
+    # nowhere near the quadratic count of an uncapped mega-bucket
+    assert len(rows) < 1000, len(rows)

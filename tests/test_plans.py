@@ -62,6 +62,9 @@ _LAZY_LLMOPS = [
     "pipeline_audio_funnel", "pipeline_video_funnel",
     "multimodal_video_png_frames",
     "emb_l2_normalize",  # map-only higher-order fns, zero shuffle
+    # r8: hot-bucket valve — small-bucket equi-self-join + per-bucket
+    # lag chain; the mega-bucket never enters a quadratic product
+    "dedup_capped_band_pairs",
 ]
 
 #: intentional bounded cross joins: a broadcast query/centroid batch
