@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 from connected_component_spark.graph.cc import (
     component_rosters,
     connected_components,
+    large_star,
+    small_star,
 )
 from connected_component_spark.sources.tables import load_table
 
@@ -566,8 +568,220 @@ FROM members GROUP BY c
 CC_GENERATED_CHAINS_SQL = _cc_generated_chains_sql()
 
 
+#: fixed unroll depth for the hash-checked reducer-skew report — deep
+#: enough to show the converging-star profile (the copresence graph
+#: reaches its fixpoint in ~3 rounds at fixture scale), shallow enough
+#: for a 3-round CTE unroll in the oracle.
+_SKEW_ROUNDS = 3
+
+
+def cc_round_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reducer-skew as a first-class, hash-checked observable
+    (reference README.md:72's tuning concern; the kernel's opt-in
+    ``skew_telemetry`` measures the same profile with
+    percentile_approx): per alternating-star round, the bidirectional
+    rows-per-key distribution of the pair set — (round, n_pairs,
+    n_keys, max_deg, p50_deg, p99_deg).
+
+    Unlike the kernel telemetry (approximate percentiles, engine-
+    internal), this report runs the SAME round operators the kernel
+    loop calls (graph/cc.py:large_star/small_star) for a FIXED
+    ``_SKEW_ROUNDS`` unroll and picks EXACT discrete percentiles by
+    integer rank (rank ceil(q·n) over the degree histogram — integer
+    arithmetic only, no float thresholds), so a DuckDB oracle can
+    replay every round and every statistic value-for-value.  One
+    partitioned window over the per-round degree HISTOGRAM (≤ a few
+    hundred distinct degree values), never over the key set."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = copresence_edges(spark, sf_dir).union(
+        ev.select(
+            F.col("user_id").alias("src"), F.col("user_id").alias("dst")
+        ).distinct()
+    )
+    # the kernel's prologue: canonical long-typed distinct pair set
+    pairs = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg_parts = []
+    pair_counts = []
+
+    def _tap(p: DataFrame, r: int) -> None:
+        both = p.select("src").unionAll(p.select(F.col("dst").alias("src")))
+        deg_parts.append(
+            both.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .select(F.lit(r).cast("long").alias("round"), "src", "deg")
+        )
+        pair_counts.append(
+            p.agg(F.count(F.lit(1)).alias("n_pairs")).select(
+                F.lit(r).cast("long").alias("round"), "n_pairs"
+            )
+        )
+
+    # round 0 = the canonical input pair set: the pre-kernel profile,
+    # so the report shows the raw-adjacency → converged-hub transition
+    _tap(pairs, 0)
+    for r in range(1, _SKEW_ROUNDS + 1):
+        # lazy checkpoint per round: each round table feeds the next
+        # round, its degree branch and its pair count — three plan
+        # references, one evaluation (the kernel loop's discipline)
+        pairs = small_star(large_star(pairs)).localCheckpoint(eager=False)
+        _tap(pairs, r)
+    deg = deg_parts[0]
+    for d in deg_parts[1:]:
+        deg = deg.unionByName(d)
+    deg = deg.localCheckpoint(eager=False)  # feeds base stats + histogram
+    n_pairs = pair_counts[0]
+    for q in pair_counts[1:]:
+        n_pairs = n_pairs.unionByName(q)
+    base = deg.groupBy("round").agg(
+        F.count(F.lit(1)).alias("n_keys"), F.max("deg").alias("max_deg")
+    )
+    hist = deg.groupBy("round", "deg").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("round")
+        .orderBy("deg")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(
+        F.broadcast(base.select("round", "n_keys")), "round"
+    )
+    p50 = (
+        cum.where(F.col("cum") >= F.expr("(n_keys + 1) div 2"))
+        .groupBy("round")
+        .agg(F.min("deg").alias("p50_deg"))
+    )
+    p99 = (
+        cum.where(F.col("cum") >= F.expr("(99 * n_keys + 99) div 100"))
+        .groupBy("round")
+        .agg(F.min("deg").alias("p99_deg"))
+    )
+    return (
+        n_pairs.join(base, "round")
+        .join(p50, "round")
+        .join(p99, "round")
+        .select("round", "n_pairs", "n_keys", "max_deg", "p50_deg", "p99_deg")
+    )
+
+
+def _skew_round_sql(r: int) -> str:
+    """One alternating-star round as CTEs: the literal SQL replay of
+    graph/cc.py:large_star (both directions, self-loops once, n >= v
+    emit) then small_star ((larger, smaller) orientation, n != m emit,
+    closing distinct)."""
+    p = f"c{r - 1}"
+    # every chain CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and the multi-reference unroll (c{r-1} appears 3× per
+    # round) would otherwise expand the upstream chain exponentially —
+    # ~5^rounds copies of the events scan ("Too many open files")
+    return f"""
+l{r}d AS MATERIALIZED (
+  SELECT src, dst FROM {p} WHERE src <> dst
+  UNION ALL SELECT dst, src FROM {p} WHERE src <> dst
+  UNION ALL SELECT src, dst FROM {p} WHERE src = dst
+),
+l{r}m AS MATERIALIZED (
+  SELECT src, least(src, min(dst)) AS m FROM l{r}d GROUP BY src
+),
+l{r}o AS MATERIALIZED (
+  SELECT d.dst AS src, m.m AS dst
+  FROM l{r}d d JOIN l{r}m m ON d.src = m.src WHERE d.dst >= d.src
+  UNION ALL SELECT src, m FROM l{r}m
+),
+s{r}o AS MATERIALIZED (
+  SELECT greatest(src, dst) AS src, least(src, dst) AS dst FROM l{r}o
+),
+s{r}m AS MATERIALIZED (
+  SELECT src, least(src, min(dst)) AS m FROM s{r}o GROUP BY src
+),
+c{r} AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT o.dst AS src, m.m AS dst
+    FROM s{r}o o JOIN s{r}m m ON o.src = m.src WHERE o.dst <> m.m
+    UNION ALL SELECT src, m FROM s{r}m
+  )
+),
+deg{r} AS MATERIALIZED (
+  SELECT src, count(*) AS deg FROM (
+    SELECT src FROM c{r} UNION ALL SELECT dst FROM c{r}
+  ) GROUP BY src
+)"""
+
+
+def _cc_round_skew_sql() -> str:
+    rounds = ",".join(_skew_round_sql(r) for r in range(1, _SKEW_ROUNDS + 1))
+    deg_all = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, src, deg FROM deg{r}"
+        for r in range(0, _SKEW_ROUNDS + 1)
+    )
+    pairs_all = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" CAST(count(*) AS BIGINT) AS n_pairs FROM c{r}"
+        for r in range(0, _SKEW_ROUNDS + 1)
+    )
+    return f"""
+WITH {_COPRESENCE_EDGES_SQL.strip().rstrip()},
+base AS (
+  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM edges
+  UNION ALL
+  SELECT DISTINCT CAST(user_id AS BIGINT), CAST(user_id AS BIGINT) FROM events
+),
+c0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM base
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+),
+deg0 AS MATERIALIZED (
+  SELECT src, count(*) AS deg FROM (
+    SELECT src FROM c0 UNION ALL SELECT dst FROM c0
+  ) GROUP BY src
+),
+{rounds},
+deg_all AS ({deg_all}),
+pairs_all AS ({pairs_all}),
+base_stats AS (
+  SELECT round, CAST(count(*) AS BIGINT) AS n_keys, max(deg) AS max_deg
+  FROM deg_all GROUP BY round
+),
+hist AS (SELECT round, deg, count(*) AS cnt FROM deg_all GROUP BY round, deg),
+cum AS (
+  SELECT round, deg,
+         sum(cnt) OVER (PARTITION BY round ORDER BY deg
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+j AS (
+  SELECT c.round, c.deg, c.cum, b.n_keys
+  FROM cum c JOIN base_stats b ON b.round = c.round
+),
+p50 AS (
+  SELECT round, min(deg) AS p50_deg FROM j
+  WHERE cum >= (n_keys + 1) // 2 GROUP BY round
+),
+p99 AS (
+  SELECT round, min(deg) AS p99_deg FROM j
+  WHERE cum >= (99 * n_keys + 99) // 100 GROUP BY round
+)
+SELECT pa.round, pa.n_pairs, b.n_keys, b.max_deg, f.p50_deg, n.p99_deg
+FROM pairs_all pa
+JOIN base_stats b ON b.round = pa.round
+JOIN p50 f ON f.round = pa.round
+JOIN p99 n ON n.round = pa.round
+"""
+
+
+CC_ROUND_SKEW_SQL = _cc_round_skew_sql()
+
+
 QUERIES = {
     "cc_user_copresence": cc_user_copresence,
+    "cc_round_skew_report": cc_round_skew_report,
     "cc_generated_chains": cc_generated_chains,
     "cc_copresence_rosters": cc_copresence_rosters,
     "graph_triangles": graph_triangles,
@@ -581,6 +795,7 @@ QUERIES = {
 
 ORACLES = {
     "cc_user_copresence": CC_USER_COPRESENCE_SQL,
+    "cc_round_skew_report": CC_ROUND_SKEW_SQL,
     "cc_generated_chains": CC_GENERATED_CHAINS_SQL,
     "cc_copresence_rosters": CC_COPRESENCE_ROSTERS_SQL,
     "graph_triangles": GRAPH_TRIANGLES_SQL,

@@ -196,3 +196,34 @@ def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
         for f in files
     ]
     assert found, "no checkpoint files written in checkpoint_dir mode"
+
+
+def test_reliable_checkpoint_survives_source_deletion(spark, tmp_path):
+    """Fault-tolerance property of checkpoint_dir mode: the converged
+    pair set must be recomputable from the CHECKPOINT FILES alone —
+    after the fixpoint, the source parquet is deleted and the
+    assignments still collect (a plan still referencing the scan
+    would fail with a missing-file error).  This is the lineage
+    truncation that lets a multi-hour cluster run survive executor
+    loss without replaying the whole iteration history."""
+    import shutil
+
+    src = str(tmp_path / "edges_src")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    ).write.parquet(src)
+    edges = spark.read.parquet(src)
+
+    ckdir = str(tmp_path / "ck2")
+    res = connected_components(edges, checkpoint_dir=ckdir)
+    assert res.converged
+
+    spark.catalog.clearCache()
+    shutil.rmtree(src)
+
+    got = {(r["node"], r["component"]) for r in res.assignments.collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20),
+    }
