@@ -67,6 +67,7 @@ __all__ = [
     "clip_frames",
     "encode_bmp",
     "encode_png",
+    "encode_gif",
     "with_clip_payload",
     "decode_clip_metadata",
     "sample_clip_frames",
@@ -85,16 +86,17 @@ __all__ = [
 
 def available_codecs() -> tuple[str, ...]:
     """Codecs usable in this runtime (``stub`` and the pure-stdlib
-    ``bmp``/``ppm``/``png`` always; ``pil`` when Pillow imports)."""
-    base = ("stub", "bmp", "ppm", "png")
+    ``bmp``/``ppm``/``png``/``gif`` always; ``pil`` when Pillow
+    imports)."""
+    base = ("stub", "bmp", "ppm", "png", "gif")
     return base + ("pil",) if _PILImage is not None else base
 
 
 def _require_codec(codec: str) -> None:
-    if codec not in ("stub", "bmp", "ppm", "png", "pil"):
+    if codec not in ("stub", "bmp", "ppm", "png", "gif", "pil"):
         raise ValueError(
             f"unknown codec {codec!r}; use one of "
-            "('stub', 'bmp', 'ppm', 'png', 'pil')"
+            "('stub', 'bmp', 'ppm', 'png', 'gif', 'pil')"
         )
     if codec == "pil" and _PILImage is None:
         raise RuntimeError(
@@ -652,6 +654,274 @@ def encode_png(
     )
 
 
+# --------------------------------------------------------------------------
+# GIF: the second REAL compressed pure-stdlib codec (LZW, variable-
+# width codes, LSB-first bit packing — GIF89a spec appendix F), so the
+# compressed branch of the codec seam has a cross-codec differential
+# like the uncompressed bmp/ppm pair.  Single-image, non-interlaced,
+# global or local color table; loud ValueError on anything else.
+# --------------------------------------------------------------------------
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+_GIF_MAX_CODE = 4096  # 12-bit ceiling (spec)
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-flavor LZW: codes start at ``min_code_size + 1`` bits,
+    LSB-first; CLEAR resets the table, widths grow at 2^width up to
+    12 bits, table additions stop at 4096 until the next CLEAR."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"invalid GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    big = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    bitpos = 0
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        if bitpos + width > total_bits:
+            raise ValueError("GIF LZW stream ended without EOI code")
+        code = (big >> bitpos) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError(f"corrupt GIF LZW: first code {code} unknown")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW: code {code} out of sequence")
+        if prev is not None and next_code < _GIF_MAX_CODE:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Inverse of :func:`_lzw_decode`; emits CLEAR up front and again
+    whenever the table fills, EOI at the end — width transitions
+    mirror the decoder exactly."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    res = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            res.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for ch in bytes(indices):
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < _GIF_MAX_CODE:
+            table[wc] = next_code
+            next_code += 1
+            # one add LATER than the decoder's bump (== 1 << width):
+            # the decoder constructs each entry only after reading the
+            # FOLLOWING code, so its table is one entry behind — both
+            # sides widen exactly when entry (1 << width) - 1 exists
+            # on their own count
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        res.append(buf & 0xFF)
+    return bytes(res)
+
+
+def encode_gif(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal single-image GIF89a encoder: ``pixels`` is a list of
+    rows (top-down), each a list of (r, g, b); palette built from the
+    distinct colors in first-seen order (≤256 or ValueError).
+    Inverse of :func:`_gif_rgb_pixels` — exists so tests and the
+    declared clip path can synthesize genuinely LZW-compressed
+    payloads that exercise the real decoder."""
+    import struct
+
+    _require_pixel_matrix(pixels)
+    h, w = len(pixels), len(pixels[0])
+    palette: list[tuple[int, int, int]] = []
+    index: dict[tuple[int, int, int], int] = {}
+    idxs = bytearray()
+    for row in pixels:
+        for c in row:
+            c = tuple(int(v) for v in c)
+            if c not in index:
+                if len(palette) == 256:
+                    raise ValueError(
+                        "encode_gif: more than 256 distinct colors"
+                    )
+                index[c] = len(palette)
+                palette.append(c)
+            idxs.append(index[c])
+    n = 0  # gct size field: table holds 2^(n+1) entries
+    while (1 << (n + 1)) < max(len(palette), 2):
+        n += 1
+    gct_entries = 1 << (n + 1)
+    min_code = max(2, n + 1)
+    gct = b"".join(bytes(c) for c in palette)
+    gct += b"\x00\x00\x00" * (gct_entries - len(palette))
+    lzw = _lzw_encode(min_code, bytes(idxs))
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x80 | n, 0, 0])  # GCT present, size n
+        + gct
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + b"\x00"  # image descriptor: no LCT, not interlaced
+        + bytes([min_code])
+        + bytes(sub)
+        + b"\x3b"
+    )
+
+
+def _gif_screen(b: bytes) -> tuple[int, int]:
+    import struct
+
+    if b[:6] not in _GIF_SIGS:
+        raise ValueError("payload is not a GIF (bad signature)")
+    if len(b) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
+    w, h = struct.unpack_from("<HH", b, 6)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid GIF dimensions width={w} height={h}")
+    return w, h
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, int, str]:
+    """Real GIF header parse (signature + logical screen descriptor).
+    Raises ValueError on non-GIF bytes — loud failure over a silently
+    wrong answer (same contract as the bmp/ppm/png/pil codecs)."""
+    b = bytes(payload)
+    w, h = _gif_screen(b)
+    return len(b), w, h, "indexed"
+
+
+def _gif_rgb_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Fully decode a single-image non-interlaced GIF to a top-down
+    RGB buffer: walk the block stream (extensions skipped by their
+    sub-block structure), LZW-inflate the image data, map palette
+    indices to RGB.  Strict: index count must equal width×height."""
+    import struct
+
+    b = bytes(payload)
+    _gif_screen(b)
+    try:
+        packed = b[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            sz = 1 << ((packed & 0x07) + 1)
+            gct = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(sz)]
+            pos += 3 * sz
+        while pos < len(b):
+            blk = b[pos]
+            if blk == 0x21:  # extension: label byte + sub-blocks
+                pos += 2
+                while b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif blk == 0x2C:  # image descriptor
+                _l, _t, iw, ih = struct.unpack_from("<HHHH", b, pos + 1)
+                ipacked = b[pos + 9]
+                pos += 10
+                if ipacked & 0x40:
+                    raise ValueError(
+                        "interlaced GIF not supported by the stdlib codec "
+                        "(belongs on the pil codec)"
+                    )
+                ct = gct
+                if ipacked & 0x80:
+                    sz = 1 << ((ipacked & 0x07) + 1)
+                    ct = [
+                        tuple(b[pos + 3 * i : pos + 3 * i + 3])
+                        for i in range(sz)
+                    ]
+                    pos += 3 * sz
+                if ct is None:
+                    raise ValueError("GIF image has no color table")
+                min_code = b[pos]
+                pos += 1
+                data = bytearray()
+                while b[pos] != 0:
+                    ln = b[pos]
+                    data += b[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idxs = _lzw_decode(min_code, bytes(data))
+                if len(idxs) != iw * ih:
+                    raise ValueError(
+                        f"GIF pixel data is {len(idxs)} indices; expected "
+                        f"{iw}x{ih} = {iw * ih}"
+                    )
+                rgb = bytearray()
+                for i in idxs:
+                    if i >= len(ct):
+                        raise ValueError(
+                            f"GIF palette index {i} out of range "
+                            f"({len(ct)} entries)"
+                        )
+                    rgb += bytes(ct[i])
+                return iw, ih, bytes(rgb)
+            elif blk == 0x3B:  # trailer
+                break
+            else:
+                raise ValueError(f"unknown GIF block 0x{blk:02x}")
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"truncated GIF payload: {ex}") from ex
+    raise ValueError("GIF has no image descriptor")
+
+
+def _gif_resize_rgb(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample of a decoded GIF to width×height RGB."""
+    w, h, rgb = _gif_rgb_pixels(payload)
+    return _resize_rgb_nearest(w, h, rgb, width, height)
+
+
 _PIL_FMT = {"RGB": "rgb", "RGBA": "rgba", "L": "gray"}
 
 
@@ -679,6 +949,7 @@ def decode_metadata(
         "bmp": _decode_bmp,
         "ppm": _decode_ppm,
         "png": _decode_png,
+        "gif": _decode_gif,
     }.get(
         codec, _decode_stub
     )
@@ -756,8 +1027,12 @@ def resize_payload(
     def png_one(p: bytes) -> bytes:
         return _png_resize_rgb(p, width, height)
 
+    def gif_one(p: bytes) -> bytes:
+        return _gif_resize_rgb(p, width, height)
+
     resize_one = {
-        "pil": pil_one, "bmp": bmp_one, "ppm": ppm_one, "png": png_one
+        "pil": pil_one, "bmp": bmp_one, "ppm": ppm_one, "png": png_one,
+        "gif": gif_one,
     }.get(codec, stub_one)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -823,11 +1098,16 @@ def sample_frames(
         _w, _h, rgb = _png_rgb_pixels(p)
         yield 0, len(rgb), hashlib.md5(rgb).hexdigest()
 
+    def gif_frames(p: bytes):
+        _w, _h, rgb = _gif_rgb_pixels(p)
+        yield 0, len(rgb), hashlib.md5(rgb).hexdigest()
+
     frames_of = {
         "pil": pil_frames,
         "bmp": bmp_frames,
         "ppm": ppm_frames,
         "png": png_frames,
+        "gif": gif_frames,
     }.get(codec, stub_frames)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -947,8 +1227,10 @@ def with_clip_payload(
     are dropped) — so a downstream real-codec decode must recover
     exactly the original text bytes.  ``frame_format="png"`` does the
     same through the COMPRESSED codec (zlib deflate, mixed scanline
-    filters so every de-filter branch runs on the declared path)."""
-    if frame_format not in ("raw", "bmp", "png"):
+    filters so every de-filter branch runs on the declared path);
+    ``frame_format="gif"`` through the second compressed codec (LZW,
+    variable-width codes, palette round-trip)."""
+    if frame_format not in ("raw", "bmp", "png", "gif"):
         raise ValueError(f"unknown frame_format {frame_format!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -956,7 +1238,7 @@ def with_clip_payload(
             payloads = []
             for text in pdf["text"]:
                 raw = text.encode("utf-8")
-                if frame_format in ("bmp", "png"):
+                if frame_format in ("bmp", "png", "gif"):
                     n = CLIP_BMP_FRAME_BYTES
                     frames = []
                     for fi, i in enumerate(range(0, len(raw) - n + 1, n)):
@@ -981,6 +1263,8 @@ def with_clip_payload(
                             # the declared path exercises all five
                             # de-filter branches, deterministically
                             frames.append(encode_png(px, filter_type=fi % 5))
+                        elif frame_format == "gif":
+                            frames.append(encode_gif(px))
                         else:
                             frames.append(encode_bmp(px))
                 else:
@@ -1011,6 +1295,7 @@ def decode_clip_metadata(
         "bmp": _decode_bmp,
         "ppm": _decode_ppm,
         "png": _decode_png,
+        "gif": _decode_gif,
     }.get(
         frame_codec, _decode_stub
     )
@@ -1073,8 +1358,13 @@ def sample_clip_frames(
         _w, _h, rgb = _png_rgb_pixels(f)
         return len(rgb), hashlib.md5(rgb).hexdigest()
 
+    def gif_one(f: bytes) -> tuple[int, str]:
+        _w, _h, rgb = _gif_rgb_pixels(f)
+        return len(rgb), hashlib.md5(rgb).hexdigest()
+
     one = {
-        "bmp": bmp_one, "ppm": ppm_one, "png": png_one, "pil": pil_one
+        "bmp": bmp_one, "ppm": ppm_one, "png": png_one, "gif": gif_one,
+        "pil": pil_one,
     }.get(frame_codec, raw_one)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -700,13 +700,190 @@ def test_png_pil_interop_differential(spark):
 def test_encoders_reject_empty_or_ragged_pixels():
     """review r7: encoders fail loudly on degenerate input instead of
     IndexError / zero-dimension payloads."""
-    for enc in (mm.encode_png, mm.encode_bmp):
+    for enc in (mm.encode_png, mm.encode_bmp, mm.encode_gif):
         with pytest.raises(ValueError, match="non-empty"):
             enc([])
         with pytest.raises(ValueError, match="non-empty"):
             enc([[]])
         with pytest.raises(ValueError, match="same width"):
             enc([[(1, 2, 3), (4, 5, 6)], [(7, 8, 9)]])
+
+
+# ---- GIF: the second real compressed codec (LZW) ---------------------------
+
+
+def _gif_imgdesc_offset(b: bytes) -> int:
+    """Offset of the image descriptor in our encoder's output: header
+    (13) + global color table (a 0x2C BYTE may legitimately occur
+    inside palette data, so searching for it is wrong)."""
+    assert b[10] & 0x80
+    return 13 + 3 * (1 << ((b[10] & 0x07) + 1))
+
+
+def test_gif_codec_always_available():
+    assert "gif" in mm.available_codecs()
+
+
+def test_gif_pixel_roundtrip():
+    px = _px_grid(7, 5)
+    flat = bytes(c for row in px for p in row for c in p)
+    assert mm._gif_rgb_pixels(mm.encode_gif(px)) == (7, 5, flat)
+
+
+def test_gif_lzw_width_growth_and_table_reset():
+    """A stream long enough to push LZW through every code width up
+    to 12 bits and a table-full CLEAR/reset must still round-trip
+    exactly (the width-sync off-by-one class of LZW bug corrupts
+    exactly these streams, never tiny ones)."""
+    data = bytes((i * i + 7 * i) % 251 for i in range(30_000))
+    assert mm._lzw_decode(8, mm._lzw_encode(8, data)) == data
+    rep = (bytes(range(4)) * 3 + b"\x00" * 50) * 3000  # repetitive: fills fast
+    assert mm._lzw_decode(2, mm._lzw_encode(2, rep)) == rep
+    # pixel-level: 256-color image large enough to fill the 12-bit table
+    cols = [(i, 255 - i, (i * 37) % 256) for i in range(256)]
+    px = [[cols[(x * x + 3 * y + (x * y) % 17) % 256] for x in range(120)]
+          for y in range(90)]
+    flat = bytes(c for row in px for p in row for c in p)
+    assert mm._gif_rgb_pixels(mm.encode_gif(px)) == (120, 90, flat)
+
+
+def test_gif_decode_real_dimensions(spark):
+    px = _px_grid(6, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.encode_gif(px)))], "doc_id long, payload binary"
+    )
+    row = mm.decode_metadata(df, codec="gif").collect()[0]
+    assert (row["width"], row["height"], row["fmt"]) == (6, 4, "indexed")
+
+
+def test_gif_rejects_bad_payloads():
+    px = _px_grid(4, 3)
+    good = mm.encode_gif(px)
+    with pytest.raises(ValueError, match="bad signature"):
+        mm._decode_gif(b"JFIF" + good[4:])
+    with pytest.raises(ValueError, match="truncated|without EOI"):
+        mm._gif_rgb_pixels(good[:-12])
+    # >256 distinct colors cannot be palettized
+    many = [[(x % 256, y, (x + y) % 256) for x in range(300)] for y in range(2)]
+    with pytest.raises(ValueError, match="256 distinct colors"):
+        mm.encode_gif(many)
+    # interlace flag: loud refusal, never a silently re-ordered decode
+    interlaced = bytearray(good)
+    desc = _gif_imgdesc_offset(good)
+    assert good[desc] == 0x2C
+    interlaced[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        mm._gif_rgb_pixels(bytes(interlaced))
+    # unknown block type between header and image
+    broken = bytearray(good)
+    broken[desc] = 0x7F
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        mm._gif_rgb_pixels(bytes(broken))
+
+
+def test_gif_skips_extension_blocks():
+    """Real-world GIFs carry a Graphic Control Extension before the
+    image descriptor; the decoder must walk past any extension by its
+    sub-block structure."""
+    px = _px_grid(5, 4)
+    good = mm.encode_gif(px)
+    desc = _gif_imgdesc_offset(good)
+    assert good[desc] == 0x2C
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # label, 4-byte block, term
+    comment = b"\x21\xfe\x05hello\x00"
+    spliced = good[:desc] + gce + comment + good[desc:]
+    flat = bytes(c for row in px for p in row for c in p)
+    assert mm._gif_rgb_pixels(spliced) == (5, 4, flat)
+
+
+def test_gif_four_codec_differential(spark):
+    """The SAME pixel matrix through all four always-available real
+    codecs — bmp (bottom-up BGR), ppm (top-down RGB), png (deflate +
+    filters), gif (LZW + palette) — must produce identical resize and
+    frame fingerprints through the mapInPandas plumbing."""
+    px = _px_grid(5, 3)
+    payloads = {
+        "bmp": _bmp_bytes(px),
+        "ppm": _ppm_bytes(px),
+        "png": mm.encode_png(px, filter_type="mixed"),
+        "gif": mm.encode_gif(px),
+    }
+    assert (
+        mm._bmp_rgb_pixels(payloads["bmp"])
+        == mm._ppm_rgb_pixels(payloads["ppm"])
+        == mm._png_rgb_pixels(payloads["png"])
+        == mm._gif_rgb_pixels(payloads["gif"])
+    )
+    resized, framed = {}, {}
+    for codec, b in payloads.items():
+        df = spark.createDataFrame(
+            [(1, bytearray(b))], "doc_id long, payload binary"
+        )
+        resized[codec] = mm.resize_payload(
+            df, width=4, height=4, codec=codec
+        ).collect()[0]["out_md5"]
+        framed[codec] = mm.sample_frames(df, codec=codec).collect()[0][
+            "frame_md5"
+        ]
+    assert len(set(resized.values())) == 1, resized
+    assert len(set(framed.values())) == 1, framed
+
+
+def test_clip_payload_gif_frames_recover_text_bytes(spark):
+    """frame_format="gif": every frame is a REAL LZW-compressed GIF
+    whose full decode (variable-width codes + palette) returns exactly
+    the original 24-byte text chunk — the declared-path contract."""
+    text = "abcdefghijklmnopqrstuvwx" * 6 + "tail-dropped"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    clip = mm.with_clip_payload(df, frame_format="gif").collect()[0]["payload"]
+    frames = mm.clip_frames(bytes(clip))
+    assert len(frames) == 6  # partial tail chunk dropped
+    for i, f in enumerate(frames):
+        assert f[:6] == b"GIF89a"
+        _w, _h, rgb = mm._gif_rgb_pixels(f)
+        assert bytes(rgb) == text.encode()[i * 24 : i * 24 + 24]
+
+
+def test_clip_gif_frames_cross_codec_differential(spark):
+    """Clip-level: the same three-frame video as GIF frames and PNG
+    frames samples to identical per-frame RGB fingerprints."""
+    px = _clip_px_frames()
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(mm.pack_clip([mm.encode_gif(p) for p in px]))),
+            (2, bytearray(mm.pack_clip([mm.encode_png(p, filter_type=i % 5)
+                                        for i, p in enumerate(px)]))),
+        ],
+        "doc_id long, payload binary",
+    )
+    via_gif = mm.sample_clip_frames(
+        df.where("doc_id = 1"), every=1, frame_codec="gif"
+    ).collect()
+    via_png = mm.sample_clip_frames(
+        df.where("doc_id = 2"), every=1, frame_codec="png"
+    ).collect()
+    assert len(via_gif) == len(via_png) == 3
+    assert sorted(
+        (r["frame_idx"], r["frame_len"], r["frame_md5"]) for r in via_gif
+    ) == sorted((r["frame_idx"], r["frame_len"], r["frame_md5"]) for r in via_png)
+
+
+def test_gif_pil_interop_differential():
+    """Where Pillow exists: Pillow must decode our stdlib-encoded GIF
+    to the same RGB buffer our decoder produces (independent-author
+    differential for the LZW codec)."""
+    if "pil" in mm.available_codecs():
+        import io as _io
+
+        from PIL import Image
+
+        px = _px_grid(5, 4, seed=9)
+        b = mm.encode_gif(px)
+        with Image.open(_io.BytesIO(b)) as im:
+            pil_rgb = im.convert("RGB").tobytes()
+        assert pil_rgb == mm._gif_rgb_pixels(b)[2]
+    else:
+        pytest.skip("Pillow absent; stdlib round-trip covers the codec here")
 
 
 # ---- property-based codec differentials (hypothesis) ----------------------
@@ -749,6 +926,24 @@ if _HAS_HYPOTHESIS:
         assert got == (w, h, flat)
         assert mm._bmp_rgb_pixels(mm.encode_bmp(px)) == (w, h, flat)
         assert mm._ppm_rgb_pixels(_ppm_bytes(px)) == (w, h, flat)
+        assert mm._gif_rgb_pixels(mm.encode_gif(px)) == (w, h, flat)
+
+    @settings(max_examples=30, deadline=None)
+    @given(px=_px_strategy, cut=st.integers(10, 200))
+    def test_gif_truncation_never_silent(px, cut):
+        """Truncating an encoded GIF anywhere after the signature must
+        raise ValueError (or decode identically if the cut only
+        removed bytes at/after the trailer) — never wrong pixels."""
+        b = mm.encode_gif(px)
+        cut = min(cut, len(b) - 1)
+        if cut < 6:
+            return
+        flat = bytes(c for row in px for p in row for c in p)
+        try:
+            got = mm._gif_rgb_pixels(b[:cut])
+        except ValueError:
+            return  # loud failure: the contract
+        assert got == (len(px[0]), len(px), flat)
 
     @settings(max_examples=30, deadline=None)
     @given(px=_px_strategy, cut=st.integers(10, 200))

@@ -61,6 +61,7 @@ _LAZY_LLMOPS = [
     # + single-group funnel agg) and the compressed-codec clip path
     "pipeline_audio_funnel", "pipeline_video_funnel",
     "multimodal_video_png_frames",
+    "multimodal_video_gif_frames",
     "emb_l2_normalize",  # map-only higher-order fns, zero shuffle
     # r8: hot-bucket valve — small-bucket equi-self-join + per-bucket
     # lag chain; the mega-bucket never enters a quadratic product
