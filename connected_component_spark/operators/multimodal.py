@@ -675,7 +675,6 @@ def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
-    big = int.from_bytes(data, "little")
     total_bits = len(data) * 8
     bitpos = 0
     table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
@@ -685,7 +684,12 @@ def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
     while True:
         if bitpos + width > total_bits:
             raise ValueError("GIF LZW stream ended without EOI code")
-        code = (big >> bitpos) & ((1 << width) - 1)
+        # 3-byte window around bitpos (width ≤ 12 + offset ≤ 7 = 19
+        # bits): O(1) per code — a whole-stream int would re-copy the
+        # remaining bytes on every shift, quadratic in stream length
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << width) - 1)
         bitpos += width
         if code == clear:
             table = {i: bytes([i]) for i in range(clear)}

@@ -2862,18 +2862,6 @@ FROM zt GROUP BY z
 """
 
 
-def _staged_zorder_dir(sf_dir: str) -> tuple[str, bool]:
-    """Staging-dir cache for the z-ordered lineitem rewrite (shared
-    protocol: sources/staging.py): the rewrite runs once per fixture
-    mtime, repeat invocations only re-read."""
-    import os
-
-    from connected_component_spark.sources.staging import staged_dir
-
-    src = os.path.join(os.path.abspath(sf_dir), "lineitem.parquet")
-    return staged_dir("ccs_zorder", src, "zorder-v1")
-
-
 def maintenance_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full write path end-to-end: lineitem rewritten via
     sources/zorder.py:write_zordered (range shuffle on the z-value, 8
@@ -2881,25 +2869,28 @@ def maintenance_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     source by exact integer invariants — the check a table-maintenance
     job runs after every OPTIMIZE rewrite.  The oracle computes the
     same invariants on the original table (a correct rewrite preserves
-    the multiset, so staging layout never enters the result)."""
+    the multiset, so staging layout never enters the result).  Staged
+    once per fixture mtime via ensure_staged (lock released on a
+    failed rewrite — review r8)."""
+    import os
+
+    from connected_component_spark.sources.staging import ensure_staged
     from connected_component_spark.sources.zorder import write_zordered
 
-    path, needs_build = _staged_zorder_dir(sf_dir)
-    if needs_build:
-        import os
+    src = os.path.join(os.path.abspath(sf_dir), "lineitem.parquet")
 
+    def _build(stage: str) -> None:
         li, bounds = _zorder_inputs(spark, sf_dir)
         write_zordered(
             li,
-            path,
+            stage,
             ["l_partkey", "l_suppkey"],
             n_files=8,
             bits=_Z_BITS,
             bounds=bounds,
         )
-        from connected_component_spark.sources.staging import mark_ready
 
-        mark_ready(path)
+    path = ensure_staged("ccs_zorder", src, "zorder-v1", build=_build)
     back = spark.read.parquet(path)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -2920,19 +2911,6 @@ FROM lineitem
 """
 
 
-def _staged_compaction_dir(sf_dir: str) -> tuple[str, str, bool]:
-    """Staging cache for the compaction round-trip: (fragmented_src,
-    compacted_dst, needs_build), shared protocol sources/staging.py."""
-    import os
-
-    from connected_component_spark.sources.staging import staged_dir
-
-    src_parquet = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
-    base, needs_build = staged_dir("ccs_compact", src_parquet, "compact-v1")
-    frag, dst = os.path.join(base, "fragmented"), os.path.join(base, "compacted")
-    return frag, dst, needs_build
-
-
 def maintenance_compaction_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2943,29 +2921,35 @@ def maintenance_compaction_roundtrip(
     source by exact integer invariants.  A RuntimeError fires if
     compaction failed to reduce the file count — layout regressions
     must be loud, not hidden behind matching invariants.  Staged once
-    per fixture mtime; repeat runs only re-read the compacted data."""
+    per fixture mtime via ensure_staged (a failed build — including
+    that RuntimeError — releases the lock; repeat runs only re-read
+    the compacted data)."""
     import os
 
     from connected_component_spark.sources.compaction import (
         compact_parquet,
         dataset_file_stats,
     )
+    from connected_component_spark.sources.staging import ensure_staged
 
-    frag, dst, needs_build = _staged_compaction_dir(sf_dir)
-    if needs_build:
+    src_parquet = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+
+    def _build(base: str) -> None:
+        frag = os.path.join(base, "fragmented")
+        out = os.path.join(base, "compacted")
         _t(spark, sf_dir, "orders").repartition(64).write.mode(
             "overwrite"
         ).parquet(frag)
-        compact_parquet(spark, frag, dst, order_by="o_orderkey")
+        compact_parquet(spark, frag, out, order_by="o_orderkey")
         n_frag, _ = dataset_file_stats(frag)
-        n_out, _ = dataset_file_stats(dst)
+        n_out, _ = dataset_file_stats(out)
         if n_out >= n_frag:
             raise RuntimeError(
                 f"compaction did not reduce file count ({n_frag} -> {n_out})"
             )
-        from connected_component_spark.sources.staging import mark_ready
 
-        mark_ready(os.path.dirname(dst))
+    base = ensure_staged("ccs_compact", src_parquet, "compact-v1", build=_build)
+    dst = os.path.join(base, "compacted")
     back = spark.read.parquet(dst)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -3146,19 +3130,19 @@ def maintenance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     mtime."""
     import os
 
-    from connected_component_spark.sources.staging import mark_ready, staged_dir
+    from connected_component_spark.sources.staging import ensure_staged
     from connected_component_spark.sources.upsert import (
         merge_upsert,
         read_snapshot,
     )
 
     src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
-    base, needs_build = staged_dir("ccs_upsert", src, "upsert-v1")
-    path = os.path.join(base, "tbl")
     orders = _t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    if needs_build:
-        orders.where(k % 7 != 0).write.mode("overwrite").parquet(path)
+
+    def _build(stage: str) -> None:
+        tbl = os.path.join(stage, "tbl")
+        orders.where(k % 7 != 0).write.mode("overwrite").parquet(tbl)
         updates = (
             orders.where((k % 7 != 0) & (k % 5 == 0) & (k % 11 != 0))
             .withColumn("o_custkey", F.col("o_custkey") + F.lit(1_000_000))
@@ -3172,13 +3156,15 @@ def maintenance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         changes = updates.unionByName(inserts).unionByName(deletes)
         merge_upsert(
-            read_snapshot(spark, path),
+            read_snapshot(spark, tbl),
             changes,
             "o_orderkey",
-            path,
+            tbl,
             delete_col="_deleted",
         )
-        mark_ready(base)
+
+    base = ensure_staged("ccs_upsert", src, "upsert-v1", build=_build)
+    path = os.path.join(base, "tbl")
     back = spark.read.parquet(path)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -3222,17 +3208,18 @@ def interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from connected_component_spark.sources import formats as fmts
-    from connected_component_spark.sources.staging import mark_ready, staged_dir
+    from connected_component_spark.sources.staging import ensure_staged
 
     nation = _t(spark, sf_dir, "nation")
     schema = "n_nationkey long, n_name string, n_regionkey long"
     src = os.path.join(os.path.abspath(sf_dir), "nation.parquet")
-    base, needs_build = staged_dir("ccs_interchange", src, "interchange-v1")
-    if needs_build:
-        fmts.write_csv(nation, os.path.join(base, "csv"))
-        fmts.write_json(nation, os.path.join(base, "json"))
-        fmts.write_orc(nation, os.path.join(base, "orc"))
-        mark_ready(base)
+
+    def _build(stage: str) -> None:
+        fmts.write_csv(nation, os.path.join(stage, "csv"))
+        fmts.write_json(nation, os.path.join(stage, "json"))
+        fmts.write_orc(nation, os.path.join(stage, "orc"))
+
+    base = ensure_staged("ccs_interchange", src, "interchange-v1", build=_build)
     readers = {
         "csv": lambda: fmts.read_csv(spark, os.path.join(base, "csv"), schema),
         "json": lambda: fmts.read_json(spark, os.path.join(base, "json"), schema),

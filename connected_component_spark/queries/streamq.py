@@ -68,6 +68,12 @@ def _staged_cache(
     Returns (path, needs_build); callers must call ``_mark_ready``
     after a successful build.  Spark's file listing ignores
     ``_``-prefixed files, so the marker never enters a stream.
+    Failure contract (r8): a build that raises leaves the lock held;
+    a retry on the SAME thread reclaims it immediately (staging.py's
+    thread-aware staleness), a foreign process waits out the 600 s
+    timeout — acceptable here because these builds are plain parquet
+    writes with no raise paths of their own; new multi-step builds
+    should use ``sources.staging.ensure_staged`` instead.
     """
     from connected_component_spark.sources.staging import staged_dir
 

@@ -10,14 +10,23 @@ repeated runs reuse the files; a half-built dir (no sentinel) is
 wiped and rebuilt.  Spark's file listing ignores ``_``-prefixed
 files, so the sentinel never enters a read.
 
-Concurrency (advice r7): two processes hitting the same unready key
-(e.g. pytest and bench.py) previously both got ``needs_build=True``
-and could rmtree each other's half-built dir.  ``staged_dir`` now
-takes an ``O_CREAT|O_EXCL`` lockfile for the build→``mark_ready``
-window: the loser waits for the winner's sentinel (or steals a lock
-whose recorded pid is dead — a crashed builder must not wedge the
-cache) and returns ``needs_build=False`` once the dir is ready.
-Single-process behavior is unchanged.
+Concurrency (advice r7, hardened review r8): two processes hitting
+the same unready key previously both got ``needs_build=True`` and
+could rmtree each other's half-built dir.  The build→ready window is
+now guarded by an ``O_CREAT|O_EXCL`` lockfile:
+
+* a loser waits for the winner's sentinel, or steals a lock whose
+  recorded pid is DEAD (a crashed builder must not wedge the cache);
+* a lock recorded by THIS pid is stolen only when no build in this
+  process is actually in flight for it (``_IN_FLIGHT`` bookkeeping) —
+  so a sibling THREAD's live build is never stolen, while a build
+  that raised without releasing is reclaimed instead of deadlocking
+  its own process (review r8);
+* :func:`ensure_staged` is the preferred API: it runs the build
+  callback and RELEASES the lock on failure, so a raising builder
+  never wedges other processes for the timeout window.  The raw
+  ``staged_dir``/``mark_ready`` pair stays for callers that need the
+  two-call shape, with the weaker failure contract that implies.
 """
 
 from __future__ import annotations
@@ -26,12 +35,20 @@ import hashlib
 import os
 import shutil
 import tempfile
+import threading
 import time
+from collections.abc import Callable
 
-__all__ = ["staged_dir", "mark_ready"]
+__all__ = ["staged_dir", "mark_ready", "ensure_staged"]
 
 _SENTINEL = "_READY"
 _LOCK_WAIT_S = 600.0
+
+#: lock path → owning thread ident for builds in flight in THIS
+#: process, guarded by _BOOK — the thread-level complement of the pid
+#: recorded in the lockfile.
+_BOOK = threading.Lock()
+_IN_FLIGHT: dict[str, int] = {}
 
 
 def _lock_path(path: str) -> str:
@@ -45,16 +62,32 @@ def _try_lock(lock: str) -> bool:
         return False
     with os.fdopen(fd, "w") as fh:
         fh.write(str(os.getpid()))
+    with _BOOK:
+        _IN_FLIGHT[lock] = threading.get_ident()
     return True
 
 
+def _release_lock(lock: str) -> None:
+    with _BOOK:
+        _IN_FLIGHT.pop(lock, None)
+    try:
+        os.unlink(lock)
+    except FileNotFoundError:
+        pass
+
+
 def _lock_stale(lock: str) -> bool:
-    """True when the lockfile's recorded pid no longer exists (same
-    host — the cache lives in the local tempdir, so pid liveness is a
-    valid staleness test) OR is this very process: staged_dir calls
-    are sequential within a process, so an own-pid lock means a prior
-    build attempt here raised before mark_ready — reclaim rather than
-    deadlock our own retry."""
+    """True when the lockfile's holder cannot finish the build.
+
+    Foreign pid: stale iff the pid no longer exists (same host — the
+    cache lives in the local tempdir, so pid liveness is a valid
+    staleness test).  Own pid: consult the thread-level registry —
+    stale when no build is registered (a hard edge skipped release),
+    when THIS thread owns it (calls are sequential within a thread,
+    so the prior build here must have raised through the raw two-call
+    API without releasing — reclaim instead of deadlocking our own
+    retry), or when the owning thread has exited.  A sibling thread's
+    LIVE build is never stolen (review r8)."""
     try:
         with open(lock) as fh:
             pid = int(fh.read().strip() or "0")
@@ -64,7 +97,11 @@ def _lock_stale(lock: str) -> bool:
     if pid <= 0:
         return False
     if pid == os.getpid():
-        return True
+        with _BOOK:
+            owner = _IN_FLIGHT.get(lock)
+        if owner is None or owner == threading.get_ident():
+            return True
+        return owner not in {t.ident for t in threading.enumerate()}
     try:
         os.kill(pid, 0)
     except ProcessLookupError:
@@ -82,6 +119,9 @@ def staged_dir(kind: str, src_file: str, *extra: str) -> tuple[str, bool]:
     When ``needs_build`` is True the caller holds the build lock and
     MUST call :func:`mark_ready` (which releases it); concurrent
     callers for the same key block until then and get the built dir.
+    A caller whose build may raise should use :func:`ensure_staged`
+    instead — with the raw pair, a failure leaves the lock held until
+    this process either retries the same key or exits.
     """
     key = hashlib.md5(
         "|".join(
@@ -99,8 +139,8 @@ def staged_dir(kind: str, src_file: str, *extra: str) -> tuple[str, bool]:
             return path, False  # another process finished the build
         if _lock_stale(lock):
             try:
-                os.unlink(lock)  # crashed builder; steal (unlink races
-            except FileNotFoundError:  # with other waiters — first wins)
+                os.unlink(lock)  # dead/abandoned holder; steal (unlink
+            except FileNotFoundError:  # races with other waiters — ok)
                 pass
             continue
         if time.monotonic() > deadline:
@@ -111,7 +151,7 @@ def staged_dir(kind: str, src_file: str, *extra: str) -> tuple[str, bool]:
     # lock held: re-check ready (the previous holder may have finished
     # between our sentinel check and the acquire), else wipe half-built
     if os.path.exists(os.path.join(path, _SENTINEL)):
-        os.unlink(lock)
+        _release_lock(lock)
         return path, False
     if os.path.exists(path):
         shutil.rmtree(path)
@@ -125,7 +165,25 @@ def mark_ready(path: str) -> None:
     request."""
     with open(os.path.join(path, _SENTINEL), "w") as fh:
         fh.write("ok")
-    try:
-        os.unlink(_lock_path(path))
-    except FileNotFoundError:
-        pass
+    _release_lock(_lock_path(path))
+
+
+def ensure_staged(
+    kind: str, src_file: str, *extra: str, build: Callable[[str], None]
+) -> str:
+    """Build-or-reuse in one call: returns the ready staging dir,
+    invoking ``build(path)`` only when this caller wins the build.
+    On build failure the lock is RELEASED immediately (the half-built
+    dir, without its sentinel, is wiped by the next acquirer), so a
+    raising builder never wedges concurrent processes for the
+    timeout window — the failure contract the raw two-call API can't
+    offer (review r8)."""
+    path, needs_build = staged_dir(kind, src_file, *extra)
+    if needs_build:
+        try:
+            build(path)
+        except BaseException:
+            _release_lock(_lock_path(path))
+            raise
+        mark_ready(path)
+    return path

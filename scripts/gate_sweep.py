@@ -68,7 +68,9 @@ def _duck_unsafe_reason(t: str) -> str | None:
     u = str(t).upper()
     if u in _DRIVER_UNSAFE_DUCK_TYPES:
         return "typing"
-    if "[]" in u or u.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+    # "[" catches both the LIST spelling (DOUBLE[]) and the fixed-size
+    # ARRAY spelling (INTEGER[3]); no atomic DuckDB type contains one
+    if "[" in u or u.startswith(("STRUCT", "MAP", "LIST", "UNION")):
         return "shape"
     return None
 

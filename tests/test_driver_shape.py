@@ -20,7 +20,7 @@ import pytest
 _GATE = os.path.join(os.path.dirname(__file__), "..", "scripts", "gate_sweep.py")
 _spec = importlib.util.spec_from_file_location("gate_sweep", _GATE)
 gate_sweep = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(_spec and gate_sweep)
+_spec.loader.exec_module(gate_sweep)
 
 _TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -35,6 +35,7 @@ _TABLES = [
         ("UHUGEINT", "typing"),
         ("DOUBLE[]", "shape"),
         ("VARCHAR[]", "shape"),
+        ("INTEGER[3]", "shape"),  # fixed-size ARRAY spelling (review r8)
         ("STRUCT(a INTEGER)", "shape"),
         ("MAP(VARCHAR, INTEGER)", "shape"),
         ("BIGINT", None),

@@ -81,19 +81,28 @@ _ALLOWED_NESTED_LOOP = {
 }
 
 
-def _non_atomic_cols(df) -> list[str]:
+_GATE_MOD = None
+
+
+def _non_atomic_cols(df) -> list:
     """Declared-surface shape rule (r8): the driver's pandas
     canonicalizer can only hash/sort atomic scalar cells, so every
     declared query must emit scalar output columns (arrays serialized
     via concat_ws or exploded to rows — see q_user_event_profile /
-    emb_l2_normalize)."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    emb_l2_normalize).  Delegates to the gate's single implementation
+    so this test can never diverge from what gate_sweep enforces."""
+    global _GATE_MOD
+    if _GATE_MOD is None:
+        import importlib.util
+        import os
 
-    return [
-        f.name
-        for f in df.schema.fields
-        if isinstance(f.dataType, (ArrayType, MapType, StructType))
-    ]
+        gate_path = os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "gate_sweep.py"
+        )
+        spec = importlib.util.spec_from_file_location("gate_sweep", gate_path)
+        _GATE_MOD = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(_GATE_MOD)
+    return _GATE_MOD.spark_unsafe_cols(df)
 
 
 def test_every_lazy_query_plan_is_clean(spark, sf_dir):

@@ -9,6 +9,8 @@ import subprocess
 import threading
 import time
 
+import pytest
+
 from connected_component_spark.sources.staging import (
     _lock_path,
     mark_ready,
@@ -88,3 +90,65 @@ def test_waiter_blocks_until_live_holder_finishes(tmp_path):
     assert path2 == path and not needs2
     assert time.monotonic() - t0 >= 0.3
     os.unlink(_lock_path(path))
+
+
+def test_sibling_thread_live_build_not_stolen(tmp_path):
+    """review r8: a LIVE build on another thread of this process must
+    not be stolen (the old own-pid reclaim let thread B rmtree thread
+    A's in-progress build); the sibling waits and picks up the
+    sentinel instead."""
+    src = _touch_src(tmp_path)
+    results = {}
+
+    def builder():
+        path, needs = staged_dir("ccs_test_thread", src, "v1")
+        results["builder"] = needs
+        time.sleep(0.6)  # simulate a slow build
+        open(os.path.join(path, "data"), "w").write("x")
+        mark_ready(path)
+
+    t = threading.Thread(target=builder)
+    t.start()
+    time.sleep(0.2)  # let the builder take the lock
+    t0 = time.monotonic()
+    path2, needs2 = staged_dir("ccs_test_thread", src, "v1")
+    waited = time.monotonic() - t0
+    t.join()
+    assert results["builder"] is True
+    assert needs2 is False  # waited for the sibling, never stole
+    assert waited >= 0.3
+    assert os.path.exists(os.path.join(path2, "data"))
+
+
+def test_ensure_staged_releases_lock_on_build_failure(tmp_path):
+    """review r8: a raising builder must release the lock immediately
+    so other processes don't block for the timeout window; the next
+    call rebuilds from scratch."""
+    from connected_component_spark.sources.staging import ensure_staged
+
+    src = _touch_src(tmp_path)
+    calls = []
+
+    def bad_build(path):
+        calls.append("bad")
+        open(os.path.join(path, "partial"), "w").write("x")
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        ensure_staged("ccs_test_ensure", src, "v1", build=bad_build)
+
+    def good_build(path):
+        calls.append("good")
+        assert not os.path.exists(os.path.join(path, "partial"))  # wiped
+        open(os.path.join(path, "data"), "w").write("y")
+
+    path = ensure_staged("ccs_test_ensure", src, "v1", build=good_build)
+    assert calls == ["bad", "good"]
+    assert not os.path.exists(_lock_path(path))
+    assert os.path.exists(os.path.join(path, "_READY"))
+    # subsequent call reuses without building
+    path2 = ensure_staged(
+        "ccs_test_ensure", src, "v1",
+        build=lambda p: calls.append("never"),
+    )
+    assert path2 == path and calls == ["bad", "good"]
