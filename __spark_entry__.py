@@ -72,6 +72,19 @@ _CHANGED_THIS_ROUND = (
     # r8: output re-shaped — unit vector posexploded to scalar-double
     # (vec_id, norm, pos, elem) rows; same r7 canonicalizer fix.
     "emb_l2_normalize",
+    # r8: plan change in the shared jaccard verify (two-step select so
+    # array_intersect evaluates once per pair) — values identical,
+    # re-earn rows per the r7 convention.
+    "dedup_minhash_pairs",
+    "dedup_minhash_clusters",
+    "dedup_incremental",
+    "stream_incremental_dedup",
+    # r8: staging path migrated to ensure_staged (lock released on a
+    # failed build) — build code restructured into closures.
+    "maintenance_zorder_roundtrip",
+    "maintenance_compaction_roundtrip",
+    "maintenance_merge_upsert",
+    "interchange_roundtrip",
 )
 
 
