@@ -32,6 +32,7 @@ __all__ = [
     "weighted_mixture_sample",
     "split_bucket_sql",
     "stratified_topn",
+    "cluster_safe_split",
 ]
 
 #: bucket resolution: fractions are exact multiples of 1/SPLIT_DENOM
@@ -126,6 +127,35 @@ def hash_split(
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def cluster_safe_split(
+    assignments: DataFrame,
+    splits: list[tuple[str, float]],
+    cluster_col: str = "cluster",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/valid/test split: :func:`hash_split` keyed
+    on the near-dup CLUSTER id instead of the document id, so every
+    cluster lands wholly in one split — the eval-contamination guard
+    (a val/test document can never have a near-duplicate in train,
+    because its near-duplicates are BY DEFINITION in its cluster).
+
+    ``assignments`` is the (id, cluster) table a clustering pass
+    produces (minhash_dedup_clusters, embedding near-dup CC,
+    semantic_dedup) — the reference's CC algorithm is exactly what
+    makes this split sound: transitive closure means A≈B≈C all share
+    one cluster even when A and C aren't directly similar, so no
+    near-dup chain can straddle a split boundary.
+
+    Scale shape: the split label is a map-side CASE over a hash of
+    the cluster column — zero additional shuffle on top of the
+    clustering pass; membership is stable under appends (new docs
+    join existing clusters without moving them between splits)."""
+    return hash_split(
+        assignments, cluster_col, splits, seed=seed, out_col=out_col
+    )
 
 
 def hash_split_case_sql(key_expr: str, splits: list[tuple[str, float]], seed: int = 0) -> str:

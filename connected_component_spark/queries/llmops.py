@@ -887,6 +887,66 @@ WHERE j.jaccard >= {_JACCARD_THRESHOLD} AND sa.split <> sb.split
 
 
 # --------------------------------------------------------------------------
+# pipeline_leakage_safe_split — the FIX for the contamination that
+# pipeline_split_decontamination detects: key the split on the
+# near-dup CLUSTER (operators/sampling.py:cluster_safe_split), so a
+# near-duplicate pair can never straddle a boundary — the CC kernel's
+# transitive closure puts every chained duplicate (A≈B≈C even when
+# A and C aren't directly similar) in ONE cluster, hence ONE split.
+# --------------------------------------------------------------------------
+
+
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster, split): near-dup clusters (minhash-LSH →
+    exact-Jaccard → alternating-star CC, the already-verified
+    dedup_minhash_clusters pass) split train/valid/test by a hash of
+    the CLUSTER id — zero eval contamination by construction, and the
+    label is a map-side CASE (no extra shuffle on top of clustering;
+    appends join existing clusters without moving them)."""
+    from connected_component_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    clusters = dd.minhash_dedup_clusters(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_N,
+        bands=_LSH_BANDS,
+        threshold=_JACCARD_THRESHOLD,
+    )
+    return cluster_safe_split(clusters, _SPLITS, seed=_SPLIT_SEED)
+
+
+def _leakage_safe_split_sql() -> str:
+    from connected_component_spark.operators.sampling import (
+        hash_split_case_sql,
+    )
+
+    case = hash_split_case_sql("cluster", _SPLITS, _SPLIT_SEED)
+    return f"""
+WITH RECURSIVE {_minhash_sql_core()},
+{_lsh_pairs_sql()},
+edges AS (
+  SELECT a AS src, b AS dst FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+),
+assign AS (SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node)
+SELECT doc_id, cluster, {case} AS split FROM assign
+"""
+
+
+PIPELINE_LEAKAGE_SAFE_SPLIT_SQL = _leakage_safe_split_sql()
+
+
+# --------------------------------------------------------------------------
 # pipeline_corpus_curation — the end-to-end training-data curation
 # flow every large-scale pipeline runs: quality-score every document,
 # cluster near-duplicates (minhash-LSH → exact-Jaccard verify → CC),
@@ -2574,6 +2634,7 @@ QUERIES = {
     "dedup_substring": dedup_substring,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_split_decontamination": pipeline_split_decontamination,
+    "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
     "pipeline_source_mixture": pipeline_source_mixture,
     "pipeline_weighted_mixture": pipeline_weighted_mixture,
     "pipeline_sequence_packing": pipeline_sequence_packing,
@@ -2635,6 +2696,7 @@ ORACLES = {
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "pipeline_corpus_curation": PIPELINE_CORPUS_CURATION_SQL,
     "pipeline_split_decontamination": _split_decon_sql(),
+    "pipeline_leakage_safe_split": PIPELINE_LEAKAGE_SAFE_SPLIT_SQL,
     "pipeline_source_mixture": PIPELINE_SOURCE_MIXTURE_SQL,
     "pipeline_weighted_mixture": PIPELINE_WEIGHTED_MIXTURE_SQL,
     "pipeline_sequence_packing": PIPELINE_SEQUENCE_PACKING_SQL,

@@ -122,3 +122,46 @@ def test_weighted_mixture_rates_and_determinism(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_cluster_safe_split_leakage_property(spark, sf_dir):
+    """The eval-contamination guard (r8): splitting by CLUSTER hash
+    means (a) every cluster lands wholly in one split, and (b) zero
+    verified near-dup pairs cross a split boundary — the pairs the
+    id-keyed split's decontamination audit exists to catch."""
+    from pyspark.sql import functions as F
+
+    from connected_component_spark.operators import dedup as dd
+    from connected_component_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = dd.minhash_dedup_clusters(docs, 16, 4, threshold=0.5)
+    split = cluster_safe_split(
+        clusters, [("train", 0.8), ("valid", 0.1), ("test", 0.1)], seed=42
+    )
+    # (a) one split per cluster
+    spans = (
+        split.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("n"))
+        .where("n > 1")
+        .count()
+    )
+    assert spans == 0
+    # (b) no verified near-dup pair straddles a boundary
+    sigs = dd.minhash_signatures(docs, 16)
+    pairs = dd.jaccard_pairs(docs, dd.lsh_candidate_pairs(sigs, 4, 4)).where(
+        "jaccard >= 0.5"
+    )
+    sa = split.select(F.col("doc_id").alias("a"), F.col("split").alias("sa"))
+    sb = split.select(F.col("doc_id").alias("b"), F.col("split").alias("sb"))
+    crossing = (
+        pairs.join(sa, "a").join(sb, "b").where("sa <> sb").count()
+    )
+    assert crossing == 0
+    # sanity: all three splits materialize and train dominates
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
