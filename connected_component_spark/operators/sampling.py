@@ -33,6 +33,8 @@ __all__ = [
     "split_bucket_sql",
     "stratified_topn",
     "cluster_safe_split",
+    "shuffled_shards",
+    "shuffled_shards_sql",
 ]
 
 #: bucket resolution: fractions are exact multiples of 1/SPLIT_DENOM
@@ -156,6 +158,60 @@ def cluster_safe_split(
     return hash_split(
         assignments, cluster_col, splits, seed=seed, out_col=out_col
     )
+
+
+def shuffled_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row
+    gets (shard, pos) from a hash of its key — the export step that
+    turns a curated corpus into trainer-ready shards whose within-
+    and across-shard order is pseudo-random yet exactly reproducible
+    (re-running the export, or auditing it in another engine, yields
+    the SAME permutation; a fresh ``seed`` gives an independent
+    epoch-style reshuffle).
+
+    Scale shape: ONE hash-partition shuffle on the shard id + a
+    per-shard sort (the window is partitioned — never a global
+    single-partition sort); at 100 TB each shard sorts independently
+    on its executors.  Ties between equal hashes break by key, so the
+    permutation is total and engine-independent."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    h = seeded_hash64(F.col(key_col).cast("string"), seed)
+    with_shard = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (
+        with_shard.withColumn(
+            # long, not int: a 100 TB shard can hold >2^31 rows
+            "pos", F.row_number().over(w).cast("long")
+        )
+        .drop("_h")
+    )
+
+
+def shuffled_shards_sql(
+    key_expr: str, n_shards: int, seed: int = 0, source: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`shuffled_shards` (pmod semantics: the
+    md5-derived hash64 is non-negative, so plain ``%`` agrees)."""
+    h = seeded_hash64_sql(f"CAST({key_expr} AS VARCHAR)", seed)
+    return f"""
+SELECT * EXCLUDE (_h),
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY _h, {key_expr})
+            AS BIGINT) AS pos
+FROM (
+  SELECT *, {h} AS _h, CAST(({h}) % {n_shards} AS INTEGER) AS shard
+  FROM {source}
+)
+"""
 
 
 def hash_split_case_sql(key_expr: str, splits: list[tuple[str, float]], seed: int = 0) -> str:

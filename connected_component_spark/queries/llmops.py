@@ -947,6 +947,49 @@ PIPELINE_LEAKAGE_SAFE_SPLIT_SQL = _leakage_safe_split_sql()
 
 
 # --------------------------------------------------------------------------
+# pipeline_shuffled_export — deterministic global shuffle into
+# trainer-ready shards (operators/sampling.py:shuffled_shards): the
+# export step after curation/splitting.  Pseudo-random but exactly
+# reproducible permutation; one hash-partition shuffle + per-shard
+# sort (never a global single-partition sort).
+# --------------------------------------------------------------------------
+
+_EXPORT_SHARDS = 8
+_EXPORT_SEED = 3
+
+
+def pipeline_shuffled_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, pos): every document's shard file and position
+    within it, from a seeded hash — re-running the export yields the
+    same permutation, a fresh seed gives an independent epoch
+    reshuffle, and the oracle replays it hash-for-hash."""
+    from connected_component_spark.operators.sampling import (
+        shuffled_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffled_shards(
+        docs, n_shards=_EXPORT_SHARDS, key_col="doc_id", seed=_EXPORT_SEED
+    )
+
+
+def _shuffled_export_sql() -> str:
+    from connected_component_spark.operators.sampling import (
+        shuffled_shards_sql,
+    )
+
+    return shuffled_shards_sql(
+        "doc_id",
+        _EXPORT_SHARDS,
+        seed=_EXPORT_SEED,
+        source="(SELECT doc_id FROM documents)",
+    )
+
+
+PIPELINE_SHUFFLED_EXPORT_SQL = _shuffled_export_sql()
+
+
+# --------------------------------------------------------------------------
 # pipeline_corpus_curation — the end-to-end training-data curation
 # flow every large-scale pipeline runs: quality-score every document,
 # cluster near-duplicates (minhash-LSH → exact-Jaccard verify → CC),
@@ -2635,6 +2678,7 @@ QUERIES = {
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_split_decontamination": pipeline_split_decontamination,
     "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
+    "pipeline_shuffled_export": pipeline_shuffled_export,
     "pipeline_source_mixture": pipeline_source_mixture,
     "pipeline_weighted_mixture": pipeline_weighted_mixture,
     "pipeline_sequence_packing": pipeline_sequence_packing,
@@ -2697,6 +2741,7 @@ ORACLES = {
     "pipeline_corpus_curation": PIPELINE_CORPUS_CURATION_SQL,
     "pipeline_split_decontamination": _split_decon_sql(),
     "pipeline_leakage_safe_split": PIPELINE_LEAKAGE_SAFE_SPLIT_SQL,
+    "pipeline_shuffled_export": PIPELINE_SHUFFLED_EXPORT_SQL,
     "pipeline_source_mixture": PIPELINE_SOURCE_MIXTURE_SQL,
     "pipeline_weighted_mixture": PIPELINE_WEIGHTED_MIXTURE_SQL,
     "pipeline_sequence_packing": PIPELINE_SEQUENCE_PACKING_SQL,

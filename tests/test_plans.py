@@ -66,6 +66,8 @@ _LAZY_LLMOPS = [
     # r8: hot-bucket valve — small-bucket equi-self-join + per-bucket
     # lag chain; the mega-bucket never enters a quadratic product
     "dedup_capped_band_pairs",
+    # r8: shard export — one hash-partition shuffle + per-shard window
+    "pipeline_shuffled_export",
 ]
 
 #: intentional bounded cross joins: a broadcast query/centroid batch

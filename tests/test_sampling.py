@@ -165,3 +165,46 @@ def test_cluster_safe_split_leakage_property(spark, sf_dir):
               split.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert set(counts) == {"train", "valid", "test"}
     assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+
+
+def test_shuffled_shards_permutation_properties(spark, sf_dir):
+    """r8 export shuffle: total permutation (every row exactly one
+    (shard, pos); positions 1..n_k contiguous per shard), determinism
+    across runs, independence across seeds, and the plan shape — the
+    window is PARTITIONED by shard (one hash shuffle, never a global
+    single-partition sort)."""
+    from pyspark.sql import functions as F
+
+    from connected_component_spark.operators.sampling import (
+        shuffled_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    out = shuffled_shards(docs, n_shards=8, key_col="doc_id", seed=3)
+    rows = out.collect()
+    assert len(rows) == n
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(per_shard) <= set(range(8))
+    for positions in per_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic: identical assignment on a re-run
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in
+             shuffled_shards(docs, 8, "doc_id", seed=3).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    # a fresh seed reshuffles (epoch semantics): most docs move
+    other = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+             shuffled_shards(docs, 8, "doc_id", seed=4).collect()}
+    same = sum(1 for r in rows if other[r["doc_id"]] == (r["shard"], r["pos"]))
+    assert same < n * 0.2
+    # not pathologically skewed: every shard gets something at n=500
+    assert len(per_shard) == 8
+    # plan: the sort is partitioned — no SinglePartition exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffled_shards(docs, 0, "doc_id")
