@@ -35,6 +35,8 @@ __all__ = [
     "cluster_safe_split",
     "shuffled_shards",
     "shuffled_shards_sql",
+    "temperature_thresholds",
+    "temperature_sample",
 ]
 
 #: bucket resolution: fractions are exact multiples of 1/SPLIT_DENOM
@@ -212,6 +214,78 @@ FROM (
   FROM {source}
 )
 """
+
+
+def temperature_thresholds(
+    df: DataFrame,
+    stratum_col: str,
+    target_num: int = 1,
+    target_den: int = 2,
+) -> dict[str, int]:
+    """Per-stratum keep thresholds for TEMPERATURE sampling at
+    α = 0.5 — the standard multilingual/domain rebalancing: stratum i
+    is drawn with probability ∝ n_i^α, flattening the head so small
+    languages/domains aren't drowned out, sized to a target corpus of
+    T = N·target_num/target_den rows.
+
+    α is fixed at 0.5 because sqrt is the one power that is exactly
+    portable (single correctly-rounded IEEE op in Python, Spark and
+    DuckDB; pow() is not correctly rounded).  Everything after the
+    sqrt is INTEGER arithmetic: w9 = floor(sqrt(n)·1e9), threshold =
+    min(DENOM, T·w9·DENOM // (W9·n)) — computed in Python bigints
+    here, replayable in HUGEINT by the oracle, with no float
+    comparison anywhere near a keep/drop boundary.
+
+    Driver cost: one collect of the #strata-row count table (the
+    k-centroids class of bounded collect)."""
+    import math
+
+    if target_num < 0 or target_den <= 0:
+        raise ValueError(
+            f"target fraction must be >= 0, got {target_num}/{target_den}"
+        )
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    n_by = {r[stratum_col]: int(r["n"]) for r in counts}
+    total = sum(n_by.values())
+    target = (total * target_num) // target_den
+    w9 = {s: math.floor(math.sqrt(n) * 1e9) for s, n in n_by.items()}
+    w9_total = sum(w9.values())
+    return {
+        s: min(
+            SPLIT_DENOM,
+            (target * w9[s] * SPLIT_DENOM) // (w9_total * n),
+        )
+        for s, n in n_by.items()
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    target_num: int = 1,
+    target_den: int = 2,
+    seed: int = 0,
+    thresholds: dict[str, int] | None = None,
+) -> DataFrame:
+    """Apply :func:`temperature_thresholds` as a scan-side predicate:
+    keep rows whose hash bucket falls under their stratum's integer
+    threshold.  Like weighted_mixture_sample the rate table folds into
+    a CASE on the stratum column — no join, no shuffle, membership a
+    pure function of the key."""
+    thr = (
+        thresholds
+        if thresholds is not None
+        else temperature_thresholds(df, stratum_col, target_num, target_den)
+    )
+    expr = None
+    for name, t in thr.items():
+        cond = F.col(stratum_col) == F.lit(name)
+        expr = (
+            F.when(cond, F.lit(t)) if expr is None else expr.when(cond, F.lit(t))
+        )
+    expr = F.lit(0) if expr is None else expr.otherwise(F.lit(0))
+    return df.where(_bucket(key_col, seed) < expr)
 
 
 def hash_split_case_sql(key_expr: str, splits: list[tuple[str, float]], seed: int = 0) -> str:

@@ -990,6 +990,98 @@ PIPELINE_SHUFFLED_EXPORT_SQL = _shuffled_export_sql()
 
 
 # --------------------------------------------------------------------------
+# pipeline_temperature_mixture — α=0.5 temperature rebalancing across
+# sources (operators/sampling.py:temperature_thresholds/_sample): the
+# multilingual/domain mixture knob, sized to half the corpus.  The
+# keep thresholds are pure INTEGER arithmetic after one portable sqrt
+# (w9 = floor(sqrt(n)·1e9); thr = T·w9·DENOM // (W9·n)), so the
+# oracle replays them in HUGEINT with zero float boundary hazards.
+# --------------------------------------------------------------------------
+
+_TEMP_SEED = 5
+_TEMP_NUM, _TEMP_DEN = 1, 2
+
+
+def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, threshold, n_sampled): per-source corpus
+    count, integer keep-threshold, and resulting sample size under
+    α=0.5 temperature sampling — small sources keep (relatively) more
+    than proportional sampling would give them, the head is
+    flattened, total lands near N/2."""
+    from connected_component_spark.operators.sampling import (
+        temperature_sample,
+        temperature_thresholds,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    thr = temperature_thresholds(docs, "source", _TEMP_NUM, _TEMP_DEN)
+    kept = temperature_sample(
+        docs, "source", "doc_id", seed=_TEMP_SEED, thresholds=thr
+    )
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    samp = kept.groupBy("source").agg(F.count(F.lit(1)).alias("_ns"))
+    thr_expr = None
+    for name, t in thr.items():
+        cond = F.col("source") == F.lit(name)
+        thr_expr = (
+            F.when(cond, F.lit(t))
+            if thr_expr is None
+            else thr_expr.when(cond, F.lit(t))
+        )
+    return (
+        base.join(samp, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            thr_expr.cast("long").alias("threshold"),
+            F.coalesce(F.col("_ns"), F.lit(0)).alias("n_sampled"),
+        )
+    )
+
+
+def _temperature_mixture_sql() -> str:
+    from connected_component_spark.operators.sampling import (
+        split_bucket_sql,
+    )
+
+    bucket = split_bucket_sql("doc_id", _TEMP_SEED)
+    return f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e9) AS HUGEINT) AS w9
+  FROM c
+),
+tot AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS total, sum(w9) AS w9_total FROM w
+),
+thr AS (
+  SELECT source, n,
+         least(CAST(1000000 AS HUGEINT),
+               ((total * {_TEMP_NUM}) // {_TEMP_DEN}) * w9 * 1000000
+                 // (w9_total * CAST(n AS HUGEINT))) AS t
+  FROM w, tot
+),
+kept AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN thr ON thr.source = d.source
+  WHERE {bucket} < thr.t
+  GROUP BY d.source
+)
+SELECT thr.source,
+       thr.n AS n_docs,
+       CAST(thr.t AS BIGINT) AS threshold,
+       COALESCE(kept.n_sampled, 0) AS n_sampled
+FROM thr LEFT JOIN kept ON kept.source = thr.source
+"""
+
+
+PIPELINE_TEMPERATURE_MIXTURE_SQL = _temperature_mixture_sql()
+
+
+# --------------------------------------------------------------------------
 # pipeline_corpus_curation — the end-to-end training-data curation
 # flow every large-scale pipeline runs: quality-score every document,
 # cluster near-duplicates (minhash-LSH → exact-Jaccard verify → CC),
@@ -2679,6 +2771,7 @@ QUERIES = {
     "pipeline_split_decontamination": pipeline_split_decontamination,
     "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
     "pipeline_shuffled_export": pipeline_shuffled_export,
+    "pipeline_temperature_mixture": pipeline_temperature_mixture,
     "pipeline_source_mixture": pipeline_source_mixture,
     "pipeline_weighted_mixture": pipeline_weighted_mixture,
     "pipeline_sequence_packing": pipeline_sequence_packing,
@@ -2742,6 +2835,7 @@ ORACLES = {
     "pipeline_split_decontamination": _split_decon_sql(),
     "pipeline_leakage_safe_split": PIPELINE_LEAKAGE_SAFE_SPLIT_SQL,
     "pipeline_shuffled_export": PIPELINE_SHUFFLED_EXPORT_SQL,
+    "pipeline_temperature_mixture": PIPELINE_TEMPERATURE_MIXTURE_SQL,
     "pipeline_source_mixture": PIPELINE_SOURCE_MIXTURE_SQL,
     "pipeline_weighted_mixture": PIPELINE_WEIGHTED_MIXTURE_SQL,
     "pipeline_sequence_packing": PIPELINE_SEQUENCE_PACKING_SQL,

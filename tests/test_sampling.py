@@ -208,3 +208,45 @@ def test_shuffled_shards_permutation_properties(spark, sf_dir):
 
     with pytest.raises(ValueError, match="n_shards"):
         shuffled_shards(docs, 0, "doc_id")
+
+
+def test_temperature_sample_flattens_the_head(spark, sf_dir):
+    """r8 α=0.5 temperature rebalance: smaller strata keep a HIGHER
+    fraction than larger ones (the flattening that stops big domains
+    drowning small ones), the total lands near the N/2 target, the
+    thresholds are pure integers, and the predicate is scan-side
+    (CASE on the stratum column — no join, no extra shuffle)."""
+    from connected_component_spark.operators.sampling import (
+        SPLIT_DENOM,
+        temperature_sample,
+        temperature_thresholds,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    thr = temperature_thresholds(docs, "source", 1, 2)
+    counts = {
+        r["source"]: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    assert set(thr) == set(counts)
+    assert all(isinstance(t, int) and 0 <= t <= SPLIT_DENOM for t in thr.values())
+    # flattening: keep-rate (threshold) decreases as stratum size grows
+    by_size = sorted(counts, key=counts.get)
+    rates = [thr[s] for s in by_size]
+    assert rates == sorted(rates, reverse=True), (counts, thr)
+    # target: expected kept = sum(n_i * thr_i / DENOM) ≈ N/2 by
+    # construction; the realized hash sample sits within ±25% of it
+    n_total = sum(counts.values())
+    kept = temperature_sample(docs, "source", "doc_id", 1, 2, seed=5).count()
+    expected = sum(counts[s] * thr[s] / SPLIT_DENOM for s in counts)
+    assert abs(expected - n_total / 2) <= len(counts)  # integer floors only
+    assert 0.75 * expected <= kept <= 1.25 * expected
+    # determinism
+    again = temperature_sample(docs, "source", "doc_id", 1, 2, seed=5).count()
+    assert again == kept
+    # plan: no join (the threshold table folded into a CASE)
+    plan = (
+        temperature_sample(docs, "source", "doc_id", 1, 2, seed=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
