@@ -30,13 +30,26 @@ __all__ = [
     "source_divergence",
     "lm_score",
     "chunk_documents",
+    "redact_pii",
     "STOPWORDS",
+    "PII_PATTERNS",
 ]
 
 #: BPE-ish pre-tokenizer pattern (GPT-2-style, simplified to the
 #: regex subset Spark (Java) and DuckDB (RE2) agree on): runs of
 #: letters, runs of digits, or single non-alnum-non-space chars
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: PII patterns, deliberately restricted to the Java-regex ∩ RE2
+#: subset (character classes, bounded quantifiers, \b — no
+#: lookaround, no backreferences, no ambiguous alternation), so the
+#: scrubbed text is bit-identical under Spark and the DuckDB oracle.
+#: (label, pattern, replacement); applied in declared order.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b", "<PHONE>"),
+)
 
 #: Tiny per-language stopword lists for the n-gram/stopword
 #: language-ID heuristic.  Deliberately small and hard-coded: the
@@ -624,3 +637,35 @@ def chunk_documents(
             F.lit(max_tokens), F.col("n") - F.col("chunk_idx") * stride
         ).cast("long").alias("n_tokens"),
     )
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Scrub PII from a text column — the safety pass every training
+    corpus runs before anything is tokenized.  For each (label,
+    pattern, replacement): a ``n_<label>`` count of matches on the
+    ORIGINAL text (each label counted independently, so overlapping
+    patterns both report), then the replacements applied in declared
+    order to produce the scrubbed text — with custom pattern sets
+    whose matches can nest, an earlier pattern consumes text later
+    ones would otherwise re-redact, so order is part of the contract.
+    (The defaults are near-disjoint by design: the email pattern
+    requires an alphabetic TLD, so a raw-IP mail host is scrubbed by
+    the ipv4 rule, not double-counted.)
+
+    Map-side only, pure Catalyst regexp_count/regexp_replace — at
+    100 TB this is one scan.  Patterns must stay in the Java ∩ RE2
+    regex subset (see PII_PATTERNS) for oracle parity."""
+    out = docs
+    for label, pat, _rep in patterns:
+        out = out.withColumn(
+            f"n_{label}",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"),
+        )
+    scrub = F.col(text_col)
+    for _label, pat, rep in patterns:
+        scrub = F.regexp_replace(scrub, pat, rep)
+    return out.withColumn(text_col, scrub)

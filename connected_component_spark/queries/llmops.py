@@ -1082,6 +1082,82 @@ PIPELINE_TEMPERATURE_MIXTURE_SQL = _temperature_mixture_sql()
 
 
 # --------------------------------------------------------------------------
+# pipeline_pii_redaction — the safety scrub every corpus runs before
+# tokenization (operators/text.py:redact_pii).  The fixture text
+# carries no PII, so each document is AUGMENTED with deterministic
+# planted PII (an email, an IPv4, a phone number derived from doc_id)
+# — the scrub must then remove every planted item, and the md5 of the
+# scrubbed text proves the Java and RE2 regex engines produced
+# byte-identical redactions (the patterns are confined to their
+# common subset; see PII_PATTERNS).
+# --------------------------------------------------------------------------
+
+
+def _planted_pii_text() -> "F.Column":
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (d % 200).cast("string"),
+        F.lit("."),
+        ((d * 7) % 250).cast("string"),
+        F.lit(" tel 555-010-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+
+
+def pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_phone, n_chars_after,
+    scrubbed_md5): per-label match counts on the original (planted)
+    text and a fingerprint of the scrubbed text.  Counts are ≥1 per
+    label by construction — a pattern that silently stops matching
+    fails the count columns, a divergent replacement fails the md5."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _planted_pii_text().alias("text")
+    )
+    red = tx.redact_pii(docs)
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.length("text").cast("long").alias("n_chars_after"),
+        F.md5("text").alias("scrubbed_md5"),
+    )
+
+
+def _pii_redaction_sql() -> str:
+    from connected_component_spark.operators.text import PII_PATTERNS
+
+    planted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || "
+        "'.' || CAST((doc_id * 7) % 250 AS VARCHAR) || "
+        "' tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    scrub = "t"
+    for _label, pat, rep in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{rep}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{label}"
+        for label, pat, _rep in PII_PATTERNS
+    )
+    return f"""
+WITH p AS (SELECT doc_id, {planted} AS t FROM documents)
+SELECT doc_id,
+       {counts},
+       CAST(length({scrub}) AS BIGINT) AS n_chars_after,
+       md5({scrub}) AS scrubbed_md5
+FROM p
+"""
+
+
+PIPELINE_PII_REDACTION_SQL = _pii_redaction_sql()
+
+
+# --------------------------------------------------------------------------
 # pipeline_corpus_curation — the end-to-end training-data curation
 # flow every large-scale pipeline runs: quality-score every document,
 # cluster near-duplicates (minhash-LSH → exact-Jaccard verify → CC),
@@ -2772,6 +2848,7 @@ QUERIES = {
     "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
     "pipeline_shuffled_export": pipeline_shuffled_export,
     "pipeline_temperature_mixture": pipeline_temperature_mixture,
+    "pipeline_pii_redaction": pipeline_pii_redaction,
     "pipeline_source_mixture": pipeline_source_mixture,
     "pipeline_weighted_mixture": pipeline_weighted_mixture,
     "pipeline_sequence_packing": pipeline_sequence_packing,
@@ -2836,6 +2913,7 @@ ORACLES = {
     "pipeline_leakage_safe_split": PIPELINE_LEAKAGE_SAFE_SPLIT_SQL,
     "pipeline_shuffled_export": PIPELINE_SHUFFLED_EXPORT_SQL,
     "pipeline_temperature_mixture": PIPELINE_TEMPERATURE_MIXTURE_SQL,
+    "pipeline_pii_redaction": PIPELINE_PII_REDACTION_SQL,
     "pipeline_source_mixture": PIPELINE_SOURCE_MIXTURE_SQL,
     "pipeline_weighted_mixture": PIPELINE_WEIGHTED_MIXTURE_SQL,
     "pipeline_sequence_packing": PIPELINE_SEQUENCE_PACKING_SQL,

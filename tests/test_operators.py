@@ -779,3 +779,39 @@ def test_lm_score_ranks_rare_tokens_higher(spark):
     )
     rows = {r["doc_id"]: r["nll"] for r in lm_score(docs).collect()}
     assert rows[2] > rows[0] == rows[1]
+
+
+def test_redact_pii_hand_computed(spark):
+    """r8 PII scrub: planted items are counted independently on the
+    original text and removed in declared order (the email's host is
+    consumed by <EMAIL> before the ipv4 pattern could double-redact
+    it); clean text passes through byte-identical."""
+    from connected_component_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "write to alice.smith+x@corp.example.org today"),
+        (2, "server 192.168.1.254 answered"),
+        (3, "call 555-010-1234 or 555-0100-4321"),
+        (4, "email bob@10.0.0.1 raw-ip host"),
+        (5, "no pii here at all"),
+        (6, "ask carol@host.example.net or 10.1.2.3 now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+
+    assert got[1]["n_email"] == 1 and got[1]["text"] == "write to <EMAIL> today"
+    assert got[2]["n_ipv4"] == 1 and got[2]["text"] == "server <IP> answered"
+    assert got[3]["n_phone"] == 2
+    assert got[3]["text"] == "call <PHONE> or <PHONE>"
+    # raw-IP mail host: the email pattern requires an alphabetic TLD
+    # (anti-false-positive), so only the ipv4 redaction fires — the
+    # address is still scrubbed, just labeled as an IP
+    assert got[4]["n_email"] == 0 and got[4]["n_ipv4"] == 1
+    assert got[4]["text"] == "email bob@<IP> raw-ip host"
+    assert got[5]["text"] == "no pii here at all"
+    assert (
+        got[5]["n_email"] == got[5]["n_ipv4"] == got[5]["n_phone"] == 0
+    )
+    # multiple labels in one doc redact independently
+    assert got[6]["n_email"] == 1 and got[6]["n_ipv4"] == 1
+    assert got[6]["text"] == "ask <EMAIL> or <IP> now"

@@ -68,6 +68,8 @@ _LAZY_LLMOPS = [
     "dedup_capped_band_pairs",
     # r8: shard export — one hash-partition shuffle + per-shard window
     "pipeline_shuffled_export",
+    # r8: PII scrub — map-side regexp_count/replace, zero shuffle
+    "pipeline_pii_redaction",
 ]
 
 #: intentional bounded cross joins: a broadcast query/centroid batch
