@@ -37,6 +37,7 @@ __all__ = [
     "shuffled_shards_sql",
     "temperature_thresholds",
     "temperature_sample",
+    "threshold_case",
 ]
 
 #: bucket resolution: fractions are exact multiples of 1/SPLIT_DENOM
@@ -155,8 +156,18 @@ def cluster_safe_split(
 
     Scale shape: the split label is a map-side CASE over a hash of
     the cluster column — zero additional shuffle on top of the
-    clustering pass; membership is stable under appends (new docs
-    join existing clusters without moving them between splits)."""
+    clustering pass.
+
+    Stability caveat (review r8): within ONE clustering, membership
+    is a pure function of the cluster id.  Re-clustering after
+    appends can MERGE clusters (a new document bridging two old
+    ones), and the merged component takes the minimum id — re-keying
+    every member of the higher-id cluster.  The leakage guarantee
+    still holds at every point in time (a cluster always moves AS A
+    WHOLE), but a merged cluster may land in a different split than
+    its parts did before the merge; pipelines that must pin old docs
+    to old splits should freeze the clustering snapshot they split
+    on."""
     return hash_split(
         assignments, cluster_col, splits, seed=seed, out_col=out_col
     )
@@ -183,6 +194,15 @@ def shuffled_shards(
     permutation is total and engine-independent."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # withColumn would silently OVERWRITE pre-existing output columns
+    # (e.g. re-exporting an already-sharded frame), and the SQL twin
+    # would emit duplicates — refuse loudly instead (review r8)
+    for c in ("_h", "shard", "pos"):
+        if c in df.columns:
+            raise ValueError(
+                f"shuffled_shards output column {c!r} already exists on "
+                "the input — drop or rename it first"
+            )
     from pyspark.sql import Window
 
     h = seeded_hash64(F.col(key_col).cast("string"), seed)
@@ -259,6 +279,23 @@ def temperature_thresholds(
     }
 
 
+def threshold_case(
+    thr: dict[str, int], stratum_col: str, default_threshold: int = 0
+) -> Column:
+    """Fold a stratum → integer-threshold table into a scan-side CASE
+    expression (shared by :func:`temperature_sample` and the declared
+    report query, so the reported threshold is definitionally the one
+    the predicate filters on)."""
+    expr = None
+    for name, t in thr.items():
+        cond = F.col(stratum_col) == F.lit(name)
+        expr = (
+            F.when(cond, F.lit(t)) if expr is None else expr.when(cond, F.lit(t))
+        )
+    default = F.lit(default_threshold)
+    return default if expr is None else expr.otherwise(default)
+
+
 def temperature_sample(
     df: DataFrame,
     stratum_col: str,
@@ -267,24 +304,26 @@ def temperature_sample(
     target_den: int = 2,
     seed: int = 0,
     thresholds: dict[str, int] | None = None,
+    default_threshold: int = 0,
 ) -> DataFrame:
     """Apply :func:`temperature_thresholds` as a scan-side predicate:
     keep rows whose hash bucket falls under their stratum's integer
     threshold.  Like weighted_mixture_sample the rate table folds into
     a CASE on the stratum column — no join, no shuffle, membership a
-    pure function of the key."""
+    pure function of the key.
+
+    ``default_threshold`` (in [0, SPLIT_DENOM]) governs strata absent
+    from a caller-supplied ``thresholds`` table AND NULL strata (a
+    CASE equality never matches NULL): the default 0 drops them,
+    SPLIT_DENOM keeps them whole — pick explicitly when replaying
+    stale thresholds against a corpus that may have grown new
+    sources (review r8)."""
     thr = (
         thresholds
         if thresholds is not None
         else temperature_thresholds(df, stratum_col, target_num, target_den)
     )
-    expr = None
-    for name, t in thr.items():
-        cond = F.col(stratum_col) == F.lit(name)
-        expr = (
-            F.when(cond, F.lit(t)) if expr is None else expr.when(cond, F.lit(t))
-        )
-    expr = F.lit(0) if expr is None else expr.otherwise(F.lit(0))
+    expr = threshold_case(thr, stratum_col, default_threshold)
     return df.where(_bucket(key_col, seed) < expr)
 
 

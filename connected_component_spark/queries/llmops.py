@@ -497,22 +497,38 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_minhash_sql_core()},
-{_lsh_pairs_sql()},
-edges AS (
-  SELECT a AS src, b AS dst FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
-),
+def _cc_walk_sql(edges_select: str, universe_select: str) -> str:
+    """Shared recursive-CTE transitive-closure fragment — the DuckDB
+    replay of the CC kernel every *_clusters oracle uses (previously
+    copied verbatim at seven sites; review r8).  Emits CTEs ``edges``
+    (from ``edges_select``), ``sym`` (both directions) and
+    ``walk(node, comp)`` seeded by ``universe_select``; callers
+    aggregate ``min(comp)`` per node under their own column names."""
+    return f"""
+edges AS ({edges_select}),
 sym AS (
   SELECT src, dst FROM edges
   UNION
   SELECT dst, src FROM edges
 ),
 walk(node, comp) AS (
-  SELECT doc_id, doc_id FROM documents
+  {universe_select}
   UNION
   SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
+)"""
+
+
+_JAC_EDGES = (
+    f"SELECT a AS src, b AS dst FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}"
 )
+_DOC_UNIVERSE = "SELECT doc_id, doc_id FROM documents"
+_EMB_UNIVERSE = "SELECT vec_id, vec_id FROM embeddings"
+
+
+DEDUP_MINHASH_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_minhash_sql_core()},
+{_lsh_pairs_sql()},
+{_cc_walk_sql(_JAC_EDGES, _DOC_UNIVERSE)}
 SELECT node AS doc_id, min(comp) AS cluster
 FROM walk GROUP BY node
 """
@@ -901,8 +917,11 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard → alternating-star CC, the already-verified
     dedup_minhash_clusters pass) split train/valid/test by a hash of
     the CLUSTER id — zero eval contamination by construction, and the
-    label is a map-side CASE (no extra shuffle on top of clustering;
-    appends join existing clusters without moving them)."""
+    label is a map-side CASE (no extra shuffle on top of clustering).
+    A re-clustering after appends can merge clusters — the merged
+    cluster moves AS A WHOLE (the guarantee holds at every point),
+    though possibly to a different split; see cluster_safe_split's
+    stability caveat."""
     from connected_component_spark.operators.sampling import (
         cluster_safe_split,
     )
@@ -925,19 +944,7 @@ def _leakage_safe_split_sql() -> str:
     return f"""
 WITH RECURSIVE {_minhash_sql_core()},
 {_lsh_pairs_sql()},
-edges AS (
-  SELECT a AS src, b AS dst FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
-),
-sym AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT dst, src FROM edges
-),
-walk(node, comp) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
-),
+{_cc_walk_sql(_JAC_EDGES, _DOC_UNIVERSE)},
 assign AS (SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node)
 SELECT doc_id, cluster, {case} AS split FROM assign
 """
@@ -1013,6 +1020,8 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         temperature_thresholds,
     )
 
+    from connected_component_spark.operators.sampling import threshold_case
+
     docs = load_table(spark, sf_dir, "documents")
     thr = temperature_thresholds(docs, "source", _TEMP_NUM, _TEMP_DEN)
     kept = temperature_sample(
@@ -1020,20 +1029,12 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     samp = kept.groupBy("source").agg(F.count(F.lit(1)).alias("_ns"))
-    thr_expr = None
-    for name, t in thr.items():
-        cond = F.col("source") == F.lit(name)
-        thr_expr = (
-            F.when(cond, F.lit(t))
-            if thr_expr is None
-            else thr_expr.when(cond, F.lit(t))
-        )
     return (
         base.join(samp, "source", "left")
         .select(
             "source",
             "n_docs",
-            thr_expr.cast("long").alias("threshold"),
+            threshold_case(thr, "source").cast("long").alias("threshold"),
             F.coalesce(F.col("_ns"), F.lit(0)).alias("n_sampled"),
         )
     )
@@ -1204,19 +1205,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_CORPUS_CURATION_SQL = f"""
 WITH RECURSIVE {_minhash_sql_core()},
 {_lsh_pairs_sql()},
-edges AS (
-  SELECT a AS src, b AS dst FROM jac WHERE jaccard >= {_JACCARD_THRESHOLD}
-),
-sym AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT dst, src FROM edges
-),
-walk(node, comp) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
-),
+{_cc_walk_sql(_JAC_EDGES, _DOC_UNIVERSE)},
 clusters AS (
   SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node
 ),
@@ -1370,19 +1359,10 @@ def dedup_ngram_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_NGRAM_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_NGRAM_CORE},
-edges AS (
-  SELECT a AS src, b AS dst FROM nj WHERE jaccard >= {_NGRAM_THRESHOLD}
-),
-sym AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT dst, src FROM edges
-),
-walk(node, comp) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
-)
+{_cc_walk_sql(
+    f"SELECT a AS src, b AS dst FROM nj WHERE jaccard >= {_NGRAM_THRESHOLD}",
+    _DOC_UNIVERSE,
+)}
 SELECT node AS doc_id, min(comp) AS cluster
 FROM walk GROUP BY node
 """
@@ -1760,20 +1740,11 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
 ),
-edges AS (
-  SELECT query_id AS src, neighbor_id AS dst FROM ranked
-  WHERE rank <= 3 AND cos >= 0.1
-),
-sym AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT dst, src FROM edges
-),
-walk(node, comp) AS (
-  SELECT vec_id, vec_id FROM embeddings
-  UNION
-  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
-)
+{_cc_walk_sql(
+    "SELECT query_id AS src, neighbor_id AS dst FROM ranked "
+    "WHERE rank <= 3 AND cos >= 0.1",
+    _EMB_UNIVERSE,
+)}
 SELECT node AS vec_id, min(comp) AS cluster
 FROM walk GROUP BY node
 """
@@ -1820,19 +1791,10 @@ pairs AS (
   JOIN embeddings ea ON ea.vec_id = a
   JOIN embeddings eb ON eb.vec_id = b
 ),
-edges AS (
-  SELECT a AS src, b AS dst FROM pairs WHERE cos >= {_EMB_DEDUP_THRESHOLD}
-),
-sym AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT dst, src FROM edges
-),
-walk(node, comp) AS (
-  SELECT vec_id, vec_id FROM embeddings
-  UNION
-  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
-)
+{_cc_walk_sql(
+    f"SELECT a AS src, b AS dst FROM pairs WHERE cos >= {_EMB_DEDUP_THRESHOLD}",
+    _EMB_UNIVERSE,
+)}
 SELECT node AS vec_id, min(comp) AS cluster
 FROM walk GROUP BY node
 """
@@ -1910,19 +1872,10 @@ pairs AS (
   FROM v l JOIN v r
     ON l.sem_cluster = r.sem_cluster AND l.sub = r.sub AND l.vec_id < r.vec_id
 ),
-edges AS (
-  SELECT a AS src, b AS dst FROM pairs WHERE cos >= {_EMB_DEDUP_THRESHOLD}
-),
-sym AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT dst, src FROM edges
-),
-walk(node, comp) AS (
-  SELECT vec_id, vec_id FROM embeddings
-  UNION
-  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node
-),
+{_cc_walk_sql(
+    f"SELECT a AS src, b AS dst FROM pairs WHERE cos >= {_EMB_DEDUP_THRESHOLD}",
+    _EMB_UNIVERSE,
+)},
 groups AS (
   SELECT node AS vec_id, min(comp) AS dup_group FROM walk GROUP BY node
 )

@@ -222,24 +222,35 @@ def test_temperature_sample_flattens_the_head(spark, sf_dir):
         temperature_thresholds,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # a SKEWED synthetic corpus: the fixture's 20 sources are all the
+    # same size, which made every threshold equal and the monotonicity
+    # assertion vacuous (review r8) — plain proportional sampling
+    # would have passed.  Sizes 400/90/10 make flattening observable.
+    rows = [(i, f"doc {i} text", "big") for i in range(400)]
+    rows += [(400 + i, f"doc b{i}", "mid") for i in range(90)]
+    rows += [(490 + i, f"doc s{i}", "small") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     thr = temperature_thresholds(docs, "source", 1, 2)
-    counts = {
-        r["source"]: r["count"]
-        for r in docs.groupBy("source").count().collect()
-    }
+    counts = {"big": 400, "mid": 90, "small": 10}
     assert set(thr) == set(counts)
     assert all(isinstance(t, int) and 0 <= t <= SPLIT_DENOM for t in thr.values())
-    # flattening: keep-rate (threshold) decreases as stratum size grows
-    by_size = sorted(counts, key=counts.get)
-    rates = [thr[s] for s in by_size]
-    assert rates == sorted(rates, reverse=True), (counts, thr)
-    # target: expected kept = sum(n_i * thr_i / DENOM) ≈ N/2 by
-    # construction; the realized hash sample sits within ±25% of it
+    # flattening: keep-rate STRICTLY decreases as stratum size grows —
+    # proportional sampling (equal thresholds) must fail this
+    assert thr["small"] > thr["mid"] > thr["big"], thr
+    # the tiny stratum's raw rate exceeds 1 and is capped at DENOM
+    # (kept whole — exactly what temperature sampling is FOR)
+    assert thr["small"] == SPLIT_DENOM, thr
+    # α=0.5 exactly on the uncapped pair: rate ∝ sqrt(n)/n ⇒
+    # mid/big keep-rate ratio = sqrt(400/90) ≈ 2.11 (floors aside)
+    assert 1.95 <= thr["mid"] / thr["big"] <= 2.25, thr
+    # target: expected kept = sum(n_i * thr_i / DENOM) tracks N/2 —
+    # within 10% here (the capped stratum's surplus is NOT
+    # redistributed, so capping loses a little mass vs the target);
+    # the realized hash sample sits within ±25% of the expectation
     n_total = sum(counts.values())
     kept = temperature_sample(docs, "source", "doc_id", 1, 2, seed=5).count()
     expected = sum(counts[s] * thr[s] / SPLIT_DENOM for s in counts)
-    assert abs(expected - n_total / 2) <= len(counts)  # integer floors only
+    assert abs(expected - n_total / 2) <= 0.10 * n_total, expected
     assert 0.75 * expected <= kept <= 1.25 * expected
     # determinism
     again = temperature_sample(docs, "source", "doc_id", 1, 2, seed=5).count()
