@@ -223,7 +223,18 @@ def shuffled_shards_sql(
     key_expr: str, n_shards: int, seed: int = 0, source: str = "documents"
 ) -> str:
     """DuckDB twin of :func:`shuffled_shards` (pmod semantics: the
-    md5-derived hash64 is non-negative, so plain ``%`` agrees)."""
+    md5-derived hash64 is non-negative, so plain ``%`` agrees).
+
+    Same guards as the DataFrame side (advice r9): ``n_shards < 1``
+    raises here instead of binding a modulo-by-zero query, and the
+    ``SELECT *`` means a ``source`` already carrying ``_h``/``shard``/
+    ``pos`` columns would emit silent duplicates — callers must feed a
+    source without the reserved names, exactly as :func:`shuffled_shards`
+    enforces on its input DataFrame (checked there because only the
+    DataFrame side can see the schema; the SQL twin states the
+    contract)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     h = seeded_hash64_sql(f"CAST({key_expr} AS VARCHAR)", seed)
     return f"""
 SELECT * EXCLUDE (_h),
@@ -285,10 +296,21 @@ def threshold_case(
     """Fold a stratum → integer-threshold table into a scan-side CASE
     expression (shared by :func:`temperature_sample` and the declared
     report query, so the reported threshold is definitionally the one
-    the predicate filters on)."""
+    the predicate filters on).
+
+    A ``None`` key (``temperature_thresholds`` emits one when the
+    corpus has NULL strata — GROUP BY keeps the NULL group) folds into
+    an ``isNull()`` branch rather than an equality that never matches
+    (advice r9): previously NULL-stratum rows silently got
+    ``default_threshold`` while the threshold table claimed the
+    computed value."""
     expr = None
     for name, t in thr.items():
-        cond = F.col(stratum_col) == F.lit(name)
+        cond = (
+            F.col(stratum_col).isNull()
+            if name is None
+            else F.col(stratum_col) == F.lit(name)
+        )
         expr = (
             F.when(cond, F.lit(t)) if expr is None else expr.when(cond, F.lit(t))
         )
@@ -313,10 +335,12 @@ def temperature_sample(
     pure function of the key.
 
     ``default_threshold`` (in [0, SPLIT_DENOM]) governs strata absent
-    from a caller-supplied ``thresholds`` table AND NULL strata (a
-    CASE equality never matches NULL): the default 0 drops them,
-    SPLIT_DENOM keeps them whole — pick explicitly when replaying
-    stale thresholds against a corpus that may have grown new
+    from a caller-supplied ``thresholds`` table (a NULL stratum is
+    NOT "absent" when the table carries a ``None`` key — it folds
+    into an ``isNull()`` branch, advice r9): the default 0 drops
+    unknown strata, SPLIT_DENOM keeps them whole — pick explicitly
+    when replaying stale thresholds against a corpus that may have
+    grown new
     sources (review r8)."""
     thr = (
         thresholds

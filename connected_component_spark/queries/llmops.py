@@ -1029,8 +1029,15 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     samp = kept.groupBy("source").agg(F.count(F.lit(1)).alias("_ns"))
+    # eqNullSafe join (advice r9): a NULL stratum forms a group in both
+    # aggregates, and threshold_case now folds a None key into an
+    # isNull() branch — a plain equality join would report n_sampled=0
+    # for the NULL stratum while its rows were in fact kept.  The
+    # fixture has no NULL sources, so this is a robustness contract,
+    # not a result change.
+    samp = samp.withColumnRenamed("source", "_src")
     return (
-        base.join(samp, "source", "left")
+        base.join(samp, base["source"].eqNullSafe(samp["_src"]), "left")
         .select(
             "source",
             "n_docs",
@@ -1067,7 +1074,7 @@ thr AS (
 ),
 kept AS (
   SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
-  FROM documents d JOIN thr ON thr.source = d.source
+  FROM documents d JOIN thr ON thr.source IS NOT DISTINCT FROM d.source
   WHERE {bucket} < thr.t
   GROUP BY d.source
 )
@@ -1075,7 +1082,7 @@ SELECT thr.source,
        thr.n AS n_docs,
        CAST(thr.t AS BIGINT) AS threshold,
        COALESCE(kept.n_sampled, 0) AS n_sampled
-FROM thr LEFT JOIN kept ON kept.source = thr.source
+FROM thr LEFT JOIN kept ON kept.source IS NOT DISTINCT FROM thr.source
 """
 
 
@@ -1138,11 +1145,19 @@ def _pii_redaction_sql() -> str:
         "'.' || CAST((doc_id * 7) % 250 AS VARCHAR) || "
         "' tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
     )
+    def lit(s: str) -> str:
+        # SQL-escape embedded single quotes (advice r9): a future
+        # pattern/replacement containing ' would otherwise break — or
+        # silently alter — the oracle SQL while the Spark side kept
+        # working.  (Java and RE2 both treat ' as a literal char, so
+        # doubling it for SQL changes nothing regex-wise.)
+        return s.replace("'", "''")
+
     scrub = "t"
     for _label, pat, rep in PII_PATTERNS:
-        scrub = f"regexp_replace({scrub}, '{pat}', '{rep}', 'g')"
+        scrub = f"regexp_replace({scrub}, '{lit(pat)}', '{lit(rep)}', 'g')"
     counts = ",\n       ".join(
-        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{label}"
+        f"CAST(len(regexp_extract_all(t, '{lit(pat)}')) AS BIGINT) AS n_{label}"
         for label, pat, _rep in PII_PATTERNS
     )
     return f"""

@@ -10,13 +10,23 @@ repeated runs reuse the files; a half-built dir (no sentinel) is
 wiped and rebuilt.  Spark's file listing ignores ``_``-prefixed
 files, so the sentinel never enters a read.
 
-Concurrency (advice r7, hardened review r8): two processes hitting
-the same unready key previously both got ``needs_build=True`` and
-could rmtree each other's half-built dir.  The build→ready window is
-now guarded by an ``O_CREAT|O_EXCL`` lockfile:
+Concurrency (advice r7, hardened review r8, steal serialized
+advice r9): two processes hitting the same unready key previously
+both got ``needs_build=True`` and could rmtree each other's
+half-built dir.  The build→ready window is now guarded by an
+``O_CREAT|O_EXCL`` lockfile:
 
 * a loser waits for the winner's sentinel, or steals a lock whose
   recorded pid is DEAD (a crashed builder must not wedge the cache);
+* steals are SERIALIZED through a per-key advisory ``flock`` on a
+  stable guard file (advice r9): the staleness re-check and the
+  unlink happen under the guard, so two waiters can never both act
+  on the same stale observation — previously waiter 1 could unlink
+  and re-create the lock (becoming the live builder) and waiter 2's
+  pending unlink would remove waiter 1's FRESH lock, re-opening the
+  mutual-rmtree window the lock exists to close.  The guard file is
+  content-free and never unlinked; the kernel drops the flock when
+  its holder dies, so a crashed stealer cannot wedge the guard;
 * a lock recorded by THIS pid is stolen only when no build in this
   process is actually in flight for it (``_IN_FLIGHT`` bookkeeping) —
   so a sibling THREAD's live build is never stolen, while a build
@@ -31,6 +41,7 @@ now guarded by an ``O_CREAT|O_EXCL`` lockfile:
 
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import os
 import shutil
@@ -60,10 +71,19 @@ def _try_lock(lock: str) -> bool:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as fh:
-        fh.write(str(os.getpid()))
+    # Register in _IN_FLIGHT BEFORE the pid hits the lockfile (advice
+    # r9): _lock_stale classifies an own-pid lock with no registered
+    # owner as stale, so writing the pid first opened a window where a
+    # sibling thread could steal a LIVE build.  Between the O_EXCL
+    # create and the write the file is empty, which _lock_stale
+    # already treats as "mid-write, not stale" — so ordering the
+    # registry first leaves no observable gap.  Registering cannot
+    # clobber a live sibling's entry: O_EXCL success proves no one
+    # else holds this lock path.
     with _BOOK:
         _IN_FLIGHT[lock] = threading.get_ident()
+    with os.fdopen(fd, "w") as fh:
+        fh.write(str(os.getpid()))
     return True
 
 
@@ -111,6 +131,31 @@ def _lock_stale(lock: str) -> bool:
     return False
 
 
+def _steal_if_stale(lock: str) -> bool:
+    """Examine-and-unlink a stale lock ATOMICALLY w.r.t. other
+    stealers (advice r9).  The flock on the stable ``.guard`` sidecar
+    serializes the whole staleness-check → unlink sequence: a waiter
+    that re-creates the lock after winning a steal can no longer have
+    its FRESH lock removed by a second stealer acting on the same
+    stale observation, because the second stealer re-checks staleness
+    under the guard and sees the new live holder.  Returns True when
+    this caller removed a stale lock (the caller should immediately
+    retry the acquire)."""
+    guard = lock + ".guard"
+    fd = os.open(guard, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        if not _lock_stale(lock):
+            return False
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass  # holder released between check and unlink — fine
+        return True
+    finally:
+        os.close(fd)  # drops the flock; guard file persists (stable)
+
+
 def staged_dir(kind: str, src_file: str, *extra: str) -> tuple[str, bool]:
     """Return (path, needs_build) for a staging dir derived from
     ``src_file``.  ``kind`` namespaces the cache (one subtree per
@@ -137,11 +182,7 @@ def staged_dir(kind: str, src_file: str, *extra: str) -> tuple[str, bool]:
     while not _try_lock(lock):
         if os.path.exists(os.path.join(path, _SENTINEL)):
             return path, False  # another process finished the build
-        if _lock_stale(lock):
-            try:
-                os.unlink(lock)  # dead/abandoned holder; steal (unlink
-            except FileNotFoundError:  # races with other waiters — ok)
-                pass
+        if _steal_if_stale(lock):
             continue
         if time.monotonic() > deadline:
             raise TimeoutError(

@@ -89,3 +89,41 @@ def test_staleness_window_bounded():
         f"queries with last green driver row >3 rounds old "
         f"(current={current}): {stale}"
     )
+
+
+def test_pii_oracle_sql_escapes_single_quotes(monkeypatch):
+    """advice r9: a PII pattern/replacement containing a single quote
+    must be doubled into the DuckDB SQL literal — previously it broke
+    (or silently altered) the oracle while the Spark side kept
+    working.  Runs the generated SQL end-to-end on a quote-bearing
+    pattern to prove it stays parseable AND correct."""
+    import duckdb
+
+    import connected_component_spark.operators.text as tx
+    from connected_component_spark.queries.llmops import _pii_redaction_sql
+
+    monkeypatch.setattr(
+        tx, "PII_PATTERNS", (("apos", r"can't[0-9]{2}", "<CUT'>"),)
+    )
+    sql = _pii_redaction_sql()
+    assert "can''t" in sql and "<CUT''>" in sql
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        "SELECT CAST(5 AS BIGINT) AS doc_id, 'x can''t42 y' AS text"
+    )
+    row = con.sql(sql).fetchall()[0]
+    cols = [d[0] for d in con.sql(sql).description]
+    got = dict(zip(cols, row))
+    # planted length straight from the same engine, so the scrub
+    # assertion is exact: "can't42" (7 chars) -> "<CUT'>" (6 chars)
+    planted_len = con.sql(
+        "SELECT length(text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.' || CAST((doc_id * 7) % 250 AS VARCHAR)"
+        " || ' tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+        " FROM documents"
+    ).fetchone()[0]
+    con.close()
+    assert got["n_apos"] == 1
+    assert got["n_chars_after"] == planted_len - 1

@@ -261,3 +261,57 @@ def test_temperature_sample_flattens_the_head(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan
+
+
+def test_temperature_sample_null_stratum_gets_computed_threshold(spark):
+    """advice r9: a NULL stratum's threshold folds into an isNull()
+    CASE branch — previously the equality never matched, so NULL rows
+    silently got the default (0 → dropped) while the reported table
+    claimed the computed value."""
+    from connected_component_spark.operators.sampling import (
+        _bucket,
+        temperature_sample,
+        temperature_thresholds,
+        threshold_case,
+    )
+
+    rows = [(i, "doc", "a") for i in range(60)]
+    rows += [(100 + i, "doc", None) for i in range(60)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    thr = temperature_thresholds(docs, "source", 1, 2)
+    assert None in thr and thr[None] > 0
+    # the reported threshold for NULL rows is the computed one
+    reported = (
+        docs.withColumn("t", threshold_case(thr, "source"))
+        .where(F.col("source").isNull())
+        .select("t")
+        .distinct()
+        .collect()
+    )
+    assert [r.t for r in reported] == [thr[None]]
+    # and the filter actually applies it: kept NULL rows == the rows
+    # whose hash bucket clears thr[None] (nonzero by construction)
+    kept = temperature_sample(
+        docs, "source", "doc_id", seed=5, thresholds=thr
+    )
+    null_kept = kept.where(F.col("source").isNull()).count()
+    expected = (
+        docs.where(F.col("source").isNull())
+        .where(_bucket("doc_id", 5) < F.lit(thr[None]))
+        .count()
+    )
+    assert null_kept == expected > 0
+
+
+def test_shuffled_shards_sql_rejects_bad_shard_count():
+    """advice r9: the SQL twin fails as loudly as the DataFrame API
+    instead of binding a modulo-by-zero query."""
+    from connected_component_spark.operators.sampling import (
+        shuffled_shards_sql,
+    )
+
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n_shards"):
+            shuffled_shards_sql("doc_id", bad)

@@ -152,3 +152,84 @@ def test_ensure_staged_releases_lock_on_build_failure(tmp_path):
         build=lambda p: calls.append("never"),
     )
     assert path2 == path and calls == ["bad", "good"]
+
+
+def test_stale_steal_is_serialized_under_guard(tmp_path):
+    """advice r9: the staleness re-check and the unlink happen under a
+    per-key flock guard — after one stealer removes a stale lock and a
+    new LIVE builder (a sibling thread here) re-creates it, a second
+    stealer acting on the same stale observation must re-check under
+    the guard, see the fresh live holder, and NOT unlink it (the old
+    unguarded unlink could remove the fresh lock, letting two builders
+    rmtree each other's dir)."""
+    from connected_component_spark.sources.staging import (
+        _release_lock,
+        _steal_if_stale,
+        _try_lock,
+    )
+
+    src = _touch_src(tmp_path)
+    path, needs = staged_dir("ccs_test_steal", src, "v1")
+    assert needs
+    mark_ready(path)
+    os.remove(os.path.join(path, "_READY"))
+    lock = _lock_path(path)
+    # plant a stale lock: a real-but-exited pid
+    proc = subprocess.Popen(["sleep", "0"])
+    proc.wait()
+    with open(lock, "w") as fh:
+        fh.write(str(proc.pid))
+    # stealer 1 removes the dead holder's lock under the guard
+    assert _steal_if_stale(lock) is True
+    assert not os.path.exists(lock)
+    # a sibling thread becomes the fresh LIVE builder
+    got_lock = threading.Event()
+    done = threading.Event()
+    acquired = {}
+
+    def builder():
+        acquired["ok"] = _try_lock(lock)
+        got_lock.set()
+        done.wait(5)
+
+    t = threading.Thread(target=builder)
+    t.start()
+    assert got_lock.wait(5)
+    assert acquired["ok"] is True
+    try:
+        # stealer 2 (acting on the SAME stale observation) re-checks
+        # under the guard: own pid + live sibling owner -> not stale,
+        # fresh lock survives
+        assert _steal_if_stale(lock) is False
+        assert os.path.exists(lock)
+    finally:
+        done.set()
+        t.join()
+        _release_lock(lock)
+
+
+def test_try_lock_registers_owner_before_pid_is_visible(tmp_path):
+    """advice r9: _try_lock registers the owning thread BEFORE the pid
+    hits the lockfile, and an empty lockfile (the only remaining
+    intermediate state) is classified mid-write, never stale — so a
+    sibling thread can no longer observe own-pid-with-no-owner for a
+    live build and steal it."""
+    from connected_component_spark.sources.staging import (
+        _IN_FLIGHT,
+        _lock_stale,
+        _release_lock,
+        _try_lock,
+    )
+
+    lock = str(tmp_path / "probe.lock")
+    # the mid-write state: created, pid not yet written
+    open(lock, "w").close()
+    assert _lock_stale(lock) is False
+    os.unlink(lock)
+    assert _try_lock(lock) is True
+    try:
+        assert lock in _IN_FLIGHT  # registered by the time pid is readable
+        with open(lock) as fh:
+            assert int(fh.read()) == os.getpid()
+    finally:
+        _release_lock(lock)
