@@ -65,26 +65,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: existing query's result-affecting path changed — the round's new
 #: queries rank first automatically as never-driver-verified.)
 _CHANGED_THIS_ROUND = (
-    # r8: output re-shaped to scalar columns (concat_ws over the
-    # event_types set) — the r7 red row; engine values judge-verified
-    # equal, the driver canonicalizer needed a scalar shape.
-    "q_salted_hot_user_profile",
-    # r8: output re-shaped — unit vector posexploded to scalar-double
-    # (vec_id, norm, pos, elem) rows; same r7 canonicalizer fix.
-    "emb_l2_normalize",
-    # r8: plan change in the shared jaccard verify (two-step select so
-    # array_intersect evaluates once per pair) — values identical,
-    # re-earn rows per the r7 convention.
-    "dedup_minhash_pairs",
-    "dedup_minhash_clusters",
-    "dedup_incremental",
-    "stream_incremental_dedup",
-    # r8: staging path migrated to ensure_staged (lock released on a
-    # failed build) — build code restructured into closures.
-    "maintenance_zorder_roundtrip",
-    "maintenance_compaction_roundtrip",
-    "maintenance_merge_upsert",
-    "interchange_roundtrip",
+    # r9: join re-keyed null-safe (eqNullSafe / IS NOT DISTINCT FROM
+    # on both engines, advice r9 NULL-stratum fix) — values identical
+    # on the fixture (no NULL sources), re-earn a row per convention.
+    "pipeline_temperature_mixture",
 )
 
 

@@ -51,6 +51,8 @@ __all__ = [
     "simhash",
     "simhash_near_pairs",
     "substring_dup_stats",
+    "winnow_fingerprints",
+    "winnow_pairs",
 ]
 
 
@@ -889,4 +891,104 @@ def substring_dup_stats(docs: DataFrame, width: int = 32) -> DataFrame:
             .cast("long")
             .alias("dup_ppm"),
         )
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting scheme): hash every
+    word ``k``-gram, slide a ``window``-wide window over the hash
+    stream, and keep the MINIMUM hash of each window.  The distinct
+    kept hashes are the document's fingerprint set — any shared
+    substring of at least ``window + k - 1`` words is GUARANTEED to
+    contribute at least one common fingerprint between two documents
+    (the winnowing guarantee), while the expected density of kept
+    hashes is only 2/(window+1) of the gram stream.
+
+    This is the LOCAL fingerprinting family, complementary to minhash
+    (global set-similarity): winnowing detects shared *passages*
+    (plagiarism, quote reuse, partial copies) that whole-document
+    Jaccard dilutes away.
+
+    (doc_id, fp) distinct rows.  Scale shape: tokenize + posexplode
+    once, one hash-partitioned window per doc for the k-gram ``lead``
+    composition and one for the sliding min — both partitioned by
+    doc_id (document-bounded, never a global sort), then a distinct.
+    All hashing is the portable md5 family, so fingerprints are
+    engine-independent.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} w={window}")
+    from connected_component_spark.operators.text import (
+        _exploded_ngrams_with_pos,
+        _posexploded_words,
+    )
+
+    grams = _exploded_ngrams_with_pos(_posexploded_words(docs), k)
+    gh = grams.select(
+        "doc_id", F.col("_pos").alias("pos"), hash64(F.col("_gram")).alias("gh")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        gh.select(
+            "doc_id",
+            F.min("gh").over(w).alias("fp"),
+            F.count(F.lit(1)).over(w).alias("_full"),
+        )
+        # only FULL windows select a fingerprint (the final window-1
+        # positions start partial windows already covered by earlier
+        # full ones)
+        .where(F.col("_full") == window)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+) -> DataFrame:
+    """Passage-overlap candidate pairs via shared winnowing
+    fingerprints: (doc_a, doc_b, n_shared) for pairs sharing at least
+    ``min_shared`` fingerprints.
+
+    ``max_df`` drops fingerprints present in more than that many
+    documents before pairing — the posting-list df-cap every inverted
+    -index joiner needs at 100 TB: a boilerplate passage shared by m
+    documents would otherwise emit m²/2 pairs from one fingerprint
+    (the same quadratic ``banded_pairs`` caps with max_bucket_size).
+    The join is a plain equi-join on the 8-byte fingerprint, so AQE
+    skew-split handles residual hot keys under the cap.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fp = winnow_fingerprints(docs, k=k, window=window)
+    if max_df is not None:
+        by_fp = Window.partitionBy("fp")
+        fp = (
+            fp.withColumn("_df", F.count(F.lit(1)).over(by_fp))
+            .where(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    # both sides of the self-join reference fp: without the lazy
+    # checkpoint the whole tokenize→window→distinct tree evaluates
+    # twice (the repo's documented double-evaluation trap)
+    fp = fp.localCheckpoint(eager=False)
+    left = fp.withColumnRenamed("doc_id", "doc_a")
+    right = fp.withColumnRenamed("doc_id", "doc_b")
+    return (
+        left.join(right, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )

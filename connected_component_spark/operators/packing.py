@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exclusive_prefix_sum", "concat_pack"]
+__all__ = ["exclusive_prefix_sum", "exclusive_prefix_sum_ordered", "concat_pack"]
 
 _PID = "__pp_pid"
 _LOCAL = "__pp_local"
@@ -40,15 +40,35 @@ def exclusive_prefix_sum(
     Two-pass distributed prefix sum: no global single-partition
     window anywhere in the plan.
     """
+    return exclusive_prefix_sum_ordered(
+        df, size_col, [F.col(order_col).asc()], out_col, num_partitions
+    )
+
+
+def exclusive_prefix_sum_ordered(
+    df: DataFrame,
+    size_col: str,
+    order_exprs: list,
+    out_col: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`exclusive_prefix_sum` over an arbitrary total order:
+    ``order_exprs`` is a list of sort expressions (e.g.
+    ``[F.col("quality").desc(), F.col("doc_id").asc()]``) whose
+    combined order must be unique.  The same expressions drive both
+    the range partitioning and the in-partition window, so partition
+    ids are monotone in the global order regardless of direction —
+    the two-pass shape is unchanged (r9, for budget-ordered corpus
+    selection)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n, F.col(order_col)).withColumn(
+    part = df.repartitionByRange(n, *order_exprs).withColumn(
         _PID, F.spark_partition_id()
     )
     part = part.localCheckpoint(eager=False)
 
     w = (
         Window.partitionBy(_PID)
-        .orderBy(F.col(order_col).asc())
+        .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = part.withColumn(

@@ -38,6 +38,7 @@ __all__ = [
     "temperature_thresholds",
     "temperature_sample",
     "threshold_case",
+    "token_budget_selection",
 ]
 
 #: bucket resolution: fractions are exact multiples of 1/SPLIT_DENOM
@@ -389,3 +390,47 @@ def stratified_topn(
     if keep_rank:
         return out.withColumn(keep_rank, F.col("__rn").cast("long")).drop("__rn")
     return out.drop("__rn")
+
+
+def token_budget_selection(
+    df: DataFrame,
+    size_col: str,
+    order_exprs: list,
+    budget: int,
+    cum_col: str = "cum_tokens",
+    selected_col: str = "selected",
+) -> DataFrame:
+    """Greedy prefix selection under a global size budget — the data
+    -selection primitive of budgeted pretraining ("take the best
+    documents until the token budget is spent"): rows are ranked by
+    ``order_exprs`` (a total order — supply a unique tie-break), the
+    running inclusive sum of ``size_col`` is computed, and a row is
+    selected iff its inclusive cumulative size fits within ``budget``.
+
+    Prefix semantics (the row that overflows the budget and everything
+    after it is excluded), NOT knapsack backfill: the selected set is
+    a deterministic pure function of the ranking, reproducible and
+    auditable in any engine — the property a training-data freeze
+    needs.
+
+    Scale shape: the ranking is a range partition (never a global
+    single-partition sort) and the running sum is the two-pass
+    distributed prefix sum of operators/packing.py — per-partition
+    window cumsum plus an O(#partitions) broadcast of partition
+    offsets.  At 100 TB this is one range shuffle.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from connected_component_spark.operators.packing import (
+        exclusive_prefix_sum_ordered,
+    )
+
+    with_prefix = exclusive_prefix_sum_ordered(
+        df, size_col, order_exprs, out_col="__tb_excl"
+    )
+    inclusive = (F.col("__tb_excl") + F.col(size_col)).cast("long")
+    return with_prefix.select(
+        *df.columns,
+        inclusive.alias(cum_col),
+        (inclusive <= F.lit(budget)).alias(selected_col),
+    )

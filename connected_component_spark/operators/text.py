@@ -282,13 +282,15 @@ def _widen_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
     return df
 
 
-def _exploded_ngrams(words: DataFrame, n: int) -> DataFrame:
-    """(doc_id, _gram) word n-grams from a (doc_id, _pos, _gram)
+def _exploded_ngrams_with_pos(words: DataFrame, n: int) -> DataFrame:
+    """(doc_id, _pos, _gram) word n-grams from a (doc_id, _pos, _gram)
     posexploded words frame, built with window ``lead`` instead of a
     per-element array lambda: Catalyst higher-order functions
     (transform/aggregate) evaluate INTERPRETED, and measured ~50k
     grams/s; posexplode + lead stays on native codegen paths at ~10×
-    that, for one hash-partitioned sort window on the doc key."""
+    that, for one hash-partitioned sort window on the doc key.
+    ``_pos`` is the gram's start-word position (consumers that need
+    stream order — winnowing — use it; set consumers drop it)."""
     from pyspark.sql import Window
 
     win = Window.partitionBy("doc_id").orderBy("_pos")
@@ -298,13 +300,19 @@ def _exploded_ngrams(words: DataFrame, n: int) -> DataFrame:
     return (
         words.select(
             "doc_id",
+            "_pos",
             F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias(
                 "_ng"
             ),
         )
         .where(F.col("_ng").isNotNull())
-        .select("doc_id", F.col("_ng").alias("_gram"))
+        .select("doc_id", "_pos", F.col("_ng").alias("_gram"))
     )
+
+
+def _exploded_ngrams(words: DataFrame, n: int) -> DataFrame:
+    """(doc_id, _gram) word n-grams — see _exploded_ngrams_with_pos."""
+    return _exploded_ngrams_with_pos(words, n).select("doc_id", "_gram")
 
 
 def _posexploded_words(docs: DataFrame) -> DataFrame:

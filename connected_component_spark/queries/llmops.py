@@ -2783,6 +2783,152 @@ SELECT * FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_winnow_pairs — winnowing (Schleimer/Wilkerson/Aiken, SIGMOD
+# 2003) passage-overlap pairs: the LOCAL fingerprinting dedup family,
+# complementary to minhash's global set-similarity — it detects
+# shared passages (quotes, partial copies, plagiarism) that whole-
+# document Jaccard dilutes.  operators/dedup.py:winnow_fingerprints/
+# winnow_pairs; all hashes are the portable md5 family, so the
+# fingerprint sets — and therefore the pair list — are engine-exact.
+# --------------------------------------------------------------------------
+
+_WINNOW_K = 4
+_WINNOW_W = 4
+_WINNOW_MIN_SHARED = 4
+_WINNOW_MAX_DF = 64
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing at least
+    ``_WINNOW_MIN_SHARED`` winnowed fingerprints (word 4-grams,
+    window 4) — any common passage of ≥ w+k−1 = 7 words is guaranteed
+    at least one shared fingerprint, at ~2/(w+1) the cost of an
+    every-gram index."""
+    return dd.winnow_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED,
+        max_df=_WINNOW_MAX_DF,
+    )
+
+
+def _winnow_pairs_sql() -> str:
+    k, w = _WINNOW_K, _WINNOW_W
+    # gram stream with 1-based start position i (Spark's 0-based _pos
+    # only orders the window — positions never reach the output, so
+    # the off-by-one base is irrelevant); zipped parallel unnest keeps
+    # i and its gram aligned
+    grams = (
+        f"SELECT doc_id,"
+        f" unnest(generate_series(1, len(t) - {k - 1})) AS pos,"
+        f" unnest(list_transform(generate_series(1, len(t) - {k - 1}),"
+        f" j -> array_to_string(list_slice(t, j, j + {k - 1}), ' '))) AS g"
+        f" FROM toks WHERE len(t) >= {k}"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+grams AS ({grams}),
+gh AS (SELECT doc_id, pos, {hash64_sql('g')} AS h FROM grams),
+winnowed AS (
+  SELECT doc_id,
+         min(h) OVER win AS fp,
+         count(*) OVER win AS cnt
+  FROM gh
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM winnowed WHERE cnt = {w}),
+capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps
+  ) WHERE df <= {_WINNOW_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
+"""
+
+
+DEDUP_WINNOW_PAIRS_SQL = _winnow_pairs_sql()
+
+
+# --------------------------------------------------------------------------
+# pipeline_token_budget_selection — budgeted data selection: rank the
+# corpus by quality (the already-verified text_quality score) and
+# keep the best documents until a global token budget is spent.
+# operators/sampling.py:token_budget_selection over the two-pass
+# distributed prefix sum of operators/packing.py — deterministic
+# prefix semantics, every number integer-exact (the quality sort key
+# is the 4-decimal-rounded double both engines already agree on,
+# tie-broken by doc_id).
+# --------------------------------------------------------------------------
+
+#: budget = total corpus tokens * NUM // DEN
+_BUDGET_NUM, _BUDGET_DEN = 1, 2
+
+
+def pipeline_token_budget_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, n_tokens, quality, cum_tokens, selected): inclusive
+    running token total in (quality DESC, doc_id) order and the
+    prefix-selection verdict against a budget of half the corpus's
+    tokens.  Driver cost: one 1-row total-tokens aggregate (the
+    bounded-collect class)."""
+    from connected_component_spark.operators.sampling import (
+        token_budget_selection,
+    )
+
+    scored = tx.quality_score(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "n_tokens", "quality")
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    budget = int(total) * _BUDGET_NUM // _BUDGET_DEN
+    return token_budget_selection(
+        scored,
+        "n_tokens",
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        budget,
+    )
+
+
+def _token_budget_sql() -> str:
+    quality = roundd_sql(
+        "least(n_tok / 100.0, 1.0) * 0.5 + uniq_r * 0.3 "
+        "+ least(stop_r * 10.0, 1.0) * 0.2",
+        4,
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         len(list_distinct(t)) / greatest(len(t), 1) AS uniq_r,
+         len(list_filter(t, x -> x IN {_EN})) / greatest(len(t), 1) AS stop_r
+  FROM toks
+),
+q AS (SELECT doc_id, n_tok AS n_tokens, {quality} AS quality FROM feat),
+s AS (
+  SELECT doc_id, n_tokens, quality,
+         CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+              AS BIGINT) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, n_tokens, quality, cum_tokens,
+       cum_tokens <= (SELECT CAST(sum(n_tokens) AS BIGINT)
+                             * {_BUDGET_NUM} // {_BUDGET_DEN} FROM q)
+         AS selected
+FROM s
+"""
+
+
+PIPELINE_TOKEN_BUDGET_SELECTION_SQL = _token_budget_sql()
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -2846,6 +2992,8 @@ QUERIES = {
     "pipeline_audio_funnel": pipeline_audio_funnel,
     "pipeline_video_funnel": pipeline_video_funnel,
     "ann_sq_topk": ann_sq_topk,
+    "dedup_winnow_pairs": dedup_winnow_pairs,
+    "pipeline_token_budget_selection": pipeline_token_budget_selection,
 }
 
 ORACLES = {
@@ -2911,4 +3059,6 @@ ORACLES = {
     "pipeline_audio_funnel": PIPELINE_AUDIO_FUNNEL_SQL,
     "pipeline_video_funnel": PIPELINE_VIDEO_FUNNEL_SQL,
     "ann_sq_topk": ANN_SQ_TOPK_SQL,
+    "dedup_winnow_pairs": DEDUP_WINNOW_PAIRS_SQL,
+    "pipeline_token_budget_selection": PIPELINE_TOKEN_BUDGET_SELECTION_SQL,
 }

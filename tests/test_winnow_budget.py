@@ -1,0 +1,135 @@
+"""r9 operators: winnowing fingerprints (local passage-overlap dedup)
+and token-budget corpus selection (two-pass prefix-sum ranking)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from connected_component_spark.operators.dedup import (
+    winnow_fingerprints,
+    winnow_pairs,
+)
+from connected_component_spark.operators.sampling import (
+    token_budget_selection,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnowing_guarantee_shared_passage(spark):
+    """The winnowing guarantee (Schleimer et al. §2): any shared word
+    run of length >= window + k - 1 contributes at least one common
+    fingerprint — two otherwise-disjoint documents sharing a 7-word
+    passage (k=4, w=4) must pair at min_shared=1."""
+    passage = "alpha bravo charlie delta echo foxtrot golf"
+    a = "one two three four five " + passage + " six seven eight nine"
+    b = "red green blue yellow " + passage + " purple orange pink teal"
+    c = "completely different words with no overlap at all here okay"
+    docs = _docs(spark, [(1, a), (2, b), (3, c)])
+    pairs = winnow_pairs(docs, k=4, window=4, min_shared=1).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_winnowing_density_and_determinism(spark):
+    """Fingerprint count per doc is far below the gram count (the
+    2/(w+1) expected density is the point of winnowing) and the set
+    is identical across runs."""
+    words = [f"w{(i * 7919) % 101}" for i in range(300)]
+    docs = _docs(spark, [(1, " ".join(words))])
+    fp = winnow_fingerprints(docs, k=4, window=8)
+    n = fp.count()
+    n_grams = 300 - 3
+    # expectation ~2/(w+1) = 0.22; allow generous slack both ways
+    assert 0 < n < 0.6 * n_grams
+    again = {r.fp for r in winnow_fingerprints(docs, k=4, window=8).collect()}
+    assert {r.fp for r in fp.collect()} == again
+
+
+def test_winnow_short_doc_yields_no_fingerprints(spark):
+    """Docs with fewer than window full k-grams have no full window —
+    no fingerprints, no crash."""
+    docs = _docs(spark, [(1, "just three words"), (2, "a b c d e f g h")])
+    fp = winnow_fingerprints(docs, k=4, window=4)
+    per = {r.doc_id for r in fp.collect()}
+    assert 1 not in per  # 3 words < k: zero grams
+    assert 2 in per  # 8 words = 5 grams >= window: full windows exist
+
+
+def test_winnow_max_df_caps_boilerplate(spark):
+    """A passage shared by MANY docs is dropped by the df-cap before
+    pairing — the posting-list quadratic guard."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [(i, f"unique{i} lead words here " + boiler) for i in range(12)]
+    docs = _docs(spark, rows)
+    capped = winnow_pairs(docs, k=4, window=4, min_shared=1, max_df=4)
+    uncapped = winnow_pairs(docs, k=4, window=4, min_shared=1, max_df=None)
+    # every boilerplate fingerprint has df=12 > 4: all pairs vanish
+    assert capped.count() == 0
+    assert uncapped.count() == 12 * 11 // 2
+
+
+def test_winnow_rejects_bad_params(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        winnow_fingerprints(docs, k=0)
+    with pytest.raises(ValueError):
+        winnow_pairs(docs, min_shared=0)
+
+
+def test_token_budget_prefix_semantics(spark):
+    """Selection equals the Python greedy prefix: rank by (score
+    desc, id), accumulate sizes, keep while cum <= budget — the row
+    that overflows and everything after is excluded even if a later
+    smaller row would fit (prefix, not knapsack)."""
+    rows = [
+        (1, 10, 0.9),
+        (2, 50, 0.8),
+        (3, 10, 0.7),  # cum 70 > 65: excluded
+        (4, 1, 0.6),   # would fit (61) but prefix semantics exclude it
+        (5, 99, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "id long, n long, score double")
+    out = token_budget_selection(
+        df, "n", [F.col("score").desc(), F.col("id").asc()], budget=65
+    )
+    got = {r.id: (r.cum_tokens, r.selected) for r in out.collect()}
+    assert got == {
+        1: (10, True),
+        2: (60, True),
+        3: (70, False),
+        4: (71, False),
+        5: (170, False),
+    }
+
+
+def test_token_budget_ties_and_edges(spark):
+    """Equal scores break by id; budget=0 selects nothing; a row
+    landing exactly on the budget is selected (<=)."""
+    rows = [(1, 30, 0.5), (2, 30, 0.5), (3, 30, 0.5)]
+    df = spark.createDataFrame(rows, "id long, n long, score double")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    exact = token_budget_selection(df, "n", order, budget=60)
+    got = {r.id: r.selected for r in exact.collect()}
+    assert got == {1: True, 2: True, 3: False}
+    nothing = token_budget_selection(df, "n", order, budget=0)
+    assert all(not r.selected for r in nothing.collect())
+    with pytest.raises(ValueError):
+        token_budget_selection(df, "n", order, budget=-1)
+
+
+def test_token_budget_plan_has_no_global_sort(spark):
+    """The ranking must be the two-pass prefix sum — a naive global
+    Window.orderBy would show a SinglePartition exchange."""
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 97).alias("n"), F.rand(7).alias("score")
+    )
+    out = token_budget_selection(
+        df, "n", [F.col("score").desc(), F.col("id").asc()], budget=1000
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
