@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["as_double", "dot", "l2_norm", "cosine"]
+__all__ = ["as_double", "dot", "l2_norm", "cosine", "fold_sq_dist"]
 
 
 def as_double(v: Column | str) -> Column:
@@ -35,3 +35,14 @@ def l2_norm(v: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two double arrays."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def fold_sq_dist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² as the same left-fold chain the clustering argmin
+    uses — bit-identical to DuckDB's
+    ``list_sum(list_transform(..., i -> (a[i]-b[i])*(a[i]-b[i])))``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

@@ -37,9 +37,11 @@ from pyspark.sql import functions as F
 __all__ = ["kmeans_assign", "kmeans_centroids"]
 
 
-def _best(cents: list[tuple[int, list[float]]]) -> Column:
+def _best(cents: list[tuple[int, list[float]]], vec: str = "v") -> Column:
     """(dist, cid) of the nearest centroid — pure map-side expression
-    over literal centroid arrays, ties to the lower cid.
+    over literal centroid arrays, ties to the lower cid.  ``vec``
+    names the array<double> column scored against the codebook
+    (default ``v``; PQ scores one subvector column per subspace).
 
     Built as ONE SQL text string (one JVM parse instead of thousands
     of py4j Column calls; %.17e literals round-trip the double bit
@@ -59,7 +61,7 @@ def _best(cents: list[tuple[int, list[float]]]) -> Column:
     cids = ",".join(f"{int(cid)}L" for cid, _ in cents)
     return F.expr(
         f"array_min(transform(array({cvs}), (cv, i) -> "
-        "named_struct('dist', aggregate(zip_with(v, cv, "
+        f"named_struct('dist', aggregate(zip_with({vec}, cv, "
         "(a, b) -> (a - b) * (a - b)), cast(0.0 as double), "
         "(acc, x) -> acc + x), "
         f"'cid', element_at(array({cids}), i + 1))))"

@@ -19,7 +19,14 @@ from pyspark.sql import functions as F
 
 from connected_component_spark.queries.parity import roundd
 
-__all__ = ["scalar_quantize", "quantization_report", "l2_normalize"]
+__all__ = [
+    "scalar_quantize",
+    "quantization_report",
+    "l2_normalize",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_topk",
+]
 
 
 def _as_double(v):
@@ -119,4 +126,155 @@ def l2_normalize(
     )
     return emb.select(
         F.col(id_col), norm.alias("norm"), unit.alias("unit")
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[tuple[int, list[float]]]]]:
+    """Product-quantization codebooks (Jégou/Douze/Schmid, TPAMI
+    2011): split each ``dim``-d vector into ``m`` contiguous
+    subvectors and train an independent ``k``-centroid Lloyd codebook
+    per subspace.  Memory per vector drops from dim doubles to m
+    small codes — the compression step that lets a 100 TB vector
+    store keep its index in RAM.
+
+    Returns ``[(sub, [(cid, centroid), ...]), ...]`` — m codebooks of
+    k centroids each, every centroid ``dim/m`` wide.  Training is the
+    already-verified distributed Lloyd of operators/clustering.py
+    (decimal-exact means, smallest-id seeding), run once per
+    subspace; all driver state is m·k tiny centroid rows."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    from connected_component_spark.operators.clustering import (
+        kmeans_centroids,
+    )
+
+    d0 = dim // m
+    books = []
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * d0 + 1, d0).alias(vec_col),
+        )
+        books.append(
+            (s, kmeans_centroids(sub, k=k, iterations=iterations,
+                                 id_col=id_col, vec_col=vec_col))
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[tuple[int, list[tuple[int, list[float]]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0 .. code_{m-1}): nearest-centroid code per subspace
+    — one map-side pass, codebooks as literal arrays (the
+    clustering._best argmin, ties to the lower cid), zero shuffle,
+    zero join.  Codes are the centroid *ids*, stable across engines."""
+    from connected_component_spark.operators.clustering import _best
+
+    if not books:
+        raise ValueError("pq_encode needs at least one codebook")
+    d0 = len(books[0][1][0][1])
+    out = emb.select(
+        F.col(id_col),
+        *[
+            F.slice(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                s * d0 + 1,
+                d0,
+            ).alias(f"_sv{s}")
+            for s, _ in books
+        ],
+    )
+    return out.select(
+        F.col(id_col),
+        *[
+            _best(cents, vec=f"_sv{s}")["cid"].alias(f"code_{s}")
+            for s, cents in books
+        ],
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    emb: DataFrame,
+    books: list[tuple[int, list[tuple[int, list[float]]]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, the
+    k nearest corpus vectors by the PQ approximation
+    ``sum_s d(q_sub_s, centroid[code_s])`` — the flat-PQ scan every
+    PQ index serves from (compose with IVF cells to prune the scan;
+    this operator is the in-cell scorer).
+
+    (query_id, neighbor_id, adc, rank); self-matches excluded; ties
+    break on neighbor_id.  Exactness: per-subspace distances are the
+    left-fold zip_with chain, the m-term total is summed in FIXED
+    subspace order (((d0+d1)+d2)+d3 — never a commutative aggregate
+    over doubles), so every adc double is engine-exact.
+
+    Scale shape: corpus encodes map-side; each per-(query, subspace,
+    code) distance table is Q·k rows and BROADCAST; the scan is one
+    pass over the codes with m broadcast hash joins and a per-query
+    top-k window — no corpus self-join, no global sort."""
+    from pyspark.sql import Window
+
+    from connected_component_spark.functions.vectors import fold_sq_dist
+
+    if not books:
+        raise ValueError("pq_topk needs at least one codebook")
+    d0 = len(books[0][1][0][1])
+    spark = emb.sparkSession
+    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+    cand = codes.withColumnRenamed(id_col, "neighbor_id").crossJoin(
+        F.broadcast(queries.select(F.col(id_col).alias("query_id")))
+    )
+    for s, cents in books:
+        cent_df = spark.createDataFrame(
+            [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+            f"_cid{s} long, _cv{s} array<double>",
+        )
+        qsub = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.slice(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                s * d0 + 1,
+                d0,
+            ).alias("_qv"),
+        )
+        dtab = qsub.crossJoin(F.broadcast(cent_df)).select(
+            "query_id",
+            F.col(f"_cid{s}"),
+            fold_sq_dist(F.col("_qv"), F.col(f"_cv{s}")).alias(f"_d{s}"),
+        )
+        cand = cand.join(
+            F.broadcast(dtab),
+            (cand["query_id"] == dtab["query_id"])
+            & (cand[f"code_{s}"] == dtab[f"_cid{s}"]),
+        ).drop(dtab["query_id"]).drop(f"_cid{s}")
+    adc = None
+    for s, _ in books:
+        d = F.col(f"_d{s}")
+        adc = d if adc is None else adc + d
+    scored = cand.where(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", adc.alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
     )

@@ -1607,41 +1607,51 @@ def _kmeans_chain_parts(
     final_assign: bool,
     seed_where: str | None = None,
     normalize: bool = False,
+    pts_sql: str | None = None,
+    prefix: str = "",
 ) -> list[str]:
     """Unrolled Lloyd CTE chain (DuckDB twin of
-    operators/clustering.py): ``c{iters}`` is the final centroid
-    codebook ``(cid, cv)``.  ``final_assign=True`` additionally emits
-    ``a{iters}``, the per-point assignment against that codebook.
-    ``seed_where`` restricts seeding to a predicate subset (the k
-    smallest ids of that subset); ``k`` may be SQL text (e.g. a
-    scalar subquery deriving k from the corpus size, mirroring a
-    Spark side that computes the same integer from the row count);
-    ``normalize=True`` unit-normalizes every codebook generation
-    (spherical k-means)."""
+    operators/clustering.py): ``{prefix}c{iters}`` is the final
+    centroid codebook ``(cid, cv)``.  ``final_assign=True``
+    additionally emits ``{prefix}a{iters}``, the per-point assignment
+    against that codebook.  ``seed_where`` restricts seeding to a
+    predicate subset (the k smallest ids of that subset); ``k`` may
+    be SQL text (e.g. a scalar subquery deriving k from the corpus
+    size, mirroring a Spark side that computes the same integer from
+    the row count); ``normalize=True`` unit-normalizes every codebook
+    generation (spherical k-means).  ``pts_sql`` overrides the point
+    source (must yield ``(id, v: DOUBLE[])``; default = the full
+    embeddings table); ``prefix`` namespaces every CTE so several
+    chains — one per PQ subspace — coexist in one WITH clause."""
+    p = prefix
     sqd = (
         "list_sum(list_transform(generate_series(1, len(v)), "
         "i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
     )
     where = f" WHERE {seed_where}" if seed_where is not None else ""
     seed = (
-        f"SELECT id AS cid, v AS cv FROM pts{where} ORDER BY id LIMIT {k}"
+        f"SELECT id AS cid, v AS cv FROM {p}pts{where} ORDER BY id LIMIT {k}"
     )
     if normalize:
         seed = (
             f"SELECT cid, {_NORM_LIST.format(v='cv')} AS cv FROM ({seed})"
         )
+    if pts_sql is None:
+        pts_sql = (
+            "SELECT vec_id AS id, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings"
+        )
     parts = [
-        "pts AS MATERIALIZED (SELECT vec_id AS id, "
-        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
-        f"c0 AS MATERIALIZED ({seed})",
+        f"{p}pts AS MATERIALIZED ({pts_sql})",
+        f"{p}c0 AS MATERIALIZED ({seed})",
     ]
     last = iters if final_assign else iters - 1
     for i in range(last + 1):
         parts.append(
-            f"""a{i} AS MATERIALIZED (
+            f"""{p}a{i} AS MATERIALIZED (
   SELECT id, v, cid AS cluster, dist,
          row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
-  FROM (SELECT id, v, cid, {sqd} AS dist FROM pts CROSS JOIN c{i})
+  FROM (SELECT id, v, cid, {sqd} AS dist FROM {p}pts CROSS JOIN {p}c{i})
 )"""
         )
         if i < iters:
@@ -1653,7 +1663,7 @@ def _kmeans_chain_parts(
       SELECT cluster, pos, v[pos] AS val
       FROM (
         SELECT cluster, v, unnest(generate_series(1, len(v))) AS pos
-        FROM a{i} WHERE rn = 1
+        FROM {p}a{i} WHERE rn = 1
       )
     ) GROUP BY cluster, pos
   ) GROUP BY cluster"""
@@ -1662,7 +1672,7 @@ def _kmeans_chain_parts(
                     f"SELECT cid, {_NORM_LIST.format(v='cv')} AS cv "
                     f"FROM ({raw})"
                 )
-            parts.append(f"c{i + 1} AS MATERIALIZED (\n  {raw}\n)")
+            parts.append(f"{p}c{i + 1} AS MATERIALIZED (\n  {raw}\n)")
     return parts
 
 
@@ -2010,6 +2020,28 @@ _IVF_KM_ITERS = 2
 _IVF_KM_CACHE: dict = {}
 
 
+def _fixture_fingerprint(p: str):
+    """Content fingerprint for codebook-cache keys: sorted file list
+    with per-file (size, mtime) — path+mtime alone is not enough
+    because directory-layout fixtures stat with mtime 0 and a
+    regenerated same-mtime fixture at the same path must not serve a
+    stale codebook (ADVICE r4)."""
+    import os
+
+    if os.path.isfile(p):
+        st = os.stat(p)
+        return (st.st_size, st.st_mtime_ns)
+    if os.path.isdir(p):
+        parts = []
+        for f in sorted(os.listdir(p)):
+            fp = os.path.join(p, f)
+            if os.path.isfile(fp):
+                st = os.stat(fp)
+                parts.append((f, st.st_size, st.st_mtime_ns))
+        return tuple(parts)
+    return None
+
+
 def _ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
     import os
@@ -2017,26 +2049,11 @@ def _ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connected_component_spark.operators.clustering import kmeans_centroids
 
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    # cache key carries a CONTENT fingerprint, not just path+mtime:
-    # directory-layout fixtures stat with mtime 0 and a regenerated
-    # same-mtime fixture at the same path must not serve a stale
-    # codebook (ADVICE r4).  Fingerprint = sorted file list with
-    # per-file (size, mtime) + total row count from the footers.
-    def _fingerprint(p: str):
-        if os.path.isfile(p):
-            st = os.stat(p)
-            return (st.st_size, st.st_mtime_ns)
-        if os.path.isdir(p):
-            parts = []
-            for f in sorted(os.listdir(p)):
-                fp = os.path.join(p, f)
-                if os.path.isfile(fp):
-                    st = os.stat(fp)
-                    parts.append((f, st.st_size, st.st_mtime_ns))
-            return tuple(parts)
-        return None
-
-    key = (src, _fingerprint(src), table_row_count(spark, sf_dir, "embeddings"))
+    key = (
+        src,
+        _fixture_fingerprint(src),
+        table_row_count(spark, sf_dir, "embeddings"),
+    )
     cents = _IVF_KM_CACHE.get(key)
     if cents is None:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -2100,6 +2117,136 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 """
+
+
+# --------------------------------------------------------------------------
+# ann_pq_topk — product quantization (Jégou/Douze/Schmid, TPAMI 2011)
+# with asymmetric-distance (ADC) serving: m independent per-subspace
+# Lloyd codebooks compress each vector to m small codes; a query is
+# answered from per-(query, subspace, code) distance tables summed in
+# FIXED subspace order.  Completes the quantization family next to
+# int8 SQ (emb_quantize_report / ann_sq_topk): SQ compresses scalars,
+# PQ compresses the geometry.  Codebook training is the verified
+# decimal-exact distributed Lloyd run per subspace, so every adc
+# double is engine-exact.
+# --------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_K = 16
+_PQ_ITERS = 2
+
+_PQ_CACHE: dict = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    import os
+
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    key = (
+        src,
+        _fixture_fingerprint(src),
+        table_row_count(spark, sf_dir, "embeddings"),
+        _PQ_M,
+        _PQ_K,
+        _PQ_ITERS,
+    )
+    books = _PQ_CACHE.get(key)
+    if books is None:
+        books = qz.pq_codebooks(
+            load_table(spark, sf_dir, "embeddings"),
+            dim=_EMB_DIM,
+            m=_PQ_M,
+            k=_PQ_K,
+            iterations=_PQ_ITERS,
+        )
+        _PQ_CACHE[key] = books
+    return books
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc, rank): top-5 by PQ asymmetric
+    distance over the bounded probe query set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    top = qz.pq_topk(queries, emb, _pq_books(spark, sf_dir), k=5)
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        roundd(F.col("adc"), 6).alias("adc"),
+        "rank",
+    )
+
+
+def _pq_topk_sql() -> str:
+    d0 = _EMB_DIM // _PQ_M
+    chains, codes, dtabs = [], [], []
+    for s in range(_PQ_M):
+        a, b = s * d0 + 1, (s + 1) * d0
+        pts = (
+            f"SELECT vec_id AS id, "
+            f"list_transform(list_slice(embedding, {a}, {b}), "
+            f"x -> x::DOUBLE) AS v FROM embeddings"
+        )
+        chains.extend(
+            _kmeans_chain_parts(
+                _PQ_K,
+                _PQ_ITERS,
+                final_assign=True,
+                pts_sql=pts,
+                prefix=f"p{s}",
+            )
+        )
+        codes.append(
+            f"code{s} AS (SELECT id, cluster AS k{s} "
+            f"FROM p{s}a{_PQ_ITERS} WHERE rn = 1)"
+        )
+        dtabs.append(
+            f"""t{s} AS (
+  SELECT query_id, cid,
+         list_sum(list_transform(generate_series(1, len(qv)),
+                  i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS d
+  FROM (SELECT vec_id AS query_id,
+               list_transform(list_slice(embedding, {a}, {b}),
+                              x -> x::DOUBLE) AS qv
+        FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500)
+  CROSS JOIN p{s}c{_PQ_ITERS}
+)"""
+        )
+    cand_joins = " ".join(
+        f"JOIN code{s} c{s} ON c{s}.id = c0.id" for s in range(1, _PQ_M)
+    )
+    k_cols = ", ".join(f"c{s}.k{s}" for s in range(_PQ_M))
+    adc = "t0.d"
+    for s in range(1, _PQ_M):
+        adc = f"({adc} + t{s}.d)"
+    t_joins = " ".join(
+        f"JOIN t{s} ON t{s}.query_id = t0.query_id AND t{s}.cid = cand.k{s}"
+        for s in range(1, _PQ_M)
+    )
+    return f"""
+WITH {",".join(chains)},
+{",".join(codes)},
+{",".join(dtabs)},
+cand AS (SELECT c0.id AS neighbor_id, {k_cols} FROM code0 c0 {cand_joins}),
+scored AS (
+  SELECT t0.query_id, cand.neighbor_id, {adc} AS adc
+  FROM cand
+  JOIN t0 ON t0.cid = cand.k0
+  {t_joins}
+  WHERE t0.query_id <> cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {roundd_sql('adc', 6)} AS adc, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+ANN_PQ_TOPK_SQL = _pq_topk_sql()
 
 
 # --------------------------------------------------------------------------
@@ -2994,6 +3141,7 @@ QUERIES = {
     "ann_sq_topk": ann_sq_topk,
     "dedup_winnow_pairs": dedup_winnow_pairs,
     "pipeline_token_budget_selection": pipeline_token_budget_selection,
+    "ann_pq_topk": ann_pq_topk,
 }
 
 ORACLES = {
@@ -3061,4 +3209,5 @@ ORACLES = {
     "ann_sq_topk": ANN_SQ_TOPK_SQL,
     "dedup_winnow_pairs": DEDUP_WINNOW_PAIRS_SQL,
     "pipeline_token_budget_selection": PIPELINE_TOKEN_BUDGET_SELECTION_SQL,
+    "ann_pq_topk": ANN_PQ_TOPK_SQL,
 }

@@ -133,3 +133,66 @@ def test_token_budget_plan_has_no_global_sort(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_pq_roundtrip_and_recall(spark):
+    """PQ codes reconstruct geometry well enough that ADC top-k
+    overlaps the exact top-k (recall sanity), codes are valid
+    codebook ids, and results are deterministic."""
+    from connected_component_spark.operators.quantize import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+    from connected_component_spark.sources.tables import load_table
+    from connected_component_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
+    assert [s for s, _ in books] == [0, 1, 2, 3]
+    assert all(len(c) == 8 and len(c[0][1]) == 16 for _, c in books)
+    codes = pq_encode(emb, books)
+    assert codes.columns == ["vec_id", "code_0", "code_1", "code_2", "code_3"]
+    valid = {s: {cid for cid, _ in cents} for s, cents in books}
+    for r in codes.limit(50).collect():
+        for s in range(4):
+            assert r[f"code_{s}"] in valid[s]
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    top = pq_topk(q, emb, books, k=5)
+    rows = top.collect()
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    assert all(sorted(x)[0][0] == 1 and len(x) == 5 for x in per_q.values())
+    # recall sanity vs exact cosine top-5: the fixture embeddings are
+    # ISOTROPIC on the unit sphere (SURVEY — no cluster structure to
+    # learn), the worst case for coarse m=4/k=8 PQ, so absolute recall
+    # is low by construction; the check is that ADC still beats the
+    # random baseline (5/n ≈ 1%) severalfold, i.e. the codes carry
+    # real geometry (measured: 6% here, deterministic)
+    exact = cosine_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    hits = top.select("query_id", "neighbor_id").intersect(exact).count()
+    n_corpus = emb.count()
+    random_exp = n_exact * 5 / max(n_corpus - 1, 1)
+    assert hits >= max(2, 3 * random_exp)
+    again = {(r.query_id, r.neighbor_id, r.rank) for r in pq_topk(q, emb, books, k=5).collect()}
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in rows} == again
+
+
+def test_pq_rejects_bad_params(spark):
+    from connected_component_spark.operators.quantize import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+    from connected_component_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(emb, dim=64, m=5)
+    with pytest.raises(ValueError):
+        pq_encode(emb, [])
+    with pytest.raises(ValueError):
+        pq_topk(emb, emb, [])
