@@ -53,6 +53,7 @@ __all__ = [
     "substring_dup_stats",
     "winnow_fingerprints",
     "winnow_pairs",
+    "winnow_dedup_clusters",
 ]
 
 
@@ -992,3 +993,25 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def winnow_dedup_clusters(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Passage-overlap clusters: :func:`winnow_pairs` edges → the CC
+    kernel over the paired subgraph (unpaired docs attach as
+    singletons via one anti join, same shape as
+    :func:`ngram_dedup_clusters`) — transitive passage reuse (A
+    quotes B, B quotes C) lands A, B, C in one cluster even when A
+    and C share nothing directly."""
+    edges = winnow_pairs(
+        docs, k=k, window=window, min_shared=min_shared, max_df=max_df
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return components_with_isolates(
+        edges, docs, "doc_id", max_iterations=max_iterations
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))

@@ -2961,7 +2961,11 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_pairs_sql() -> str:
+def _winnow_core_sql() -> str:
+    """Shared CTE chain ``toks → grams → gh → winnowed → fps →
+    capped → wpairs``: the DuckDB replay of winnow_fingerprints +
+    winnow_pairs, reused by the pairs query and the CC-cluster
+    query."""
     k, w = _WINNOW_K, _WINNOW_W
     # gram stream with 1-based start position i (Spark's 0-based _pos
     # only orders the window — positions never reach the output, so
@@ -2974,8 +2978,7 @@ def _winnow_pairs_sql() -> str:
         f" j -> array_to_string(list_slice(t, j, j + {k - 1}), ' '))) AS g"
         f" FROM toks WHERE len(t) >= {k}"
     )
-    return f"""
-WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    return f"""toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
 grams AS ({grams}),
 gh AS (SELECT doc_id, pos, {hash64_sql('g')} AS h FROM grams),
 winnowed AS (
@@ -2987,20 +2990,46 @@ winnowed AS (
                  ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
 ),
 fps AS (SELECT DISTINCT doc_id, fp FROM winnowed WHERE cnt = {w}),
-capped AS (
+capped AS MATERIALIZED (
   SELECT doc_id, fp FROM (
     SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps
   ) WHERE df <= {_WINNOW_MAX_DF}
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(count(*) AS BIGINT) AS n_shared
-FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
-GROUP BY 1, 2
-HAVING count(*) >= {_WINNOW_MIN_SHARED}
+),
+wpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_WINNOW_MIN_SHARED}
+)"""
+
+
+DEDUP_WINNOW_PAIRS_SQL = f"""
+WITH {_winnow_core_sql()}
+SELECT doc_a, doc_b, n_shared FROM wpairs
 """
 
 
-DEDUP_WINNOW_PAIRS_SQL = _winnow_pairs_sql()
+def dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster): CC over the winnow-pair edges — transitive
+    passage reuse (A quotes B, B quotes C) lands A, B, C in one
+    cluster; unpaired docs are singletons attached by one anti join
+    (the kernel never iterates over the unpaired majority)."""
+    return dd.winnow_dedup_clusters(
+        load_table(spark, sf_dir, "documents"),
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED,
+        max_df=_WINNOW_MAX_DF,
+    )
+
+
+DEDUP_WINNOW_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_winnow_core_sql()},
+{_cc_walk_sql("SELECT doc_a AS src, doc_b AS dst FROM wpairs", _DOC_UNIVERSE)}
+SELECT node AS doc_id, min(comp) AS cluster
+FROM walk GROUP BY node
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3140,6 +3169,7 @@ QUERIES = {
     "pipeline_video_funnel": pipeline_video_funnel,
     "ann_sq_topk": ann_sq_topk,
     "dedup_winnow_pairs": dedup_winnow_pairs,
+    "dedup_winnow_clusters": dedup_winnow_clusters,
     "pipeline_token_budget_selection": pipeline_token_budget_selection,
     "ann_pq_topk": ann_pq_topk,
 }
@@ -3208,6 +3238,7 @@ ORACLES = {
     "pipeline_video_funnel": PIPELINE_VIDEO_FUNNEL_SQL,
     "ann_sq_topk": ANN_SQ_TOPK_SQL,
     "dedup_winnow_pairs": DEDUP_WINNOW_PAIRS_SQL,
+    "dedup_winnow_clusters": DEDUP_WINNOW_CLUSTERS_SQL,
     "pipeline_token_budget_selection": PIPELINE_TOKEN_BUDGET_SELECTION_SQL,
     "ann_pq_topk": ANN_PQ_TOPK_SQL,
 }

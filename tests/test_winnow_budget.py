@@ -196,3 +196,30 @@ def test_pq_rejects_bad_params(spark):
         pq_encode(emb, [])
     with pytest.raises(ValueError):
         pq_topk(emb, emb, [])
+
+
+def test_winnow_clusters_transitive(spark):
+    """A quotes B, B quotes C (disjoint passages): all three share
+    one cluster through the CC kernel even though A and C overlap
+    nothing; isolated docs are singletons."""
+    from connected_component_spark.operators.dedup import (
+        winnow_dedup_clusters,
+    )
+
+    p1 = "alpha bravo charlie delta echo foxtrot golf"
+    p2 = "hotel india juliet kilo lima mike november"
+    rows = [
+        (1, "one two three four five " + p1 + " xx yy zz ww"),
+        (2, p1 + " mid words bridging here " + p2),
+        (3, "aa bb cc dd ee " + p2 + " ff gg hh ii"),
+        (4, "totally unrelated content words nothing shared at all okay"),
+    ]
+    docs = _docs(spark, rows)
+    out = {
+        r.doc_id: r.cluster
+        for r in winnow_dedup_clusters(
+            docs, k=4, window=4, min_shared=1
+        ).collect()
+    }
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4
