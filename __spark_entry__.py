@@ -69,6 +69,9 @@ _CHANGED_THIS_ROUND = (
     # on both engines, advice r9 NULL-stratum fix) — values identical
     # on the fixture (no NULL sources), re-earn a row per convention.
     "pipeline_temperature_mixture",
+    # r9: two new recall columns (recall_pq, recall_ivfpq) — schema
+    # and result change, must re-earn its row.
+    "ann_recall_report",
 )
 
 

@@ -26,6 +26,7 @@ __all__ = [
     "pq_codebooks",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -229,18 +230,84 @@ def pq_topk(
     code) distance table is Q·k rows and BROADCAST; the scan is one
     pass over the codes with m broadcast hash joins and a per-query
     top-k window — no corpus self-join, no global sort."""
-    from pyspark.sql import Window
-
-    from connected_component_spark.functions.vectors import fold_sq_dist
-
     if not books:
         raise ValueError("pq_topk needs at least one codebook")
-    d0 = len(books[0][1][0][1])
-    spark = emb.sparkSession
     codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
     cand = codes.withColumnRenamed(id_col, "neighbor_id").crossJoin(
         F.broadcast(queries.select(F.col(id_col).alias("query_id")))
     )
+    return _adc_rank(cand, queries, books, k, id_col, vec_col)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    emb: DataFrame,
+    books: list[tuple[int, list[tuple[int, list[float]]]]],
+    k: int = 5,
+    centroid_stride: int = 25,
+    nprobe: int = 1,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ — the standard large-scale ANN index architecture
+    (FAISS's IVFPQ): coarse IVF cells prune the scan to ~n/√n
+    candidates per probe, PQ codes + ADC tables score the survivors
+    without touching raw vectors.  Same output contract as
+    :func:`pq_topk`; recall follows the cell pruning (a true neighbor
+    outside the probed cells is unreachable — the IVF dial), adc
+    values for reachable pairs are IDENTICAL to the flat scan's, so
+    the composition is oracle-checkable end-to-end.
+
+    Scale shape on top of pq_topk: one broadcast coarse-assignment
+    pass for the corpus, one bounded pass for the queries, and the
+    candidate generation becomes an equi-join on the cell key instead
+    of a cross join — the 100 TB serving plan (raw vectors appear
+    ONLY in the bounded query-side distance tables)."""
+    from connected_component_spark.operators.similarity import (
+        ivf_cell_assignments,
+    )
+
+    if not books:
+        raise ValueError("ivfpq_topk needs at least one codebook")
+    if centroids is None:
+        centroids = emb.where(F.col(id_col) % centroid_stride == 0)
+    storage = ivf_cell_assignments(emb, centroids, id_col, vec_col, 1)
+    probe = ivf_cell_assignments(
+        queries, centroids, id_col, vec_col, max(1, nprobe)
+    )
+    pairs = (
+        probe.select(F.col(id_col).alias("query_id"), "cell")
+        .join(
+            storage.select(F.col(id_col).alias("neighbor_id"), "cell"),
+            "cell",
+        )
+        .select("query_id", "neighbor_id")
+    )
+    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+    cand = pairs.join(
+        codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+    )
+    return _adc_rank(cand, queries, books, k, id_col, vec_col)
+
+
+def _adc_rank(
+    cand: DataFrame,
+    queries: DataFrame,
+    books: list[tuple[int, list[tuple[int, list[float]]]]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ADC scorer: ``cand`` is (query_id, neighbor_id,
+    code_0..code_{m-1}); joins the m broadcast per-(query, code)
+    distance tables and ranks by the fixed-order subspace sum."""
+    from pyspark.sql import Window
+
+    from connected_component_spark.functions.vectors import fold_sq_dist
+
+    d0 = len(books[0][1][0][1])
+    spark = queries.sparkSession
     for s, cents in books:
         cent_df = spark.createDataFrame(
             [(int(cid), [float(x) for x in cv]) for cid, cv in cents],

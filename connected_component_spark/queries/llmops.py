@@ -2177,7 +2177,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_topk_sql() -> str:
+def _pq_parts_sql() -> tuple[str, str, str]:
+    """Shared oracle fragments: (chain+code+dtab CTE text, the cand
+    codes-joined CTE, the fixed-order adc expression) — reused by the
+    flat-PQ and the IVF+PQ oracles."""
     d0 = _EMB_DIM // _PQ_M
     chains, codes, dtabs = [], [], []
     for s in range(_PQ_M):
@@ -2219,20 +2222,33 @@ def _pq_topk_sql() -> str:
     adc = "t0.d"
     for s in range(1, _PQ_M):
         adc = f"({adc} + t{s}.d)"
-    t_joins = " ".join(
-        f"JOIN t{s} ON t{s}.query_id = t0.query_id AND t{s}.cid = cand.k{s}"
+    parts = f"""{",".join(chains)},
+{",".join(codes)},
+{",".join(dtabs)}"""
+    cand = (
+        f"cand AS (SELECT c0.id AS neighbor_id, {k_cols} "
+        f"FROM code0 c0 {cand_joins})"
+    )
+    return parts, cand, adc
+
+
+def _pq_t_joins(src: str) -> str:
+    return " ".join(
+        f"JOIN t{s} ON t{s}.query_id = t0.query_id AND t{s}.cid = {src}.k{s}"
         for s in range(1, _PQ_M)
     )
+
+
+def _pq_topk_sql() -> str:
+    parts, cand, adc = _pq_parts_sql()
     return f"""
-WITH {",".join(chains)},
-{",".join(codes)},
-{",".join(dtabs)},
-cand AS (SELECT c0.id AS neighbor_id, {k_cols} FROM code0 c0 {cand_joins}),
+WITH {parts},
+{cand},
 scored AS (
   SELECT t0.query_id, cand.neighbor_id, {adc} AS adc
   FROM cand
   JOIN t0 ON t0.cid = cand.k0
-  {t_joins}
+  {_pq_t_joins('cand')}
   WHERE t0.query_id <> cand.neighbor_id
 ),
 ranked AS (
@@ -2247,6 +2263,77 @@ FROM ranked WHERE rank <= 5
 
 
 ANN_PQ_TOPK_SQL = _pq_topk_sql()
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc, rank): IVF cells (stride coarse
+    quantizer, nprobe=1) pruning the PQ/ADC scan — the FAISS-IVFPQ
+    architecture end-to-end; adc values of reachable pairs identical
+    to the flat scan's."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    top = qz.ivfpq_topk(
+        queries,
+        emb,
+        _pq_books(spark, sf_dir),
+        k=5,
+        centroid_stride=_IVF_STRIDE,
+        nprobe=1,
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        roundd(F.col("adc"), 6).alias("adc"),
+        "rank",
+    )
+
+
+def _ivfpq_topk_sql() -> str:
+    parts, cand, adc = _pq_parts_sql()
+    return f"""
+WITH {parts},
+{cand},
+cent AS (
+  SELECT vec_id AS ccid, embedding AS ccv FROM embeddings
+  WHERE vec_id % {_IVF_STRIDE} = 0
+),
+assign AS (
+  SELECT vec_id, ccid AS cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {_cos_sql('embedding', 'ccv')} DESC,
+                                     ccid ASC) AS rn
+  FROM embeddings CROSS JOIN cent
+),
+cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+prb AS (
+  SELECT e.vec_id AS query_id, c.cell
+  FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id
+  WHERE e.vec_id % 50 = 0 AND e.vec_id < 500
+),
+pairs AS (
+  SELECT prb.query_id, c.vec_id AS neighbor_id
+  FROM prb JOIN cells c USING (cell)
+),
+scored AS (
+  SELECT t0.query_id, cand.neighbor_id, {adc} AS adc
+  FROM pairs
+  JOIN cand ON cand.neighbor_id = pairs.neighbor_id
+  JOIN t0 ON t0.query_id = pairs.query_id AND t0.cid = cand.k0
+  {_pq_t_joins('cand')}
+  WHERE t0.query_id <> cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {roundd_sql('adc', 6)} AS adc, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+ANN_IVFPQ_TOPK_SQL = _ivfpq_topk_sql()
 
 
 # --------------------------------------------------------------------------
@@ -2280,10 +2367,22 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_km = sim.ivf_topk(
         queries, emb, k=5, centroids=_ivf_kmeans_centroids(spark, sf_dir)
     ).select("query_id", "neighbor_id", F.lit(1).alias("hit_k"))
+    # r9: the quantized indexes join the verified recall record —
+    # PQ's compression/recall tradeoff (coarse on this isotropic
+    # fixture, see SURVEY) is measured, not claimed
+    books = _pq_books(spark, sf_dir)
+    pq = qz.pq_topk(queries, emb, books, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_p")
+    )
+    ivfpq = qz.ivfpq_topk(
+        queries, emb, books, k=5, centroid_stride=_IVF_STRIDE, nprobe=1
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit_q"))
     joined = (
         exact.join(lsh, ["query_id", "neighbor_id"], "left")
         .join(ivf, ["query_id", "neighbor_id"], "left")
         .join(ivf_km, ["query_id", "neighbor_id"], "left")
+        .join(pq, ["query_id", "neighbor_id"], "left")
+        .join(ivfpq, ["query_id", "neighbor_id"], "left")
     )
     return joined.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("k_exact"),
@@ -2293,6 +2392,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_ivf"),
         roundd(F.sum(F.coalesce(F.col("hit_k"), F.lit(0))) / F.count(F.lit(1)), 4)
         .alias("recall_ivf_km"),
+        roundd(F.sum(F.coalesce(F.col("hit_p"), F.lit(0))) / F.count(F.lit(1)), 4)
+        .alias("recall_pq"),
+        roundd(F.sum(F.coalesce(F.col("hit_q"), F.lit(0))) / F.count(F.lit(1)), 4)
+        .alias("recall_ivfpq"),
     )
 
 
@@ -2308,16 +2411,26 @@ ivfk AS (
 ),
 ivfkm AS (
   SELECT query_id, neighbor_id FROM ({ANN_IVF_KMEANS_TOPK_SQL}) t WHERE query_id < 500
+),
+pqk AS (
+  SELECT query_id, neighbor_id FROM ({ANN_PQ_TOPK_SQL}) t
+),
+ipqk AS (
+  SELECT query_id, neighbor_id FROM ({ANN_IVFPQ_TOPK_SQL}) t
 )
 SELECT e.query_id,
        count(*) AS k_exact,
        {roundd_sql('sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)', 4)} AS recall_lsh,
        {roundd_sql('sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)', 4)} AS recall_ivf,
-       {roundd_sql('sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)', 4)} AS recall_ivf_km
+       {roundd_sql('sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)', 4)} AS recall_ivf_km,
+       {roundd_sql('sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)', 4)} AS recall_pq,
+       {roundd_sql('sum(CASE WHEN pp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)', 4)} AS recall_ivfpq
 FROM exact e
 LEFT JOIN lshk l ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
 LEFT JOIN ivfk i ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
 LEFT JOIN ivfkm m ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
+LEFT JOIN pqk p ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+LEFT JOIN ipqk pp ON pp.query_id = e.query_id AND pp.neighbor_id = e.neighbor_id
 GROUP BY e.query_id
 """
 
@@ -3172,6 +3285,7 @@ QUERIES = {
     "dedup_winnow_clusters": dedup_winnow_clusters,
     "pipeline_token_budget_selection": pipeline_token_budget_selection,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
 }
 
 ORACLES = {
@@ -3241,4 +3355,5 @@ ORACLES = {
     "dedup_winnow_clusters": DEDUP_WINNOW_CLUSTERS_SQL,
     "pipeline_token_budget_selection": PIPELINE_TOKEN_BUDGET_SELECTION_SQL,
     "ann_pq_topk": ANN_PQ_TOPK_SQL,
+    "ann_ivfpq_topk": ANN_IVFPQ_TOPK_SQL,
 }

@@ -223,3 +223,39 @@ def test_winnow_clusters_transitive(spark):
     }
     assert out[1] == out[2] == out[3] == 1
     assert out[4] == 4
+
+
+def test_ivfpq_matches_flat_pq_on_reachable_pairs(spark):
+    """IVFPQ's adc for any (query, neighbor) it returns equals the
+    flat PQ scan's adc for the same pair (the cells only PRUNE —
+    scoring is identical), and every IVFPQ result lies in the query's
+    probed cell."""
+    from connected_component_spark.operators.quantize import (
+        ivfpq_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+    from connected_component_spark.operators.similarity import (
+        ivf_cell_assignments,
+    )
+    from connected_component_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    flat = {
+        (r.query_id, r.neighbor_id): r.adc
+        for r in pq_topk(q, emb, books, k=1000).collect()
+    }
+    ivfpq = ivfpq_topk(q, emb, books, k=5, centroid_stride=10).collect()
+    assert ivfpq  # the probe set returns something
+    for r in ivfpq:
+        assert flat[(r.query_id, r.neighbor_id)] == r.adc
+    cells = {
+        r.vec_id: r.cell
+        for r in ivf_cell_assignments(
+            emb, emb.where(F.col("vec_id") % 10 == 0)
+        ).collect()
+    }
+    for r in ivfpq:
+        assert cells[r.query_id] == cells[r.neighbor_id]
