@@ -956,7 +956,7 @@ def winnow_pairs(
     k: int = 4,
     window: int = 4,
     min_shared: int = 2,
-    max_df: int = 64,
+    max_df: int | None = 64,
 ) -> DataFrame:
     """Passage-overlap candidate pairs via shared winnowing
     fingerprints: (doc_a, doc_b, n_shared) for pairs sharing at least
@@ -1000,7 +1000,7 @@ def winnow_dedup_clusters(
     k: int = 4,
     window: int = 4,
     min_shared: int = 2,
-    max_df: int = 64,
+    max_df: int | None = 64,
     max_iterations: int = 20,
 ) -> DataFrame:
     """Passage-overlap clusters: :func:`winnow_pairs` edges → the CC

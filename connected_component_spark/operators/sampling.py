@@ -253,7 +253,7 @@ def temperature_thresholds(
     stratum_col: str,
     target_num: int = 1,
     target_den: int = 2,
-) -> dict[str, int]:
+) -> dict[str | None, int]:
     """Per-stratum keep thresholds for TEMPERATURE sampling at
     α = 0.5 — the standard multilingual/domain rebalancing: stratum i
     is drawn with probability ∝ n_i^α, flattening the head so small
@@ -292,7 +292,7 @@ def temperature_thresholds(
 
 
 def threshold_case(
-    thr: dict[str, int], stratum_col: str, default_threshold: int = 0
+    thr: dict[str | None, int], stratum_col: str, default_threshold: int = 0
 ) -> Column:
     """Fold a stratum → integer-threshold table into a scan-side CASE
     expression (shared by :func:`temperature_sample` and the declared
@@ -326,7 +326,7 @@ def temperature_sample(
     target_num: int = 1,
     target_den: int = 2,
     seed: int = 0,
-    thresholds: dict[str, int] | None = None,
+    thresholds: dict[str | None, int] | None = None,
     default_threshold: int = 0,
 ) -> DataFrame:
     """Apply :func:`temperature_thresholds` as a scan-side predicate:

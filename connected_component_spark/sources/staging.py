@@ -71,29 +71,82 @@ def _try_lock(lock: str) -> bool:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         return False
-    # Register in _IN_FLIGHT BEFORE the pid hits the lockfile (advice
-    # r9): _lock_stale classifies an own-pid lock with no registered
-    # owner as stale, so writing the pid first opened a window where a
-    # sibling thread could steal a LIVE build.  Between the O_EXCL
-    # create and the write the file is empty, which _lock_stale
-    # already treats as "mid-write, not stale" — so ordering the
-    # registry first leaves no observable gap.  Registering cannot
-    # clobber a live sibling's entry: O_EXCL success proves no one
-    # else holds this lock path.
+    # Register in _IN_FLIGHT BEFORE the owner id hits the lockfile
+    # (advice r9): _lock_stale classifies an own-pid lock with no
+    # registered owner as stale, so writing first opened a window
+    # where a sibling thread could steal a LIVE build.  Between the
+    # O_EXCL create and the write the file is empty, which
+    # _lock_stale already treats as "mid-write, not stale" — so
+    # ordering the registry first leaves no observable gap.
+    # Registering cannot clobber a live sibling's entry: O_EXCL
+    # success proves no one else holds this lock path.
     with _BOOK:
         _IN_FLIGHT[lock] = threading.get_ident()
     with os.fdopen(fd, "w") as fh:
-        fh.write(str(os.getpid()))
+        fh.write(f"{os.getpid()}:{threading.get_ident()}")
     return True
 
 
-def _release_lock(lock: str) -> None:
-    with _BOOK:
-        _IN_FLIGHT.pop(lock, None)
+def _lock_owner(lock: str) -> tuple[int, int | None] | None:
+    """(pid, thread_ident|None) recorded in the lockfile, or None when
+    the file is unreadable/empty/mid-write.  Accepts the bare-pid
+    format older tests plant."""
     try:
-        os.unlink(lock)
-    except FileNotFoundError:
-        pass
+        with open(lock) as fh:
+            content = fh.read().strip()
+    except OSError:
+        return None
+    if not content:
+        return None
+    head, _, tail = content.partition(":")
+    try:
+        pid = int(head)
+    except ValueError:
+        return None
+    if pid <= 0:
+        return None
+    ident = None
+    if tail:
+        try:
+            ident = int(tail)
+        except ValueError:
+            ident = None
+    return pid, ident
+
+
+def _release_lock(lock: str) -> None:
+    """Release THIS thread's lock.  Runs under the same per-key guard
+    flock as _steal_if_stale, and deletes the lockfile (and registry
+    entry) only when it still records this (pid, thread) — a release
+    racing a steal must not remove the NEW holder's fresh lock or its
+    registration (review r9: _release_lock preempted between its
+    registry pop and unlink could erase a sibling stealer's live
+    build, re-opening the mutual-rmtree window)."""
+    guard = lock + ".guard"
+    fd = os.open(guard, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        me = (os.getpid(), threading.get_ident())
+        owner = _lock_owner(lock)
+        if owner is not None and (
+            owner == me or (owner[0] == me[0] and owner[1] is None)
+        ):
+            # ours (bare-pid form: legacy/test-planted, same process —
+            # the pre-r9 release semantics apply)
+            with _BOOK:
+                if _IN_FLIGHT.get(lock) == me[1]:
+                    _IN_FLIGHT.pop(lock, None)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+        else:
+            # stolen or already gone: drop only OUR registry entry
+            with _BOOK:
+                if _IN_FLIGHT.get(lock) == me[1]:
+                    _IN_FLIGHT.pop(lock, None)
+    finally:
+        os.close(fd)
 
 
 def _lock_stale(lock: str) -> bool:
@@ -108,14 +161,11 @@ def _lock_stale(lock: str) -> bool:
     API without releasing — reclaim instead of deadlocking our own
     retry), or when the owning thread has exited.  A sibling thread's
     LIVE build is never stolen (review r8)."""
-    try:
-        with open(lock) as fh:
-            pid = int(fh.read().strip() or "0")
-    except (OSError, ValueError):
+    owner = _lock_owner(lock)
+    if owner is None:
         # unreadable/empty lock: mid-write by a live holder — not stale
         return False
-    if pid <= 0:
-        return False
+    pid = owner[0]
     if pid == os.getpid():
         with _BOOK:
             owner = _IN_FLIGHT.get(lock)

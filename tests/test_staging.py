@@ -169,6 +169,8 @@ def test_stale_steal_is_serialized_under_guard(tmp_path):
     )
 
     src = _touch_src(tmp_path)
+    from connected_component_spark.sources.staging import _BOOK, _IN_FLIGHT
+
     path, needs = staged_dir("ccs_test_steal", src, "v1")
     assert needs
     mark_ready(path)
@@ -205,7 +207,12 @@ def test_stale_steal_is_serialized_under_guard(tmp_path):
     finally:
         done.set()
         t.join()
-        _release_lock(lock)
+        # harness cleanup: the lock records the (exited) sibling
+        # thread, so a cross-thread _release_lock deliberately leaves
+        # it (review r9) — remove the residue directly
+        os.unlink(lock)
+        with _BOOK:
+            _IN_FLIGHT.pop(lock, None)
 
 
 def test_try_lock_registers_owner_before_pid_is_visible(tmp_path):
@@ -230,6 +237,55 @@ def test_try_lock_registers_owner_before_pid_is_visible(tmp_path):
     try:
         assert lock in _IN_FLIGHT  # registered by the time pid is readable
         with open(lock) as fh:
-            assert int(fh.read()) == os.getpid()
+            pid, _, ident = fh.read().partition(":")
+        assert int(pid) == os.getpid()
+        assert int(ident) == threading.get_ident()
     finally:
         _release_lock(lock)
+    assert not os.path.exists(lock)
+
+
+def test_release_does_not_remove_stolen_fresh_lock(tmp_path):
+    """review r9: a release racing a steal must not delete the new
+    holder's fresh lock — _release_lock verifies under the guard that
+    the lockfile still records THIS (pid, thread) before unlinking,
+    and leaves a sibling's registry entry untouched."""
+    from connected_component_spark.sources.staging import (
+        _IN_FLIGHT,
+        _release_lock,
+        _try_lock,
+    )
+
+    lock = str(tmp_path / "steal_race.lock")
+    # a sibling thread holds the fresh lock (post-steal state)
+    got = threading.Event()
+    done = threading.Event()
+
+    def builder():
+        _try_lock(lock)
+        got.set()
+        done.wait(5)
+
+    t = threading.Thread(target=builder)
+    t.start()
+    assert got.wait(5)
+    try:
+        # the raced releaser (this thread) runs its pending release:
+        # the lock records the SIBLING's thread ident, so neither the
+        # file nor the sibling's registration may be removed
+        _release_lock(lock)
+        assert os.path.exists(lock)
+        assert _IN_FLIGHT.get(lock) == t.ident
+    finally:
+        done.set()
+        t.join()
+    # the true owner thread has exited; the file still records a
+    # foreign thread, so a release from here still leaves it — remove
+    # the residue directly as the test harness
+    from connected_component_spark.sources.staging import _BOOK
+
+    _release_lock(lock)
+    assert os.path.exists(lock)
+    os.unlink(lock)
+    with _BOOK:
+        _IN_FLIGHT.pop(lock, None)

@@ -135,7 +135,7 @@ def test_token_budget_plan_has_no_global_sort(spark):
     assert "SinglePartition" not in plan
 
 
-def test_pq_roundtrip_and_recall(spark):
+def test_pq_roundtrip_and_recall(spark, sf_dir):
     """PQ codes reconstruct geometry well enough that ADC top-k
     overlaps the exact top-k (recall sanity), codes are valid
     codebook ids, and results are deterministic."""
@@ -147,7 +147,7 @@ def test_pq_roundtrip_and_recall(spark):
     from connected_component_spark.sources.tables import load_table
     from connected_component_spark.operators.similarity import cosine_topk
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     books = pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
     assert [s for s, _ in books] == [0, 1, 2, 3]
     assert all(len(c) == 8 and len(c[0][1]) == 16 for _, c in books)
@@ -181,7 +181,7 @@ def test_pq_roundtrip_and_recall(spark):
     assert {(r.query_id, r.neighbor_id, r.rank) for r in rows} == again
 
 
-def test_pq_rejects_bad_params(spark):
+def test_pq_rejects_bad_params(spark, sf_dir):
     from connected_component_spark.operators.quantize import (
         pq_codebooks,
         pq_encode,
@@ -189,7 +189,7 @@ def test_pq_rejects_bad_params(spark):
     )
     from connected_component_spark.sources.tables import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="divisible"):
         pq_codebooks(emb, dim=64, m=5)
     with pytest.raises(ValueError):
@@ -225,7 +225,7 @@ def test_winnow_clusters_transitive(spark):
     assert out[4] == 4
 
 
-def test_ivfpq_matches_flat_pq_on_reachable_pairs(spark):
+def test_ivfpq_matches_flat_pq_on_reachable_pairs(spark, sf_dir):
     """IVFPQ's adc for any (query, neighbor) it returns equals the
     flat PQ scan's adc for the same pair (the cells only PRUNE —
     scoring is identical), and every IVFPQ result lies in the query's
@@ -240,7 +240,7 @@ def test_ivfpq_matches_flat_pq_on_reachable_pairs(spark):
     )
     from connected_component_spark.sources.tables import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     books = pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
     q = emb.where(F.col("vec_id") % 50 == 0)
     flat = {
