@@ -410,3 +410,55 @@ def test_declared_capped_band_pairs_exercises_chain_branch(spark, sf_dir):
     assert all(r.b - r.a == 5 for r in chain)
     # nowhere near the quadratic count of an uncapped mega-bucket
     assert len(rows) < 1000, len(rows)
+
+
+def test_winnow_df_cap_keeps_pairs_linear_at_scale(spark):
+    """r9 scale regime for the winnowing posting-list join: 20k docs
+    all sharing one boilerplate passage would emit ~2·10⁸ pairs from
+    the shared fingerprints — the df-cap drops corpus-wide
+    fingerprints BEFORE pairing, so only the 50 planted unique-passage
+    pairs survive, and candidate volume is O(planted), not O(n²)."""
+    from pyspark.sql import functions as F
+
+    from connected_component_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    n = 20_000
+    boiler = " ".join(f"common{i}" for i in range(10))
+    base = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("head"), F.col("id").cast("string"),
+            F.lit(" uniq"), (F.col("id") * 7919).cast("string"),
+            F.lit(" mid"), (F.col("id") * 104729).cast("string"),
+            F.lit(" " + boiler),
+        ).alias("text"),
+    )
+    # 50 planted pairs: docs (j, j+100000) share a j-specific passage
+    planted = spark.range(0, 50).select(
+        F.explode(
+            F.array(F.col("id"), F.col("id") + F.lit(100_000))
+        ).alias("doc_id"),
+        F.concat(
+            F.lit("pref"), F.col("id").cast("string"),
+            F.lit(" shared passage alpha"), F.col("id").cast("string"),
+            F.lit(" beta"), F.col("id").cast("string"),
+            F.lit(" gamma"), F.col("id").cast("string"),
+            F.lit(" delta epsilon zeta eta"),
+        ).alias("text"),
+    )
+    # planted rows REPLACE their base ids (doc_id < 50 dropped from base)
+    docs = base.where(F.col("doc_id") >= 50).unionByName(planted).localCheckpoint()
+    pairs = winnow_pairs(docs, k=4, window=4, min_shared=1, max_df=64)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == {(j, j + 100_000) for j in range(50)}
+    # the boilerplate fingerprints really were corpus-wide (df ≈ 20k):
+    # prove the cap did the work, not luck — at least one fingerprint
+    # exceeds the cap by orders of magnitude
+    fp = winnow_fingerprints(docs, k=4, window=4)
+    max_df = (
+        fp.groupBy("fp").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_df > 10_000
