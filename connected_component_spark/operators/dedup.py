@@ -54,6 +54,7 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_pairs",
     "winnow_dedup_clusters",
+    "winnow_decontaminate",
 ]
 
 
@@ -1015,3 +1016,78 @@ def winnow_dedup_clusters(
     return components_with_isolates(
         edges, docs, "doc_id", max_iterations=max_iterations
     ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster"))
+
+
+def winnow_decontaminate(
+    docs: DataFrame,
+    eval_col: str,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 64,
+) -> DataFrame:
+    """Passage-level eval decontamination (the n-gram overlap scrub
+    pretraining corpora run against their benchmark suites): flag
+    every TRAIN document sharing at least ``min_shared`` winnowed
+    fingerprints with any EVAL document (``eval_col`` is a boolean
+    column on ``docs``).  Catches partial quotes and embedded
+    benchmark passages that whole-document near-dup splits dilute
+    away — the winnowing guarantee bounds the miss: any verbatim
+    overlap of ≥ window+k−1 words yields at least one shared
+    fingerprint.
+
+    (doc_id, n_eval_matches, max_shared, contaminated) for every
+    train doc.  ``min_shared=2`` rejects single-fingerprint chance
+    collisions (one shared rare 4-gram) while keeping real passage
+    reuse; ``max_df`` drops corpus-wide boilerplate fingerprints
+    before matching so shared templates don't flag everything.
+
+    Scale shape: one winnowing pass over the full corpus, the df-cap
+    window, then an equi-join of the (small) eval fingerprint side
+    against the train side on the 8-byte fingerprint — at 100 TB the
+    eval suite is tiny, so the join broadcasts."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fp = winnow_fingerprints(docs, k=k, window=window)
+    if max_df is not None:
+        by_fp = Window.partitionBy("fp")
+        fp = (
+            fp.withColumn("_df", F.count(F.lit(1)).over(by_fp))
+            .where(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    flags = docs.select(
+        "doc_id", F.col(eval_col).cast("boolean").alias("_ev")
+    )
+    fp = fp.join(flags, "doc_id").localCheckpoint(eager=False)
+    tr = fp.where(~F.col("_ev")).select("doc_id", "fp")
+    ev = fp.where(F.col("_ev")).select(
+        F.col("doc_id").alias("_eval_id"), "fp"
+    )
+    pairs = (
+        tr.join(ev, "fp")
+        .groupBy("doc_id", "_eval_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_shared)
+    )
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.countDistinct("_eval_id").cast("long").alias("n_eval_matches"),
+        F.max("_n").cast("long").alias("max_shared"),
+    )
+    return (
+        flags.where(~F.col("_ev"))
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_eval_matches", F.lit(0)).cast("long").alias(
+                "n_eval_matches"
+            ),
+            F.coalesce("max_shared", F.lit(0)).cast("long").alias(
+                "max_shared"
+            ),
+            (F.coalesce("n_eval_matches", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

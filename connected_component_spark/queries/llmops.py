@@ -3146,6 +3146,72 @@ FROM walk GROUP BY node
 
 
 # --------------------------------------------------------------------------
+# pipeline_passage_decontamination — the n-gram overlap scrub every
+# pretraining corpus runs against its benchmark suites (GPT-3
+# appendix-C / Pile style), at PASSAGE granularity via winnowing:
+# a train doc quoting part of an eval doc is flagged even when the
+# whole-document similarity is negligible — the case the cluster-
+# keyed split (pipeline_leakage_safe_split) cannot see when the
+# overlap is below the near-dup threshold.  min_shared=2 rejects
+# single-fingerprint chance collisions; the winnowing guarantee
+# bounds misses (any ≥ w+k−1-word verbatim overlap shares ≥1
+# fingerprint).
+# --------------------------------------------------------------------------
+
+_DECON_EVAL_MOD = 50
+_DECON_EVAL_REM = 7
+_DECON_MIN_SHARED = 2
+
+
+def pipeline_passage_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, n_eval_matches, max_shared, contaminated) for every
+    train document, against the deterministic eval subset
+    ``doc_id % 50 == 7``."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_is_eval",
+        F.col("doc_id") % _DECON_EVAL_MOD == F.lit(_DECON_EVAL_REM),
+    )
+    return dd.winnow_decontaminate(
+        docs,
+        "_is_eval",
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        min_shared=_DECON_MIN_SHARED,
+        max_df=_WINNOW_MAX_DF,
+    )
+
+
+PIPELINE_PASSAGE_DECONTAMINATION_SQL = f"""
+WITH {_winnow_core_sql()},
+ev AS (SELECT doc_id AS eval_id, fp FROM capped
+       WHERE doc_id % {_DECON_EVAL_MOD} = {_DECON_EVAL_REM}),
+tr AS (SELECT doc_id, fp FROM capped
+       WHERE doc_id % {_DECON_EVAL_MOD} <> {_DECON_EVAL_REM}),
+p AS (
+  SELECT tr.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n
+  FROM tr JOIN ev USING (fp)
+  GROUP BY 1, 2
+  HAVING count(*) >= {_DECON_MIN_SHARED}
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_matches,
+         max(n) AS max_shared
+  FROM p GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_eval_matches, 0) AS n_eval_matches,
+       COALESCE(agg.max_shared, 0) AS max_shared,
+       COALESCE(agg.n_eval_matches, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {_DECON_EVAL_MOD} <> {_DECON_EVAL_REM}) d
+LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # pipeline_token_budget_selection — budgeted data selection: rank the
 # corpus by quality (the already-verified text_quality score) and
 # keep the best documents until a global token budget is spent.
@@ -3283,6 +3349,7 @@ QUERIES = {
     "ann_sq_topk": ann_sq_topk,
     "dedup_winnow_pairs": dedup_winnow_pairs,
     "dedup_winnow_clusters": dedup_winnow_clusters,
+    "pipeline_passage_decontamination": pipeline_passage_decontamination,
     "pipeline_token_budget_selection": pipeline_token_budget_selection,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
@@ -3353,6 +3420,7 @@ ORACLES = {
     "ann_sq_topk": ANN_SQ_TOPK_SQL,
     "dedup_winnow_pairs": DEDUP_WINNOW_PAIRS_SQL,
     "dedup_winnow_clusters": DEDUP_WINNOW_CLUSTERS_SQL,
+    "pipeline_passage_decontamination": PIPELINE_PASSAGE_DECONTAMINATION_SQL,
     "pipeline_token_budget_selection": PIPELINE_TOKEN_BUDGET_SELECTION_SQL,
     "ann_pq_topk": ANN_PQ_TOPK_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_TOPK_SQL,

@@ -259,3 +259,37 @@ def test_ivfpq_matches_flat_pq_on_reachable_pairs(spark, sf_dir):
     }
     for r in ivfpq:
         assert cells[r.query_id] == cells[r.neighbor_id]
+
+
+def test_winnow_decontaminate_flags_embedded_passages(spark):
+    """A train doc quoting part of an eval doc is flagged even though
+    whole-document similarity is tiny; min_shared=2 rejects a
+    single-fingerprint chance collision; clean docs report zeros."""
+    from connected_component_spark.operators.dedup import (
+        winnow_decontaminate,
+    )
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        # eval doc containing the benchmark passage
+        (7, "eval preamble words here " + passage + " eval tail words", True),
+        # train doc quoting the passage inside unrelated content
+        (1, "one two three four five " + passage + " six seven eight", False),
+        # clean train doc
+        (2, "totally unrelated content words nothing shared at all here", False),
+        # another eval doc, unshared
+        (57, "second eval document with its own distinct content words", True),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, is_eval boolean"
+    )
+    out = {
+        r.doc_id: (r.n_eval_matches, r.max_shared, r.contaminated)
+        for r in winnow_decontaminate(
+            docs, "is_eval", k=4, window=4, min_shared=2
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # eval docs never appear in the report
+    n1, m1, c1 = out[1]
+    assert c1 and n1 == 1 and m1 >= 2
+    assert out[2] == (0, 0, False)
