@@ -952,6 +952,21 @@ def winnow_fingerprints(
     )
 
 
+def _df_capped(fp: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop fingerprints present in more than ``max_df`` documents —
+    the posting-list df-cap shared by winnow_pairs and
+    winnow_decontaminate (one definition so a future cap-semantics
+    change cannot drift between the two)."""
+    if max_df is None:
+        return fp
+    by_fp = Window.partitionBy("fp")
+    return (
+        fp.withColumn("_df", F.count(F.lit(1)).over(by_fp))
+        .where(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+
+
 def winnow_pairs(
     docs: DataFrame,
     k: int = 4,
@@ -973,14 +988,7 @@ def winnow_pairs(
     """
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
-    fp = winnow_fingerprints(docs, k=k, window=window)
-    if max_df is not None:
-        by_fp = Window.partitionBy("fp")
-        fp = (
-            fp.withColumn("_df", F.count(F.lit(1)).over(by_fp))
-            .where(F.col("_df") <= max_df)
-            .drop("_df")
-        )
+    fp = _df_capped(winnow_fingerprints(docs, k=k, window=window), max_df)
     # both sides of the self-join reference fp: without the lazy
     # checkpoint the whole tokenize→window→distinct tree evaluates
     # twice (the repo's documented double-evaluation trap)
@@ -1030,11 +1038,20 @@ def winnow_decontaminate(
     pretraining corpora run against their benchmark suites): flag
     every TRAIN document sharing at least ``min_shared`` winnowed
     fingerprints with any EVAL document (``eval_col`` is a boolean
-    column on ``docs``).  Catches partial quotes and embedded
+    column on ``docs``; NULL flags coalesce to train so unknown docs
+    are checked, never skipped).  Catches partial quotes and embedded
     benchmark passages that whole-document near-dup splits dilute
-    away — the winnowing guarantee bounds the miss: any verbatim
-    overlap of ≥ window+k−1 words yields at least one shared
-    fingerprint.
+    away.
+
+    Sensitivity contract (review r9): the winnowing guarantee — any
+    verbatim overlap of ≥ window+k−1 words yields at least one shared
+    fingerprint — bounds misses ONLY at ``min_shared=1`` with
+    ``max_df=None``.  The defaults trade that bound for precision:
+    ``min_shared=2`` needs a second shared fingerprint (≈ a longer or
+    second overlap), and a fingerprint quoted by more than ``max_df``
+    documents is dropped even when the overlap is real.  Run with
+    ``min_shared=1, max_df=None`` when the scrub must be exhaustive
+    and a manual review of the (larger) flag list is acceptable.
 
     (doc_id, n_eval_matches, max_shared, contaminated) for every
     train doc.  ``min_shared=2`` rejects single-fingerprint chance
@@ -1048,16 +1065,17 @@ def winnow_decontaminate(
     eval suite is tiny, so the join broadcasts."""
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
-    fp = winnow_fingerprints(docs, k=k, window=window)
-    if max_df is not None:
-        by_fp = Window.partitionBy("fp")
-        fp = (
-            fp.withColumn("_df", F.count(F.lit(1)).over(by_fp))
-            .where(F.col("_df") <= max_df)
-            .drop("_df")
-        )
+    fp = _df_capped(winnow_fingerprints(docs, k=k, window=window), max_df)
+    # NULL eval flags coalesce to TRAIN (review r9): a doc of unknown
+    # provenance cannot be part of an explicit eval suite, and
+    # treating it as train means it still gets CHECKED — the old
+    # three-valued ~NULL filters silently dropped it from the train
+    # side, the eval side, AND the report.
     flags = docs.select(
-        "doc_id", F.col(eval_col).cast("boolean").alias("_ev")
+        "doc_id",
+        F.coalesce(F.col(eval_col).cast("boolean"), F.lit(False)).alias(
+            "_ev"
+        ),
     )
     fp = fp.join(flags, "doc_id").localCheckpoint(eager=False)
     tr = fp.where(~F.col("_ev")).select("doc_id", "fp")

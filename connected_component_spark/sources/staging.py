@@ -127,24 +127,23 @@ def _release_lock(lock: str) -> None:
     try:
         fcntl.flock(fd, fcntl.LOCK_EX)
         me = (os.getpid(), threading.get_ident())
+        # the registry pop is branch-independent: only OUR entry is
+        # ever removed, whether the lockfile is still ours or was
+        # stolen (review r9 — the ours/stolen distinction governs
+        # ONLY the unlink, where the race lives)
+        with _BOOK:
+            if _IN_FLIGHT.get(lock) == me[1]:
+                _IN_FLIGHT.pop(lock, None)
         owner = _lock_owner(lock)
         if owner is not None and (
             owner == me or (owner[0] == me[0] and owner[1] is None)
         ):
             # ours (bare-pid form: legacy/test-planted, same process —
             # the pre-r9 release semantics apply)
-            with _BOOK:
-                if _IN_FLIGHT.get(lock) == me[1]:
-                    _IN_FLIGHT.pop(lock, None)
             try:
                 os.unlink(lock)
             except FileNotFoundError:
                 pass
-        else:
-            # stolen or already gone: drop only OUR registry entry
-            with _BOOK:
-                if _IN_FLIGHT.get(lock) == me[1]:
-                    _IN_FLIGHT.pop(lock, None)
     finally:
         os.close(fd)
 

@@ -209,8 +209,13 @@ def test_stale_steal_is_serialized_under_guard(tmp_path):
         t.join()
         # harness cleanup: the lock records the (exited) sibling
         # thread, so a cross-thread _release_lock deliberately leaves
-        # it (review r9) — remove the residue directly
-        os.unlink(lock)
+        # it (review r9) — remove the residue directly.  Suppress a
+        # missing file so a REGRESSION (the steal wrongly unlinking)
+        # surfaces as the assertion above, not as cleanup noise.
+        import contextlib
+
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(lock)
         with _BOOK:
             _IN_FLIGHT.pop(lock, None)
 

@@ -293,3 +293,30 @@ def test_winnow_decontaminate_flags_embedded_passages(spark):
     n1, m1, c1 = out[1]
     assert c1 and n1 == 1 and m1 >= 2
     assert out[2] == (0, 0, False)
+
+
+def test_winnow_decontaminate_null_flag_is_train(spark):
+    """review r9: a NULL eval flag coalesces to TRAIN — the doc is
+    checked and appears in the report, never silently dropped from
+    both sides."""
+    from connected_component_spark.operators.dedup import (
+        winnow_decontaminate,
+    )
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        (7, "eval preamble words here " + passage + " eval tail", True),
+        # unknown provenance, quoting the eval passage
+        (1, "one two three four five " + passage + " six seven", None),
+        (2, "clean unknown provenance document nothing shared here at all", None),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, is_eval boolean"
+    )
+    out = {
+        r.doc_id: r.contaminated
+        for r in winnow_decontaminate(
+            docs, "is_eval", k=4, window=4, min_shared=2
+        ).collect()
+    }
+    assert out == {1: True, 2: False}
