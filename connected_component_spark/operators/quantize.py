@@ -171,6 +171,35 @@ def pq_codebooks(
     return books
 
 
+def _validate_books(
+    books: list[tuple[int, list[tuple[int, list[float]]]]],
+) -> int:
+    """Driver-side codebook-geometry check shared by the PQ
+    entrypoints: at least one codebook, every codebook non-empty,
+    every centroid in every subspace the same width.  Returns that
+    width d0.  A codebook trained at one m and served at another
+    would otherwise slice subvectors at the wrong stride and encode
+    garbage silently (advice r10)."""
+    if not books:
+        raise ValueError("PQ needs at least one codebook")
+    d0: int | None = None
+    for s, cents in books:
+        if not cents:
+            raise ValueError(f"PQ codebook {s} has no centroids")
+        for cid, cv in cents:
+            if d0 is None:
+                d0 = len(cv)
+            if len(cv) != d0:
+                raise ValueError(
+                    f"PQ codebook geometry mismatch: subspace {s} "
+                    f"centroid {cid} is {len(cv)} wide, expected {d0} "
+                    "— all codebooks must share one subspace width"
+                )
+    if not d0:
+        raise ValueError("PQ codebook centroids must be non-empty vectors")
+    return d0
+
+
 def pq_encode(
     emb: DataFrame,
     books: list[tuple[int, list[tuple[int, list[float]]]]],
@@ -183,10 +212,28 @@ def pq_encode(
     zero join.  Codes are the centroid *ids*, stable across engines."""
     from connected_component_spark.operators.clustering import _best
 
-    if not books:
-        raise ValueError("pq_encode needs at least one codebook")
-    d0 = len(books[0][1][0][1])
-    out = emb.select(
+    d0 = _validate_books(books)
+    # in-plan length guard against the SECOND half of the geometry
+    # contract — m·d0 must equal the actual vector width, else the
+    # subspace slices silently read the wrong stride (or truncate).
+    # A WHERE, not a projected column, so Catalyst cannot prune the
+    # check out of the plan (same discipline as the incremental-dedup
+    # id-order guard); one integer compare per row, codegen-side.
+    m_d = len(books) * d0
+    guarded = emb.where(
+        F.when(
+            F.size(F.col(vec_col)) != F.lit(m_d),
+            F.raise_error(
+                F.concat(
+                    F.lit("pq_encode: vector length "),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(f" != m*d0 = {m_d} — codebooks do not match"
+                          " this corpus' dimensionality"),
+                )
+            ),
+        ).otherwise(F.lit(True))
+    )
+    out = guarded.select(
         F.col(id_col),
         *[
             F.slice(
@@ -270,11 +317,16 @@ def ivfpq_topk(
 
     if not books:
         raise ValueError("ivfpq_topk needs at least one codebook")
+    # validate, don't clamp: every sibling parameter here raises on
+    # nonsense, and a silent max(1, nprobe) would hand a caller
+    # passing nprobe=0 single-probe results with no signal (advice r10)
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if centroids is None:
         centroids = emb.where(F.col(id_col) % centroid_stride == 0)
     storage = ivf_cell_assignments(emb, centroids, id_col, vec_col, 1)
     probe = ivf_cell_assignments(
-        queries, centroids, id_col, vec_col, max(1, nprobe)
+        queries, centroids, id_col, vec_col, nprobe
     )
     pairs = (
         probe.select(F.col(id_col).alias("query_id"), "cell")

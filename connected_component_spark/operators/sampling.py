@@ -421,6 +421,17 @@ def token_budget_selection(
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    # the output select is ``*df.columns + cum_col + selected_col`` —
+    # an input already carrying one of those names (or the internal
+    # prefix column) would yield duplicate / silently clobbered
+    # columns downstream; refuse loudly, same contract as
+    # :func:`shuffled_shards` (review r9 / advice r10)
+    for c in (cum_col, selected_col, "__tb_excl"):
+        if c in df.columns:
+            raise ValueError(
+                f"token_budget_selection output column {c!r} already "
+                "exists on the input — drop or rename it first"
+            )
     from connected_component_spark.operators.packing import (
         exclusive_prefix_sum_ordered,
     )

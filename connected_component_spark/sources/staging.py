@@ -54,6 +54,11 @@ __all__ = ["staged_dir", "mark_ready", "ensure_staged"]
 
 _SENTINEL = "_READY"
 _LOCK_WAIT_S = 600.0
+#: an EMPTY lockfile older than this is a SIGKILLed builder's corpse
+#: (died between the O_EXCL create and the pid write), not a live
+#: mid-write — the write follows the create within microseconds, so
+#: seconds of grace is orders of magnitude of headroom (advice r10)
+_EMPTY_LOCK_GRACE_S = 5.0
 
 #: lock path → owning thread ident for builds in flight in THIS
 #: process, guarded by _BOOK — the thread-level complement of the pid
@@ -162,8 +167,18 @@ def _lock_stale(lock: str) -> bool:
     LIVE build is never stolen (review r8)."""
     owner = _lock_owner(lock)
     if owner is None:
-        # unreadable/empty lock: mid-write by a live holder — not stale
-        return False
+        # Unreadable/empty lock: usually mid-write by a live holder
+        # (the microseconds between the O_EXCL create and the pid
+        # write) — but a builder SIGKILLed inside that window leaves
+        # an empty lockfile FOREVER, and "empty == never stale" would
+        # wedge the key for every process until TimeoutError (advice
+        # r10).  Age-bound the classification: an empty lock older
+        # than a few seconds cannot be mid-write.
+        try:
+            age = time.time() - os.stat(lock).st_mtime
+        except OSError:
+            return False  # vanished: the holder released — just retry
+        return age > _EMPTY_LOCK_GRACE_S
     pid = owner[0]
     if pid == os.getpid():
         with _BOOK:

@@ -294,3 +294,31 @@ def test_release_does_not_remove_stolen_fresh_lock(tmp_path):
     os.unlink(lock)
     with _BOOK:
         _IN_FLIGHT.pop(lock, None)
+
+
+def test_empty_lockfile_aged_past_grace_is_stolen(tmp_path):
+    """advice r10: a builder SIGKILLed between the O_EXCL create and
+    the pid write leaves an EMPTY lockfile.  Fresh, that shape is a
+    live holder mid-write (not stale); past the grace window it must
+    classify stale and be stolen, or the key wedges every process
+    until TimeoutError forever."""
+    from connected_component_spark.sources.staging import (
+        _EMPTY_LOCK_GRACE_S,
+        _lock_stale,
+    )
+
+    src = _touch_src(tmp_path)
+    path, needs = staged_dir("ccs_test_empty_lock", src, "v1")
+    assert needs
+    mark_ready(path)
+    os.remove(os.path.join(path, "_READY"))
+    lock = _lock_path(path)
+    open(lock, "w").close()  # empty: the SIGKILL-mid-write corpse shape
+    assert not _lock_stale(lock)  # fresh: could be a live mid-write
+    old = time.time() - (_EMPTY_LOCK_GRACE_S + 2.0)
+    os.utime(lock, (old, old))
+    assert _lock_stale(lock)
+    # end-to-end: a new acquirer steals the corpse and wins the build
+    path2, needs2 = staged_dir("ccs_test_empty_lock", src, "v1")
+    assert path2 == path and needs2
+    mark_ready(path)

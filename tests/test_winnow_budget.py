@@ -320,3 +320,62 @@ def test_winnow_decontaminate_null_flag_is_train(spark):
         ).collect()
     }
     assert out == {1: True, 2: False}
+
+
+def test_token_budget_reserved_column_guard(spark):
+    """advice r10: an input already carrying an output column name
+    (default or custom) or the internal prefix column must raise —
+    the select would otherwise emit duplicate names that break
+    downstream by-name access silently (the shuffled_shards
+    contract)."""
+    order = [F.col("id").asc()]
+    base = spark.range(3).select(F.col("id"), F.lit(5).alias("n"))
+    for clash, kw in [
+        ("cum_tokens", {}),
+        ("selected", {}),
+        ("__tb_excl", {}),
+        ("my_cum", {"cum_col": "my_cum"}),
+        ("keep", {"selected_col": "keep"}),
+    ]:
+        df = base.withColumn(clash, F.lit(1))
+        with pytest.raises(ValueError, match="already"):
+            token_budget_selection(df, "n", order, budget=10, **kw)
+    # the guard must not reject a clean frame with custom names
+    ok = token_budget_selection(
+        base, "n", order, budget=10, cum_col="ct", selected_col="sel"
+    )
+    assert {r.id: r.sel for r in ok.collect()} == {0: True, 1: True, 2: False}
+
+
+def test_pq_codebook_geometry_validation(spark, sf_dir):
+    """advice r10 / verdict r9 #3: a codebook set with mixed subspace
+    widths, an empty subspace, or a width whose m*d0 does not match
+    the corpus dimensionality must raise instead of silently
+    mis-encoding."""
+    from connected_component_spark.operators.quantize import (
+        ivfpq_topk,
+        pq_encode,
+    )
+    from connected_component_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # mixed widths across subspaces
+    bad_mixed = [
+        (0, [(0, [0.0, 0.0]), (1, [1.0, 1.0])]),
+        (1, [(0, [0.0, 0.0, 0.0])]),
+    ]
+    with pytest.raises(ValueError, match="geometry"):
+        pq_encode(emb, bad_mixed)
+    # empty subspace codebook
+    with pytest.raises(ValueError, match="no centroids"):
+        pq_encode(emb, [(0, [])])
+    # geometry self-consistent but m*d0 != actual vector width: the
+    # in-plan guard fires at action time
+    dim = len(emb.select("embedding").first()[0])
+    bad_dim = [(0, [(0, [0.0] * (dim // 2))])]
+    with pytest.raises(Exception, match="pq_encode"):
+        pq_encode(emb, bad_dim).collect()
+    # nprobe is validated, not clamped (advice r10)
+    ok_books = [(0, [(0, [0.0] * dim)])]
+    with pytest.raises(ValueError, match="nprobe"):
+        ivfpq_topk(emb.limit(1), emb, ok_books, nprobe=0)
