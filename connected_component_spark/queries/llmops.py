@@ -2337,6 +2337,149 @@ ANN_IVFPQ_TOPK_SQL = _ivfpq_topk_sql()
 
 
 # --------------------------------------------------------------------------
+# ann_ivfpq_trained_topk — the PRODUCTION IVFPQ configuration (verdict
+# r9 #2): the composed index exactly as FAISS ships it — a TRAINED
+# spherical-k-means coarse codebook (the ann_ivf_kmeans_topk
+# quantizer) instead of stride landmarks, multi-probe (nprobe=2)
+# instead of single-cell, PQ codes + ADC tables scoring the
+# survivors.  This is the index a user actually deploys at 100 TB:
+# training is once-per-corpus (memoized, pre-staged in bench warmup),
+# serving touches raw vectors only in the bounded query-side distance
+# tables, and candidate generation is an equi-join on the cell key.
+# ann_ivfpq_trained_recall puts its recall in the verified record
+# next to the stride/nprobe=1 variant's.
+# --------------------------------------------------------------------------
+
+_IVFPQ_TRAINED_NPROBE = 2
+
+
+def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, adc, rank): trained coarse cells +
+    nprobe=2 + PQ/ADC — the production FAISS-IVFPQ shape; adc values
+    of reachable pairs identical to the flat PQ scan's."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    top = qz.ivfpq_topk(
+        queries,
+        emb,
+        _pq_books(spark, sf_dir),
+        k=5,
+        nprobe=_IVFPQ_TRAINED_NPROBE,
+        centroids=_ivf_kmeans_centroids(spark, sf_dir),
+    )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        roundd(F.col("adc"), 6).alias("adc"),
+        "rank",
+    )
+
+
+def _ivfpq_trained_topk_sql() -> str:
+    """Trained-coarse IVFPQ oracle: the spherical-k-means chain
+    (prefix ``g`` — coexists with the four PQ subspace chains in one
+    WITH, per the _kmeans_chain_parts composition contract) feeds the
+    cell assignment; probes keep rn <= nprobe, storage keeps rn = 1;
+    the scored/ranked tail is the shared PQ/ADC structure."""
+    parts, cand, adc = _pq_parts_sql()
+    coarse = ",".join(
+        _kmeans_chain_parts(
+            _IVF_KM_K_SQL,
+            _IVF_KM_ITERS,
+            final_assign=False,
+            seed_where=f"id % {_IVF_STRIDE} = 0",
+            normalize=True,
+            prefix="g",
+        )
+    )
+    return f"""
+WITH {parts},
+{cand},
+{coarse},
+gassign AS (
+  SELECT vec_id, cid AS cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {_cos_sql('embedding', 'cv')} DESC,
+                                     cid ASC) AS rn
+  FROM embeddings CROSS JOIN gc{_IVF_KM_ITERS}
+),
+gcells AS (SELECT vec_id, cell FROM gassign WHERE rn = 1),
+gprb AS (
+  SELECT vec_id AS query_id, cell FROM gassign
+  WHERE rn <= {_IVFPQ_TRAINED_NPROBE} AND vec_id % 50 = 0 AND vec_id < 500
+),
+gpairs AS (
+  SELECT gprb.query_id, c.vec_id AS neighbor_id
+  FROM gprb JOIN gcells c USING (cell)
+),
+scored AS (
+  SELECT t0.query_id, cand.neighbor_id, {adc} AS adc
+  FROM gpairs
+  JOIN cand ON cand.neighbor_id = gpairs.neighbor_id
+  JOIN t0 ON t0.query_id = gpairs.query_id AND t0.cid = cand.k0
+  {_pq_t_joins('cand')}
+  WHERE t0.query_id <> cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, {roundd_sql('adc', 6)} AS adc, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+ANN_IVFPQ_TRAINED_TOPK_SQL = _ivfpq_trained_topk_sql()
+
+
+def ann_ivfpq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, k_exact, recall_ivfpq_t): the production index's
+    recall against the exact cosine top-5, as its own driver row — a
+    sibling of ann_recall_report rather than a seventh pipeline
+    inside it (verdict r9 watch item: one query must not be charged
+    every index's cost)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    exact = sim.cosine_topk(queries, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    trained = ann_ivfpq_trained_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_t")
+    )
+    return (
+        exact.join(trained, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_exact"),
+            roundd(
+                F.sum(F.coalesce(F.col("hit_t"), F.lit(0)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("recall_ivfpq_t"),
+        )
+    )
+
+
+ANN_IVFPQ_TRAINED_RECALL_SQL = f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({ANN_COSINE_TOPK_SQL}) t
+),
+trained AS (
+  SELECT query_id, neighbor_id FROM ({ANN_IVFPQ_TRAINED_TOPK_SQL}) t
+)
+SELECT e.query_id,
+       count(*) AS k_exact,
+       {roundd_sql('sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)', 4)} AS recall_ivfpq_t
+FROM exact e
+LEFT JOIN trained t
+  ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+# --------------------------------------------------------------------------
 # multimodal metadata (stubbed decode, real mapInPandas plumbing)
 # --------------------------------------------------------------------------
 
@@ -3353,6 +3496,8 @@ QUERIES = {
     "pipeline_token_budget_selection": pipeline_token_budget_selection,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_trained_topk": ann_ivfpq_trained_topk,
+    "ann_ivfpq_trained_recall": ann_ivfpq_trained_recall,
 }
 
 ORACLES = {
@@ -3424,4 +3569,6 @@ ORACLES = {
     "pipeline_token_budget_selection": PIPELINE_TOKEN_BUDGET_SELECTION_SQL,
     "ann_pq_topk": ANN_PQ_TOPK_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_TOPK_SQL,
+    "ann_ivfpq_trained_topk": ANN_IVFPQ_TRAINED_TOPK_SQL,
+    "ann_ivfpq_trained_recall": ANN_IVFPQ_TRAINED_RECALL_SQL,
 }
