@@ -3217,11 +3217,15 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_core_sql() -> str:
+def _winnow_core_sql(
+    min_shared: int = _WINNOW_MIN_SHARED,
+    max_df: int | None = _WINNOW_MAX_DF,
+) -> str:
     """Shared CTE chain ``toks → grams → gh → winnowed → fps →
     capped → wpairs``: the DuckDB replay of winnow_fingerprints +
-    winnow_pairs, reused by the pairs query and the CC-cluster
-    query."""
+    winnow_pairs, reused by the pairs query, the CC-cluster query,
+    and (with ``max_df=None`` — the stream state keeps every
+    fingerprint) the incremental-winnow stream oracle in streamq."""
     k, w = _WINNOW_K, _WINNOW_W
     # gram stream with 1-based start position i (Spark's 0-based _pos
     # only orders the window — positions never reach the output, so
@@ -3247,16 +3251,16 @@ winnowed AS (
 ),
 fps AS (SELECT DISTINCT doc_id, fp FROM winnowed WHERE cnt = {w}),
 capped AS MATERIALIZED (
-  SELECT doc_id, fp FROM (
+  {"SELECT doc_id, fp FROM fps" if max_df is None else f'''SELECT doc_id, fp FROM (
     SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps
-  ) WHERE df <= {_WINNOW_MAX_DF}
+  ) WHERE df <= {max_df}'''}
 ),
 wpairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(count(*) AS BIGINT) AS n_shared
   FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-  HAVING count(*) >= {_WINNOW_MIN_SHARED}
+  HAVING count(*) >= {min_shared}
 )"""
 
 

@@ -692,28 +692,13 @@ GROUP BY 1, 2
 _DEDUP_STREAM_SLICES = 5
 
 
-def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous-ingestion near-dedup over a document stream
-    (streaming/dedup.py:IncrementalDedup).
-
-    Documents are staged as ``_DEDUP_STREAM_SLICES`` doc_id-range
-    files replayed one per trigger in ingestion order; foreachBatch
-    classifies each batch against the accumulated band/shingle state
-    (broadcast band join — the corpus is never re-minhashed) and then
-    folds the batch in.  Batch 0 seeds the corpus; the result is the
-    classification of every later doc, which must equal the batch
-    oracle computed over the whole corpus with batch boundaries
-    derived from doc_id ranges."""
-    from connected_component_spark.queries.llmops import (
-        _JACCARD_THRESHOLD,
-        _LSH_BANDS,
-        _MINHASH_N,
-    )
+def _staged_doc_slices(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents table as ``_DEDUP_STREAM_SLICES`` doc_id-
+    range parquet files with strictly increasing mtimes, so a
+    maxFilesPerTrigger=1 file stream replays them one per trigger in
+    ingestion order.  Shared by the incremental-dedup and incremental-
+    winnow stream queries (one staging, one cache key)."""
     from connected_component_spark.sources.tables import table_row_count
-    from connected_component_spark.streaming.dedup import (
-        IncrementalDedup,
-        run_doc_stream,
-    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n = table_row_count(spark, sf_dir, "documents")
@@ -740,7 +725,34 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
             os.utime(dst, (now + 10 * i, now + 10 * i))
         _mark_ready(staged)
+    return staged
 
+
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion near-dedup over a document stream
+    (streaming/dedup.py:IncrementalDedup).
+
+    Documents are staged as ``_DEDUP_STREAM_SLICES`` doc_id-range
+    files replayed one per trigger in ingestion order; foreachBatch
+    classifies each batch against the accumulated band/shingle state
+    (broadcast band join — the corpus is never re-minhashed) and then
+    folds the batch in.  Batch 0 seeds the corpus; the result is the
+    classification of every later doc, which must equal the batch
+    oracle computed over the whole corpus with batch boundaries
+    derived from doc_id ranges."""
+    from connected_component_spark.queries.llmops import (
+        _JACCARD_THRESHOLD,
+        _LSH_BANDS,
+        _MINHASH_N,
+    )
+    from connected_component_spark.sources.tables import table_row_count
+    from connected_component_spark.streaming.dedup import (
+        IncrementalDedup,
+        run_doc_stream,
+    )
+
+    n = table_row_count(spark, sf_dir, "documents")
+    staged = _staged_doc_slices(spark, sf_dir)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
@@ -809,6 +821,98 @@ LEFT JOIN batch_m USING (doc_id)
 STREAM_INCREMENTAL_DEDUP_SQL = _stream_incremental_dedup_sql()
 
 
+def stream_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion PASSAGE-level dedup over a document
+    stream (streaming/winnow.py:IncrementalWinnow) — the winnowing
+    analogue of stream_incremental_dedup: per-batch winnowing
+    fingerprints are classified against the accumulated fingerprint
+    state (batch side broadcast; the corpus is fingerprinted exactly
+    once, on arrival), then folded in.  This is where passage-level
+    contamination actually arrives in a training pipeline: documents
+    quoting an already-ingested passage are flagged at ingest time.
+
+    Same replay protocol as stream_incremental_dedup (the two share
+    one staged-slice cache): batch 0 seeds, every later doc gets a
+    (doc_id, status, canonical_doc_id) row.  Fingerprints are a pure
+    per-doc function, so the oracle is the GLOBAL winnow-pair
+    computation (uncapped — the stream state keeps every fingerprint)
+    with batch boundaries derived from doc_id ranges."""
+    from connected_component_spark.queries.llmops import (
+        _WINNOW_K,
+        _WINNOW_MIN_SHARED,
+        _WINNOW_W,
+    )
+    from connected_component_spark.sources.tables import table_row_count
+    from connected_component_spark.streaming.winnow import (
+        IncrementalWinnow,
+        run_winnow_stream,
+    )
+
+    n = table_row_count(spark, sf_dir, "documents")
+    staged = _staged_doc_slices(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    with _scaled_shuffle(spark, n):
+        state = run_winnow_stream(
+            stream,
+            IncrementalWinnow(
+                k=_WINNOW_K,
+                window=_WINNOW_W,
+                min_shared=_WINNOW_MIN_SHARED,
+            ),
+        )
+    assert (
+        state.batches_seen == _DEDUP_STREAM_SLICES
+        and state.results is not None
+    )
+    return state.results
+
+
+def _stream_winnow_dedup_sql() -> str:
+    from connected_component_spark.queries.llmops import (
+        _WINNOW_MIN_SHARED,
+        _winnow_core_sql,
+    )
+
+    s = _DEDUP_STREAM_SLICES
+    return f"""
+WITH {_winnow_core_sql(min_shared=_WINNOW_MIN_SHARED, max_df=None)},
+params AS (SELECT count(*) // {s} AS stride FROM documents),
+bt AS (
+  SELECT doc_id, least(doc_id // stride, {s - 1}) AS b_no
+  FROM documents, params
+),
+e2 AS (
+  SELECT w.doc_a AS a, w.doc_b AS b, ba.b_no AS ba_no, bb.b_no AS bb_no
+  FROM wpairs w
+  JOIN bt ba ON ba.doc_id = w.doc_a
+  JOIN bt bb ON bb.doc_id = w.doc_b
+),
+corpus_m AS (
+  SELECT b AS doc_id, min(a) AS corpus_canon
+  FROM e2 WHERE ba_no < bb_no GROUP BY b
+),
+batch_m AS (
+  SELECT b AS doc_id, min(a) AS batch_canon
+  FROM e2 WHERE ba_no = bb_no GROUP BY b
+)
+SELECT d.doc_id,
+       CASE WHEN corpus_canon IS NOT NULL THEN 'dup_of_corpus'
+            WHEN batch_canon IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'novel' END AS status,
+       coalesce(corpus_canon, batch_canon, d.doc_id) AS canonical_doc_id
+FROM (SELECT doc_id FROM bt WHERE b_no >= 1) d
+LEFT JOIN corpus_m USING (doc_id)
+LEFT JOIN batch_m USING (doc_id)
+"""
+
+
+STREAM_WINNOW_DEDUP_SQL = _stream_winnow_dedup_sql()
+
+
 QUERIES = {
     "stream_window_counts": stream_window_counts,
     "stream_incremental_cc": stream_incremental_cc,
@@ -819,6 +923,7 @@ QUERIES = {
     "stream_static_enrich": stream_static_enrich,
     "stream_session_windows": stream_session_windows,
     "stream_incremental_dedup": stream_incremental_dedup,
+    "stream_winnow_dedup": stream_winnow_dedup,
 }
 
 ORACLES = {
@@ -831,4 +936,5 @@ ORACLES = {
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_session_windows": Q_SESSION_WINDOWS_SQL,
     "stream_incremental_dedup": STREAM_INCREMENTAL_DEDUP_SQL,
+    "stream_winnow_dedup": STREAM_WINNOW_DEDUP_SQL,
 }

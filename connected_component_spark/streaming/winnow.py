@@ -1,0 +1,164 @@
+"""Incremental passage-level dedup over a document stream.
+
+The winnowing sibling of ``streaming/dedup.py:IncrementalDedup`` —
+continuous ingestion is where passage-level contamination actually
+arrives in a training pipeline: maintain the running corpus as a
+(doc_id, fp) winnowing-fingerprint state and fold each micro-batch in
+via ``foreachBatch``.  Each arriving doc is classified as
+dup_of_corpus (shares >= min_shared fingerprints with a doc from an
+EARLIER batch), dup_in_batch, or novel; the batch's fingerprints then
+join the state.
+
+Fingerprints are a per-document pure function (operators/dedup.py:
+winnow_fingerprints), so the incremental shared-fingerprint count
+between any two docs equals the whole-corpus batch computation's —
+the stream's classification is exactly the global winnow-pair oracle
+with batch boundaries applied, the same contract IncrementalDedup
+holds for minhash.
+
+Scale notes: per-batch work is O(batch + matched postings) — the
+batch's fingerprint table is BROADCAST into one scan of the state
+(the 100 TB corpus is fingerprinted exactly once, on arrival, and
+never re-tokenized), and the batch×batch self-join runs on the batch
+only.  ``max_state_df`` is the posting-list valve: a fingerprint
+whose accumulated posting list exceeds it (corpus-wide boilerplate)
+is skipped at match time, bounding the per-batch join fan-out the
+way ``winnow_pairs``'s df-cap bounds the batch operator.  The valve
+consults state as of each batch, so it is deliberately OFF (None) in
+the oracle-checked query — a time-dependent cap has no engine-
+independent global replay.  ``localCheckpoint`` cuts lineage across
+batches; on a real cluster the state would live as checkpointed
+parquet/Delta keyed by fingerprint, appended per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from connected_component_spark.operators.dedup import (
+    classify_batch_matches,
+    winnow_fingerprints,
+)
+
+__all__ = ["IncrementalWinnow", "run_winnow_stream"]
+
+#: consolidate the per-batch union trees into one materialized leaf
+#: every this-many batches (same plan-analysis-cost bound as
+#: streaming/dedup.py)
+_CONSOLIDATE_EVERY = 16
+
+
+class IncrementalWinnow:
+    """Mutable running passage-dedup state folded over document
+    micro-batches.  The FIRST batch seeds the corpus and emits no
+    classifications; every later batch appends one row per batch doc
+    (doc_id, status, canonical_doc_id) to ``results``.  Batch doc_ids
+    must all exceed every previously-seen doc_id (ingestion order),
+    the same contract as IncrementalDedup."""
+
+    def __init__(
+        self,
+        k: int = 4,
+        window: int = 4,
+        min_shared: int = 2,
+        max_state_df: int | None = None,
+    ) -> None:
+        if min_shared < 1:
+            raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+        if max_state_df is not None and max_state_df < 1:
+            raise ValueError(
+                f"max_state_df must be >= 1 or None, got {max_state_df}"
+            )
+        self.k = k
+        self.window = window
+        self.min_shared = min_shared
+        self.max_state_df = max_state_df
+        self.fp_state: DataFrame | None = None  # (doc_id, fp)
+        self.results: DataFrame | None = None  # (doc_id, status, canonical)
+        self.batches_seen = 0
+
+    def update(self, batch_docs: DataFrame) -> None:
+        """Fold one batch of (doc_id, text) documents into the state."""
+        fp_b = winnow_fingerprints(
+            batch_docs, k=self.k, window=self.window
+        ).localCheckpoint(eager=True)
+        # per-doc id leaf from the batch, CHECKPOINTED: the accumulated
+        # results union is evaluated after the stream ends, and a plan
+        # still referencing the raw micro-batch DataFrame would re-read
+        # source data the batch contract no longer guarantees exists
+        # (the streaming/dedup.py ADVICE-r6 lesson).  A doc too short
+        # to emit any fingerprint still gets its row (classified novel).
+        ids_b = batch_docs.select("doc_id").localCheckpoint(eager=True)
+
+        if self.fp_state is not None:
+            st = self.fp_state
+            if self.max_state_df is not None:
+                by_fp = Window.partitionBy("fp")
+                st = (
+                    st.withColumn("_df", F.count(F.lit(1)).over(by_fp))
+                    .where(F.col("_df") <= self.max_state_df)
+                    .drop("_df")
+                )
+            cross = (
+                st.join(
+                    F.broadcast(fp_b.withColumnRenamed("doc_id", "b_id")),
+                    "fp",
+                )
+                .groupBy(
+                    F.col("doc_id").alias("a"), F.col("b_id").alias("b")
+                )
+                .agg(F.count(F.lit(1)).alias("n_shared"))
+                .where(F.col("n_shared") >= self.min_shared)
+                .select("a", "b")
+            )
+            # intra-batch pairs from the MATERIALIZED fingerprint leaf
+            # (never re-fingerprint the batch); a < b orients the
+            # earlier batch doc as the canonical candidate
+            left = fp_b.withColumnRenamed("doc_id", "a")
+            right = fp_b.withColumnRenamed("doc_id", "b")
+            intra = (
+                left.join(right, "fp")
+                .where(F.col("a") < F.col("b"))
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("n_shared"))
+                .where(F.col("n_shared") >= self.min_shared)
+                .select("a", "b")
+            )
+            out = classify_batch_matches(cross.unionByName(intra), ids_b)
+            # bounded-depth plan over checkpointed leaves only (fp_b /
+            # ids_b / the state union) — no extra checkpoint needed
+            self.results = (
+                out if self.results is None else self.results.unionByName(out)
+            )
+
+        self.fp_state = (
+            fp_b
+            if self.fp_state is None
+            else self.fp_state.unionByName(fp_b)
+        )
+        self.batches_seen += 1
+        if self.batches_seen % _CONSOLIDATE_EVERY == 0:
+            self.fp_state = self.fp_state.localCheckpoint(eager=True)
+            if self.results is not None:
+                self.results = self.results.localCheckpoint(eager=True)
+
+
+def run_winnow_stream(
+    doc_stream: DataFrame, state: IncrementalWinnow | None = None
+) -> IncrementalWinnow:
+    """Drive an IncrementalWinnow from a streaming DataFrame of
+    (doc_id, text) rows via ``foreachBatch`` with the available-now
+    trigger (processes the backlog as micro-batches, then stops)."""
+    state = state or IncrementalWinnow()
+
+    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+        state.update(batch_df.select("doc_id", "text"))
+
+    q = (
+        doc_stream.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state

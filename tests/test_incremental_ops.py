@@ -340,3 +340,125 @@ def test_l2_normalize_unit_norm_property(spark):
     for r in out:
         n = math.sqrt(sum(x * x for x in r["unit"]))
         assert abs(n - 1.0) < 1e-12, (r["vec_id"], n)
+
+
+_P1 = "alpha bravo charlie delta echo foxtrot golf"
+_P2 = "hotel india juliet kilo lima mike november"
+
+
+def test_streaming_incremental_winnow_classifies_three_ways(spark):
+    """IncrementalWinnow (r10): batch 0 seeds silently; a later doc
+    quoting an earlier batch's passage is dup_of_corpus, one quoting
+    a same-batch earlier doc is dup_in_batch, a passage-free doc is
+    novel — with canonical = min matching doc_id."""
+    from connected_component_spark.streaming.winnow import IncrementalWinnow
+
+    state = IncrementalWinnow(k=4, window=4, min_shared=1)
+    state.update(
+        _docs(
+            spark,
+            [
+                (1, "one two three four five " + _P1 + " six seven"),
+                (2, "red green blue yellow cyan magenta white black grey"),
+            ],
+        )
+    )
+    assert state.results is None and state.batches_seen == 1
+    state.update(
+        _docs(
+            spark,
+            [
+                (10, "aa bb cc dd " + _P1 + " ee ff gg hh"),  # quotes corpus 1
+                (11, "pp qq rr ss " + _P2 + " tt uu vv ww"),  # fresh passage
+                (12, "xx yy zz " + _P2 + " mm nn oo kk ll"),  # quotes 11, same batch
+                (13, "totally unrelated words nothing shared anywhere at all here"),
+            ],
+        )
+    )
+    rows = {
+        r["doc_id"]: (r["status"], r["canonical_doc_id"])
+        for r in state.results.collect()
+    }
+    assert rows[10] == ("dup_of_corpus", 1)
+    assert rows[11][0] == "novel"
+    assert rows[12] == ("dup_in_batch", 11)
+    assert rows[13][0] == "novel"
+    # batch 3: passage from batch-2 doc is now corpus
+    state.update(_docs(spark, [(20, "jj " + _P2 + " final words here ok")]))
+    rows = {
+        r["doc_id"]: (r["status"], r["canonical_doc_id"])
+        for r in state.results.collect()
+    }
+    assert rows[20] == ("dup_of_corpus", 11)
+
+
+def test_streaming_incremental_winnow_matches_global_pairs(spark):
+    """The stream's classification equals the GLOBAL winnow-pair
+    computation with batch boundaries applied (fingerprints are a
+    pure per-doc function) — the exact contract the declared
+    stream_winnow_dedup oracle checks at sf0.01."""
+    from connected_component_spark.operators.dedup import winnow_pairs
+    from connected_component_spark.streaming.winnow import IncrementalWinnow
+
+    batches = [
+        [(1, "one two three four five " + _P1 + " six seven")],
+        [(10, "aa bb cc dd " + _P1 + " ee ff gg hh"),
+         (11, "pp qq rr ss " + _P2 + " tt uu vv ww")],
+        [(20, "xx yy zz " + _P2 + " mm nn oo kk ll"),
+         (21, "jj kk " + _P1 + " more words trail here ok")],
+    ]
+    state = IncrementalWinnow(k=4, window=4, min_shared=1)
+    for b in batches:
+        state.update(_docs(spark, b))
+    streamed = {
+        r["doc_id"]: (r["status"], r["canonical_doc_id"])
+        for r in state.results.collect()
+    }
+    all_docs = [r for b in batches for r in b]
+    pairs = winnow_pairs(
+        _docs(spark, all_docs), k=4, window=4, min_shared=1, max_df=None
+    ).collect()
+    batch_of = {d: i for i, b in enumerate(batches) for d, _ in b}
+    expected = {}
+    for d, _ in all_docs:
+        if batch_of[d] == 0:
+            continue
+        corpus = [
+            p.doc_a for p in pairs
+            if p.doc_b == d and batch_of[p.doc_a] < batch_of[d]
+        ]
+        batch = [
+            p.doc_a for p in pairs
+            if p.doc_b == d and batch_of[p.doc_a] == batch_of[d]
+        ]
+        if corpus:
+            expected[d] = ("dup_of_corpus", min(corpus))
+        elif batch:
+            expected[d] = ("dup_in_batch", min(batch))
+        else:
+            expected[d] = ("novel", d)
+    assert streamed == expected
+
+
+def test_streaming_incremental_winnow_state_df_valve(spark):
+    """max_state_df: a fingerprint whose accumulated posting list
+    exceeds the valve is skipped at match time — boilerplate shared
+    by many corpus docs stops generating candidates (the posting-list
+    quadratic guard), while rare passages still match."""
+    from connected_component_spark.streaming.winnow import IncrementalWinnow
+
+    boiler = [
+        (i, f"lead{i} unique{i} words{i} here{i} " + _P1 + f" tail{i} t{i}")
+        for i in range(1, 5)
+    ]
+    state = IncrementalWinnow(k=4, window=4, min_shared=1, max_state_df=2)
+    state.update(_docs(spark, boiler))
+    # every fp of _P1 now has df=4 > 2 in state: a new quoting doc
+    # must NOT match through the valved fingerprints
+    state.update(_docs(spark, [(10, "zz yy xx ww " + _P1 + " vv uu tt ss")]))
+    rows = {r["doc_id"]: r["status"] for r in state.results.collect()}
+    assert rows[10] == "novel"
+    with __import__("pytest").raises(ValueError):
+        IncrementalWinnow(min_shared=0)
+    with __import__("pytest").raises(ValueError):
+        IncrementalWinnow(max_state_df=0)
