@@ -65,12 +65,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: existing query's result-affecting path changed — the round's new
 #: queries rank first automatically as never-driver-verified.)
 _CHANGED_THIS_ROUND = (
-    # r9: join re-keyed null-safe (eqNullSafe / IS NOT DISTINCT FROM
-    # on both engines, advice r9 NULL-stratum fix) — values identical
-    # on the fixture (no NULL sources), re-earn a row per convention.
-    "pipeline_temperature_mixture",
-    # r9: two new recall columns (recall_pq, recall_ivfpq) — schema
-    # and result change, must re-earn its row.
+    # r10: pq_encode grew an in-plan vector-length guard (a WHERE
+    # raise_error Catalyst cannot prune) — the physical plan of every
+    # PQ-serving query changed, values fixture-identical; re-earn a
+    # row per convention.  (The round's three NEW queries —
+    # ann_ivfpq_trained_topk/_recall, stream_winnow_dedup — front
+    # automatically as never-driver-verified.)
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
     "ann_recall_report",
 )
 

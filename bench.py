@@ -91,14 +91,21 @@ def main() -> None:
     # fixture-fingerprint memo, not per-query serving cost — without
     # this, draw 1 charges the whole training to whichever ann_* query
     # sorts first into it (r9: ~4.5 s onto ann_ivfpq_topk).
+    # The training wall clock is recorded in the artifact
+    # (warmup_train_s) so round-over-round comparisons of the ann_*
+    # serving numbers stay interpretable next to rounds that charged
+    # training to a draw (advice r10).
+    warmup_train_s = None
     try:
         from connected_component_spark.queries.llmops import (
             _ivf_kmeans_centroids,
             _pq_books,
         )
 
+        _t0 = time.perf_counter()
         _ivf_kmeans_centroids(spark, sf_dir)
         _pq_books(spark, sf_dir)
+        warmup_train_s = round(time.perf_counter() - _t0, 3)
     except Exception:
         pass  # the draws themselves will surface the error
 
@@ -126,6 +133,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if warmup_train_s is not None:
+        out["warmup_train_s"] = warmup_train_s
     if errors:
         out["errors"] = errors
 
@@ -134,29 +143,38 @@ def main() -> None:
     # reference itself publishes/tunes (README.md:72), reported per
     # round so regressions in shuffle volume are visible, not just
     # wall-clock.
-    try:
-        from connected_component_spark.graph.cc import connected_components
-        from connected_component_spark.graph.cliques import cliques_to_edges
-        from connected_component_spark.graph.generator import (
-            distributed_clique_chains,
-        )
+    def cc_kernel_point(n_cliques: int) -> dict:
+        try:
+            from connected_component_spark.graph.cc import (
+                connected_components,
+            )
+            from connected_component_spark.graph.cliques import (
+                cliques_to_edges,
+            )
+            from connected_component_spark.graph.generator import (
+                distributed_clique_chains,
+            )
 
-        t0 = time.perf_counter()
-        cliques, _ = distributed_clique_chains(spark, 100_000)
-        res = connected_components(cliques_to_edges(cliques), skew_telemetry=True)
-        out["cc_kernel"] = {
-            "cliques": 100_000,
-            "wall_sec": round(time.perf_counter() - t0, 3),
-            "iterations": res.iterations,
-            "converged": res.converged,
-            "round_pair_counts": res.round_pair_counts,
-            "round_shuffle_bytes": res.round_shuffle_bytes,
-            # per-round reducer-key skew (max/p50/p99 rows per src key):
-            # the straggler signal a 100 TB run tunes against
-            "round_key_skew": res.round_key_skew,
-        }
-    except Exception as ex:
-        out["cc_kernel"] = {"err": f"{type(ex).__name__}: {ex}"[:200]}
+            t0 = time.perf_counter()
+            cliques, _ = distributed_clique_chains(spark, n_cliques)
+            res = connected_components(
+                cliques_to_edges(cliques), skew_telemetry=True
+            )
+            return {
+                "cliques": n_cliques,
+                "wall_sec": round(time.perf_counter() - t0, 3),
+                "iterations": res.iterations,
+                "converged": res.converged,
+                "round_pair_counts": res.round_pair_counts,
+                "round_shuffle_bytes": res.round_shuffle_bytes,
+                # per-round reducer-key skew (max/p50/p99 rows per src
+                # key): the straggler signal a 100 TB run tunes against
+                "round_key_skew": res.round_key_skew,
+            }
+        except Exception as ex:
+            return {"err": f"{type(ex).__name__}: {ex}"[:200]}
+
+    out["cc_kernel"] = cc_kernel_point(100_000)
 
     # The driver-facing JSON line goes out (flushed) BEFORE the extra
     # median draws run, so a driver-side timeout during draws 2-3 can
@@ -199,6 +217,17 @@ def main() -> None:
             medians[name] = round(statistics.median(ok), 3)
         else:
             omitted.append(name)
+
+    # One at-scale kernel point at 10× the standard bench graph
+    # (verdict r9 #6): turns the "≤6 rounds at any scale" claim into a
+    # measured two-point curve on the reference's own metric
+    # (README.md:72) — iterations, per-round shuffle bytes, and skew
+    # percentiles at both sizes ride in the committed artifact.  Runs
+    # AFTER the driver-facing line and the median draws, so it can
+    # neither void the bench record nor contaminate per-query medians
+    # with its GC pressure.  SPARK_GRAFT_BENCH_10X=0 opts out.
+    if os.environ.get("SPARK_GRAFT_BENCH_10X", "1") != "0":
+        out["cc_kernel_10x"] = cc_kernel_point(1_000_000)
 
     # Also persist the FULL per-query map next to the repo: the
     # driver's BENCH_r{N}.json stores a truncated stdout tail, which
