@@ -218,17 +218,6 @@ def main() -> None:
         else:
             omitted.append(name)
 
-    # One at-scale kernel point at 10× the standard bench graph
-    # (verdict r9 #6): turns the "≤6 rounds at any scale" claim into a
-    # measured two-point curve on the reference's own metric
-    # (README.md:72) — iterations, per-round shuffle bytes, and skew
-    # percentiles at both sizes ride in the committed artifact.  Runs
-    # AFTER the driver-facing line and the median draws, so it can
-    # neither void the bench record nor contaminate per-query medians
-    # with its GC pressure.  SPARK_GRAFT_BENCH_10X=0 opts out.
-    if os.environ.get("SPARK_GRAFT_BENCH_10X", "1") != "0":
-        out["cc_kernel_10x"] = cc_kernel_point(1_000_000)
-
     # Also persist the FULL per-query map next to the repo: the
     # driver's BENCH_r{N}.json stores a truncated stdout tail, which
     # deleted the first ~38 queries (alphabetically) from the r3
@@ -263,19 +252,44 @@ def main() -> None:
     if any(draw_errors):
         local["draw_errors"] = draw_errors
     target = os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json")
+    # A VALIDATED env-pinned round number is an intentional request
+    # and may refresh its own artifact; the inferred-round path
+    # (including a malformed env value that fell back to inference)
+    # keeps the never-overwrite guard (a mis-inferred round must
+    # not clobber a real record — ADVICE r4 / VERDICT r5 #2).  The
+    # decision is made ONCE so the post-10x refresh below can rewrite
+    # the same file this run created.
+    can_write = env_pinned or not os.path.exists(target)
     wrote_local = False
-    try:
-        # A VALIDATED env-pinned round number is an intentional request
-        # and may refresh its own artifact; the inferred-round path
-        # (including a malformed env value that fell back to inference)
-        # keeps the never-overwrite guard (a mis-inferred round must
-        # not clobber a real record — ADVICE r4 / VERDICT r5 #2).
-        if env_pinned or not os.path.exists(target):
+
+    def write_local() -> bool:
+        if not can_write:
+            return False
+        try:
             with open(target, "w") as f:
                 json.dump(local, f, indent=1, sort_keys=True)
-            wrote_local = True
-    except OSError:
-        pass  # read-only checkout must not void the bench output
+            return True
+        except OSError:
+            return False  # read-only checkout must not void the bench
+
+    # write the medians artifact BEFORE the minutes-long 10x kernel
+    # run: a driver-side timeout during that run must lose only the
+    # 10x point, never the per-query medians (review r10)
+    wrote_local = write_local()
+
+    # One at-scale kernel point at 10× the standard bench graph
+    # (verdict r9 #6): turns the "≤6 rounds at any scale" claim into a
+    # measured two-point curve on the reference's own metric
+    # (README.md:72) — iterations, per-round shuffle bytes, and skew
+    # percentiles at both sizes ride in the committed artifact.  Runs
+    # AFTER the driver-facing line, the median draws, and the first
+    # artifact write, so it can neither void the bench record nor
+    # contaminate per-query medians with its GC pressure.
+    # SPARK_GRAFT_BENCH_10X=0 opts out.
+    if os.environ.get("SPARK_GRAFT_BENCH_10X", "1") != "0":
+        out["cc_kernel_10x"] = cc_kernel_point(1_000_000)
+        local["cc_kernel_10x"] = out["cc_kernel_10x"]
+        wrote_local = write_local() or wrote_local
     spark.stop()
 
     # The driver records only a ~200-char stdout TAIL and parses JSON

@@ -182,6 +182,16 @@ def _validate_books(
     garbage silently (advice r10)."""
     if not books:
         raise ValueError("PQ needs at least one codebook")
+    # subspace indices must be exactly 0..m-1 in order: pq_encode
+    # slices at s*d0+1 while the in-plan width guard enforces
+    # len(books)*d0, so a gap or duplicate in s would read past the
+    # vector end (NULL-padded garbage codes) or emit duplicate
+    # code_{s} columns — with no error (review r10)
+    if [s for s, _ in books] != list(range(len(books))):
+        raise ValueError(
+            "PQ codebook subspace indices must be contiguous 0..m-1, "
+            f"got {[s for s, _ in books]}"
+        )
     d0: int | None = None
     for s, cents in books:
         if not cents:
@@ -358,7 +368,25 @@ def _adc_rank(
 
     from connected_component_spark.functions.vectors import fold_sq_dist
 
-    d0 = len(books[0][1][0][1])
+    d0 = _validate_books(books)
+    # the corpus side is width-guarded in pq_encode; guard the QUERY
+    # side too — an off-width query batch would slice empty
+    # subvectors, fold to NULL adc, and Spark's NULLS-FIRST ascending
+    # window would rank the garbage 1..k silently (review r10)
+    m_d = len(books) * d0
+    queries = queries.where(
+        F.when(
+            F.size(F.col(vec_col)) != F.lit(m_d),
+            F.raise_error(
+                F.concat(
+                    F.lit("pq serving: query vector length "),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(f" != m*d0 = {m_d} — codebooks do not match"
+                          " the query batch's dimensionality"),
+                )
+            ),
+        ).otherwise(F.lit(True))
+    )
     spark = queries.sparkSession
     for s, cents in books:
         cent_df = spark.createDataFrame(

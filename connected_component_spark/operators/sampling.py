@@ -426,7 +426,13 @@ def token_budget_selection(
     # prefix column) would yield duplicate / silently clobbered
     # columns downstream; refuse loudly, same contract as
     # :func:`shuffled_shards` (review r9 / advice r10)
-    for c in (cum_col, selected_col, "__tb_excl"):
+    out_cols = (cum_col, selected_col, "__tb_excl")
+    if len(set(out_cols)) != len(out_cols):
+        raise ValueError(
+            "token_budget_selection output columns must be distinct, "
+            f"got cum_col={cum_col!r} selected_col={selected_col!r}"
+        )
+    for c in out_cols:
         if c in df.columns:
             raise ValueError(
                 f"token_budget_selection output column {c!r} already "

@@ -80,9 +80,13 @@ def _try_lock(lock: str) -> bool:
     # (advice r9): _lock_stale classifies an own-pid lock with no
     # registered owner as stale, so writing first opened a window
     # where a sibling thread could steal a LIVE build.  Between the
-    # O_EXCL create and the write the file is empty, which
-    # _lock_stale already treats as "mid-write, not stale" — so
-    # ordering the registry first leaves no observable gap.
+    # O_EXCL create and the write the file is empty; _lock_stale
+    # treats an empty lock as mid-write when its path is registered
+    # to a live thread here (any age — a CPU-starved holder is not
+    # stale) and otherwise only past the _EMPTY_LOCK_GRACE_S age
+    # bound — so ordering the registry first leaves no observable
+    # same-process gap, and the cross-process gap is bounded by the
+    # grace window (microseconds of exposure vs seconds of grace).
     # Registering cannot clobber a live sibling's entry: O_EXCL
     # success proves no one else holds this lock path.
     with _BOOK:
@@ -172,8 +176,24 @@ def _lock_stale(lock: str) -> bool:
         # write) — but a builder SIGKILLed inside that window leaves
         # an empty lockfile FOREVER, and "empty == never stale" would
         # wedge the key for every process until TimeoutError (advice
-        # r10).  Age-bound the classification: an empty lock older
-        # than a few seconds cannot be mid-write.
+        # r10).  Before the age heuristic, consult the same-process
+        # registry: _try_lock registers BEFORE writing the pid, so an
+        # empty lock whose path a LIVE sibling thread holds in
+        # _IN_FLIGHT is a mid-write in THIS process no matter how old
+        # (a CPU-starved holder must not be stolen — review r10).
+        with _BOOK:
+            holder = _IN_FLIGHT.get(lock)
+        if holder is not None:
+            if holder == threading.get_ident():
+                # our own sequential-thread residue: reclaim, same as
+                # the non-empty own-thread branch below
+                return True
+            if holder in {t.ident for t in threading.enumerate()}:
+                return False
+        # Foreign (or dead-thread) empty lock: age-bound the
+        # classification — older than the grace window cannot be a
+        # mid-write (cross-process the create→write gap is
+        # microseconds; the grace is orders of magnitude above it).
         try:
             age = time.time() - os.stat(lock).st_mtime
         except OSError:

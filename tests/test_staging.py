@@ -322,3 +322,48 @@ def test_empty_lockfile_aged_past_grace_is_stolen(tmp_path):
     path2, needs2 = staged_dir("ccs_test_empty_lock", src, "v1")
     assert path2 == path and needs2
     mark_ready(path)
+
+
+def test_empty_lockfile_of_live_sibling_thread_never_stolen(tmp_path):
+    """review r10: the age heuristic must not steal a LIVE builder —
+    _try_lock registers _IN_FLIGHT before writing the pid, so an
+    empty lock registered to a live sibling thread is a mid-write in
+    this process no matter how old (a CPU-starved holder is not a
+    corpse)."""
+    from connected_component_spark.sources.staging import (
+        _BOOK,
+        _EMPTY_LOCK_GRACE_S,
+        _IN_FLIGHT,
+        _lock_stale,
+    )
+
+    src = _touch_src(tmp_path)
+    path, needs = staged_dir("ccs_test_empty_live", src, "v1")
+    assert needs
+    mark_ready(path)
+    os.remove(os.path.join(path, "_READY"))
+    lock = _lock_path(path)
+    open(lock, "w").close()
+    old = time.time() - (_EMPTY_LOCK_GRACE_S + 2.0)
+    os.utime(lock, (old, old))
+
+    hold = threading.Event()
+
+    def sibling():
+        with _BOOK:
+            _IN_FLIGHT[lock] = threading.get_ident()
+        hold.wait(10)
+
+    t = threading.Thread(target=sibling)
+    t.start()
+    try:
+        while _IN_FLIGHT.get(lock) is None:
+            time.sleep(0.01)
+        assert not _lock_stale(lock)  # live sibling: never stale
+    finally:
+        hold.set()
+        t.join()
+    with _BOOK:
+        _IN_FLIGHT.pop(lock, None)
+    assert _lock_stale(lock)  # unregistered again: the aged corpse path
+    os.unlink(lock)

@@ -340,6 +340,11 @@ def test_token_budget_reserved_column_guard(spark):
         df = base.withColumn(clash, F.lit(1))
         with pytest.raises(ValueError, match="already"):
             token_budget_selection(df, "n", order, budget=10, **kw)
+    # identical custom output names must also refuse (review r10)
+    with pytest.raises(ValueError, match="distinct"):
+        token_budget_selection(
+            base, "n", order, budget=10, cum_col="x", selected_col="x"
+        )
     # the guard must not reject a clean frame with custom names
     ok = token_budget_selection(
         base, "n", order, budget=10, cum_col="ct", selected_col="sel"
@@ -379,6 +384,23 @@ def test_pq_codebook_geometry_validation(spark, sf_dir):
     ok_books = [(0, [(0, [0.0] * dim)])]
     with pytest.raises(ValueError, match="nprobe"):
         ivfpq_topk(emb.limit(1), emb, ok_books, nprobe=0)
+    # subspace indices must be contiguous 0..m-1 (review r10)
+    half = [(0, [(0, [0.0] * (dim // 2))]), (2, [(0, [0.0] * (dim // 2))])]
+    with pytest.raises(ValueError, match="contiguous"):
+        pq_encode(emb, half)
+    # the QUERY side is width-guarded too (review r10): off-width
+    # queries must raise at action time, not rank NULL-adc garbage
+    from connected_component_spark.operators.quantize import pq_topk as _pqt
+
+    bad_q = emb.select(
+        "vec_id", F.slice("embedding", 1, dim // 2).alias("embedding")
+    ).limit(2)
+    good_books = [
+        (s, [(0, [0.0] * (dim // 2)), (1, [1.0] * (dim // 2))])
+        for s in range(2)
+    ]
+    with pytest.raises(Exception, match="query vector length"):
+        _pqt(bad_q, emb, good_books, k=2).collect()
 
 
 def test_ivfpq_trained_multiprobe_widens_candidates(spark, sf_dir):
