@@ -436,3 +436,39 @@ def test_ivfpq_trained_multiprobe_widens_candidates(spark, sf_dir):
     }
     for r in two:
         assert flat[(r.query_id, r.neighbor_id)] == r.adc
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VOCAB = [f"w{i}" for i in range(30)]
+_pad = st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=15)
+_passage = st.lists(st.sampled_from(_VOCAB), min_size=7, max_size=12)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pad_a=_pad, pad_b=_pad, passage=_passage)
+def test_winnowing_guarantee_property(spark, pad_a, pad_b, passage):
+    """Property form of the winnowing guarantee (Schleimer et al.
+    §2): for ANY surrounding context drawn from a small (collision-
+    prone, adversarial) vocabulary, two documents sharing a verbatim
+    run of >= window + k - 1 words MUST pair at min_shared=1 with the
+    df-cap off.  k=4, window=4 -> 7-word shared runs."""
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(pad_a + passage)),
+            (2, " ".join(passage + pad_b)),
+        ],
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_pairs(
+            docs, k=4, window=4, min_shared=1, max_df=None
+        ).collect()
+    }
+    assert (1, 2) in pairs
