@@ -55,6 +55,7 @@ __all__ = [
     "winnow_pairs",
     "winnow_dedup_clusters",
     "winnow_decontaminate",
+    "retention_decisions",
 ]
 
 
@@ -1108,4 +1109,48 @@ def winnow_decontaminate(
                 "contaminated"
             ),
         )
+    )
+
+
+def retention_decisions(
+    clusters: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup retention — the consolidation step after
+    clustering (CCNet / RefinedWeb style): within each duplicate
+    cluster keep exactly ONE representative, the member with the
+    highest ``quality_col`` (ties to the smallest id), and point
+    every dropped member at it.
+
+    ``clusters`` is (id, cluster) — any *_dedup_clusters output;
+    ``docs`` supplies the quality column.  Returns one row per doc:
+    (id, cluster, keep boolean, canonical_<id> long).  Singleton
+    clusters keep their only member, so ``sum(keep)`` is the number
+    of clusters and the kept set is a deterministic pure function of
+    (clustering, quality) — reproducible across engines when the
+    quality is integer-exact (char counts, token counts; NOT a float
+    score unless snap-rounded first).
+
+    Scale shape: one equi-join on the id (quality ride-along), then
+    ONE hash shuffle on cluster with a per-cluster window — the
+    canonical member comes from ``first_value`` over the full
+    partition frame, so there is no second shuffle and no join-back.
+    Cluster sizes are dedup-cluster sizes (bounded by the upstream
+    pair valves), so the per-cluster sort never sees a corpus-scale
+    partition."""
+    q = clusters.join(docs.select(id_col, quality_col), id_col)
+    order = [F.col(quality_col).desc(), F.col(id_col).asc()]
+    w_full = (
+        Window.partitionBy("cluster")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    canonical = F.first(F.col(id_col)).over(w_full)
+    return q.select(
+        F.col(id_col),
+        "cluster",
+        (F.col(id_col) == canonical).alias("keep"),
+        canonical.alias(f"canonical_{id_col}"),
     )

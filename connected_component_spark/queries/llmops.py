@@ -534,6 +534,42 @@ FROM walk GROUP BY node
 """
 
 
+def pipeline_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup retention (operators/dedup.py:
+    retention_decisions) — the consolidation step a production
+    pipeline runs after clustering (CCNet / RefinedWeb style): within
+    each minhash near-dup cluster keep exactly ONE representative,
+    the member with the most characters (integer-exact quality
+    proxy; ties to the lowest doc_id), and point every dropped
+    member at it.  (doc_id, cluster, keep, canonical_doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dd.minhash_dedup_clusters(
+        docs,
+        num_hashes=_MINHASH_N,
+        bands=_LSH_BANDS,
+        threshold=_JACCARD_THRESHOLD,
+    )
+    return dd.retention_decisions(clusters, docs)
+
+
+PIPELINE_DEDUP_RETENTION_SQL = f"""
+WITH RECURSIVE {_minhash_sql_core()},
+{_lsh_pairs_sql()},
+{_cc_walk_sql(_JAC_EDGES, _DOC_UNIVERSE)},
+clus AS (SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node),
+j AS (
+  SELECT c.doc_id, c.cluster, d.n_chars
+  FROM clus c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster,
+       doc_id = first_value(doc_id) OVER w AS keep,
+       first_value(doc_id) OVER w AS canonical_doc_id
+FROM j
+WINDOW w AS (PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 #: hot-bucket valve probe: every doc_id % 5 == 0 gets its text
 #: replaced by this constant boilerplate page, so those n/5 docs
 #: share one identical signature → ONE band bucket of n/5 members in
@@ -3449,6 +3485,7 @@ QUERIES = {
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_clusters": dedup_minhash_clusters,
+    "pipeline_dedup_retention": pipeline_dedup_retention,
     "dedup_incremental": dedup_incremental,
     "dedup_capped_band_pairs": dedup_capped_band_pairs,
     "dedup_ngram_pairs": dedup_ngram_pairs,
@@ -3522,6 +3559,7 @@ ORACLES = {
     "dedup_minhash_signatures": DEDUP_MINHASH_SIGNATURES_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
+    "pipeline_dedup_retention": PIPELINE_DEDUP_RETENTION_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_capped_band_pairs": DEDUP_CAPPED_BAND_PAIRS_SQL,
     "dedup_ngram_pairs": DEDUP_NGRAM_PAIRS_SQL,

@@ -472,3 +472,34 @@ def test_winnowing_guarantee_property(spark, pad_a, pad_b, passage):
         ).collect()
     }
     assert (1, 2) in pairs
+
+
+def test_retention_decisions_keeps_best_per_cluster(spark):
+    """retention_decisions (r10): exactly one keep per cluster — the
+    highest-quality member, ties to the smallest id — with every
+    dropped member pointing at it; singletons keep themselves."""
+    from connected_component_spark.operators.dedup import (
+        retention_decisions,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, cluster long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7), (5, 9), (6, 9)],
+        "doc_id long, n_chars long",
+    )
+    out = {
+        r.doc_id: (r.keep, r.canonical_doc_id)
+        for r in retention_decisions(clusters, docs).collect()
+    }
+    # cluster 1: 2 and 3 tie at 30 chars -> 2 wins (lower id)
+    assert out == {
+        1: (False, 2),
+        2: (True, 2),
+        3: (False, 2),
+        4: (True, 4),
+        5: (True, 5),
+        6: (False, 5),
+    }
