@@ -70,6 +70,12 @@ _LAZY_LLMOPS = [
     "pipeline_shuffled_export",
     # r8: PII scrub — map-side regexp_count/replace, zero shuffle
     "pipeline_pii_redaction",
+    # r10: the lazily-buildable winnow queries join the blanket gate —
+    # doc-partitioned windows + an fp equi-join, never a pair product
+    # (the cluster/stream/budget/PQ siblings run build-time jobs —
+    # training, CC, prefix offsets — so they can't be plan-gated here)
+    "dedup_winnow_pairs",
+    "pipeline_passage_decontamination",
 ]
 
 #: intentional bounded cross joins: a broadcast query/centroid batch
