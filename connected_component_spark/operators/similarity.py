@@ -31,6 +31,7 @@ __all__ = [
     "lsh_bucketed_topk",
     "ivf_cell_assignments",
     "ivf_topk",
+    "rerank_exact",
     "knn_edges",
     "similarity_clusters",
 ]
@@ -997,4 +998,60 @@ def semantic_dedup(
             "dup_group",
             (F.col("vid") == F.col("dup_group")).cast("long").alias("keep"),
         )
+    )
+
+
+def rerank_exact(
+    cand: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact-cosine re-rank of a bounded candidate set — the FAISS
+    "refine" tail every production ANN deployment runs after the
+    compressed index: ``cand`` is (query_id, neighbor_id) pairs from
+    an ANN stage (IVFPQ at a widened k), and the top-``k`` of each
+    query's candidates by EXACT cosine is returned as
+    (query_id, neighbor_id, cos, rank).  The compressed index buys
+    recall cheaply; the refine step buys ranking precision on the
+    shortlist without ever scanning raw vectors corpus-wide.
+
+    Scale shape: raw vectors join ONLY for the candidate rows — the
+    bounded cand set is broadcast into one corpus scan to pick up
+    neighbor vectors, and the (still bounded) result is broadcast
+    into a second scan for query vectors; two broadcast hash joins,
+    zero corpus shuffle, O(|cand|) window work.  Cosine is rounded
+    BEFORE ranking (neighbor id tie-break), the cosine_topk
+    reproducibility contract, so the re-ranked order is
+    engine-exact."""
+    c = _normed(corpus, id_col, vec_col)
+    ns = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    qs = c.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    )
+    with_n = ns.join(
+        F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id"
+    )
+    scored = qs.join(F.broadcast(with_n), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        roundd(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            round_to,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
     )

@@ -2411,7 +2411,7 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_trained_topk_sql() -> str:
+def _ivfpq_trained_topk_sql(k: int = 5) -> str:
     """Trained-coarse IVFPQ oracle: the spherical-k-means chain
     (prefix ``g`` — coexists with the four PQ subspace chains in one
     WITH, per the _kmeans_chain_parts composition contract) feeds the
@@ -2463,7 +2463,7 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, {roundd_sql('adc', 6)} AS adc, rank
-FROM ranked WHERE rank <= 5
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -2513,6 +2513,57 @@ LEFT JOIN trained t
   ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
 GROUP BY e.query_id
 """
+
+
+#: refine shortlist width: the compressed index returns 5x the final
+#: k, exact cosine re-ranks the shortlist (the FAISS refine pattern)
+_RERANK_R = 25
+
+
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank): the complete production
+    serving chain — trained coarse cells + nprobe=2 + PQ/ADC generate
+    a {_RERANK_R}-candidate shortlist, exact cosine re-ranks it to
+    the final top-5 (operators/similarity.py:rerank_exact).  Raw
+    vectors are touched only for the bounded shortlist rows; the
+    refine step recovers ranking precision the m=4 codes cannot
+    express, without any corpus-wide exact scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    cand = qz.ivfpq_topk(
+        queries,
+        emb,
+        _pq_books(spark, sf_dir),
+        k=_RERANK_R,
+        nprobe=_IVFPQ_TRAINED_NPROBE,
+        centroids=_ivf_kmeans_centroids(spark, sf_dir),
+    ).select("query_id", "neighbor_id")
+    return sim.rerank_exact(cand, emb, k=5)
+
+
+def _ivfpq_rerank_topk_sql() -> str:
+    return f"""
+WITH cand AS (
+  SELECT query_id, neighbor_id FROM ({_ivfpq_trained_topk_sql(_RERANK_R)}) t
+),
+rscored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_cos_sql('q.embedding', 'n.embedding')} AS cos
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+),
+rranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM rscored
+)
+SELECT query_id, neighbor_id, cos, rank FROM rranked WHERE rank <= 5
+"""
+
+
+ANN_IVFPQ_RERANK_TOPK_SQL = _ivfpq_rerank_topk_sql()
 
 
 # --------------------------------------------------------------------------
@@ -3539,6 +3590,7 @@ QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_trained_topk": ann_ivfpq_trained_topk,
     "ann_ivfpq_trained_recall": ann_ivfpq_trained_recall,
+    "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
 }
 
 ORACLES = {
@@ -3613,4 +3665,5 @@ ORACLES = {
     "ann_ivfpq_topk": ANN_IVFPQ_TOPK_SQL,
     "ann_ivfpq_trained_topk": ANN_IVFPQ_TRAINED_TOPK_SQL,
     "ann_ivfpq_trained_recall": ANN_IVFPQ_TRAINED_RECALL_SQL,
+    "ann_ivfpq_rerank_topk": ANN_IVFPQ_RERANK_TOPK_SQL,
 }

@@ -503,3 +503,46 @@ def test_retention_decisions_keeps_best_per_cluster(spark):
         5: (True, 5),
         6: (False, 5),
     }
+
+
+def test_rerank_exact_improves_or_matches_adc_ranking(spark, sf_dir):
+    """rerank_exact (r10): the refine tail returns exactly the top-k
+    BY EXACT COSINE of the candidate shortlist — for every query, the
+    re-ranked set equals brute-force cosine restricted to the
+    candidates, and recall vs the true exact top-k is >= the raw ADC
+    head's (refine can only fix ranking inside the shortlist)."""
+    from connected_component_spark.operators.quantize import (
+        ivfpq_topk,
+        pq_codebooks,
+    )
+    from connected_component_spark.operators.similarity import (
+        cosine_topk,
+        rerank_exact,
+    )
+    from connected_component_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, dim=64, m=4, k=8, iterations=1)
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    cand = ivfpq_topk(q, emb, books, k=25, centroid_stride=10).select(
+        "query_id", "neighbor_id"
+    )
+    refined = rerank_exact(cand, emb, k=5).collect()
+    cand_set = {(r.query_id, r.neighbor_id) for r in cand.collect()}
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in cosine_topk(q, emb, k=1000).collect()
+    }
+    # per query: refined == top-5 by exact cos among that query's cands
+    by_q = {}
+    for qq, nn in cand_set:
+        by_q.setdefault(qq, []).append(nn)
+    for qq, nns in by_q.items():
+        want = sorted(nns, key=lambda n: (-exact[(qq, n)], n))[:5]
+        got = sorted(
+            (r for r in refined if r.query_id == qq), key=lambda r: r.rank
+        )
+        assert [r.neighbor_id for r in got] == want
+        # and the cos values are the exact ones
+        for r in got:
+            assert exact[(qq, r.neighbor_id)] == r.cos
