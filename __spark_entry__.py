@@ -65,15 +65,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: existing query's result-affecting path changed — the round's new
 #: queries rank first automatically as never-driver-verified.)
 _CHANGED_THIS_ROUND = (
-    # r10: pq_encode grew an in-plan vector-length guard (a WHERE
-    # raise_error Catalyst cannot prune) — the physical plan of every
-    # PQ-serving query changed, values fixture-identical; re-earn a
-    # row per convention.  (The round's three NEW queries —
-    # ann_ivfpq_trained_topk/_recall, stream_winnow_dedup — front
-    # automatically as never-driver-verified.)
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_recall_report",
+    # r11 (correcting the r10 comment per advice r11: that round's
+    # NEW queries were FIVE — ann_ivfpq_trained_topk/_recall,
+    # stream_winnow_dedup, pipeline_dedup_retention,
+    # ann_ivfpq_rerank_topk — not three).  This round: no existing
+    # query's result-affecting path changed yet; rerank_exact grew an
+    # additive `queries=` param (default preserves the declared
+    # plan), staging lock creation became atomic (layout unchanged).
 )
 
 

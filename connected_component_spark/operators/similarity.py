@@ -1008,6 +1008,7 @@ def rerank_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-cosine re-rank of a bounded candidate set — the FAISS
     "refine" tail every production ANN deployment runs after the
@@ -1025,14 +1026,25 @@ def rerank_exact(
     zero corpus shuffle, O(|cand|) window work.  Cosine is rounded
     BEFORE ranking (neighbor id tie-break), the cosine_topk
     reproducibility contract, so the re-ranked order is
-    engine-exact."""
+    engine-exact.
+
+    Id-resolution contract (advice r11): both joins are INNER, so a
+    cand row whose neighbor_id is absent from ``corpus`` or whose
+    query_id is absent from the query-vector side contributes
+    nothing — candidates are expected to COME FROM an ANN stage over
+    the same corpus, where both always resolve.  Callers re-ranking
+    an EXTERNAL query batch (query vectors not stored in the corpus)
+    must pass it as ``queries`` (same id/vec column names); leaving
+    ``queries=None`` reads query vectors from ``corpus`` and silently
+    drops out-of-corpus query ids."""
     c = _normed(corpus, id_col, vec_col)
+    q = c if queries is None else _normed(queries, id_col, vec_col)
     ns = c.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         l2_norm(F.col(vec_col)).alias("cn"),
     )
-    qs = c.select(
+    qs = q.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(F.col(vec_col)).alias("qn"),

@@ -11,10 +11,13 @@ wiped and rebuilt.  Spark's file listing ignores ``_``-prefixed
 files, so the sentinel never enters a read.
 
 Concurrency (advice r7, hardened review r8, steal serialized
-advice r9): two processes hitting the same unready key previously
-both got ``needs_build=True`` and could rmtree each other's
-half-built dir.  The build→ready window is now guarded by an
-``O_CREAT|O_EXCL`` lockfile:
+advice r9, atomic lock creation advice r11): two processes hitting
+the same unready key previously both got ``needs_build=True`` and
+could rmtree each other's half-built dir.  The build→ready window is
+now guarded by a lockfile hard-linked into place ALREADY CONTAINING
+its owner's ``pid:thread`` (temp-file + ``os.link`` — no observable
+empty-lock state, so a live builder can never be misclassified as a
+SIGKILL corpse however slowly it runs):
 
 * a loser waits for the winner's sentinel, or steals a lock whose
   recorded pid is DEAD (a crashed builder must not wedge the cache);
@@ -48,52 +51,76 @@ import shutil
 import tempfile
 import threading
 import time
+import weakref
 from collections.abc import Callable
 
 __all__ = ["staged_dir", "mark_ready", "ensure_staged"]
 
 _SENTINEL = "_READY"
 _LOCK_WAIT_S = 600.0
-#: an EMPTY lockfile older than this is a SIGKILLed builder's corpse
-#: (died between the O_EXCL create and the pid write), not a live
-#: mid-write — the write follows the create within microseconds, so
-#: seconds of grace is orders of magnitude of headroom (advice r10)
+#: an EMPTY lockfile is never produced by this module any more (locks
+#: are hard-linked into place already containing their owner, advice
+#: r11) — the shape can only be a pre-r11 corpse or foreign garbage,
+#: and one older than this grace window is classified stale so it
+#: cannot wedge the key forever (advice r10).
 _EMPTY_LOCK_GRACE_S = 5.0
 
-#: lock path → owning thread ident for builds in flight in THIS
-#: process, guarded by _BOOK — the thread-level complement of the pid
-#: recorded in the lockfile.
+#: lock path → (owning thread ident, weakref to the owning Thread)
+#: for builds in flight in THIS process, guarded by _BOOK — the
+#: thread-level complement of the pid recorded in the lockfile.  The
+#: weakref (not the raw ident) decides liveness: thread idents are
+#: recycled, so "ident appears in threading.enumerate()" can match an
+#: unrelated live thread and keep a dead builder's lock un-stealable
+#: forever (advice r11).
 _BOOK = threading.Lock()
-_IN_FLIGHT: dict[str, int] = {}
+_IN_FLIGHT: dict[str, tuple[int, weakref.ref]] = {}
 
 
 def _lock_path(path: str) -> str:
     return path + ".lock"
 
 
-def _try_lock(lock: str) -> bool:
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+def _holder_alive(entry: tuple[int, weakref.ref] | None) -> bool:
+    """True iff a registry entry's owning Thread object is still
+    alive.  A collected or exited Thread is dead even when its ident
+    was recycled by an unrelated live thread (advice r11)."""
+    if entry is None:
         return False
-    # Register in _IN_FLIGHT BEFORE the owner id hits the lockfile
-    # (advice r9): _lock_stale classifies an own-pid lock with no
-    # registered owner as stale, so writing first opened a window
-    # where a sibling thread could steal a LIVE build.  Between the
-    # O_EXCL create and the write the file is empty; _lock_stale
-    # treats an empty lock as mid-write when its path is registered
-    # to a live thread here (any age — a CPU-starved holder is not
-    # stale) and otherwise only past the _EMPTY_LOCK_GRACE_S age
-    # bound — so ordering the registry first leaves no observable
-    # same-process gap, and the cross-process gap is bounded by the
-    # grace window (microseconds of exposure vs seconds of grace).
-    # Registering cannot clobber a live sibling's entry: O_EXCL
-    # success proves no one else holds this lock path.
-    with _BOOK:
-        _IN_FLIGHT[lock] = threading.get_ident()
-    with os.fdopen(fd, "w") as fh:
-        fh.write(f"{os.getpid()}:{threading.get_ident()}")
-    return True
+    thread = entry[1]()
+    return thread is not None and thread.is_alive()
+
+
+def _try_lock(lock: str) -> bool:
+    # The owner id is written to a temp file and hard-linked into the
+    # lock path, so the lock is created ATOMICALLY already containing
+    # its owner (advice r11): no process can ever observe an empty
+    # lockfile from a live builder, which closes the cross-process
+    # steal window the previous O_EXCL-create-then-write shape left
+    # open (a LIVE builder CPU-starved >grace between the create and
+    # the pid write could be classified stale and lose its lock).
+    # Link + registry insert run under _BOOK, and every _IN_FLIGHT
+    # reader takes _BOOK, so a sibling thread can never observe
+    # own-pid-lock-exists without its registration (advice r9).
+    # Registering cannot clobber a live sibling's entry: link success
+    # proves no one else holds this lock path.
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(lock) or ".", prefix=".lock_tmp_"
+    )
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(f"{os.getpid()}:{threading.get_ident()}")
+        with _BOOK:
+            try:
+                os.link(tmp, lock)
+            except FileExistsError:
+                return False
+            _IN_FLIGHT[lock] = (
+                threading.get_ident(),
+                weakref.ref(threading.current_thread()),
+            )
+        return True
+    finally:
+        os.unlink(tmp)
 
 
 def _lock_owner(lock: str) -> tuple[int, int | None] | None:
@@ -141,7 +168,8 @@ def _release_lock(lock: str) -> None:
         # stolen (review r9 — the ours/stolen distinction governs
         # ONLY the unlink, where the race lives)
         with _BOOK:
-            if _IN_FLIGHT.get(lock) == me[1]:
+            entry = _IN_FLIGHT.get(lock)
+            if entry is not None and entry[0] == me[1]:
                 _IN_FLIGHT.pop(lock, None)
         owner = _lock_owner(lock)
         if owner is not None and (
@@ -171,29 +199,23 @@ def _lock_stale(lock: str) -> bool:
     LIVE build is never stolen (review r8)."""
     owner = _lock_owner(lock)
     if owner is None:
-        # Unreadable/empty lock: usually mid-write by a live holder
-        # (the microseconds between the O_EXCL create and the pid
-        # write) — but a builder SIGKILLed inside that window leaves
-        # an empty lockfile FOREVER, and "empty == never stale" would
-        # wedge the key for every process until TimeoutError (advice
-        # r10).  Before the age heuristic, consult the same-process
-        # registry: _try_lock registers BEFORE writing the pid, so an
-        # empty lock whose path a LIVE sibling thread holds in
-        # _IN_FLIGHT is a mid-write in THIS process no matter how old
-        # (a CPU-starved holder must not be stolen — review r10).
+        # Unreadable/empty lock: _try_lock hard-links locks into place
+        # already containing their owner (advice r11), so this shape
+        # is a pre-r11 corpse or foreign garbage — never a live
+        # builder of this module version.  Still consult the
+        # same-process registry first (a test or embedder may plant
+        # the shape around a registered build), then age-bound the
+        # classification so an orphaned empty lock cannot wedge the
+        # key for every process until TimeoutError (advice r10).
         with _BOOK:
-            holder = _IN_FLIGHT.get(lock)
-        if holder is not None:
-            if holder == threading.get_ident():
+            entry = _IN_FLIGHT.get(lock)
+        if entry is not None:
+            if entry[0] == threading.get_ident():
                 # our own sequential-thread residue: reclaim, same as
                 # the non-empty own-thread branch below
                 return True
-            if holder in {t.ident for t in threading.enumerate()}:
+            if _holder_alive(entry):
                 return False
-        # Foreign (or dead-thread) empty lock: age-bound the
-        # classification — older than the grace window cannot be a
-        # mid-write (cross-process the create→write gap is
-        # microseconds; the grace is orders of magnitude above it).
         try:
             age = time.time() - os.stat(lock).st_mtime
         except OSError:
@@ -202,10 +224,13 @@ def _lock_stale(lock: str) -> bool:
     pid = owner[0]
     if pid == os.getpid():
         with _BOOK:
-            owner = _IN_FLIGHT.get(lock)
-        if owner is None or owner == threading.get_ident():
+            entry = _IN_FLIGHT.get(lock)
+        if entry is None or entry[0] == threading.get_ident():
             return True
-        return owner not in {t.ident for t in threading.enumerate()}
+        # The weakref (not the recorded ident) decides liveness: a
+        # dead builder whose ident was recycled by an unrelated live
+        # thread must still classify stale (advice r11).
+        return not _holder_alive(entry)
     try:
         os.kill(pid, 0)
     except ProcessLookupError:

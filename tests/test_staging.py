@@ -221,11 +221,12 @@ def test_stale_steal_is_serialized_under_guard(tmp_path):
 
 
 def test_try_lock_registers_owner_before_pid_is_visible(tmp_path):
-    """advice r9: _try_lock registers the owning thread BEFORE the pid
-    hits the lockfile, and an empty lockfile (the only remaining
-    intermediate state) is classified mid-write, never stale — so a
-    sibling thread can no longer observe own-pid-with-no-owner for a
-    live build and steal it."""
+    """advice r9/r11: the lock is hard-linked into place already
+    containing its owner and the registry insert shares the same
+    _BOOK critical section, so a sibling thread can never observe
+    own-pid-with-no-owner for a live build and steal it; a planted
+    FRESH empty lockfile (foreign garbage) is still classified
+    mid-write, never stale."""
     from connected_component_spark.sources.staging import (
         _IN_FLIGHT,
         _lock_stale,
@@ -280,7 +281,7 @@ def test_release_does_not_remove_stolen_fresh_lock(tmp_path):
         # file nor the sibling's registration may be removed
         _release_lock(lock)
         assert os.path.exists(lock)
-        assert _IN_FLIGHT.get(lock) == t.ident
+        assert _IN_FLIGHT.get(lock)[0] == t.ident
     finally:
         done.set()
         t.join()
@@ -347,11 +348,16 @@ def test_empty_lockfile_of_live_sibling_thread_never_stolen(tmp_path):
     old = time.time() - (_EMPTY_LOCK_GRACE_S + 2.0)
     os.utime(lock, (old, old))
 
+    import weakref
+
     hold = threading.Event()
 
     def sibling():
         with _BOOK:
-            _IN_FLIGHT[lock] = threading.get_ident()
+            _IN_FLIGHT[lock] = (
+                threading.get_ident(),
+                weakref.ref(threading.current_thread()),
+            )
         hold.wait(10)
 
     t = threading.Thread(target=sibling)
@@ -367,3 +373,75 @@ def test_empty_lockfile_of_live_sibling_thread_never_stolen(tmp_path):
         _IN_FLIGHT.pop(lock, None)
     assert _lock_stale(lock)  # unregistered again: the aged corpse path
     os.unlink(lock)
+
+
+def test_lock_created_atomically_with_owner(tmp_path):
+    """advice r11: the lockfile is hard-linked into place already
+    containing pid:thread — there is no observable empty state from a
+    live builder, so the SIGKILL-corpse grace heuristic can never
+    misclassify a CPU-starved live builder cross-process."""
+    from connected_component_spark.sources.staging import (
+        _BOOK,
+        _IN_FLIGHT,
+        _release_lock,
+        _try_lock,
+    )
+
+    lock = str(tmp_path / "atomic.lock")
+    assert _try_lock(lock) is True
+    try:
+        with open(lock) as fh:
+            content = fh.read()
+        assert content == f"{os.getpid()}:{threading.get_ident()}"
+        # no temp residue next to the lock
+        leftovers = [
+            f for f in os.listdir(tmp_path) if f.startswith(".lock_tmp_")
+        ]
+        assert leftovers == []
+        # a second acquirer loses and leaves the registry untouched
+        assert _try_lock(lock) is False
+        with _BOOK:
+            assert _IN_FLIGHT[lock][0] == threading.get_ident()
+    finally:
+        _release_lock(lock)
+    assert not os.path.exists(lock)
+
+
+def test_dead_thread_with_recycled_ident_is_stale(tmp_path):
+    """advice r11: _IN_FLIGHT liveness is decided by a weakref to the
+    owning Thread, not by its ident appearing in threading.enumerate()
+    — a dead builder whose ident was recycled by an unrelated live
+    thread must still classify stale, or in-process waiters wedge
+    until TimeoutError."""
+    import weakref
+
+    from connected_component_spark.sources.staging import (
+        _BOOK,
+        _IN_FLIGHT,
+        _lock_stale,
+    )
+
+    lock = str(tmp_path / "recycled.lock")
+    # a builder thread that has exited
+    dead = threading.Thread(target=lambda: None)
+    dead.start()
+    dead.join()
+    # an unrelated live thread whose ident we pretend was recycled
+    hold = threading.Event()
+    live = threading.Thread(target=lambda: hold.wait(10))
+    live.start()
+    try:
+        with open(lock, "w") as fh:
+            fh.write(f"{os.getpid()}:{live.ident}")
+        with _BOOK:
+            # registry records the dead builder under the live
+            # thread's (recycled) ident — the old ident-set check
+            # would call this live forever
+            _IN_FLIGHT[lock] = (live.ident, weakref.ref(dead))
+        assert _lock_stale(lock) is True
+    finally:
+        hold.set()
+        live.join()
+        with _BOOK:
+            _IN_FLIGHT.pop(lock, None)
+        os.unlink(lock)

@@ -546,3 +546,34 @@ def test_rerank_exact_improves_or_matches_adc_ranking(spark, sf_dir):
         # and the cos values are the exact ones
         for r in got:
             assert exact[(qq, r.neighbor_id)] == r.cos
+
+
+def test_rerank_exact_external_query_batch(spark):
+    """advice r11: a caller re-ranking an EXTERNAL query batch (query
+    vectors not stored in the corpus) passes it via ``queries=`` and
+    every candidate resolves; with the default corpus-member contract
+    the same out-of-corpus query ids drop silently (documented)."""
+    from connected_component_spark.operators.similarity import rerank_exact
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.8, 0.6]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ext = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cand = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 3)], "query_id long, neighbor_id long"
+    )
+    got = rerank_exact(cand, corpus, k=2, queries=ext).collect()
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in got] == [
+        (100, 1, 1),
+        (100, 2, 2),
+    ]
+    assert got[0].cos == 1.0
+    # default contract: out-of-corpus query ids contribute nothing
+    assert rerank_exact(cand, corpus, k=2).count() == 0
