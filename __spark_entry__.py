@@ -68,10 +68,15 @@ _CHANGED_THIS_ROUND = (
     # r11 (correcting the r10 comment per advice r11: that round's
     # NEW queries were FIVE — ann_ivfpq_trained_topk/_recall,
     # stream_winnow_dedup, pipeline_dedup_retention,
-    # ann_ivfpq_rerank_topk — not three).  This round: no existing
-    # query's result-affecting path changed yet; rerank_exact grew an
-    # additive `queries=` param (default preserves the declared
-    # plan), staging lock creation became atomic (layout unchanged).
+    # ann_ivfpq_rerank_topk — not three).  This round: the two
+    # incremental-dedup stream queries moved onto the DURABLE state
+    # path (per-batch parquet appends + atomic manifest instead of
+    # in-session unions) — values fixture-identical, execution path
+    # changed; re-earn a row per convention.  rerank_exact's additive
+    # `queries=` param and the atomic staging-lock change leave
+    # declared plans untouched.
+    "stream_incremental_dedup",
+    "stream_winnow_dedup",
 )
 
 

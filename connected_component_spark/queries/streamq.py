@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 import time
 from contextlib import contextmanager
 
@@ -739,7 +740,15 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds the batch in.  Batch 0 seeds the corpus; the result is the
     classification of every later doc, which must equal the batch
     oracle computed over the whole corpus with batch boundaries
-    derived from doc_id ranges."""
+    derived from doc_id ranges.
+
+    The fold runs on the DURABLE path (r11): state and results land
+    as per-batch parquet appends behind ParquetStateStore's atomic
+    manifest — the production continuous-ingestion configuration,
+    where a session restart resumes from the committed state
+    (tests/test_durable_state.py pins the restart equivalence).  The
+    per-run state dir is torn down after the classifications are
+    materialized."""
     from connected_component_spark.queries.llmops import (
         _JACCARD_THRESHOLD,
         _LSH_BANDS,
@@ -758,20 +767,27 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
     )
-    with _scaled_shuffle(spark, n):
-        state = run_doc_stream(
-            stream,
-            IncrementalDedup(
-                num_hashes=_MINHASH_N,
-                bands=_LSH_BANDS,
-                threshold=_JACCARD_THRESHOLD,
-            ),
+    state_dir = tempfile.mkdtemp(prefix="ccs_stream_dedup_state_")
+    try:
+        with _scaled_shuffle(spark, n):
+            state = run_doc_stream(
+                stream,
+                IncrementalDedup(
+                    num_hashes=_MINHASH_N,
+                    bands=_LSH_BANDS,
+                    threshold=_JACCARD_THRESHOLD,
+                    state_dir=state_dir,
+                ),
+            )
+        assert (
+            state.batches_seen == _DEDUP_STREAM_SLICES
+            and state.results is not None
         )
-    assert (
-        state.batches_seen == _DEDUP_STREAM_SLICES
-        and state.results is not None
-    )
-    return state.results
+        # materialize off the state dir before tearing it down (the
+        # returned plan must not reference deleted parquet)
+        return state.results.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def _stream_incremental_dedup_sql() -> str:
@@ -836,7 +852,11 @@ def stream_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, status, canonical_doc_id) row.  Fingerprints are a pure
     per-doc function, so the oracle is the GLOBAL winnow-pair
     computation (uncapped — the stream state keeps every fingerprint)
-    with batch boundaries derived from doc_id ranges."""
+    with batch boundaries derived from doc_id ranges.
+
+    Runs on the DURABLE path (r11), same as stream_incremental_dedup:
+    per-batch parquet appends + atomic manifest, torn down after the
+    classifications are materialized."""
     from connected_component_spark.queries.llmops import (
         _WINNOW_K,
         _WINNOW_MIN_SHARED,
@@ -855,20 +875,25 @@ def stream_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
     )
-    with _scaled_shuffle(spark, n):
-        state = run_winnow_stream(
-            stream,
-            IncrementalWinnow(
-                k=_WINNOW_K,
-                window=_WINNOW_W,
-                min_shared=_WINNOW_MIN_SHARED,
-            ),
+    state_dir = tempfile.mkdtemp(prefix="ccs_stream_winnow_state_")
+    try:
+        with _scaled_shuffle(spark, n):
+            state = run_winnow_stream(
+                stream,
+                IncrementalWinnow(
+                    k=_WINNOW_K,
+                    window=_WINNOW_W,
+                    min_shared=_WINNOW_MIN_SHARED,
+                    state_dir=state_dir,
+                ),
+            )
+        assert (
+            state.batches_seen == _DEDUP_STREAM_SLICES
+            and state.results is not None
         )
-    assert (
-        state.batches_seen == _DEDUP_STREAM_SLICES
-        and state.results is not None
-    )
-    return state.results
+        return state.results.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def _stream_winnow_dedup_sql() -> str:

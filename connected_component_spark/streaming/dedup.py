@@ -12,14 +12,21 @@ batch's band table is broadcast into one scan of the band state, the
 corpus is never re-shingled or re-minhashed (signatures are computed
 exactly once, on arrival), and the batch×batch self-join runs on the
 batch only.  ``localCheckpoint`` cuts lineage across batches (the
-stream-boundary twin of the per-round checkpoint in graph/cc.py); on
-a real cluster the two state tables would live as checkpointed
-parquet/Delta keyed by band-bucket, appended per batch.
+stream-boundary twin of the per-round checkpoint in graph/cc.py).
+
+Durability (verdict r10 #1): pass ``state_dir`` and the band/shingle
+state + classifications live as per-batch parquet appends committed
+through :class:`~connected_component_spark.streaming.store.
+ParquetStateStore`'s atomic manifest — a session restart resumes via
+:meth:`IncrementalDedup.load` with every committed batch intact, and
+a batch that crashed mid-fold is re-folded exactly-once (its partial
+writes are overwritten, the manifest never saw them).  Without
+``state_dir`` the state is held in-session, lost on restart.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from connected_component_spark.operators.dedup import (
@@ -30,12 +37,15 @@ from connected_component_spark.operators.dedup import (
     minhash_signatures,
     word_shingles,
 )
+from connected_component_spark.streaming.store import ParquetStateStore
 
 __all__ = ["IncrementalDedup", "run_doc_stream"]
 
 #: consolidate the per-batch union trees into one materialized leaf
 #: every this-many batches (keeps plan-analysis cost flat on a
-#: long-running stream; between consolidations unions stay free)
+#: long-running stream; between consolidations unions stay free).
+#: The durable path doesn't need it — committed state is one
+#: multi-path parquet scan at constant plan depth.
 _CONSOLIDATE_EVERY = 16
 
 
@@ -43,7 +53,15 @@ class IncrementalDedup:
     """Mutable running near-dedup state folded over document
     micro-batches.  The FIRST batch seeds the corpus and emits no
     classifications (there is nothing prior to compare against);
-    every later batch appends its rows to ``results``."""
+    every later batch appends its rows to ``results``.
+
+    With ``state_dir`` set, state and results are parquet-backed and
+    crash-durable (module docstring); the dir must be FRESH — resume
+    an existing one with :meth:`load`.  ``epoch_id`` passed to
+    :meth:`update` (the ``foreachBatch`` batch id) makes a replayed
+    already-committed epoch a no-op, so a Structured-Streaming
+    restart from a checkpointLocation folds each batch exactly once.
+    """
 
     def __init__(
         self,
@@ -51,6 +69,7 @@ class IncrementalDedup:
         bands: int = 4,
         shingle_k: int = 3,
         threshold: float = 0.5,
+        state_dir: str | None = None,
     ) -> None:
         self.num_hashes = num_hashes
         self.bands = bands
@@ -61,11 +80,87 @@ class IncrementalDedup:
         self.set_state: DataFrame | None = None  # (doc_id, sh)
         self.results: DataFrame | None = None  # (doc_id, status, canonical)
         self.batches_seen = 0
+        self._store: ParquetStateStore | None = None
+        if state_dir is not None:
+            store = ParquetStateStore(state_dir)
+            if store.manifest() is not None:
+                raise ValueError(
+                    f"{state_dir} already holds committed state — resume "
+                    "it with IncrementalDedup.load(spark, state_dir)"
+                )
+            self._store = store
 
-    def update(self, batch_docs: DataFrame) -> None:
+    def _params(self) -> dict:
+        return {
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "shingle_k": self.shingle_k,
+            "threshold": self.threshold,
+        }
+
+    @classmethod
+    def load(cls, spark: SparkSession, state_dir: str) -> IncrementalDedup:
+        """Resume a durable state dir: operator params come from the
+        committed manifest, and the band/shingle state + results bind
+        to the committed parquet — the restarted stream continues
+        exactly where the last COMMITTED batch left off."""
+        store = ParquetStateStore(state_dir)
+        m = store.manifest()
+        if m is None:
+            raise ValueError(f"no committed state manifest under {state_dir}")
+        p = m["params"]
+        self = cls(
+            num_hashes=p["num_hashes"],
+            bands=p["bands"],
+            shingle_k=p["shingle_k"],
+            threshold=p["threshold"],
+        )
+        self._store = store
+        self.batches_seen = m["batches"]
+        self.band_state = store.read(spark, "band", self.batches_seen)
+        self.set_state = store.read(spark, "sh", self.batches_seen)
+        self.results = store.read(spark, "results", self.batches_seen)
+        return self
+
+    def _batch_classification(
+        self,
+        band_state: DataFrame,
+        set_state: DataFrame,
+        banded_b: DataFrame,
+        sh_b: DataFrame,
+        ids_b: DataFrame,
+    ) -> DataFrame:
+        """Classify one batch against accumulated band/shingle state —
+        the shared core of the in-session and durable paths."""
+        cross = (
+            band_state.join(
+                F.broadcast(banded_b.withColumnRenamed("doc_id", "b_id")),
+                ["band", "bucket"],
+            )
+            .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
+            .distinct()
+        )
+        # intra-batch candidates from the MATERIALIZED band table
+        # (not lsh_candidate_pairs — that would recompute the
+        # batch signatures from scratch)
+        intra = banded_pairs(banded_b)
+        verified = jaccard_pairs_from_sets(
+            set_state.unionByName(sh_b), cross.unionByName(intra)
+        ).where(F.col("jaccard") >= F.lit(self.threshold))
+        return classify_batch_matches(verified, ids_b)
+
+    def update(
+        self, batch_docs: DataFrame, epoch_id: int | None = None
+    ) -> None:
         """Fold one batch of (doc_id, text) documents into the state.
         Batch doc_ids must all exceed every previously-seen doc_id
-        (ingestion order), the same contract as the batch operator."""
+        (ingestion order), the same contract as the batch operator.
+        On the durable path an ``epoch_id`` at or below the committed
+        high-water mark is a replay of an already-folded batch and is
+        skipped (exactly-once); in-session, ``epoch_id`` is ignored."""
+        if self._store is not None:
+            self._update_durable(batch_docs, epoch_id)
+            return
         sigs = minhash_signatures(
             batch_docs, self.num_hashes, self.shingle_k
         )
@@ -77,21 +172,6 @@ class IncrementalDedup:
         ).localCheckpoint(eager=True)
 
         if self.band_state is not None:
-            cross = (
-                self.band_state.join(
-                    F.broadcast(banded_b.withColumnRenamed("doc_id", "b_id")),
-                    ["band", "bucket"],
-                )
-                .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
-                .distinct()
-            )
-            # intra-batch candidates from the MATERIALIZED band table
-            # (not lsh_candidate_pairs — that would recompute the
-            # batch signatures from scratch)
-            intra = banded_pairs(banded_b)
-            verified = jaccard_pairs_from_sets(
-                self.set_state.unionByName(sh_b), cross.unionByName(intra)
-            ).where(F.col("jaccard") >= F.lit(self.threshold))
             # batch ids come from the CHECKPOINTED sh_b leaf (one row
             # per doc), never from batch_docs: the accumulated results
             # union is evaluated after the stream ends, and a plan that
@@ -100,7 +180,13 @@ class IncrementalDedup:
             # guarantees exists (ADVICE r6) — with staged parquet it
             # happens to work; with a cleaned-up or non-replayable
             # source it would be wrong
-            out = classify_batch_matches(verified, sh_b.select("doc_id"))
+            out = self._batch_classification(
+                self.band_state,
+                self.set_state,
+                banded_b,
+                sh_b,
+                sh_b.select("doc_id"),
+            )
             # no checkpoint: `out` is a bounded-depth plan over
             # checkpointed leaves ONLY (banded_b/sh_b/the state unions)
             # that stay valid after the fold (the state fields are
@@ -130,22 +216,73 @@ class IncrementalDedup:
             if self.results is not None:
                 self.results = self.results.localCheckpoint(eager=True)
 
+    def _update_durable(
+        self, batch_docs: DataFrame, epoch_id: int | None
+    ) -> None:
+        """One fold on the parquet-backed path: land the batch's band
+        and shingle tables, classify against COMMITTED state, land the
+        classifications, then commit the manifest — a crash anywhere
+        before the commit leaves the committed view untouched and the
+        re-folded batch overwrites its own partial writes."""
+        store = self._store
+        assert store is not None
+        if epoch_id is not None:
+            last = store.last_epoch()
+            if last is not None and epoch_id <= last:
+                return  # replayed, already committed: exactly-once
+        spark = batch_docs.sparkSession
+        n = self.batches_seen
+        sigs = minhash_signatures(batch_docs, self.num_hashes, self.shingle_k)
+        store.write("band", n, banded_buckets(sigs, self.bands, self.rows_per_band))
+        store.write(
+            "sh",
+            n,
+            batch_docs.select(
+                "doc_id",
+                word_shingles(F.col("text"), self.shingle_k).alias("sh"),
+            ),
+        )
+        banded_b = store.read_batch(spark, "band", n)
+        sh_b = store.read_batch(spark, "sh", n)
+        if n > 0:
+            # band_state/set_state are bound to the COMMITTED read
+            # (batches 0..n-1) — exactly the earlier-batch corpus
+            out = self._batch_classification(
+                self.band_state,
+                self.set_state,
+                banded_b,
+                sh_b,
+                sh_b.select("doc_id"),
+            )
+            store.write("results", n, out)
+        store.commit(n, self._params(), epoch_id)
+        self.batches_seen = n + 1
+        self.band_state = store.read(spark, "band", self.batches_seen)
+        self.set_state = store.read(spark, "sh", self.batches_seen)
+        self.results = store.read(spark, "results", self.batches_seen)
+
 
 def run_doc_stream(
-    doc_stream: DataFrame, state: IncrementalDedup | None = None
+    doc_stream: DataFrame,
+    state: IncrementalDedup | None = None,
+    checkpoint_dir: str | None = None,
 ) -> IncrementalDedup:
     """Drive an IncrementalDedup from a streaming DataFrame of
     (doc_id, text) rows via ``foreachBatch`` with the available-now
-    trigger (processes the backlog as micro-batches, then stops)."""
+    trigger (processes the backlog as micro-batches, then stops).
+    With ``checkpoint_dir`` (and a durable ``state``), a restarted
+    stream replays only from the last uncommitted epoch and the
+    epoch-id skip makes the fold exactly-once end to end."""
     state = state or IncrementalDedup()
 
-    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
-        state.update(batch_df.select("doc_id", "text"))
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        state.update(batch_df.select("doc_id", "text"), epoch_id=batch_id)
 
-    q = (
-        doc_stream.writeStream.foreachBatch(_fold)
-        .trigger(availableNow=True)
-        .start()
+    writer = doc_stream.writeStream.foreachBatch(_fold).trigger(
+        availableNow=True
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     q.awaitTermination()
     return state

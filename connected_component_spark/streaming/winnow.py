@@ -26,26 +26,37 @@ is skipped at match time, bounding the per-batch join fan-out the
 way ``winnow_pairs``'s df-cap bounds the batch operator.  The valve
 consults state as of each batch, so it is deliberately OFF (None) in
 the oracle-checked query — a time-dependent cap has no engine-
-independent global replay.  ``localCheckpoint`` cuts lineage across
-batches; on a real cluster the state would live as checkpointed
-parquet/Delta keyed by fingerprint, appended per batch.
+independent global replay.
+
+Durability (verdict r10 #1): pass ``state_dir`` and the fingerprint
+state + classifications live as per-batch parquet appends committed
+through :class:`~connected_component_spark.streaming.store.
+ParquetStateStore`'s atomic manifest — a session restart resumes via
+:meth:`IncrementalWinnow.load` with every committed batch intact, and
+a batch that crashed mid-fold is re-folded exactly-once (its partial
+writes are overwritten, the manifest never saw them).  Without
+``state_dir`` the state is held in-session (DataFrame unions +
+``localCheckpoint`` consolidation) — fine for a bounded backlog
+replay, lost on restart.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from connected_component_spark.operators.dedup import (
     classify_batch_matches,
     winnow_fingerprints,
 )
+from connected_component_spark.streaming.store import ParquetStateStore
 
 __all__ = ["IncrementalWinnow", "run_winnow_stream"]
 
 #: consolidate the per-batch union trees into one materialized leaf
 #: every this-many batches (same plan-analysis-cost bound as
-#: streaming/dedup.py)
+#: streaming/dedup.py; the durable path doesn't need it — committed
+#: state is one multi-path parquet scan at constant plan depth)
 _CONSOLIDATE_EVERY = 16
 
 
@@ -55,7 +66,15 @@ class IncrementalWinnow:
     classifications; every later batch appends one row per batch doc
     (doc_id, status, canonical_doc_id) to ``results``.  Batch doc_ids
     must all exceed every previously-seen doc_id (ingestion order),
-    the same contract as IncrementalDedup."""
+    the same contract as IncrementalDedup.
+
+    With ``state_dir`` set, state and results are parquet-backed and
+    crash-durable (module docstring); the dir must be FRESH — resume
+    an existing one with :meth:`load`.  ``epoch_id`` passed to
+    :meth:`update` (the ``foreachBatch`` batch id) makes a replayed
+    already-committed epoch a no-op, so a Structured-Streaming
+    restart from a checkpointLocation folds each batch exactly once.
+    """
 
     def __init__(
         self,
@@ -63,6 +82,7 @@ class IncrementalWinnow:
         window: int = 4,
         min_shared: int = 2,
         max_state_df: int | None = None,
+        state_dir: str | None = None,
     ) -> None:
         if min_shared < 1:
             raise ValueError(f"min_shared must be >= 1, got {min_shared}")
@@ -77,9 +97,94 @@ class IncrementalWinnow:
         self.fp_state: DataFrame | None = None  # (doc_id, fp)
         self.results: DataFrame | None = None  # (doc_id, status, canonical)
         self.batches_seen = 0
+        self._store: ParquetStateStore | None = None
+        if state_dir is not None:
+            store = ParquetStateStore(state_dir)
+            if store.manifest() is not None:
+                raise ValueError(
+                    f"{state_dir} already holds committed state — resume "
+                    "it with IncrementalWinnow.load(spark, state_dir)"
+                )
+            self._store = store
 
-    def update(self, batch_docs: DataFrame) -> None:
-        """Fold one batch of (doc_id, text) documents into the state."""
+    def _params(self) -> dict:
+        return {
+            "k": self.k,
+            "window": self.window,
+            "min_shared": self.min_shared,
+            "max_state_df": self.max_state_df,
+        }
+
+    @classmethod
+    def load(cls, spark: SparkSession, state_dir: str) -> IncrementalWinnow:
+        """Resume a durable state dir: operator params come from the
+        committed manifest, and ``fp_state``/``results`` bind to the
+        committed parquet — the restarted stream continues exactly
+        where the last COMMITTED batch left off."""
+        store = ParquetStateStore(state_dir)
+        m = store.manifest()
+        if m is None:
+            raise ValueError(f"no committed state manifest under {state_dir}")
+        p = m["params"]
+        self = cls(
+            k=p["k"],
+            window=p["window"],
+            min_shared=p["min_shared"],
+            max_state_df=p["max_state_df"],
+        )
+        self._store = store
+        self.batches_seen = m["batches"]
+        self.fp_state = store.read(spark, "fp", self.batches_seen)
+        self.results = store.read(spark, "results", self.batches_seen)
+        return self
+
+    def _batch_classification(
+        self, st: DataFrame, fp_b: DataFrame, ids_b: DataFrame
+    ) -> DataFrame:
+        """Classify one batch against accumulated state ``st`` — the
+        shared core of the in-session and durable paths."""
+        if self.max_state_df is not None:
+            by_fp = Window.partitionBy("fp")
+            st = (
+                st.withColumn("_df", F.count(F.lit(1)).over(by_fp))
+                .where(F.col("_df") <= self.max_state_df)
+                .drop("_df")
+            )
+        cross = (
+            st.join(
+                F.broadcast(fp_b.withColumnRenamed("doc_id", "b_id")),
+                "fp",
+            )
+            .groupBy(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= self.min_shared)
+            .select("a", "b")
+        )
+        # intra-batch pairs from the MATERIALIZED fingerprint leaf
+        # (never re-fingerprint the batch); a < b orients the
+        # earlier batch doc as the canonical candidate
+        left = fp_b.withColumnRenamed("doc_id", "a")
+        right = fp_b.withColumnRenamed("doc_id", "b")
+        intra = (
+            left.join(right, "fp")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= self.min_shared)
+            .select("a", "b")
+        )
+        return classify_batch_matches(cross.unionByName(intra), ids_b)
+
+    def update(
+        self, batch_docs: DataFrame, epoch_id: int | None = None
+    ) -> None:
+        """Fold one batch of (doc_id, text) documents into the state.
+        On the durable path an ``epoch_id`` at or below the committed
+        high-water mark is a replay of an already-folded batch and is
+        skipped (exactly-once); in-session, ``epoch_id`` is ignored."""
+        if self._store is not None:
+            self._update_durable(batch_docs, epoch_id)
+            return
         fp_b = winnow_fingerprints(
             batch_docs, k=self.k, window=self.window
         ).localCheckpoint(eager=True)
@@ -92,40 +197,7 @@ class IncrementalWinnow:
         ids_b = batch_docs.select("doc_id").localCheckpoint(eager=True)
 
         if self.fp_state is not None:
-            st = self.fp_state
-            if self.max_state_df is not None:
-                by_fp = Window.partitionBy("fp")
-                st = (
-                    st.withColumn("_df", F.count(F.lit(1)).over(by_fp))
-                    .where(F.col("_df") <= self.max_state_df)
-                    .drop("_df")
-                )
-            cross = (
-                st.join(
-                    F.broadcast(fp_b.withColumnRenamed("doc_id", "b_id")),
-                    "fp",
-                )
-                .groupBy(
-                    F.col("doc_id").alias("a"), F.col("b_id").alias("b")
-                )
-                .agg(F.count(F.lit(1)).alias("n_shared"))
-                .where(F.col("n_shared") >= self.min_shared)
-                .select("a", "b")
-            )
-            # intra-batch pairs from the MATERIALIZED fingerprint leaf
-            # (never re-fingerprint the batch); a < b orients the
-            # earlier batch doc as the canonical candidate
-            left = fp_b.withColumnRenamed("doc_id", "a")
-            right = fp_b.withColumnRenamed("doc_id", "b")
-            intra = (
-                left.join(right, "fp")
-                .where(F.col("a") < F.col("b"))
-                .groupBy("a", "b")
-                .agg(F.count(F.lit(1)).alias("n_shared"))
-                .where(F.col("n_shared") >= self.min_shared)
-                .select("a", "b")
-            )
-            out = classify_batch_matches(cross.unionByName(intra), ids_b)
+            out = self._batch_classification(self.fp_state, fp_b, ids_b)
             # bounded-depth plan over checkpointed leaves only (fp_b /
             # ids_b / the state union) — no extra checkpoint needed
             self.results = (
@@ -143,22 +215,60 @@ class IncrementalWinnow:
             if self.results is not None:
                 self.results = self.results.localCheckpoint(eager=True)
 
+    def _update_durable(
+        self, batch_docs: DataFrame, epoch_id: int | None
+    ) -> None:
+        """One fold on the parquet-backed path: land the batch's
+        fingerprints, classify against COMMITTED state, land the
+        classifications, then commit the manifest — a crash anywhere
+        before the commit leaves the committed view untouched and the
+        re-folded batch overwrites its own partial writes."""
+        store = self._store
+        assert store is not None
+        if epoch_id is not None:
+            last = store.last_epoch()
+            if last is not None and epoch_id <= last:
+                return  # replayed, already committed: exactly-once
+        spark = batch_docs.sparkSession
+        n = self.batches_seen
+        store.write(
+            "fp", n, winnow_fingerprints(batch_docs, k=self.k, window=self.window)
+        )
+        fp_b = store.read_batch(spark, "fp", n)
+        if n > 0:
+            # self.fp_state is bound to the COMMITTED read (batches
+            # 0..n-1) — exactly the earlier-batch corpus
+            out = self._batch_classification(
+                self.fp_state, fp_b, batch_docs.select("doc_id")
+            )
+            store.write("results", n, out)
+        store.commit(n, self._params(), epoch_id)
+        self.batches_seen = n + 1
+        self.fp_state = store.read(spark, "fp", self.batches_seen)
+        self.results = store.read(spark, "results", self.batches_seen)
+
 
 def run_winnow_stream(
-    doc_stream: DataFrame, state: IncrementalWinnow | None = None
+    doc_stream: DataFrame,
+    state: IncrementalWinnow | None = None,
+    checkpoint_dir: str | None = None,
 ) -> IncrementalWinnow:
     """Drive an IncrementalWinnow from a streaming DataFrame of
     (doc_id, text) rows via ``foreachBatch`` with the available-now
-    trigger (processes the backlog as micro-batches, then stops)."""
+    trigger (processes the backlog as micro-batches, then stops).
+    With ``checkpoint_dir`` (and a durable ``state``), a restarted
+    stream replays only from the last uncommitted epoch and the
+    epoch-id skip makes the fold exactly-once end to end."""
     state = state or IncrementalWinnow()
 
-    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
-        state.update(batch_df.select("doc_id", "text"))
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        state.update(batch_df.select("doc_id", "text"), epoch_id=batch_id)
 
-    q = (
-        doc_stream.writeStream.foreachBatch(_fold)
-        .trigger(availableNow=True)
-        .start()
+    writer = doc_stream.writeStream.foreachBatch(_fold).trigger(
+        availableNow=True
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     q.awaitTermination()
     return state

@@ -1,0 +1,208 @@
+"""Durable parquet-backed state for the incremental stream dedup
+operators (verdict r10 #1): folds survive a session restart via
+ParquetStateStore's per-batch appends + atomic manifest, a crashed
+mid-fold batch is re-folded exactly-once, and replayed epochs are
+no-ops.  The equivalence bar throughout: the durable/restarted run's
+classifications equal the uninterrupted in-session run's."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from connected_component_spark.streaming.dedup import IncrementalDedup
+from connected_component_spark.streaming.winnow import IncrementalWinnow
+
+_BASE = "the quick brown fox jumps over the lazy dog again and again today"
+_OTHER = "entirely different content about databases and distributed systems"
+
+_BATCHES = [
+    [(1, _BASE), (2, _OTHER)],
+    [(10, _BASE + " x"), (11, "fresh unrelated news about sports teams winning championships this year")],
+    [(20, _OTHER + " y"), (21, _BASE + " z")],
+    [(30, _BASE + " w"), (31, _OTHER + " q extra words to change it a bit")],
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rows(state):
+    return sorted(map(tuple, state.results.collect()))
+
+
+def _fold_winnow(spark, batches, **kw):
+    st = IncrementalWinnow(k=4, window=4, min_shared=1, **kw)
+    for b in batches:
+        st.update(_docs(spark, b))
+    return st
+
+
+def _fold_dedup(spark, batches, **kw):
+    st = IncrementalDedup(threshold=0.4, **kw)
+    for b in batches:
+        st.update(_docs(spark, b))
+    return st
+
+
+def test_durable_winnow_matches_in_session(spark, tmp_path):
+    """The parquet-backed path classifies identically to the
+    in-session union path, and the committed manifest records every
+    fold."""
+    mem = _fold_winnow(spark, _BATCHES)
+    dur = _fold_winnow(spark, _BATCHES, state_dir=str(tmp_path / "st"))
+    assert _rows(dur) == _rows(mem)
+    assert dur._store.committed() == len(_BATCHES)
+    # state is genuinely on disk: fp appends for every batch
+    for i in range(len(_BATCHES)):
+        assert os.path.exists(str(tmp_path / "st" / "fp" / f"batch={i:06d}"))
+
+
+def test_durable_winnow_crash_restart_equivalence(spark, tmp_path):
+    """The verdict-r10 restart bar: kill the fold mid-batch (state
+    table landed, manifest NOT advanced), reload from disk in a fresh
+    operator instance, re-fold — post-restart classifications equal
+    the uninterrupted run's, and the partial write is overwritten, not
+    double-counted."""
+    sd = str(tmp_path / "st")
+    st = IncrementalWinnow(k=4, window=4, min_shared=1, state_dir=sd)
+    st.update(_docs(spark, _BATCHES[0]))
+    st.update(_docs(spark, _BATCHES[1]))
+    # crash mid-batch-2: the fp table lands but the manifest never
+    # advances (the window between store.write and store.commit)
+    from connected_component_spark.operators.dedup import winnow_fingerprints
+
+    st._store.write(
+        "fp", 2, winnow_fingerprints(_docs(spark, _BATCHES[2]), k=4, window=4)
+    )
+    del st  # the "session" is gone; only the disk state survives
+
+    resumed = IncrementalWinnow.load(spark, sd)
+    # params restored from the manifest; only COMMITTED folds visible
+    assert (resumed.k, resumed.window, resumed.min_shared) == (4, 4, 1)
+    assert resumed.batches_seen == 2
+    two_batch = _fold_winnow(spark, _BATCHES[:2])
+    assert _rows(resumed) == _rows(two_batch)
+    # re-fold the crashed batch and the rest
+    resumed.update(_docs(spark, _BATCHES[2]))
+    resumed.update(_docs(spark, _BATCHES[3]))
+    assert _rows(resumed) == _rows(_fold_winnow(spark, _BATCHES))
+
+
+def test_durable_dedup_crash_restart_equivalence(spark, tmp_path):
+    """Same restart bar for the minhash operator (band + shingle
+    tables both recovered)."""
+    sd = str(tmp_path / "st")
+    st = IncrementalDedup(threshold=0.4, state_dir=sd)
+    st.update(_docs(spark, _BATCHES[0]))
+    st.update(_docs(spark, _BATCHES[1]))
+    # crash mid-batch-2: band landed, shingles + manifest did not
+    from connected_component_spark.operators.dedup import (
+        banded_buckets,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_docs(spark, _BATCHES[2]), 16, 3)
+    st._store.write("band", 2, banded_buckets(sigs, 4, 4))
+    del st
+
+    resumed = IncrementalDedup.load(spark, sd)
+    assert resumed.threshold == 0.4 and resumed.batches_seen == 2
+    assert _rows(resumed) == _rows(_fold_dedup(spark, _BATCHES[:2]))
+    resumed.update(_docs(spark, _BATCHES[2]))
+    resumed.update(_docs(spark, _BATCHES[3]))
+    assert _rows(resumed) == _rows(_fold_dedup(spark, _BATCHES))
+
+
+def test_durable_epoch_replay_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed epoch at or below the
+    committed high-water mark must not re-fold (or the corpus would
+    hold duplicate fingerprints and every later doc would misclassify
+    against its own replay)."""
+    st = IncrementalWinnow(
+        k=4, window=4, min_shared=1, state_dir=str(tmp_path / "st")
+    )
+    st.update(_docs(spark, _BATCHES[0]), epoch_id=0)
+    st.update(_docs(spark, _BATCHES[1]), epoch_id=1)
+    before = _rows(st)
+    n_fp = st.fp_state.count()
+    # replay epoch 1 with DIFFERENT payload — must be ignored entirely
+    st.update(_docs(spark, [(99, _BASE + " replay junk")]), epoch_id=1)
+    assert st.batches_seen == 2
+    assert _rows(st) == before
+    assert st.fp_state.count() == n_fp
+    # the next real epoch folds normally
+    st.update(_docs(spark, _BATCHES[2]), epoch_id=2)
+    assert st.batches_seen == 3
+    assert _rows(st) == _rows(_fold_winnow(spark, _BATCHES[:3]))
+
+
+def test_durable_state_dir_guards(spark, tmp_path):
+    """A fresh constructor refuses a dir with committed state (resume
+    is explicit, via load); load refuses a dir with none."""
+    sd = str(tmp_path / "st")
+    st = IncrementalWinnow(k=4, window=4, min_shared=1, state_dir=sd)
+    st.update(_docs(spark, _BATCHES[0]))
+    with pytest.raises(ValueError, match="already holds committed state"):
+        IncrementalWinnow(state_dir=sd)
+    with pytest.raises(ValueError, match="no committed state manifest"):
+        IncrementalWinnow.load(spark, str(tmp_path / "nothing"))
+    with pytest.raises(ValueError, match="already holds committed state"):
+        IncrementalDedup(state_dir=sd)
+
+
+def test_winnow_stream_checkpoint_restart_end_to_end(spark, tmp_path):
+    """Full restart drill through run_winnow_stream: ingest half the
+    backlog with a Spark checkpoint + durable state, 'lose the
+    session', then restart with the full backlog — the checkpoint
+    replays only unseen files, resumed epochs continue past the
+    committed high-water mark, and the final classifications equal an
+    uninterrupted in-session fold over the same batch boundaries."""
+    import time as _time
+
+    from connected_component_spark.streaming.winnow import run_winnow_stream
+
+    staged = tmp_path / "slices"
+    staged.mkdir()
+    ck = str(tmp_path / "ck")
+    sd = str(tmp_path / "state")
+
+    def land(i):
+        tmp = str(tmp_path / f"_tmp{i}")
+        _docs(spark, _BATCHES[i]).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            p
+            for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dst = str(staged / f"{i:03d}.parquet")
+        os.replace(os.path.join(tmp, src), dst)
+        t = _time.time() + 10 * i
+        os.utime(dst, (t, t))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(staged))
+        )
+
+    land(0)
+    land(1)
+    st = run_winnow_stream(
+        stream(),
+        IncrementalWinnow(k=4, window=4, min_shared=1, state_dir=sd),
+        checkpoint_dir=ck,
+    )
+    assert st.batches_seen == 2
+    del st  # session "dies" here
+
+    land(2)
+    land(3)
+    resumed = run_winnow_stream(
+        stream(), IncrementalWinnow.load(spark, sd), checkpoint_dir=ck
+    )
+    assert resumed.batches_seen == 4
+    assert _rows(resumed) == _rows(_fold_winnow(spark, _BATCHES))
