@@ -290,6 +290,58 @@ def main() -> None:
         out["cc_kernel_10x"] = cc_kernel_point(1_000_000)
         local["cc_kernel_10x"] = out["cc_kernel_10x"]
         wrote_local = write_local() or wrote_local
+
+    # Skewed-topology kernel point (verdict r10 #4): the clique-chain
+    # graphs have bounded per-key skew, but the reference's at-scale
+    # warnings (ConnectedComponent.scala:62-63,135-136) target the
+    # CONVERGED-HUB case — one giant component concentrating its whole
+    # roster on the min key.  One run on a generated 80%-giant graph
+    # records round count, wall, per-round max/p99 rows-per-key, and a
+    # closed-form roster verification, so the straggler behavior is a
+    # measured number, not a cited risk.  SPARK_GRAFT_BENCH_SKEW=0
+    # opts out; runs after every artifact write like the 10x point.
+    if os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
+        def cc_kernel_skew_point(n_nodes: int) -> dict:
+            try:
+                from pyspark.sql import functions as SF
+
+                from connected_component_spark.graph.cc import (
+                    connected_components,
+                )
+                from connected_component_spark.graph.generator import (
+                    skewed_hub_graph,
+                )
+
+                t0 = time.perf_counter()
+                edges, truth = skewed_hub_graph(spark, n_nodes)
+                res = connected_components(edges, skew_telemetry=True)
+                a, t = res.assignments.alias("a"), truth.alias("t")
+                mismatches = (
+                    a.join(t, SF.col("a.node") == SF.col("t.node"))
+                    .where(SF.col("a.component") != SF.col("t.component"))
+                    .count()
+                )
+                return {
+                    "nodes": n_nodes,
+                    "giant_frac": 0.8,
+                    "wall_sec": round(time.perf_counter() - t0, 3),
+                    "iterations": res.iterations,
+                    "converged": res.converged,
+                    "roster_mismatches": mismatches,
+                    "round_key_skew": res.round_key_skew,
+                    "aqe_enabled": spark.conf.get(
+                        "spark.sql.adaptive.enabled", None
+                    ),
+                    "aqe_skewjoin": spark.conf.get(
+                        "spark.sql.adaptive.skewJoin.enabled", None
+                    ),
+                }
+            except Exception as ex:
+                return {"err": f"{type(ex).__name__}: {ex}"[:200]}
+
+        out["cc_kernel_skew"] = cc_kernel_skew_point(1_000_000)
+        local["cc_kernel_skew"] = out["cc_kernel_skew"]
+        wrote_local = write_local() or wrote_local
     spark.stop()
 
     # The driver records only a ~200-char stdout TAIL and parses JSON

@@ -26,6 +26,7 @@ __all__ = [
     "generated_cliques_df",
     "generated_truth_df",
     "distributed_clique_chains",
+    "skewed_hub_graph",
 ]
 
 #: reference seed (CliquesGenerator.scala:56,95)
@@ -182,3 +183,56 @@ def distributed_clique_chains(
         "members",
     )
     return cliques, truth
+
+
+def skewed_hub_graph(
+    spark: SparkSession,
+    n_nodes: int,
+    giant_frac: float = 0.8,
+    small_size: int = 5,
+    seed: int = DEFAULT_SEED,
+) -> tuple[DataFrame, DataFrame]:
+    """``(edges_df, truth_df)`` for the converged-hub stress topology
+    the reference's at-scale comments warn about
+    (reference ConnectedComponent.scala:62-63,135-136): one GIANT
+    component holding ``giant_frac`` of all nodes, whose min node
+    ends up on the receiving end of every large-star emission as the
+    rounds converge — the reducer-skew worst case for the alternating
+    algorithm — plus small ``small_size``-node star components
+    filling the remainder (so the run still exercises the mixed
+    regime, not a single-component special case).
+
+    The giant component is a random recursive tree: node ``i`` (for
+    ``0 < i < G``) attaches to a hash-uniform earlier node, giving
+    O(log n) diameter — realistically shallow, so convergence
+    overhead measures skew handling, not pathological depth.  Every
+    edge is a pure JVM expression of (seed, node id) over one
+    ``spark.range`` projection: no shuffle, no Python, any slice
+    regenerates independently at 100 TB scale.
+
+    ``truth_df (node, component)`` is CLOSED-FORM (giant nodes → 0,
+    small nodes → their group leader), so roster verification at any
+    size is one join — no reference CC run needed.
+    """
+    if not (0.0 < giant_frac <= 1.0):
+        raise ValueError(f"giant_frac must be in (0, 1], got {giant_frac}")
+    if small_size < 1:
+        raise ValueError(f"small_size must be >= 1, got {small_size}")
+    if n_nodes < 2:
+        raise ValueError(f"n_nodes must be >= 2, got {n_nodes}")
+    g = max(2, int(n_nodes * giant_frac))
+    ids = spark.range(n_nodes)
+    node = F.col("id")
+    parent = F.when(node == 0, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64(F.lit(seed), node), node)
+    )
+    leader = node - F.pmod(node - F.lit(g), F.lit(small_size))
+    edges = ids.select(
+        node.alias("src"),
+        F.when(node < g, parent).otherwise(leader).alias("dst"),
+    )
+    truth = ids.select(
+        node.alias("node"),
+        F.when(node < g, F.lit(0)).otherwise(leader).alias("component"),
+    )
+    return edges, truth

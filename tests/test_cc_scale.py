@@ -269,3 +269,38 @@ def test_cc_skew_telemetry_profiles_rounds(spark):
 
     res_off = connected_components(hub)
     assert res_off.round_key_skew is None
+
+
+def test_skewed_hub_graph_closed_form_truth_and_skew(spark):
+    """skewed_hub_graph (verdict r10 #4): the converged-hub stress
+    topology — 80% of nodes in ONE component — resolves to exactly
+    the closed-form truth, and the skew telemetry shows the signature
+    the reference's at-scale comments warn about: the giant
+    component's min key accumulates the whole component (max rows/key
+    ~ giant size) while the typical reducer stays tiny (p99 bounded),
+    so stragglers — not volume — are the scaling risk."""
+    from connected_component_spark.graph.generator import skewed_hub_graph
+
+    n = 100_000
+    edges, truth = skewed_hub_graph(spark, n)
+    res = connected_components(edges, skew_telemetry=True)
+    assert res.converged
+    a, t = res.assignments.alias("a"), truth.alias("t")
+    joined = a.join(t, F.col("a.node") == F.col("t.node"))
+    assert joined.count() == n
+    assert (
+        joined.where(F.col("a.component") != F.col("t.component")).count() == 0
+    )
+    # hub signature in the telemetry: by the final round the giant
+    # component's min key holds ~the whole component while p99 stays
+    # orders of magnitude below it
+    last = res.round_key_skew[-1]
+    assert last["max"] >= int(0.8 * n * 0.9)
+    assert last["p99"] <= 100
+    # param guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="giant_frac"):
+        skewed_hub_graph(spark, 100, giant_frac=0.0)
+    with _pytest.raises(ValueError, match="small_size"):
+        skewed_hub_graph(spark, 100, small_size=0)
