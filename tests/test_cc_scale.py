@@ -169,12 +169,15 @@ def test_cc_round_shuffle_telemetry(spark):
 
         pytest.skip("AppStatusStore reflection path unavailable on this Spark")
     cliques, _ = distributed_clique_chains(spark, 1_000)
-    res = connected_components(cliques_to_edges(cliques))
+    res = connected_components(cliques_to_edges(cliques), shuffle_telemetry=True)
     assert res.converged
     tel = res.round_shuffle_bytes
     assert tel is not None and len(tel) == res.iterations
     assert all(b >= 0 for b in tel)
     assert sum(tel) > 0  # star rounds genuinely shuffle
+    # opt-in (r11): a plain serving run pays no listener-bus drain and
+    # reports no shuffle profile
+    assert connected_components(cliques_to_edges(cliques)).round_shuffle_bytes is None
 
 
 def test_cc_handles_megahub_star_graph(spark):
