@@ -549,18 +549,21 @@ def _staged_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
 
+    shingle_k = 3  # the family-wide default every *_minhash query uses
+
     def _build(stage: str) -> None:
         dd.minhash_dedup_clusters(
             load_table(spark, sf_dir, "documents"),
             num_hashes=_MINHASH_N,
             bands=_LSH_BANDS,
+            shingle_k=shingle_k,
             threshold=_JACCARD_THRESHOLD,
         ).write.mode("overwrite").parquet(os.path.join(stage, "clusters"))
 
     base = ensure_staged(
         "ccs_minhash_clusters",
         src,
-        f"v1-n{_MINHASH_N}-b{_LSH_BANDS}-t{_JACCARD_THRESHOLD}",
+        f"v1-n{_MINHASH_N}-b{_LSH_BANDS}-k{shingle_k}-t{_JACCARD_THRESHOLD}",
         build=_build,
     )
     return spark.read.parquet(os.path.join(base, "clusters"))

@@ -896,6 +896,70 @@ def stream_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+def stream_winnow_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-restart equivalence as a DRIVER-CHECKED row (r11): the
+    durable winnow state is built from the first three replay slices
+    (epochs 0-2), the operator instance is then DISCARDED — only the
+    parquet state + atomic manifest survive, exactly what a session
+    crash leaves — and a fresh instance resumed via
+    ``IncrementalWinnow.load`` folds the remaining two slices
+    (epochs 3-4).  The classifications must equal the UNINTERRUPTED
+    run's, so the oracle is stream_winnow_dedup's verbatim: the
+    global winnow-pair computation with the same doc_id-range batch
+    boundaries.  Batches are folded directly (one parquet read per
+    staged slice, the unit-fold contract); the readStream +
+    checkpointLocation restart drill over the same operator is pinned
+    in tests/test_durable_state.py."""
+    from connected_component_spark.queries.llmops import (
+        _WINNOW_K,
+        _WINNOW_MIN_SHARED,
+        _WINNOW_W,
+    )
+    from connected_component_spark.sources.tables import table_row_count
+    from connected_component_spark.streaming.winnow import IncrementalWinnow
+
+    n = table_row_count(spark, sf_dir, "documents")
+    staged = _staged_doc_slices(spark, sf_dir)
+    slices = sorted(
+        os.path.join(staged, p)
+        for p in os.listdir(staged)
+        if p.endswith(".parquet")
+    )
+    # crash two slices before the end — derived from the shared slice
+    # constant so the drill can never desynchronize from the staging
+    # layout or the oracle's batch boundaries (review r11)
+    crash_at = _DEDUP_STREAM_SLICES - 2
+    state_dir = tempfile.mkdtemp(prefix="ccs_stream_winnow_restart_")
+    try:
+        with _scaled_shuffle(spark, n):
+            state = IncrementalWinnow(
+                k=_WINNOW_K,
+                window=_WINNOW_W,
+                min_shared=_WINNOW_MIN_SHARED,
+                state_dir=state_dir,
+            )
+            for i, path in enumerate(slices[:crash_at]):
+                state.update(
+                    spark.read.parquet(path).select("doc_id", "text"),
+                    epoch_id=i,
+                )
+            del state  # the "crash": only the disk state survives
+            resumed = IncrementalWinnow.load(spark, state_dir)
+            assert resumed.batches_seen == crash_at
+            for i, path in enumerate(slices[crash_at:], start=crash_at):
+                resumed.update(
+                    spark.read.parquet(path).select("doc_id", "text"),
+                    epoch_id=i,
+                )
+        assert (
+            resumed.batches_seen == _DEDUP_STREAM_SLICES
+            and resumed.results is not None
+        )
+        return resumed.results.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def _stream_winnow_dedup_sql() -> str:
     from connected_component_spark.queries.llmops import (
         _WINNOW_MIN_SHARED,
@@ -949,6 +1013,7 @@ QUERIES = {
     "stream_session_windows": stream_session_windows,
     "stream_incremental_dedup": stream_incremental_dedup,
     "stream_winnow_dedup": stream_winnow_dedup,
+    "stream_winnow_restart": stream_winnow_restart,
 }
 
 ORACLES = {
@@ -962,4 +1027,6 @@ ORACLES = {
     "stream_session_windows": Q_SESSION_WINDOWS_SQL,
     "stream_incremental_dedup": STREAM_INCREMENTAL_DEDUP_SQL,
     "stream_winnow_dedup": STREAM_WINNOW_DEDUP_SQL,
+    # restart must reproduce the uninterrupted run exactly — same oracle
+    "stream_winnow_restart": STREAM_WINNOW_DEDUP_SQL,
 }

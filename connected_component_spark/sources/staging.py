@@ -265,6 +265,33 @@ def _steal_if_stale(lock: str) -> bool:
         os.close(fd)  # drops the flock; guard file persists (stable)
 
 
+#: .lock_tmp_* files older than this are corpses of a builder that
+#: died between mkstemp and the finally-unlink — far above any live
+#: _try_lock's sub-millisecond tmp lifetime
+_TMP_REAP_AGE_S = 600.0
+
+
+def _reap_lock_tmp(namespace_dir: str) -> None:
+    """Best-effort sweep of orphaned ``.lock_tmp_*`` files (a builder
+    SIGKILLed inside :func:`_try_lock` leaves its temp file behind;
+    nothing else ever removes it — review r11).  Age-bounded so a
+    live builder's in-flight temp is never touched; every error is
+    swallowed (reaping is hygiene, never correctness)."""
+    try:
+        now = time.time()
+        for name in os.listdir(namespace_dir):
+            if not name.startswith(".lock_tmp_"):
+                continue
+            p = os.path.join(namespace_dir, name)
+            try:
+                if now - os.stat(p).st_mtime > _TMP_REAP_AGE_S:
+                    os.unlink(p)
+            except OSError:
+                pass
+    except OSError:
+        pass
+
+
 def staged_dir(kind: str, src_file: str, *extra: str) -> tuple[str, bool]:
     """Return (path, needs_build) for a staging dir derived from
     ``src_file``.  ``kind`` namespaces the cache (one subtree per
@@ -286,6 +313,7 @@ def staged_dir(kind: str, src_file: str, *extra: str) -> tuple[str, bool]:
     if os.path.exists(os.path.join(path, _SENTINEL)):
         return path, False
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    _reap_lock_tmp(os.path.dirname(path))
     lock = _lock_path(path)
     deadline = time.monotonic() + _LOCK_WAIT_S
     while not _try_lock(lock):

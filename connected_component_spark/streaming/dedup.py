@@ -80,6 +80,10 @@ class IncrementalDedup:
         self.set_state: DataFrame | None = None  # (doc_id, sh)
         self.results: DataFrame | None = None  # (doc_id, status, canonical)
         self.batches_seen = 0
+        # in-session replay guard (same contract as the durable
+        # manifest's last_epoch/epoch_lineage, held in memory)
+        self._mem_last_epoch: int | None = None
+        self._mem_lineage: str | None = None
         self._store: ParquetStateStore | None = None
         if state_dir is not None:
             store = ParquetStateStore(state_dir)
@@ -150,17 +154,36 @@ class IncrementalDedup:
         return classify_batch_matches(verified, ids_b)
 
     def update(
-        self, batch_docs: DataFrame, epoch_id: int | None = None
+        self,
+        batch_docs: DataFrame,
+        epoch_id: int | None = None,
+        epoch_lineage: str | None = None,
     ) -> None:
         """Fold one batch of (doc_id, text) documents into the state.
         Batch doc_ids must all exceed every previously-seen doc_id
         (ingestion order), the same contract as the batch operator.
-        On the durable path an ``epoch_id`` at or below the committed
-        high-water mark is a replay of an already-folded batch and is
-        skipped (exactly-once); in-session, ``epoch_id`` is ignored."""
+        An ``epoch_id`` at or below the high-water mark OF THE SAME
+        ``epoch_lineage`` (the stream's checkpointLocation; None for a
+        direct monotone fold sequence) is a replay of an
+        already-folded batch and is skipped — durable state keeps the
+        mark in the manifest (survives restart), in-session state in
+        memory (covers a same-object foreachBatch retry, review r11).
+        A stream restarted on a FRESH checkpoint carries a different
+        lineage, so its from-0 batch numbering is folded, not
+        discarded."""
         if self._store is not None:
-            self._update_durable(batch_docs, epoch_id)
+            self._update_durable(batch_docs, epoch_id, epoch_lineage)
             return
+        if (
+            epoch_id is not None
+            and self._mem_last_epoch is not None
+            and self._mem_lineage == epoch_lineage
+            and epoch_id <= self._mem_last_epoch
+        ):
+            return  # same-session replay of a folded epoch
+        if epoch_id is not None:
+            self._mem_last_epoch = epoch_id
+            self._mem_lineage = epoch_lineage
         sigs = minhash_signatures(
             batch_docs, self.num_hashes, self.shingle_k
         )
@@ -217,7 +240,10 @@ class IncrementalDedup:
                 self.results = self.results.localCheckpoint(eager=True)
 
     def _update_durable(
-        self, batch_docs: DataFrame, epoch_id: int | None
+        self,
+        batch_docs: DataFrame,
+        epoch_id: int | None,
+        epoch_lineage: str | None,
     ) -> None:
         """One fold on the parquet-backed path: land the batch's band
         and shingle tables, classify against COMMITTED state, land the
@@ -226,10 +252,8 @@ class IncrementalDedup:
         re-folded batch overwrites its own partial writes."""
         store = self._store
         assert store is not None
-        if epoch_id is not None:
-            last = store.last_epoch()
-            if last is not None and epoch_id <= last:
-                return  # replayed, already committed: exactly-once
+        if store.should_skip_epoch(epoch_id, epoch_lineage):
+            return  # replayed, already committed: exactly-once
         spark = batch_docs.sparkSession
         n = self.batches_seen
         sigs = minhash_signatures(batch_docs, self.num_hashes, self.shingle_k)
@@ -244,6 +268,7 @@ class IncrementalDedup:
         )
         banded_b = store.read_batch(spark, "band", n)
         sh_b = store.read_batch(spark, "sh", n)
+        tables = ["band", "sh"]
         if n > 0:
             # band_state/set_state are bound to the COMMITTED read
             # (batches 0..n-1) — exactly the earlier-batch corpus
@@ -255,7 +280,14 @@ class IncrementalDedup:
                 sh_b.select("doc_id"),
             )
             store.write("results", n, out)
-        store.commit(n, self._params(), epoch_id)
+            tables.append("results")
+        store.commit(
+            n,
+            self._params(),
+            epoch_id,
+            tables=tuple(tables),
+            epoch_lineage=epoch_lineage,
+        )
         self.batches_seen = n + 1
         self.band_state = store.read(spark, "band", self.batches_seen)
         self.set_state = store.read(spark, "sh", self.batches_seen)
@@ -276,7 +308,11 @@ def run_doc_stream(
     state = state or IncrementalDedup()
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        state.update(batch_df.select("doc_id", "text"), epoch_id=batch_id)
+        state.update(
+            batch_df.select("doc_id", "text"),
+            epoch_id=batch_id,
+            epoch_lineage=checkpoint_dir,
+        )
 
     writer = doc_stream.writeStream.foreachBatch(_fold).trigger(
         availableNow=True

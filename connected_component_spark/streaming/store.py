@@ -75,19 +75,63 @@ class ParquetStateStore:
         m = self.manifest()
         return None if m is None else m.get("last_epoch")
 
+    def should_skip_epoch(
+        self, epoch_id: int | None, epoch_lineage: str | None
+    ) -> bool:
+        """The exactly-once replay guard, single-sourced for every
+        operator on this store (review r11): an epoch at or below the
+        committed high-water mark is a replay ONLY when it belongs to
+        the same epoch sequence — identified by ``epoch_lineage`` (the
+        Structured-Streaming checkpointLocation, or None for a direct
+        monotone fold sequence).  A stream restarted on a FRESH
+        checkpoint numbers its batches from 0 again; without the
+        lineage check those real new batches would be silently
+        discarded as replays."""
+        if epoch_id is None:
+            return False
+        m = self.manifest()
+        if m is None:
+            return False
+        last = m.get("last_epoch")
+        return (
+            last is not None
+            and m.get("epoch_lineage") == epoch_lineage
+            and epoch_id <= last
+        )
+
     def commit(
-        self, batch_idx: int, params: dict, epoch_id: int | None
+        self,
+        batch_idx: int,
+        params: dict,
+        epoch_id: int | None,
+        tables: tuple[str, ...] = (),
+        epoch_lineage: str | None = None,
     ) -> None:
         """Advance the committed-batch count to ``batch_idx + 1``.
         Atomic (temp file + ``os.replace``): every reader sees either
-        the old manifest or the new one, never a torn write."""
-        prev = self.last_epoch()
+        the old manifest or the new one, never a torn write.
+        ``tables`` names the tables this batch wrote a dir for — the
+        manifest carries the committed dir list per table so readers
+        never re-stat the filesystem (O(1) listing per fold instead of
+        O(batches) exists() calls, review r11)."""
+        m = self.manifest() or {}
+        prev = m.get("last_epoch")
+        committed_tables = dict(m.get("tables", {}))
+        for t in tables:
+            lst = list(committed_tables.get(t, []))
+            if batch_idx not in lst:
+                lst.append(batch_idx)
+            committed_tables[t] = lst
         doc = {
             "batches": batch_idx + 1,
             "params": params,
             # keep the high-water mark monotone even when a direct
             # (non-stream) update() call carries no epoch id
             "last_epoch": prev if epoch_id is None else epoch_id,
+            "epoch_lineage": (
+                m.get("epoch_lineage") if epoch_id is None else epoch_lineage
+            ),
+            "tables": committed_tables,
         }
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._manifest_")
         try:
@@ -123,12 +167,24 @@ class ParquetStateStore:
     ) -> DataFrame | None:
         """All COMMITTED rows of ``table`` (batches 0..upto-1) as one
         multi-path parquet scan, or None when no committed batch wrote
-        the table (e.g. ``results`` before the first non-seed batch)."""
-        paths = [
-            self._batch_dir(table, i)
-            for i in range(upto)
-            if os.path.exists(self._batch_dir(table, i))
-        ]
-        if not paths:
+        the table (e.g. ``results`` before the first non-seed batch).
+        The committed dir list comes from the manifest — no
+        filesystem probing, so the per-fold cost does not grow with
+        stream age and the protocol stays object-store-friendly
+        (review r11).  Manifests written before the table ledger
+        existed fall back to an exists() sweep."""
+        m = self.manifest() or {}
+        committed = m.get("tables")
+        if committed is not None:
+            idxs = [i for i in committed.get(table, []) if i < upto]
+        else:  # pre-ledger manifest: legacy probe
+            idxs = [
+                i
+                for i in range(upto)
+                if os.path.exists(self._batch_dir(table, i))
+            ]
+        if not idxs:
             return None
-        return spark.read.parquet(*paths)
+        return spark.read.parquet(
+            *[self._batch_dir(table, i) for i in sorted(idxs)]
+        )

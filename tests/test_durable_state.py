@@ -139,6 +139,47 @@ def test_durable_epoch_replay_is_noop(spark, tmp_path):
     assert _rows(st) == _rows(_fold_winnow(spark, _BATCHES[:3]))
 
 
+def test_fresh_lineage_epochs_are_not_skipped(spark, tmp_path):
+    """review r11: the epoch high-water mark is scoped to its epoch
+    LINEAGE (the stream's checkpointLocation).  A stream restarted on
+    a fresh checkpoint numbers batches from 0 again — those are real
+    new batches and must fold, not be discarded as replays."""
+    sd = str(tmp_path / "st")
+    st = IncrementalWinnow(k=4, window=4, min_shared=1, state_dir=sd)
+    st.update(_docs(spark, _BATCHES[0]), epoch_id=0, epoch_lineage="ck1")
+    st.update(_docs(spark, _BATCHES[1]), epoch_id=1, epoch_lineage="ck1")
+    resumed = IncrementalWinnow.load(spark, sd)
+    # new stream, new checkpoint: epoch 0 again, but different lineage
+    resumed.update(
+        _docs(spark, _BATCHES[2]), epoch_id=0, epoch_lineage="ck2"
+    )
+    assert resumed.batches_seen == 3
+    assert _rows(resumed) == _rows(_fold_winnow(spark, _BATCHES[:3]))
+    # same-lineage replay of that epoch IS skipped
+    resumed.update(
+        _docs(spark, [(99, _BASE + " junk")]), epoch_id=0, epoch_lineage="ck2"
+    )
+    assert resumed.batches_seen == 3
+
+
+def test_in_session_replay_is_skipped(spark):
+    """review r11: a same-object foreachBatch retry (checkpointed
+    stream, non-durable state) must not double-fold — the in-memory
+    epoch mark covers the in-session path the manifest covers for the
+    durable one."""
+    st = IncrementalWinnow(k=4, window=4, min_shared=1)
+    st.update(_docs(spark, _BATCHES[0]), epoch_id=0, epoch_lineage="ck")
+    st.update(_docs(spark, _BATCHES[1]), epoch_id=1, epoch_lineage="ck")
+    before = _rows(st)
+    st.update(
+        _docs(spark, [(99, _BASE + " replay")]), epoch_id=1, epoch_lineage="ck"
+    )
+    assert st.batches_seen == 2 and _rows(st) == before
+    st.update(_docs(spark, _BATCHES[2]), epoch_id=2, epoch_lineage="ck")
+    assert st.batches_seen == 3
+    assert _rows(st) == _rows(_fold_winnow(spark, _BATCHES[:3]))
+
+
 def test_durable_state_dir_guards(spark, tmp_path):
     """A fresh constructor refuses a dir with committed state (resume
     is explicit, via load); load refuses a dir with none."""
