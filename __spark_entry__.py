@@ -81,6 +81,9 @@ _CHANGED_THIS_ROUND = (
     # re-clustering inline (values byte-identical, execution path
     # changed — verdict r10 #6)
     "pipeline_dedup_retention",
+    # r11: moved onto the durable snapshot-state path like the dedup
+    # stream queries (values fixture-identical)
+    "stream_incremental_cc",
 )
 
 

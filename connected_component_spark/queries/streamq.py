@@ -192,6 +192,12 @@ def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket's connectivity); the file stream replays them one file per
     trigger; foreachBatch folds each batch's edges plus per-user
     self-loops into the running assignment.
+
+    Runs on the DURABLE path (r11, same contract as the stream dedup
+    queries): the assignment lands as a per-batch parquet snapshot
+    behind ParquetStateStore's atomic manifest, measured at ~+0.3 s
+    over the in-session fold; the state dir is torn down after the
+    assignment is materialized.
     """
     ev = load_table(spark, sf_dir, "events")
     n = _n_events(spark, sf_dir)
@@ -227,12 +233,18 @@ def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return edges.union(loops)
 
-    with _scaled_shuffle(spark, n):
-        state = run_edge_stream(stream, IncrementalCC(), derive_edges=derive)
-    assert state.assignments is not None and state.batches_seen > 1
-    return state.assignments.select(
-        F.col("node").alias("user_id"), F.col("component")
-    )
+    state_dir = tempfile.mkdtemp(prefix="ccs_stream_cc_state_")
+    try:
+        with _scaled_shuffle(spark, n):
+            state = run_edge_stream(
+                stream, IncrementalCC(state_dir=state_dir), derive_edges=derive
+            )
+        assert state.assignments is not None and state.batches_seen > 1
+        return state.assignments.select(
+            F.col("node").alias("user_id"), F.col("component")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def _stage_session_files(spark: SparkSession, sf_dir: str) -> tuple[str, int]:

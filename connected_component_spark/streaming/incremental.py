@@ -16,33 +16,111 @@ itself applies between rounds, lifted to the stream boundary.
 
 Scale notes: per-batch work is bounded by batch size + node count;
 ``localCheckpoint`` cuts lineage across batches (the batch-loop twin
-of the per-round checkpoint in graph/cc.py); on a real cluster the
-state would live in a checkpointed table (Delta/parquet) written per
-batch — the in-memory DataFrame here keeps the test surface simple.
+of the per-round checkpoint in graph/cc.py).
+
+Durability (r11, the dedup/winnow contract extended to CC): pass
+``state_dir`` and the assignment lives as a per-batch parquet
+SNAPSHOT behind :class:`~connected_component_spark.streaming.store.
+ParquetStateStore`'s atomic manifest — unlike the dedup operators'
+append tables, CC state is REPLACED each batch, so ``load()`` binds
+to the LATEST committed snapshot and a crashed mid-fold batch simply
+re-folds over it.  The lineage-scoped epoch guard gives exactly-once
+folds under at-least-once ``foreachBatch`` replay.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from connected_component_spark.graph.cc import connected_components
+from connected_component_spark.streaming.store import ParquetStateStore
 
 __all__ = ["IncrementalCC", "run_edge_stream"]
 
 
 class IncrementalCC:
-    """Mutable running-CC state folded over edge micro-batches."""
+    """Mutable running-CC state folded over edge micro-batches.
 
-    def __init__(self, max_iterations: int = 20) -> None:
+    With ``state_dir`` set, the assignment is parquet-backed and
+    crash-durable (module docstring); the dir must be FRESH — resume
+    an existing one with :meth:`load`."""
+
+    def __init__(
+        self, max_iterations: int = 20, state_dir: str | None = None
+    ) -> None:
         self.max_iterations = max_iterations
         self.assignments: DataFrame | None = None
         self.batches_seen = 0
         #: number of batches that actually ran the alternating-star
         #: kernel (vs. the no-connectivity-change fast paths)
         self.cc_runs = 0
+        # in-session replay guard (the durable manifest's
+        # last_epoch/epoch_lineage contract, held in memory)
+        self._mem_last_epoch: int | None = None
+        self._mem_lineage: str | None = None
+        self._store: ParquetStateStore | None = None
+        if state_dir is not None:
+            store = ParquetStateStore(state_dir)
+            if store.manifest() is not None:
+                raise ValueError(
+                    f"{state_dir} already holds committed state — resume "
+                    "it with IncrementalCC.load(spark, state_dir)"
+                )
+            self._store = store
 
-    def update(self, edge_batch: DataFrame) -> DataFrame:
+    def _params(self) -> dict:
+        return {
+            "max_iterations": self.max_iterations,
+            # diagnostics ride in the manifest so a resumed operator
+            # reports honest totals
+            "cc_runs": self.cc_runs,
+        }
+
+    @classmethod
+    def load(cls, spark: SparkSession, state_dir: str) -> IncrementalCC:
+        """Resume a durable state dir: the assignment binds to the
+        LATEST committed snapshot and the fold counters continue from
+        the manifest."""
+        store = ParquetStateStore(state_dir)
+        m = store.manifest()
+        if m is None:
+            raise ValueError(f"no committed state manifest under {state_dir}")
+        p = m["params"]
+        self = cls(max_iterations=p["max_iterations"])
+        self._store = store
+        self.batches_seen = m["batches"]
+        self.cc_runs = p.get("cc_runs", 0)
+        last = store.last_batch("assign")
+        if last is not None:
+            self.assignments = store.read_batch(spark, "assign", last)
+        return self
+
+    def _persist(self, df: DataFrame, batch_idx: int) -> DataFrame:
+        """Materialize the new assignment: a parquet snapshot on the
+        durable path (read back as the live handle), localCheckpoint
+        in-session."""
+        if self._store is None:
+            return df.localCheckpoint(eager=True)
+        self._store.write("assign", batch_idx, df)
+        return self._store.read_batch(df.sparkSession, "assign", batch_idx)
+
+    def _commit(self, batch_idx: int, epoch_id, epoch_lineage, wrote: bool):
+        if self._store is not None:
+            self._store.commit(
+                batch_idx,
+                self._params(),
+                epoch_id,
+                tables=("assign",) if wrote else (),
+                epoch_lineage=epoch_lineage,
+            )
+
+    def update(
+        self,
+        edge_batch: DataFrame,
+        epoch_id: int | None = None,
+        epoch_lineage: str | None = None,
+    ) -> DataFrame:
         """Fold one batch of (src, dst) edges into the state; returns
         the updated (node, component) assignment.
 
@@ -56,7 +134,27 @@ class IncrementalCC:
         state is one cheap relabel join per batch, not a kernel run
         per batch.  This is the production shape: kernel work scales
         with *connectivity novelty*, not with stream volume.
+
+        ``epoch_id``/``epoch_lineage``: the replay guard shared with
+        the dedup operators — an epoch at or below the high-water mark
+        of the SAME lineage is a skipped replay (durable: manifest;
+        in-session: in-memory mark).
         """
+        if self._store is not None:
+            if self._store.should_skip_epoch(epoch_id, epoch_lineage):
+                return self.assignments
+        else:
+            if (
+                epoch_id is not None
+                and self._mem_last_epoch is not None
+                and self._mem_lineage == epoch_lineage
+                and epoch_id <= self._mem_last_epoch
+            ):
+                return self.assignments
+            if epoch_id is not None:
+                self._mem_last_epoch = epoch_id
+                self._mem_lineage = epoch_lineage
+        n = self.batches_seen
         if self.assignments is None:
             merged = edge_batch
         else:
@@ -87,6 +185,7 @@ class IncrementalCC:
             novel_cross = counts["novel_cross"] or 0
             new_selfloops = counts["new_selfloops"] or 0
             if novel_cross == 0:
+                wrote = False
                 if new_selfloops > 0:
                     # unseen nodes appear only as self-loops: append
                     # singletons (component = own id, the kernel's
@@ -102,19 +201,22 @@ class IncrementalCC:
                         )
                         .distinct()
                     )
-                    self.assignments = self.assignments.union(
-                        singles
-                    ).localCheckpoint(eager=True)
-                self.batches_seen += 1
+                    self.assignments = self._persist(
+                        self.assignments.union(singles), n
+                    )
+                    wrote = True
+                self._commit(n, epoch_id, epoch_lineage, wrote)
+                self.batches_seen = n + 1
                 return self.assignments
             prior = self.assignments.select(
                 F.col("node").alias("src"), F.col("component").alias("dst")
             )
             merged = e.union(prior)
         result = connected_components(merged, max_iterations=self.max_iterations)
-        self.assignments = result.assignments.localCheckpoint(eager=True)
-        self.batches_seen += 1
         self.cc_runs += 1
+        self.assignments = self._persist(result.assignments, n)
+        self._commit(n, epoch_id, epoch_lineage, wrote=True)
+        self.batches_seen = n + 1
         return self.assignments
 
 
@@ -122,6 +224,7 @@ def run_edge_stream(
     edge_stream: DataFrame,
     state: IncrementalCC | None = None,
     derive_edges=None,
+    checkpoint_dir: str | None = None,
 ) -> IncrementalCC:
     """Drive an IncrementalCC from a streaming DataFrame via
     ``foreachBatch`` with the available-now trigger (processes the
@@ -129,18 +232,22 @@ def run_edge_stream(
 
     ``derive_edges``: optional per-batch transform mapping the raw
     batch rows to (src, dst) edges — runs in batch context, so window
-    functions etc. are available.
+    functions etc. are available.  With ``checkpoint_dir`` (and a
+    durable ``state``), a restarted stream replays only from the last
+    uncommitted epoch and the lineage-scoped epoch guard makes the
+    fold exactly-once end to end.
     """
     state = state or IncrementalCC()
 
-    def _fold(batch_df: DataFrame, _batch_id: int) -> None:
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
         edges = derive_edges(batch_df) if derive_edges is not None else batch_df
-        state.update(edges)
+        state.update(edges, epoch_id=batch_id, epoch_lineage=checkpoint_dir)
 
-    q = (
-        edge_stream.writeStream.foreachBatch(_fold)
-        .trigger(availableNow=True)
-        .start()
+    writer = edge_stream.writeStream.foreachBatch(_fold).trigger(
+        availableNow=True
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     q.awaitTermination()
     return state

@@ -162,6 +162,15 @@ class ParquetStateStore:
         leaf that replaces ``localCheckpoint`` on the durable path)."""
         return spark.read.parquet(self._batch_dir(table, batch_idx))
 
+    def last_batch(self, table: str) -> int | None:
+        """Highest committed batch index that wrote ``table``, or None
+        — the read anchor for SNAPSHOT tables (state replaced per
+        batch, e.g. a CC assignment), where only the latest committed
+        dir is current, unlike the append tables ``read`` unions."""
+        m = self.manifest() or {}
+        idxs = (m.get("tables") or {}).get(table, [])
+        return max(idxs) if idxs else None
+
     def read(
         self, spark: SparkSession, table: str, upto: int
     ) -> DataFrame | None:

@@ -194,6 +194,54 @@ def test_durable_state_dir_guards(spark, tmp_path):
         IncrementalDedup(state_dir=sd)
 
 
+def test_durable_cc_crash_restart_equivalence(spark, tmp_path):
+    """r11: the dedup durability contract extended to the CC stream —
+    assignment snapshots are replaced per batch, load() binds to the
+    LATEST committed one (including across no-write fast-path
+    batches), and the restarted fold equals batch CC over the full
+    edge history."""
+    from connected_component_spark.graph.cc import connected_components
+    from connected_component_spark.streaming.incremental import IncrementalCC
+
+    def _edges(rows):
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    batches = [
+        [(1, 2), (3, 4)],
+        [(2, 3), (5, 5)],   # merges {1,2}+{3,4}; singleton 5
+        [(1, 4), (2, 2)],   # redundant: fast path, no snapshot write
+        [(6, 7), (5, 7)],   # attaches 5 to a new chain
+    ]
+    sd = str(tmp_path / "st")
+    st = IncrementalCC(state_dir=sd)
+    st.update(_edges(batches[0]), epoch_id=0)
+    st.update(_edges(batches[1]), epoch_id=1)
+    st.update(_edges(batches[2]), epoch_id=2)  # fast path commits, no write
+    kernel_runs = st.cc_runs
+    assert kernel_runs == 2
+    # crash: write an UNCOMMITTED partial snapshot for batch 3
+    st._store.write("assign", 3, st.assignments.limit(1))
+    del st
+
+    resumed = IncrementalCC.load(spark, sd)
+    assert resumed.batches_seen == 3 and resumed.cc_runs == kernel_runs
+    # the latest COMMITTED snapshot is batch 1's (batch 2 wrote none)
+    assert resumed._store.last_batch("assign") == 1
+    resumed.update(_edges(batches[3]), epoch_id=3)
+    # replayed epoch is a no-op
+    resumed.update(_edges([(9, 9)]), epoch_id=3)
+    assert resumed.batches_seen == 4
+
+    full = connected_components(
+        _edges([p for b in batches for p in b])
+    ).assignments
+    got = {(r.node, r.component) for r in resumed.assignments.collect()}
+    want = {(r.node, r.component) for r in full.collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="already holds committed state"):
+        IncrementalCC(state_dir=sd)
+
+
 def test_winnow_stream_checkpoint_restart_end_to_end(spark, tmp_path):
     """Full restart drill through run_winnow_stream: ingest half the
     backlog with a Spark checkpoint + durable state, 'lose the
