@@ -289,6 +289,11 @@ class IncrementalDedup:
             epoch_lineage=epoch_lineage,
         )
         self.batches_seen = n + 1
+        # durable twin of the in-session consolidation cadence:
+        # rewrite the per-batch appends into one generation dir so
+        # read fan-in stays O(1) on a long-running stream (r11)
+        if self.batches_seen % _CONSOLIDATE_EVERY == 0:
+            store.compact(spark)
         self.band_state = store.read(spark, "band", self.batches_seen)
         self.set_state = store.read(spark, "sh", self.batches_seen)
         self.results = store.read(spark, "results", self.batches_seen)

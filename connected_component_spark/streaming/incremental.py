@@ -114,6 +114,15 @@ class IncrementalCC:
                 tables=("assign",) if wrote else (),
                 epoch_lineage=epoch_lineage,
             )
+            if wrote:
+                # snapshot semantics: only the latest committed
+                # assignment matters — drop superseded snapshot dirs
+                # so disk use stays O(nodes), not O(batches·nodes)
+                self._store.compact(
+                    self.assignments.sparkSession,
+                    tables=[],
+                    snapshot_tables=("assign",),
+                )
 
     def update(
         self,

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -132,6 +133,7 @@ class ParquetStateStore:
                 m.get("epoch_lineage") if epoch_id is None else epoch_lineage
             ),
             "tables": committed_tables,
+            "gens": m.get("gens", {}),
         }
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._manifest_")
         try:
@@ -181,9 +183,16 @@ class ParquetStateStore:
         filesystem probing, so the per-fold cost does not grow with
         stream age and the protocol stays object-store-friendly
         (review r11).  Manifests written before the table ledger
-        existed fall back to an exists() sweep."""
+        existed fall back to an exists() sweep.  A compacted table's
+        consolidated generation dir (pre-compaction history) is
+        included regardless of ``upto`` — callers pass the committed
+        batch count, which always covers it."""
         m = self.manifest() or {}
         committed = m.get("tables")
+        paths: list[str] = []
+        gen = (m.get("gens") or {}).get(table)
+        if gen is not None:
+            paths.append(self._gen_dir(table, gen))
         if committed is not None:
             idxs = [i for i in committed.get(table, []) if i < upto]
         else:  # pre-ledger manifest: legacy probe
@@ -192,8 +201,83 @@ class ParquetStateStore:
                 for i in range(upto)
                 if os.path.exists(self._batch_dir(table, i))
             ]
-        if not idxs:
+        paths.extend(self._batch_dir(table, i) for i in sorted(idxs))
+        if not paths:
             return None
-        return spark.read.parquet(
-            *[self._batch_dir(table, i) for i in sorted(idxs)]
-        )
+        return spark.read.parquet(*paths)
+
+    # -- compaction ---------------------------------------------------
+
+    def _gen_dir(self, table: str, gen: int) -> str:
+        return os.path.join(self.root, table, f"gen={gen:06d}")
+
+    def compact(
+        self,
+        spark: SparkSession,
+        tables: list[str] | None = None,
+        snapshot_tables: tuple[str, ...] = (),
+    ) -> None:
+        """Consolidate a long-running stream's state (r11): append
+        tables' committed per-batch dirs (plus any prior generation)
+        are rewritten into ONE ``gen=<batches>`` dir and the ledger
+        truncated, so read fan-in stays O(1) over months of ingestion
+        instead of one dir per batch; ``snapshot_tables`` (state
+        REPLACED per batch, e.g. a CC assignment) need no rewrite —
+        every dir but the latest committed one is dropped.
+
+        Crash-safe like the fold protocol: the new generation dir is
+        fully written BEFORE the single atomic manifest swap that
+        references it, and superseded dirs are removed only AFTER the
+        swap (best-effort — a crash leaves orphans readers can never
+        see, cleaned by the next compact)."""
+        m = self.manifest()
+        if m is None:
+            return
+        ledger = {k: list(v) for k, v in (m.get("tables") or {}).items()}
+        gens = dict(m.get("gens", {}))
+        superseded: list[str] = []
+        changed = False
+        for table in tables if tables is not None else list(ledger):
+            if table in snapshot_tables:
+                continue
+            idxs = ledger.get(table, [])
+            cur_gen = gens.get(table)
+            if (1 if cur_gen is not None else 0) + len(idxs) <= 1:
+                continue  # nothing to consolidate
+            df = self.read(spark, table, int(m["batches"]))
+            if df is None:
+                continue
+            new_gen = int(m["batches"])
+            if cur_gen is not None and new_gen <= cur_gen:
+                # only reachable via a crashed compact at the same
+                # batch count — keep the generation monotone
+                new_gen = cur_gen + 1
+            df.write.mode("overwrite").parquet(self._gen_dir(table, new_gen))
+            superseded.extend(self._batch_dir(table, i) for i in idxs)
+            if cur_gen is not None:
+                superseded.append(self._gen_dir(table, cur_gen))
+            gens[table] = new_gen
+            ledger[table] = []
+            changed = True
+        for table in snapshot_tables:
+            idxs = sorted(ledger.get(table, []))
+            if len(idxs) > 1:
+                superseded.extend(self._batch_dir(table, i) for i in idxs[:-1])
+                ledger[table] = [idxs[-1]]
+                changed = True
+        if not changed:
+            return
+        doc = dict(m, tables=ledger, gens=gens)
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._manifest_")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(doc, fh)
+            os.replace(tmp, self._manifest_path())
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        for p in superseded:
+            shutil.rmtree(p, ignore_errors=True)

@@ -276,6 +276,11 @@ class IncrementalWinnow:
             epoch_lineage=epoch_lineage,
         )
         self.batches_seen = n + 1
+        # durable twin of the in-session consolidation cadence:
+        # rewrite the per-batch appends into one generation dir so
+        # read fan-in stays O(1) on a long-running stream (r11)
+        if self.batches_seen % _CONSOLIDATE_EVERY == 0:
+            store.compact(spark)
         self.fp_state = store.read(spark, "fp", self.batches_seen)
         self.results = store.read(spark, "results", self.batches_seen)
 

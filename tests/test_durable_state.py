@@ -194,6 +194,67 @@ def test_durable_state_dir_guards(spark, tmp_path):
         IncrementalDedup(state_dir=sd)
 
 
+def test_durable_compaction_preserves_state_and_restart(spark, tmp_path):
+    """r11: past the consolidation cadence the per-batch appends are
+    rewritten into ONE generation dir (read fan-in stays O(1) on a
+    long-running stream) — classifications stay identical to the
+    in-session fold, restart works from the compacted layout, and the
+    superseded batch dirs are gone from disk."""
+    import connected_component_spark.streaming.winnow as sw
+
+    orig = sw._CONSOLIDATE_EVERY
+    sw._CONSOLIDATE_EVERY = 3
+    sd = str(tmp_path / "st")
+    try:
+        st = IncrementalWinnow(k=4, window=4, min_shared=1, state_dir=sd)
+        for b in _BATCHES[:3]:
+            st.update(_docs(spark, b))
+        # compacted at batch 3: one gen dir, ledger truncated
+        m = st._store.manifest()
+        assert m["gens"].get("fp") == 3
+        assert m["tables"]["fp"] == []
+        assert os.path.exists(str(tmp_path / "st" / "fp" / "gen=000003"))
+        for i in range(3):
+            assert not os.path.exists(
+                str(tmp_path / "st" / "fp" / f"batch={i:06d}")
+            )
+        # post-compaction folds append fresh batch dirs and classify
+        # against gen + appends
+        st.update(_docs(spark, _BATCHES[3]))
+        assert _rows(st) == _rows(_fold_winnow(spark, _BATCHES))
+        del st
+        # restart from the compacted layout
+        resumed = IncrementalWinnow.load(spark, sd)
+        assert resumed.batches_seen == 4
+        assert _rows(resumed) == _rows(_fold_winnow(spark, _BATCHES))
+    finally:
+        sw._CONSOLIDATE_EVERY = orig
+
+
+def test_durable_cc_snapshot_pruning(spark, tmp_path):
+    """r11: CC snapshots are REPLACED per batch — after every written
+    fold only the latest committed assign dir remains on disk (disk
+    stays O(nodes), not O(batches·nodes))."""
+    from connected_component_spark.streaming.incremental import IncrementalCC
+
+    def _edges(rows):
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    sd = str(tmp_path / "st")
+    st = IncrementalCC(state_dir=sd)
+    st.update(_edges([(1, 2)]), epoch_id=0)
+    st.update(_edges([(3, 4)]), epoch_id=1)
+    st.update(_edges([(2, 3)]), epoch_id=2)
+    assign_dirs = [
+        d
+        for d in os.listdir(str(tmp_path / "st" / "assign"))
+        if d.startswith("batch=")
+    ]
+    assert assign_dirs == ["batch=000002"]
+    comp = {r.node: r.component for r in st.assignments.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
 def test_durable_cc_crash_restart_equivalence(spark, tmp_path):
     """r11: the dedup durability contract extended to the CC stream —
     assignment snapshots are replaced per batch, load() binds to the
