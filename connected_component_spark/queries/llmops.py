@@ -2191,6 +2191,52 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 """
 
 
+_ANN_INC_BATCHES = 5
+
+
+def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-ingested IVF index (streaming/annindex.py:
+    IncrementalIVF, r11): the corpus arrives in id-range micro-batches
+    and is appended to the FIXED trained coarse cells — assigned once
+    on arrival, servable immediately, never retrained or re-assigned
+    (FAISS's add-after-train, the index-freshness path a production
+    retrieval system actually runs).  Cell membership is a pure
+    function of (vector, codebook), so the incrementally-built index
+    must serve results IDENTICAL to the batch trained-IVF query —
+    the oracle is ann_ivf_kmeans_topk's verbatim, which is the entire
+    claim.  Runs on the DURABLE path (parquet inverted lists + stored
+    vectors + codebook behind the atomic manifest); the state dir is
+    torn down after the result is materialized."""
+    import shutil
+    import tempfile
+
+    from connected_component_spark.streaming.annindex import IncrementalIVF
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = table_row_count(spark, sf_dir, "embeddings")
+    stride = n // _ANN_INC_BATCHES
+    from connected_component_spark.plans.tuning import shrunk_shuffle
+
+    state_dir = tempfile.mkdtemp(prefix="ccs_ann_inc_state_")
+    try:
+        # per-batch folds are bounded-batch jobs: right-size the
+        # exchanges to the corpus, same policy as the stream queries
+        with shrunk_shuffle(spark, n):
+            idx = IncrementalIVF(
+                _ivf_kmeans_centroids(spark, sf_dir), state_dir=state_dir
+            )
+            for i in range(_ANN_INC_BATCHES):
+                lo = i * stride
+                cond = F.col("vec_id") >= lo
+                if i < _ANN_INC_BATCHES - 1:
+                    cond = cond & (F.col("vec_id") < lo + stride)
+                idx.update(emb.where(cond), epoch_id=i)
+            out = idx.topk(emb.where(F.col("vec_id") % 50 == 0), k=5)
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # ann_pq_topk — product quantization (Jégou/Douze/Schmid, TPAMI 2011)
 # with asymmetric-distance (ADC) serving: m independent per-subspace
@@ -3624,6 +3670,7 @@ QUERIES = {
     "pipeline_token_budget_selection": pipeline_token_budget_selection,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivf_incremental_topk": ann_ivf_incremental_topk,
     "ann_ivfpq_trained_topk": ann_ivfpq_trained_topk,
     "ann_ivfpq_trained_recall": ann_ivfpq_trained_recall,
     "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
@@ -3699,6 +3746,8 @@ ORACLES = {
     "pipeline_token_budget_selection": PIPELINE_TOKEN_BUDGET_SELECTION_SQL,
     "ann_pq_topk": ANN_PQ_TOPK_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_TOPK_SQL,
+    # incremental ingestion must serve the batch index exactly — same oracle
+    "ann_ivf_incremental_topk": ANN_IVF_KMEANS_TOPK_SQL,
     "ann_ivfpq_trained_topk": ANN_IVFPQ_TRAINED_TOPK_SQL,
     "ann_ivfpq_trained_recall": ANN_IVFPQ_TRAINED_RECALL_SQL,
     "ann_ivfpq_rerank_topk": ANN_IVFPQ_RERANK_TOPK_SQL,

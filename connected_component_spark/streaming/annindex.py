@@ -1,0 +1,227 @@
+"""Continuously-ingested IVF index: ANN serving as durable state.
+
+The fourth incremental operator on the ParquetStateStore contract
+(dedup, winnow, CC — and now the ANN index): a production retrieval
+system does not rebuild its index per corpus snapshot — vectors
+ARRIVE, are assigned once to the FIXED trained coarse cells, and are
+servable immediately (FAISS's ``add`` after ``train``).  With a fixed
+codebook the cell of a vector is a pure function of the vector, so
+the incrementally-built index serves results IDENTICAL to batch
+``operators/similarity.py:ivf_topk`` over the same corpus and
+codebook — which is this operator's oracle contract, exactly the
+claim pattern of ``stream_winnow_restart``.
+
+State tables: ``cells`` (vec_id, cell — the inverted lists) and
+``vecs`` (vec_id, embedding — the stored vectors every real index
+keeps for scoring/refinement), appended per batch; the codebook
+itself rides as table ``codebook`` so :meth:`load` restores a
+servable index with no side-channel.  Scale shape: per-batch work is
+one bounded batch × broadcast-codebook assignment; serving probes
+``nprobe`` cells per query via equi-join on the cell key — the
+corpus is never re-assigned at query time (unlike the batch
+operator, which recomputes the storage assignment per call).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from connected_component_spark.functions.vectors import dot, l2_norm
+from connected_component_spark.operators.similarity import (
+    _normed,
+    ivf_cell_assignments,
+    roundd,
+)
+from connected_component_spark.streaming.store import ParquetStateStore
+
+__all__ = ["IncrementalIVF"]
+
+#: consolidation cadence shared with the other incremental operators
+_CONSOLIDATE_EVERY = 16
+
+
+class IncrementalIVF:
+    """Mutable IVF index folded over embedding micro-batches against a
+    FIXED coarse codebook (``centroids``: a (id_col, vec_col)
+    DataFrame, e.g. ``operators/clustering.py:kmeans_centroids``
+    output).  With ``state_dir`` the inverted lists, stored vectors,
+    and codebook are parquet-backed and crash-durable; resume with
+    :meth:`load`.  Batch vec_ids must be previously unseen (appends,
+    not upserts — the batch contract of the sibling operators)."""
+
+    def __init__(
+        self,
+        centroids: DataFrame | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        state_dir: str | None = None,
+    ) -> None:
+        if centroids is None and state_dir is None:
+            raise ValueError("IncrementalIVF needs centroids (or load())")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.codebook = centroids
+        self.cells: DataFrame | None = None  # (id, cell)
+        self.vecs: DataFrame | None = None  # (id, vec)
+        self.batches_seen = 0
+        self._mem_last_epoch: int | None = None
+        self._mem_lineage: str | None = None
+        self._store: ParquetStateStore | None = None
+        if state_dir is not None:
+            store = ParquetStateStore(state_dir)
+            if store.manifest() is not None:
+                raise ValueError(
+                    f"{state_dir} already holds committed state — resume "
+                    "it with IncrementalIVF.load(spark, state_dir)"
+                )
+            self._store = store
+
+    def _params(self) -> dict:
+        return {"id_col": self.id_col, "vec_col": self.vec_col}
+
+    @classmethod
+    def load(cls, spark: SparkSession, state_dir: str) -> IncrementalIVF:
+        """Resume a durable index: codebook, inverted lists, and
+        stored vectors bind to the committed parquet — servable
+        immediately, no retraining or reassignment."""
+        store = ParquetStateStore(state_dir)
+        m = store.manifest()
+        if m is None:
+            raise ValueError(f"no committed state manifest under {state_dir}")
+        p = m["params"]
+        codebook = store.read(spark, "codebook", m["batches"])
+        if codebook is None:
+            raise ValueError(f"no committed codebook under {state_dir}")
+        self = cls(
+            centroids=codebook, id_col=p["id_col"], vec_col=p["vec_col"]
+        )
+        self._store = store
+        self.batches_seen = m["batches"]
+        self.cells = store.read(spark, "cells", self.batches_seen)
+        self.vecs = store.read(spark, "vecs", self.batches_seen)
+        return self
+
+    def update(
+        self,
+        batch_vecs: DataFrame,
+        epoch_id: int | None = None,
+        epoch_lineage: str | None = None,
+    ) -> None:
+        """Assign one batch of (id, vector) rows to the fixed cells
+        and append them to the index.  Replay guard: the shared
+        lineage-scoped epoch high-water mark."""
+        if self._store is not None:
+            if self._store.should_skip_epoch(epoch_id, epoch_lineage):
+                return
+        else:
+            if (
+                epoch_id is not None
+                and self._mem_last_epoch is not None
+                and self._mem_lineage == epoch_lineage
+                and epoch_id <= self._mem_last_epoch
+            ):
+                return
+            if epoch_id is not None:
+                self._mem_last_epoch = epoch_id
+                self._mem_lineage = epoch_lineage
+        batch = batch_vecs.select(self.id_col, self.vec_col)
+        assigned = ivf_cell_assignments(
+            batch, self.codebook, self.id_col, self.vec_col, 1
+        ).select(self.id_col, "cell")
+        n = self.batches_seen
+        if self._store is not None:
+            spark = batch_vecs.sparkSession
+            tables = ["cells", "vecs"]
+            if n == 0:
+                # the codebook is part of the index — a load() must
+                # restore a servable state with no side-channel
+                self._store.write("codebook", 0, self.codebook)
+                tables.append("codebook")
+            self._store.write("cells", n, assigned)
+            self._store.write("vecs", n, batch)
+            self._store.commit(
+                n,
+                self._params(),
+                epoch_id,
+                tables=tuple(tables),
+                epoch_lineage=epoch_lineage,
+            )
+            self.batches_seen = n + 1
+            if self.batches_seen % _CONSOLIDATE_EVERY == 0:
+                self._store.compact(spark)
+            self.cells = self._store.read(spark, "cells", self.batches_seen)
+            self.vecs = self._store.read(spark, "vecs", self.batches_seen)
+            if n == 0:
+                self.codebook = self._store.read(spark, "codebook", 1)
+            return
+        assigned = assigned.localCheckpoint(eager=True)
+        batch = batch.localCheckpoint(eager=True)
+        self.cells = (
+            assigned if self.cells is None else self.cells.unionByName(assigned)
+        )
+        self.vecs = batch if self.vecs is None else self.vecs.unionByName(batch)
+        self.batches_seen = n + 1
+        if self.batches_seen % _CONSOLIDATE_EVERY == 0:
+            self.cells = self.cells.localCheckpoint(eager=True)
+            self.vecs = self.vecs.localCheckpoint(eager=True)
+
+    def topk(
+        self, queries: DataFrame, k: int = 5, nprobe: int = 1
+    ) -> DataFrame:
+        """(query_id, neighbor_id, cos, rank): probe each query's
+        ``nprobe`` nearest cells and rank the STORED candidates by
+        exact rounded cosine — output contract identical to
+        ``ivf_topk`` (rounding before ranking, neighbor-id tie-break,
+        self-matches excluded), so the incremental index must serve
+        the batch operator's exact results over the same corpus and
+        codebook."""
+        if self.cells is None:
+            raise ValueError("empty index: no batch has been folded")
+        probe = ivf_cell_assignments(
+            queries, self.codebook, self.id_col, self.vec_col, max(1, nprobe)
+        )
+        q = _normed(queries, self.id_col, self.vec_col).select(
+            F.col(self.id_col).alias("query_id"),
+            F.col(self.vec_col).alias("qv"),
+            l2_norm(F.col(self.vec_col)).alias("qn"),
+        ).join(
+            probe.select(F.col(self.id_col).alias("query_id"), "cell"),
+            "query_id",
+        )
+        cand = _normed(self.vecs, self.id_col, self.vec_col).select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("cv"),
+            l2_norm(F.col(self.vec_col)).alias("cn"),
+        ).join(
+            self.cells.select(
+                F.col(self.id_col).alias("neighbor_id"), "cell"
+            ),
+            "neighbor_id",
+        )
+        scored = (
+            q.join(cand, "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                roundd(
+                    dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")),
+                    6,
+                ).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cos",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )

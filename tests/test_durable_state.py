@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from connected_component_spark.streaming.dedup import IncrementalDedup
 from connected_component_spark.streaming.winnow import IncrementalWinnow
@@ -301,6 +302,72 @@ def test_durable_cc_crash_restart_equivalence(spark, tmp_path):
     assert got == want
     with pytest.raises(ValueError, match="already holds committed state"):
         IncrementalCC(state_dir=sd)
+
+
+def test_incremental_ivf_equals_batch_and_restarts(spark, tmp_path, sf_dir):
+    """r11: the continuously-ingested IVF index — vectors appended in
+    id-range batches against a FIXED codebook — must serve results
+    IDENTICAL to batch ivf_topk over the same corpus and codebook
+    (cell membership is a pure function of the vector), both before
+    and after a crash-restart via load(); replayed epochs are no-ops."""
+    from connected_component_spark.operators.clustering import kmeans_centroids
+    from connected_component_spark.operators.similarity import ivf_topk
+    from connected_component_spark.sources.tables import load_table
+    from connected_component_spark.streaming.annindex import IncrementalIVF
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(
+        emb,
+        k=16,
+        iterations=1,
+        seeds=emb.where(F.col("vec_id") % 25 == 0),
+        normalize=True,
+    )
+    codebook = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where(F.col("vec_id") % 50 == 7)
+    want = sorted(
+        map(tuple, ivf_topk(q, emb, k=5, centroids=codebook, nprobe=2).collect())
+    )
+
+    sd = str(tmp_path / "ivf")
+    idx = IncrementalIVF(codebook, state_dir=sd)
+    n = emb.count()
+    stride = n // 4
+    for i in range(4):
+        lo = i * stride
+        cond = F.col("vec_id") >= lo
+        if i < 3:
+            cond = cond & (F.col("vec_id") < lo + stride)
+        if i == 2:
+            break  # "crash" before batches 2-3
+        idx.update(emb.where(cond), epoch_id=i)
+    del idx
+
+    resumed = IncrementalIVF.load(spark, sd)
+    assert resumed.batches_seen == 2
+    for i in range(2, 4):
+        lo = i * stride
+        cond = F.col("vec_id") >= lo
+        if i < 3:
+            cond = cond & (F.col("vec_id") < lo + stride)
+        resumed.update(emb.where(cond), epoch_id=i)
+    # replayed epoch: no-op (index size unchanged)
+    size = resumed.vecs.count()
+    resumed.update(emb.limit(3), epoch_id=3)
+    assert resumed.vecs.count() == size == n
+
+    got = sorted(map(tuple, resumed.topk(q, k=5, nprobe=2).collect()))
+    assert got == want
+    # guards
+    with pytest.raises(ValueError, match="already holds committed state"):
+        IncrementalIVF(codebook, state_dir=sd)
+    with pytest.raises(ValueError, match="centroids"):
+        IncrementalIVF()
+    with pytest.raises(ValueError, match="empty index"):
+        IncrementalIVF(codebook).topk(q)
 
 
 def test_winnow_stream_checkpoint_restart_end_to_end(spark, tmp_path):
