@@ -62,6 +62,7 @@ class IncrementalIVF:
         self.id_col = id_col
         self.vec_col = vec_col
         self.codebook = centroids
+        self._dim: int | None = None
         self.cells: DataFrame | None = None  # (id, cell)
         self.vecs: DataFrame | None = None  # (id, vec)
         self.batches_seen = 0
@@ -79,6 +80,16 @@ class IncrementalIVF:
 
     def _params(self) -> dict:
         return {"id_col": self.id_col, "vec_col": self.vec_col}
+
+    def _codebook_dim(self) -> int:
+        """Codebook vector width, resolved once (one bounded row from
+        the codebook-sized table)."""
+        if self._dim is None:
+            row = self.codebook.select(
+                F.size(F.col(self.vec_col)).alias("d")
+            ).first()
+            self._dim = int(row["d"])
+        return self._dim
 
     @classmethod
     def load(cls, spark: SparkSession, state_dir: str) -> IncrementalIVF:
@@ -126,6 +137,26 @@ class IncrementalIVF:
                 self._mem_last_epoch = epoch_id
                 self._mem_lineage = epoch_lineage
         batch = batch_vecs.select(self.id_col, self.vec_col)
+        # in-plan width guard (the r10 PQ guard-symmetry lesson): an
+        # off-width vector would zip_with a PREFIX of the centroid and
+        # silently land in a garbage cell — raise instead, as a filter
+        # Catalyst cannot prune
+        dim = self._codebook_dim()
+        batch = batch.where(
+            F.when(
+                F.size(F.col(self.vec_col)) != F.lit(dim),
+                F.raise_error(
+                    F.concat(
+                        F.lit("IncrementalIVF: vector length "),
+                        F.size(F.col(self.vec_col)).cast("string"),
+                        F.lit(
+                            f" != codebook dim {dim} — the batch does not"
+                            " match the index's vector space"
+                        ),
+                    )
+                ),
+            ).otherwise(F.lit(True))
+        )
         assigned = ivf_cell_assignments(
             batch, self.codebook, self.id_col, self.vec_col, 1
         ).select(self.id_col, "cell")

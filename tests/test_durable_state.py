@@ -368,6 +368,33 @@ def test_incremental_ivf_equals_batch_and_restarts(spark, tmp_path, sf_dir):
         IncrementalIVF()
     with pytest.raises(ValueError, match="empty index"):
         IncrementalIVF(codebook).topk(q)
+    # in-plan width guard (guard-symmetry, r10 lesson): an off-width
+    # vector must raise, never land in a garbage cell via a silent
+    # prefix dot product
+    bad = spark.createDataFrame(
+        [(999999, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    fresh = IncrementalIVF(codebook)
+    with pytest.raises(Exception, match="codebook dim"):
+        fresh.update(bad)
+
+
+def test_in_session_dedup_replay_is_skipped(spark):
+    """review r11 symmetry: IncrementalDedup's in-memory epoch mark
+    (the winnow twin is covered above) — a same-object foreachBatch
+    retry must not double-fold."""
+    st = IncrementalDedup(threshold=0.4)
+    st.update(_docs(spark, _BATCHES[0]), epoch_id=0, epoch_lineage="ck")
+    st.update(_docs(spark, _BATCHES[1]), epoch_id=1, epoch_lineage="ck")
+    before = _rows(st)
+    st.update(
+        _docs(spark, [(99, _BASE + " replay")]), epoch_id=1, epoch_lineage="ck"
+    )
+    assert st.batches_seen == 2 and _rows(st) == before
+    # fresh lineage: same epoch number is a REAL batch
+    st.update(_docs(spark, _BATCHES[2]), epoch_id=0, epoch_lineage="ck2")
+    assert st.batches_seen == 3
+    assert _rows(st) == _rows(_fold_dedup(spark, _BATCHES[:3]))
 
 
 def test_winnow_stream_checkpoint_restart_end_to_end(spark, tmp_path):
