@@ -33,12 +33,16 @@ from connected_component_spark.operators.similarity import (
     ivf_cell_assignments,
     roundd,
 )
-from connected_component_spark.streaming.store import ParquetStateStore
+from connected_component_spark.streaming.store import (
+    CONSOLIDATE_EVERY,
+    MemEpochGuard,
+    ParquetStateStore,
+)
 
 __all__ = ["IncrementalIVF"]
 
-#: consolidation cadence shared with the other incremental operators
-_CONSOLIDATE_EVERY = 16
+#: patchable module alias of the shared cadence (store.py)
+_CONSOLIDATE_EVERY = CONSOLIDATE_EVERY
 
 
 class IncrementalIVF:
@@ -57,8 +61,14 @@ class IncrementalIVF:
         vec_col: str = "embedding",
         state_dir: str | None = None,
     ) -> None:
-        if centroids is None and state_dir is None:
-            raise ValueError("IncrementalIVF needs centroids (or load())")
+        if centroids is None:
+            # resume is only ever via load(), which constructs with the
+            # stored codebook - a fresh state_dir cannot stand in for
+            # centroids (review r11)
+            raise ValueError(
+                "IncrementalIVF needs centroids (resume an existing "
+                "state dir with IncrementalIVF.load(spark, state_dir))"
+            )
         self.id_col = id_col
         self.vec_col = vec_col
         self.codebook = centroids
@@ -66,8 +76,7 @@ class IncrementalIVF:
         self.cells: DataFrame | None = None  # (id, cell)
         self.vecs: DataFrame | None = None  # (id, vec)
         self.batches_seen = 0
-        self._mem_last_epoch: int | None = None
-        self._mem_lineage: str | None = None
+        self._mem_guard = MemEpochGuard()
         self._store: ParquetStateStore | None = None
         if state_dir is not None:
             store = ParquetStateStore(state_dir)
@@ -125,17 +134,8 @@ class IncrementalIVF:
         if self._store is not None:
             if self._store.should_skip_epoch(epoch_id, epoch_lineage):
                 return
-        else:
-            if (
-                epoch_id is not None
-                and self._mem_last_epoch is not None
-                and self._mem_lineage == epoch_lineage
-                and epoch_id <= self._mem_last_epoch
-            ):
-                return
-            if epoch_id is not None:
-                self._mem_last_epoch = epoch_id
-                self._mem_lineage = epoch_lineage
+        elif self._mem_guard.should_skip(epoch_id, epoch_lineage):
+            return
         batch = batch_vecs.select(self.id_col, self.vec_col)
         # in-plan width guard (the r10 PQ guard-symmetry lesson): an
         # off-width vector would zip_with a PREFIX of the centroid and
@@ -196,6 +196,10 @@ class IncrementalIVF:
         if self.batches_seen % _CONSOLIDATE_EVERY == 0:
             self.cells = self.cells.localCheckpoint(eager=True)
             self.vecs = self.vecs.localCheckpoint(eager=True)
+        # mark ONLY after the fold's actions succeeded - marking first
+        # would classify a failed fold's retry (incl. one stopped by
+        # the width guard) as a replay (review r11)
+        self._mem_guard.mark(epoch_id, epoch_lineage)
 
     def topk(
         self, queries: DataFrame, k: int = 5, nprobe: int = 1

@@ -37,16 +37,18 @@ from connected_component_spark.operators.dedup import (
     minhash_signatures,
     word_shingles,
 )
-from connected_component_spark.streaming.store import ParquetStateStore
+from connected_component_spark.streaming.store import (
+    CONSOLIDATE_EVERY,
+    MemEpochGuard,
+    ParquetStateStore,
+)
 
 __all__ = ["IncrementalDedup", "run_doc_stream"]
 
-#: consolidate the per-batch union trees into one materialized leaf
-#: every this-many batches (keeps plan-analysis cost flat on a
-#: long-running stream; between consolidations unions stay free).
-#: The durable path doesn't need it — committed state is one
-#: multi-path parquet scan at constant plan depth.
-_CONSOLIDATE_EVERY = 16
+#: patchable module alias of the shared cadence (store.py): collapse
+#: the in-session union trees / compact the durable appends every
+#: this-many batches
+_CONSOLIDATE_EVERY = CONSOLIDATE_EVERY
 
 
 class IncrementalDedup:
@@ -82,8 +84,7 @@ class IncrementalDedup:
         self.batches_seen = 0
         # in-session replay guard (same contract as the durable
         # manifest's last_epoch/epoch_lineage, held in memory)
-        self._mem_last_epoch: int | None = None
-        self._mem_lineage: str | None = None
+        self._mem_guard = MemEpochGuard()
         self._store: ParquetStateStore | None = None
         if state_dir is not None:
             store = ParquetStateStore(state_dir)
@@ -174,16 +175,8 @@ class IncrementalDedup:
         if self._store is not None:
             self._update_durable(batch_docs, epoch_id, epoch_lineage)
             return
-        if (
-            epoch_id is not None
-            and self._mem_last_epoch is not None
-            and self._mem_lineage == epoch_lineage
-            and epoch_id <= self._mem_last_epoch
-        ):
+        if self._mem_guard.should_skip(epoch_id, epoch_lineage):
             return  # same-session replay of a folded epoch
-        if epoch_id is not None:
-            self._mem_last_epoch = epoch_id
-            self._mem_lineage = epoch_lineage
         sigs = minhash_signatures(
             batch_docs, self.num_hashes, self.shingle_k
         )
@@ -238,6 +231,9 @@ class IncrementalDedup:
             self.set_state = self.set_state.localCheckpoint(eager=True)
             if self.results is not None:
                 self.results = self.results.localCheckpoint(eager=True)
+        # mark ONLY after the fold's actions succeeded - marking first
+        # would classify a failed fold's retry as a replay (review r11)
+        self._mem_guard.mark(epoch_id, epoch_lineage)
 
     def _update_durable(
         self,

@@ -34,7 +34,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from connected_component_spark.graph.cc import connected_components
-from connected_component_spark.streaming.store import ParquetStateStore
+from connected_component_spark.streaming.store import (
+    MemEpochGuard,
+    ParquetStateStore,
+)
 
 __all__ = ["IncrementalCC", "run_edge_stream"]
 
@@ -57,8 +60,7 @@ class IncrementalCC:
         self.cc_runs = 0
         # in-session replay guard (the durable manifest's
         # last_epoch/epoch_lineage contract, held in memory)
-        self._mem_last_epoch: int | None = None
-        self._mem_lineage: str | None = None
+        self._mem_guard = MemEpochGuard()
         self._store: ParquetStateStore | None = None
         if state_dir is not None:
             store = ParquetStateStore(state_dir)
@@ -107,22 +109,18 @@ class IncrementalCC:
 
     def _commit(self, batch_idx: int, epoch_id, epoch_lineage, wrote: bool):
         if self._store is not None:
+            # snapshot semantics ride IN the commit (review r11 - no
+            # second manifest write per fold): the ledger keeps only
+            # this batch's assign dir and superseded snapshots are
+            # dropped after the swap, so disk stays O(nodes)
             self._store.commit(
                 batch_idx,
                 self._params(),
                 epoch_id,
                 tables=("assign",) if wrote else (),
                 epoch_lineage=epoch_lineage,
+                snapshot_tables=("assign",),
             )
-            if wrote:
-                # snapshot semantics: only the latest committed
-                # assignment matters — drop superseded snapshot dirs
-                # so disk use stays O(nodes), not O(batches·nodes)
-                self._store.compact(
-                    self.assignments.sparkSession,
-                    tables=[],
-                    snapshot_tables=("assign",),
-                )
 
     def update(
         self,
@@ -152,17 +150,8 @@ class IncrementalCC:
         if self._store is not None:
             if self._store.should_skip_epoch(epoch_id, epoch_lineage):
                 return self.assignments
-        else:
-            if (
-                epoch_id is not None
-                and self._mem_last_epoch is not None
-                and self._mem_lineage == epoch_lineage
-                and epoch_id <= self._mem_last_epoch
-            ):
-                return self.assignments
-            if epoch_id is not None:
-                self._mem_last_epoch = epoch_id
-                self._mem_lineage = epoch_lineage
+        elif self._mem_guard.should_skip(epoch_id, epoch_lineage):
+            return self.assignments
         n = self.batches_seen
         if self.assignments is None:
             merged = edge_batch
@@ -216,6 +205,10 @@ class IncrementalCC:
                     wrote = True
                 self._commit(n, epoch_id, epoch_lineage, wrote)
                 self.batches_seen = n + 1
+                # mark ONLY after the fold succeeded - marking first
+                # would classify a failed fold's retry as a replay
+                # (review r11); the durable path's mark is the commit
+                self._mem_guard.mark(epoch_id, epoch_lineage)
                 return self.assignments
             prior = self.assignments.select(
                 F.col("node").alias("src"), F.col("component").alias("dst")
@@ -226,6 +219,7 @@ class IncrementalCC:
         self.assignments = self._persist(result.assignments, n)
         self._commit(n, epoch_id, epoch_lineage, wrote=True)
         self.batches_seen = n + 1
+        self._mem_guard.mark(epoch_id, epoch_lineage)
         return self.assignments
 
 

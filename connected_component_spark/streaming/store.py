@@ -41,9 +41,44 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["ParquetStateStore"]
+__all__ = ["ParquetStateStore", "MemEpochGuard", "CONSOLIDATE_EVERY"]
 
 _MANIFEST = "_manifest.json"
+
+#: consolidation cadence shared by every incremental operator (the
+#: in-session localCheckpoint collapse and the durable compact both
+#: key off it); operator modules alias it as a patchable module
+#: global for tests
+CONSOLIDATE_EVERY = 16
+
+
+class MemEpochGuard:
+    """The in-memory twin of the manifest's lineage-scoped epoch
+    high-water mark, single-sourced for every in-session operator
+    (review r11 — previously three hand-rolled copies).  Usage
+    contract: ``should_skip`` at fold entry, ``mark`` ONLY AFTER the
+    fold's actions succeed — marking first would classify a failed
+    fold's retry as a replay and silently drop the batch (review
+    r11)."""
+
+    def __init__(self) -> None:
+        self._last: int | None = None
+        self._lineage: str | None = None
+
+    def should_skip(
+        self, epoch_id: int | None, epoch_lineage: str | None
+    ) -> bool:
+        return (
+            epoch_id is not None
+            and self._last is not None
+            and self._lineage == epoch_lineage
+            and epoch_id <= self._last
+        )
+
+    def mark(self, epoch_id: int | None, epoch_lineage: str | None) -> None:
+        if epoch_id is not None:
+            self._last = epoch_id
+            self._lineage = epoch_lineage
 
 
 class ParquetStateStore:
@@ -107,6 +142,7 @@ class ParquetStateStore:
         epoch_id: int | None,
         tables: tuple[str, ...] = (),
         epoch_lineage: str | None = None,
+        snapshot_tables: tuple[str, ...] = (),
     ) -> None:
         """Advance the committed-batch count to ``batch_idx + 1``.
         Atomic (temp file + ``os.replace``): every reader sees either
@@ -114,13 +150,24 @@ class ParquetStateStore:
         ``tables`` names the tables this batch wrote a dir for — the
         manifest carries the committed dir list per table so readers
         never re-stat the filesystem (O(1) listing per fold instead of
-        O(batches) exists() calls, review r11)."""
+        O(batches) exists() calls, review r11).  Tables also listed in
+        ``snapshot_tables`` are REPLACED rather than appended (state
+        snapshots, e.g. a CC assignment): the ledger keeps only this
+        batch's dir and the superseded dirs are removed after the
+        swap — no second manifest write on the per-batch hot path
+        (review r11)."""
         m = self.manifest() or {}
         prev = m.get("last_epoch")
         committed_tables = dict(m.get("tables", {}))
+        superseded: list[str] = []
         for t in tables:
             lst = list(committed_tables.get(t, []))
-            if batch_idx not in lst:
+            if t in snapshot_tables:
+                superseded.extend(
+                    self._batch_dir(t, i) for i in lst if i != batch_idx
+                )
+                lst = [batch_idx]
+            elif batch_idx not in lst:
                 lst.append(batch_idx)
             committed_tables[t] = lst
         doc = {
@@ -146,6 +193,8 @@ class ParquetStateStore:
             except OSError:
                 pass
             raise
+        for p in superseded:
+            shutil.rmtree(p, ignore_errors=True)
 
     # -- table I/O ---------------------------------------------------
 
@@ -227,15 +276,19 @@ class ParquetStateStore:
 
         Crash-safe like the fold protocol: the new generation dir is
         fully written BEFORE the single atomic manifest swap that
-        references it, and superseded dirs are removed only AFTER the
-        swap (best-effort — a crash leaves orphans readers can never
-        see, cleaned by the next compact)."""
+        references it, and cleanup runs only AFTER the swap.  Cleanup
+        is a full ORPHAN SWEEP, not a diff against the old manifest
+        (review r11): every dir under a managed table that the NEW
+        manifest does not reference is deleted — so residue from any
+        earlier crash (a compact that died between its swap and its
+        rmtree loop, a generation written but never referenced, an
+        uncommitted snapshot) is reclaimed here instead of
+        accumulating forever."""
         m = self.manifest()
         if m is None:
             return
         ledger = {k: list(v) for k, v in (m.get("tables") or {}).items()}
         gens = dict(m.get("gens", {}))
-        superseded: list[str] = []
         changed = False
         for table in tables if tables is not None else list(ledger):
             if table in snapshot_tables:
@@ -253,31 +306,60 @@ class ParquetStateStore:
                 # batch count — keep the generation monotone
                 new_gen = cur_gen + 1
             df.write.mode("overwrite").parquet(self._gen_dir(table, new_gen))
-            superseded.extend(self._batch_dir(table, i) for i in idxs)
-            if cur_gen is not None:
-                superseded.append(self._gen_dir(table, cur_gen))
             gens[table] = new_gen
             ledger[table] = []
             changed = True
         for table in snapshot_tables:
             idxs = sorted(ledger.get(table, []))
             if len(idxs) > 1:
-                superseded.extend(self._batch_dir(table, i) for i in idxs[:-1])
                 ledger[table] = [idxs[-1]]
                 changed = True
-        if not changed:
-            return
-        doc = dict(m, tables=ledger, gens=gens)
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._manifest_")
-        try:
-            with os.fdopen(fd, "w") as fh:
-                json.dump(doc, fh)
-            os.replace(tmp, self._manifest_path())
-        except BaseException:
+        if changed:
+            doc = dict(m, tables=ledger, gens=gens)
+            fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._manifest_")
             try:
-                os.unlink(tmp)
+                with os.fdopen(fd, "w") as fh:
+                    json.dump(doc, fh)
+                os.replace(tmp, self._manifest_path())
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
+        self._sweep_orphans()
+
+    def _sweep_orphans(self) -> None:
+        """Delete every dir under a manifest-managed table that the
+        CURRENT manifest does not reference.  Readers only ever follow
+        the manifest, so anything unreferenced is invisible residue
+        (a crashed compact's half-written generation, a generation
+        superseded by a later swap, a snapshot replaced by commit, an
+        uncommitted batch whose fold never retried).  Runs only from
+        :meth:`compact`, which operators call synchronously AFTER
+        committing their own batch — never concurrent with an
+        in-flight uncommitted write (the single-threaded operator
+        contract)."""
+        m = self.manifest()
+        if m is None:
+            return
+        ledger = m.get("tables") or {}
+        gens = m.get("gens") or {}
+        for table in set(ledger) | set(gens):
+            tdir = os.path.join(self.root, table)
+            keep = {
+                os.path.basename(self._batch_dir(table, i))
+                for i in ledger.get(table, [])
+            }
+            if gens.get(table) is not None:
+                keep.add(os.path.basename(self._gen_dir(table, gens[table])))
+            try:
+                names = os.listdir(tdir)
             except OSError:
-                pass
-            raise
-        for p in superseded:
-            shutil.rmtree(p, ignore_errors=True)
+                continue
+            for name in names:
+                if name in keep or not (
+                    name.startswith("batch=") or name.startswith("gen=")
+                ):
+                    continue
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)

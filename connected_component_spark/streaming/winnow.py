@@ -49,15 +49,18 @@ from connected_component_spark.operators.dedup import (
     classify_batch_matches,
     winnow_fingerprints,
 )
-from connected_component_spark.streaming.store import ParquetStateStore
+from connected_component_spark.streaming.store import (
+    CONSOLIDATE_EVERY,
+    MemEpochGuard,
+    ParquetStateStore,
+)
 
 __all__ = ["IncrementalWinnow", "run_winnow_stream"]
 
-#: consolidate the per-batch union trees into one materialized leaf
-#: every this-many batches (same plan-analysis-cost bound as
-#: streaming/dedup.py; the durable path doesn't need it — committed
-#: state is one multi-path parquet scan at constant plan depth)
-_CONSOLIDATE_EVERY = 16
+#: patchable module alias of the shared cadence (store.py): collapse
+#: the in-session union trees / compact the durable appends every
+#: this-many batches
+_CONSOLIDATE_EVERY = CONSOLIDATE_EVERY
 
 
 class IncrementalWinnow:
@@ -99,8 +102,7 @@ class IncrementalWinnow:
         self.batches_seen = 0
         # in-session replay guard (same contract as the durable
         # manifest's last_epoch/epoch_lineage, held in memory)
-        self._mem_last_epoch: int | None = None
-        self._mem_lineage: str | None = None
+        self._mem_guard = MemEpochGuard()
         self._store: ParquetStateStore | None = None
         if state_dir is not None:
             store = ParquetStateStore(state_dir)
@@ -198,16 +200,8 @@ class IncrementalWinnow:
         if self._store is not None:
             self._update_durable(batch_docs, epoch_id, epoch_lineage)
             return
-        if (
-            epoch_id is not None
-            and self._mem_last_epoch is not None
-            and self._mem_lineage == epoch_lineage
-            and epoch_id <= self._mem_last_epoch
-        ):
+        if self._mem_guard.should_skip(epoch_id, epoch_lineage):
             return  # same-session replay of a folded epoch
-        if epoch_id is not None:
-            self._mem_last_epoch = epoch_id
-            self._mem_lineage = epoch_lineage
         fp_b = winnow_fingerprints(
             batch_docs, k=self.k, window=self.window
         ).localCheckpoint(eager=True)
@@ -237,6 +231,9 @@ class IncrementalWinnow:
             self.fp_state = self.fp_state.localCheckpoint(eager=True)
             if self.results is not None:
                 self.results = self.results.localCheckpoint(eager=True)
+        # mark ONLY after the fold's actions succeeded — marking first
+        # would classify a failed fold's retry as a replay (review r11)
+        self._mem_guard.mark(epoch_id, epoch_lineage)
 
     def _update_durable(
         self,

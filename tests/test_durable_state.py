@@ -379,6 +379,26 @@ def test_incremental_ivf_equals_batch_and_restarts(spark, tmp_path, sf_dir):
         fresh.update(bad)
 
 
+def test_failed_fold_retry_is_not_skipped(spark):
+    """review r11 (mark-after-fold): the in-memory epoch mark advances
+    only when a fold's actions SUCCEED — a batch whose evaluation
+    raises must leave its epoch unmarked so the retry folds instead of
+    being discarded as a replay (which would silently lose the batch
+    forever)."""
+    st = IncrementalWinnow(k=4, window=4, min_shared=1)
+    st.update(_docs(spark, _BATCHES[0]), epoch_id=0, epoch_lineage="ck")
+    bad = _docs(spark, [(10, "x")]).select(
+        "doc_id", F.raise_error(F.lit("boom")).alias("text")
+    )
+    with pytest.raises(Exception):
+        st.update(bad, epoch_id=1, epoch_lineage="ck")
+    assert st.batches_seen == 1
+    # the retry of the SAME epoch must fold
+    st.update(_docs(spark, _BATCHES[1]), epoch_id=1, epoch_lineage="ck")
+    assert st.batches_seen == 2
+    assert _rows(st) == _rows(_fold_winnow(spark, _BATCHES[:2]))
+
+
 def test_in_session_dedup_replay_is_skipped(spark):
     """review r11 symmetry: IncrementalDedup's in-memory epoch mark
     (the winnow twin is covered above) — a same-object foreachBatch
