@@ -164,13 +164,17 @@ class IncrementalIVF:
         if self._store is not None:
             spark = batch_vecs.sparkSession
             tables = ["cells", "vecs"]
+            # cell assignments, stored vectors (and, on batch 0, the
+            # codebook) are independent tables — land them concurrently
+            # (store.write_many): the fold pays max instead of sum of
+            # the per-write job overhead
+            writes = [("cells", n, assigned), ("vecs", n, batch)]
             if n == 0:
                 # the codebook is part of the index — a load() must
                 # restore a servable state with no side-channel
-                self._store.write("codebook", 0, self.codebook)
+                writes.append(("codebook", 0, self.codebook))
                 tables.append("codebook")
-            self._store.write("cells", n, assigned)
-            self._store.write("vecs", n, batch)
+            self._store.write_many(writes)
             self._store.commit(
                 n,
                 self._params(),

@@ -253,14 +253,28 @@ class IncrementalDedup:
         spark = batch_docs.sparkSession
         n = self.batches_seen
         sigs = minhash_signatures(batch_docs, self.num_hashes, self.shingle_k)
-        store.write("band", n, banded_buckets(sigs, self.bands, self.rows_per_band))
-        store.write(
-            "sh",
-            n,
-            batch_docs.select(
-                "doc_id",
-                word_shingles(F.col("text"), self.shingle_k).alias("sh"),
-            ),
+        # the band and shingle tables are independent projections of
+        # the batch — land them concurrently (store.write_many): at
+        # micro-batch sizes each write is fixed job overhead, so the
+        # fold pays max instead of sum
+        store.write_many(
+            [
+                (
+                    "band",
+                    n,
+                    banded_buckets(sigs, self.bands, self.rows_per_band),
+                ),
+                (
+                    "sh",
+                    n,
+                    batch_docs.select(
+                        "doc_id",
+                        word_shingles(F.col("text"), self.shingle_k).alias(
+                            "sh"
+                        ),
+                    ),
+                ),
+            ]
         )
         banded_b = store.read_batch(spark, "band", n)
         sh_b = store.read_batch(spark, "sh", n)
