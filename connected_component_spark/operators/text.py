@@ -29,6 +29,7 @@ __all__ = [
     "boilerplate_ngrams",
     "source_divergence",
     "lm_score",
+    "bm25_topk",
     "chunk_documents",
     "redact_pii",
     "STOPWORDS",
@@ -596,6 +597,104 @@ def lm_score(docs: DataFrame) -> DataFrame:
             .alias("nll"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Okapi-BM25 ranked retrieval: for each query in ``queries``
+    (query_id, query_text), the ``k`` highest-scoring documents —
+    (query_id, doc_id, score, rank).  The classic lexical-retrieval
+    scorer (Robertson & Zaragoza 2009), the standard first-stage
+    ranker in retrieval/decontamination pipelines.
+
+    Query terms are deduplicated (qtf = 1 contract); a query term
+    absent from the corpus contributes nothing.  Documents with no
+    tokens never enter the corpus statistics, matching lm_score.
+
+    Scale shape — an inverted-index probe, never a corpus scan per
+    query: term frequencies are one word-count aggregate; the tiny
+    query-term table is BROADCAST into it, so only the query terms'
+    posting lists survive to the scoring joins (df table and corpus
+    stats are single-row-or-term-count broadcasts; the dl join-back
+    carries candidate rows only).  ``max_df`` is the posting-list
+    valve: a query term matching more than that many documents
+    (stopword-grade) is dropped from scoring, bounding per-term
+    fan-out the way winnow_pairs' df-cap does — a production ranker
+    would add impact-ordered pruning (WAND) on top, which changes
+    nothing about this plan's joins.  The final top-k window
+    partitions by query_id (#queries partitions over candidate
+    rows only).
+
+    Cross-engine determinism (the lm_score recipe): idf and the tf
+    normalization are integer-ratio double arithmetic plus one libm
+    ``ln`` whose ≤1-ulp divergence is absorbed by snap-rounding each
+    term's contribution at 9 decimals; contributions sum as exact
+    DECIMAL so partial-aggregation order cannot move the total, and
+    the final score is rounded at 6.  Ranking orders by the ROUNDED
+    score with doc_id as the deterministic tie-break.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_corpus"),
+    )
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens("query_text"))).alias("token"),
+    )
+    qtok = qterms.select("token").distinct()
+    ptf = tf.join(F.broadcast(qtok), "token")
+    dft = ptf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dft = dft.where(F.col("df") <= F.lit(max_df))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    # dl * n_docs stays exact in int64 (doc length × doc count); the
+    # single double division keeps the expression tree identical to
+    # the SQL oracle's
+    norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b)
+            * (F.col("dl") * F.col("n_docs"))
+            / F.col("n_corpus").cast("double")
+        )
+    )
+    contrib = (
+        ptf.join(F.broadcast(dft), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "token")
+        .select(
+            "query_id",
+            "doc_id",
+            roundd(idf * norm, 9).cast("decimal(12,9)").alias("c"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        roundd(F.sum("c").cast("double"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return scores.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= F.lit(k))
 
 
 def chunk_documents(

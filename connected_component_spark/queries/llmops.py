@@ -2993,6 +2993,100 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+#: BM25 query batch: common terms, a rare discriminative term (dup),
+#: a term absent from the corpus (zzz — contributes nothing), and a
+#: stopword-grade pair.  Terms chosen from the fixture vocabulary.
+_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "hash join"),
+    (2, "dup filter"),
+    (3, "slow scan zzz"),
+    (4, "vector stream window"),
+    (5, "the a"),
+)
+_BM25_TOPK = 10
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi-BM25 ranked retrieval (operators/text.py:bm25_topk):
+    top-10 documents per query for a broadcast query batch — the
+    standard first-stage lexical ranker.  Inverted-index probe shape:
+    one word-count aggregate, broadcast query terms restrict it to
+    the query posting lists, exact-decimal score summation, per-query
+    top-k window."""
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, query_text string"
+    )
+    return tx.bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        q,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        k=_BM25_TOPK,
+    )
+
+
+def _bm25_sql() -> str:
+    values = ", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)
+    # float literals embedded via repr of the SAME Python doubles the
+    # Spark plan uses (k1+1 is not exactly representable), so both
+    # engines compute with bit-identical constants
+    k1, k1p1, one_m_b, b = (
+        repr(_BM25_K1),
+        repr(_BM25_K1 + 1.0),
+        repr(1.0 - _BM25_B),
+        repr(_BM25_B),
+    )
+    contrib = (
+        f"ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))"
+        f" * ((tf.tf * {k1p1}) / (tf.tf + {k1} * ({one_m_b} + {b}"
+        f" * (dl.dl * stats.n_docs) / CAST(stats.n_corpus AS DOUBLE))))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY 1),
+stats AS (SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS n_corpus FROM ex),
+qraw(query_id, qtext) AS (VALUES {values}),
+q AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(trim(qtext), '\\s+'), x -> x <> ''))) AS token
+  FROM qraw
+),
+dft AS (
+  SELECT token, count(*) AS df
+  FROM tf JOIN (SELECT DISTINCT token FROM q) USING (token)
+  GROUP BY 1
+),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST({roundd_sql(contrib, 9)} AS DECIMAL(12,9)) AS c
+  FROM tf
+  JOIN q USING (token)
+  JOIN dft USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+scores AS (
+  SELECT query_id, doc_id, {roundd_sql('CAST(sum(c) AS DOUBLE)', 6)} AS score
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scores
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {_BM25_TOPK}
+"""
+
+
+TEXT_BM25_TOPK_SQL = _bm25_sql()
+
+
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality metadata decode (operators/multimodal.py:
     decode_audio_metadata) — stub codec pinned for the oracle; the
@@ -3611,6 +3705,7 @@ QUERIES = {
     "text_boilerplate": text_boilerplate,
     "text_source_divergence": text_source_divergence,
     "text_lm_score": text_lm_score,
+    "text_bm25_topk": text_bm25_topk,
     "pipeline_doc_chunks": pipeline_doc_chunks,
     "pipeline_semantic_dedup": pipeline_semantic_dedup,
     "text_distinctive_terms": text_distinctive_terms,
@@ -3687,6 +3782,7 @@ ORACLES = {
     "text_boilerplate": TEXT_BOILERPLATE_SQL,
     "text_source_divergence": TEXT_SOURCE_DIVERGENCE_SQL,
     "text_lm_score": TEXT_LM_SCORE_SQL,
+    "text_bm25_topk": TEXT_BM25_TOPK_SQL,
     "pipeline_doc_chunks": PIPELINE_DOC_CHUNKS_SQL,
     "pipeline_semantic_dedup": PIPELINE_SEMANTIC_DEDUP_SQL,
     "text_distinctive_terms": TEXT_DISTINCTIVE_TERMS_SQL,

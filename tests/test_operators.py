@@ -815,3 +815,46 @@ def test_redact_pii_hand_computed(spark):
     # multiple labels in one doc redact independently
     assert got[6]["n_email"] == 1 and got[6]["n_ipv4"] == 1
     assert got[6]["text"] == "ask <EMAIL> or <IP> now"
+
+
+def test_bm25_ranks_rare_term_doc_first(spark):
+    """A document containing the query's rare discriminative term must
+    outrank ones matching only common terms; an absent-from-corpus
+    query term contributes nothing; the max_df valve drops
+    stopword-grade terms from scoring."""
+    from connected_component_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the fast table scan runs the table"),
+            (2, "the slow merge join"),
+            (3, "the rareword appears here"),
+            (4, "the fast join and the fast scan"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "rareword the"), (2, "fast zzz")],
+        "query_id long, query_text string",
+    )
+    got = bm25_topk(docs, q, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # q1: doc 3 holds the rare term; "the" is in every doc (idf near
+    # zero) so doc 3 must rank first
+    assert by_q[1][0]["doc_id"] == 3 and by_q[1][0]["rank"] == 1
+    # q2: "zzz" is absent from the corpus -> only "fast" scores; docs
+    # 1 and 4 are the only candidates
+    assert {r["doc_id"] for r in by_q[2]} == {1, 4}
+    # ranks are dense from 1 and scores non-increasing
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # valve: with max_df=1 the everywhere-term "the" is dropped, so
+    # query 1 matches doc 3 only
+    valved = bm25_topk(docs, q, k=4, max_df=1).collect()
+    q1 = [r for r in valved if r["query_id"] == 1]
+    assert [r["doc_id"] for r in q1] == [3]
