@@ -2237,6 +2237,56 @@ def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+def ann_ivf_restart_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-restart equivalence for the continuously-ingested IVF
+    index as a DRIVER-CHECKED row (the stream_winnow_restart
+    discipline applied to the ANN family): the durable index ingests
+    the first three id-range batches, the operator instance is then
+    DISCARDED — only the parquet inverted lists + stored vectors +
+    codebook behind the atomic manifest survive, exactly what a
+    session crash leaves — and a fresh instance resumed via
+    ``IncrementalIVF.load`` ingests the remaining two batches and
+    serves.  Because cell membership is a pure function of (vector,
+    codebook) and load() restores the identical codebook, the served
+    result must be IDENTICAL to the uninterrupted batch index's — the
+    oracle is ann_ivf_kmeans_topk's verbatim."""
+    import shutil
+    import tempfile
+
+    from connected_component_spark.streaming.annindex import IncrementalIVF
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = table_row_count(spark, sf_dir, "embeddings")
+    stride = n // _ANN_INC_BATCHES
+    from connected_component_spark.plans.tuning import shrunk_shuffle
+
+    def batch(i: int) -> DataFrame:
+        lo = i * stride
+        cond = F.col("vec_id") >= lo
+        if i < _ANN_INC_BATCHES - 1:
+            cond = cond & (F.col("vec_id") < lo + stride)
+        return emb.where(cond)
+
+    crash_at = _ANN_INC_BATCHES - 2
+    state_dir = tempfile.mkdtemp(prefix="ccs_ann_restart_state_")
+    try:
+        with shrunk_shuffle(spark, n):
+            idx = IncrementalIVF(
+                _ivf_kmeans_centroids(spark, sf_dir), state_dir=state_dir
+            )
+            for i in range(crash_at):
+                idx.update(batch(i), epoch_id=i)
+            del idx  # the "crash": only the disk state survives
+            resumed = IncrementalIVF.load(spark, state_dir)
+            assert resumed.batches_seen == crash_at
+            for i in range(crash_at, _ANN_INC_BATCHES):
+                resumed.update(batch(i), epoch_id=i)
+            out = resumed.topk(emb.where(F.col("vec_id") % 50 == 0), k=5)
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # ann_pq_topk — product quantization (Jégou/Douze/Schmid, TPAMI 2011)
 # with asymmetric-distance (ADC) serving: m independent per-subspace
@@ -3766,6 +3816,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivf_incremental_topk": ann_ivf_incremental_topk,
+    "ann_ivf_restart_topk": ann_ivf_restart_topk,
     "ann_ivfpq_trained_topk": ann_ivfpq_trained_topk,
     "ann_ivfpq_trained_recall": ann_ivfpq_trained_recall,
     "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
@@ -3844,6 +3895,7 @@ ORACLES = {
     "ann_ivfpq_topk": ANN_IVFPQ_TOPK_SQL,
     # incremental ingestion must serve the batch index exactly — same oracle
     "ann_ivf_incremental_topk": ANN_IVF_KMEANS_TOPK_SQL,
+    "ann_ivf_restart_topk": ANN_IVF_KMEANS_TOPK_SQL,
     "ann_ivfpq_trained_topk": ANN_IVFPQ_TRAINED_TOPK_SQL,
     "ann_ivfpq_trained_recall": ANN_IVFPQ_TRAINED_RECALL_SQL,
     "ann_ivfpq_rerank_topk": ANN_IVFPQ_RERANK_TOPK_SQL,
