@@ -219,16 +219,37 @@ class ParquetStateStore:
         order never mattered, and a failed write both propagates (the
         fold never commits) and leaves only invisible residue the
         retry's overwrite / the orphan sweep reclaims."""
+        if not writes:
+            return
         if len(writes) == 1:
             self.write(*writes[0])
             return
-        from concurrent.futures import ThreadPoolExecutor
+        # InheritableThread, not a plain ThreadPoolExecutor: under
+        # PySpark's pinned-thread mode every Python thread that
+        # touches Py4J pairs with a JVM thread, and plain short-lived
+        # threads leak those pairs — on a months-long stream (one
+        # fold per micro-batch) the JVM thread count would grow
+        # without bound.  InheritableThread deallocates its paired
+        # JVM thread on exit (review r11).
+        from pyspark import InheritableThread
 
-        with ThreadPoolExecutor(max_workers=len(writes)) as ex:
-            futs = [ex.submit(self.write, t, i, df) for t, i, df in writes]
-        # pool exit waited for all; surface the first failure (if any)
-        for f in futs:
-            f.result()
+        errors: list[BaseException] = []
+
+        def _run(t: str, i: int, df: DataFrame) -> None:
+            try:
+                self.write(t, i, df)
+            except BaseException as e:  # surfaced after the join
+                errors.append(e)
+
+        threads = [
+            InheritableThread(target=_run, args=w) for w in writes
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        if errors:
+            raise errors[0]
 
     def read_batch(
         self, spark: SparkSession, table: str, batch_idx: int

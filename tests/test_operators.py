@@ -841,6 +841,9 @@ def test_bm25_ranks_rare_term_doc_first(spark):
     by_q = {}
     for r in got:
         by_q.setdefault(r["query_id"], []).append(r)
+    # collect() order is not contractual — sort by rank first
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
     # q1: doc 3 holds the rare term; "the" is in every doc (idf near
     # zero) so doc 3 must rank first
     assert by_q[1][0]["doc_id"] == 3 and by_q[1][0]["rank"] == 1
@@ -849,7 +852,6 @@ def test_bm25_ranks_rare_term_doc_first(spark):
     assert {r["doc_id"] for r in by_q[2]} == {1, 4}
     # ranks are dense from 1 and scores non-increasing
     for rows in by_q.values():
-        rows.sort(key=lambda r: r["rank"])
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         scores = [r["score"] for r in rows]
         assert scores == sorted(scores, reverse=True)
