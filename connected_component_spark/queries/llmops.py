@@ -1808,6 +1808,92 @@ SELECT query_id, neighbor_id, cos FROM scored WHERE cos >= {_RADIUS}
 """
 
 
+_KNN_K = 5
+
+
+def ann_knn_label_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification evaluation against the embeddings table's
+    ground-truth ``label`` column — the quality harness a similarity-
+    search deployment runs to validate its index (does neighbor
+    structure recover the known classes?).  For each bounded-batch
+    query: majority label among its 5 exact-cosine nearest neighbors
+    (self excluded; vote ties break to the smallest label), compared
+    to the query's own label.  (query_id, true_label, pred_label,
+    votes, correct).
+
+    Scale shape: the already-declared broadcast-queries/one-corpus-
+    scan exact top-k, plus a neighbor-label join-back where the 50-row
+    top-k side broadcasts into the label projection, a query-keyed
+    vote window over ≤k rows per query, and a 10-row truth join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    topk = sim.cosine_topk(queries, emb, k=_KNN_K)
+    votes = (
+        topk.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pick = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    pred = votes.withColumn("rn", F.row_number().over(pick)).where(
+        F.col("rn") == 1
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("n_label").cast("long").alias("pred_label"),
+        F.col("votes").cast("long").alias("votes"),
+        (F.col("n_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+ANN_KNN_LABEL_REPORT_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0 AND vec_id < 500),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {roundd_sql(_DOT.format(a='qv', b='cv') + f" / ({_norm_sql('qv')} * {_norm_sql('cv')})", 6)} AS cos
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT r.query_id, e.label AS n_label, count(*) AS votes
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+  WHERE r.rank <= {_KNN_K}
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, n_label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, n_label ASC) AS rn
+  FROM votes
+)
+SELECT p.query_id,
+       CAST(t.label AS BIGINT) AS true_label,
+       CAST(p.n_label AS BIGINT) AS pred_label,
+       CAST(p.votes AS BIGINT) AS votes,
+       p.n_label = t.label AS correct
+FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+WHERE p.rn = 1
+"""
+
+
 def ann_similarity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity clusters over the LSH-bucketed approximate k-NN
     graph — no all-pairs stage anywhere in the plan (the r1/r2
@@ -3787,6 +3873,7 @@ QUERIES = {
     "pipeline_sequence_packing": pipeline_sequence_packing,
     "embedding_kmeans": embedding_kmeans,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_knn_label_report": ann_knn_label_report,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
@@ -3865,6 +3952,7 @@ ORACLES = {
     "pipeline_sequence_packing": PIPELINE_SEQUENCE_PACKING_SQL,
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+    "ann_knn_label_report": ANN_KNN_LABEL_REPORT_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_TOPK_SQL,
