@@ -30,6 +30,7 @@ __all__ = [
     "source_divergence",
     "lm_score",
     "bm25_topk",
+    "textrank_keywords",
     "chunk_documents",
     "redact_pii",
     "STOPWORDS",
@@ -695,6 +696,55 @@ def bm25_topk(
     return scores.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).where(F.col("rank") <= F.lit(k))
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    top_k: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004,
+    unweighted-adjacency variant): build the corpus-wide word
+    co-occurrence graph (an undirected edge per distinct ordered-
+    adjacent token pair) and rank words with the SAME fixed-iteration
+    decimal-exact PageRank the graph family uses
+    (graph/pagerank.py) — the reference's iterate-until-done
+    discipline driving a text operator.  (token, rank, pos): the
+    ``top_k`` highest-ranked words, ties to the lexicographically
+    smaller token.
+
+    Scale shape: bigram extraction is a map-side array op; the edge
+    list and each PageRank round are word-count-sized joins/aggs over
+    the VOCABULARY graph (tokens, not documents — corpus text is
+    scanned once); top-k is orderBy().limit (per-partition
+    TakeOrdered), with the rank window only over the survivors."""
+    from pyspark.sql import Window
+
+    from connected_component_spark.graph.pagerank import pagerank
+
+    bi = (
+        docs.select(tokens("text").alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " slice(t, 2, greatest(size(t) - 1, 0)),"
+                    " (a, b) -> named_struct('src', a, 'dst', b))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    pr = pagerank(bi, iterations=iterations, damping=damping)
+    ranked = pr.select(
+        F.col("node").alias("token"), roundd(F.col("rank"), 6).alias("rank")
+    )
+    top = ranked.orderBy(F.col("rank").desc(), F.col("token").asc()).limit(
+        top_k
+    )
+    w = Window.orderBy(F.col("rank").desc(), F.col("token").asc())
+    return top.withColumn("pos", F.row_number().over(w).cast("long"))
 
 
 def chunk_documents(

@@ -3225,6 +3225,80 @@ SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {_BM25_TOPK}
 TEXT_BM25_TOPK_SQL = _bm25_sql()
 
 
+_TR_ITERATIONS = 5
+_TR_DAMPING = 0.85
+_TR_TOPK = 20
+
+
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (operators/text.py:
+    textrank_keywords): corpus-wide word co-occurrence graph ranked
+    by the decimal-exact fixed-iteration PageRank — the iterative
+    vertex-program discipline of the CC kernel driving a text
+    operator.  Top-20 words by rank."""
+    return tx.textrank_keywords(
+        load_table(spark, sf_dir, "documents"),
+        iterations=_TR_ITERATIONS,
+        damping=_TR_DAMPING,
+        top_k=_TR_TOPK,
+    )
+
+
+def _textrank_sql(iterations: int = _TR_ITERATIONS) -> str:
+    """Unroll the synchronous PageRank rounds as CTE levels r0..rK
+    over the word co-occurrence graph — the graph_pagerank oracle's
+    float-parity recipe verbatim: damping base written as
+    (1.0 − 0.85)/n (the same two double ops Python uses), per-
+    destination contribution sums through DECIMAL(38,18)."""
+    d = "CAST(0.85 AS DOUBLE)"
+    base = f"(CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn)"
+    levels = []
+    for i in range(1, iterations + 1):
+        levels.append(
+            f"""r{i} AS (
+  SELECT s.dst AS node,
+         {base} + {d} * CAST(sum(CAST(r.rank / o.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS rank
+  FROM sym s
+  JOIN outd o ON o.src = s.src
+  JOIN r{i - 1} r ON r.node = s.src
+  GROUP BY s.dst
+)"""
+        )
+    chain = ",\n".join(levels)
+    return f"""
+WITH toks AS (SELECT {TOKS} AS t FROM documents),
+bi AS (
+  SELECT t[i] AS u, t[i + 1] AS w
+  FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        FROM toks)
+),
+sym AS (
+  SELECT u AS src, w AS dst FROM bi WHERE u <> w
+  UNION
+  SELECT w AS src, u AS dst FROM bi WHERE u <> w
+),
+outd AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+nn AS (SELECT count(*) AS n FROM outd),
+r0 AS (
+  SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+  FROM outd
+),
+{chain},
+ranked AS (
+  SELECT node AS token, {roundd_sql('rank', 6)} AS rank FROM r{iterations}
+),
+top AS (
+  SELECT token, rank,
+         row_number() OVER (ORDER BY rank DESC, token ASC) AS pos
+  FROM ranked
+)
+SELECT token, rank, CAST(pos AS BIGINT) AS pos FROM top WHERE pos <= {_TR_TOPK}
+"""
+
+
+TEXT_TEXTRANK_KEYWORDS_SQL = _textrank_sql()
+
+
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality metadata decode (operators/multimodal.py:
     decode_audio_metadata) — stub codec pinned for the oracle; the
@@ -3844,6 +3918,7 @@ QUERIES = {
     "text_source_divergence": text_source_divergence,
     "text_lm_score": text_lm_score,
     "text_bm25_topk": text_bm25_topk,
+    "text_textrank_keywords": text_textrank_keywords,
     "pipeline_doc_chunks": pipeline_doc_chunks,
     "pipeline_semantic_dedup": pipeline_semantic_dedup,
     "text_distinctive_terms": text_distinctive_terms,
@@ -3923,6 +3998,7 @@ ORACLES = {
     "text_source_divergence": TEXT_SOURCE_DIVERGENCE_SQL,
     "text_lm_score": TEXT_LM_SCORE_SQL,
     "text_bm25_topk": TEXT_BM25_TOPK_SQL,
+    "text_textrank_keywords": TEXT_TEXTRANK_KEYWORDS_SQL,
     "pipeline_doc_chunks": PIPELINE_DOC_CHUNKS_SQL,
     "pipeline_semantic_dedup": PIPELINE_SEMANTIC_DEDUP_SQL,
     "text_distinctive_terms": TEXT_DISTINCTIVE_TERMS_SQL,

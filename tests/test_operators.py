@@ -860,3 +860,26 @@ def test_bm25_ranks_rare_term_doc_first(spark):
     valved = bm25_topk(docs, q, k=4, max_df=1).collect()
     q1 = [r for r in valved if r["query_id"] == 1]
     assert [r["doc_id"] for r in q1] == [3]
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    """A word adjacent to many distinct words (graph hub) must
+    out-rank words that only ever co-occur with one neighbor."""
+    from connected_component_spark.operators.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "core alpha"),
+            (2, "core beta"),
+            (3, "core gamma"),
+            (4, "core delta"),
+            (5, "leaf leaf2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = textrank_keywords(docs, top_k=10).collect()
+    got.sort(key=lambda r: r["pos"])
+    assert got[0]["token"] == "core" and got[0]["pos"] == 1
+    assert [r["pos"] for r in got] == list(range(1, len(got) + 1))
+    # every graph participant appears exactly once
+    assert len({r["token"] for r in got}) == len(got) == 7
