@@ -11,15 +11,18 @@ the incrementally-built index serves results IDENTICAL to batch
 codebook — which is this operator's oracle contract, exactly the
 claim pattern of ``stream_winnow_restart``.
 
-State tables: ``cells`` (vec_id, cell — the inverted lists) and
-``vecs`` (vec_id, embedding — the stored vectors every real index
-keeps for scoring/refinement), appended per batch; the codebook
-itself rides as table ``codebook`` so :meth:`load` restores a
-servable index with no side-channel.  Scale shape: per-batch work is
-one bounded batch × broadcast-codebook assignment; serving probes
-``nprobe`` cells per query via equi-join on the cell key — the
-corpus is never re-assigned at query time (unlike the batch
-operator, which recomputes the storage assignment per call).
+State tables: ``index`` (vec_id, embedding, cell — the natural IVF
+layout: stored vector and its inverted-list key in ONE row, so each
+fold lands one table write and serving is one scan with parquet
+column pruning giving the narrow reads; this replaced the original
+two-table cells/vecs layout, whose per-fold second write and
+serve-time join bought nothing).  The codebook itself rides as table
+``codebook`` so :meth:`load` restores a servable index with no
+side-channel.  Scale shape: per-batch work is one bounded batch ×
+broadcast-codebook assignment; serving probes ``nprobe`` cells per
+query via equi-join on the cell key — the corpus is never
+re-assigned at query time (unlike the batch operator, which
+recomputes the storage assignment per call).
 """
 
 from __future__ import annotations
@@ -73,8 +76,7 @@ class IncrementalIVF:
         self.vec_col = vec_col
         self.codebook = centroids
         self._dim: int | None = None
-        self.cells: DataFrame | None = None  # (id, cell)
-        self.vecs: DataFrame | None = None  # (id, vec)
+        self.index: DataFrame | None = None  # (id, vec, cell)
         self.batches_seen = 0
         self._mem_guard = MemEpochGuard()
         self._store: ParquetStateStore | None = None
@@ -118,8 +120,13 @@ class IncrementalIVF:
         )
         self._store = store
         self.batches_seen = m["batches"]
-        self.cells = store.read(spark, "cells", self.batches_seen)
-        self.vecs = store.read(spark, "vecs", self.batches_seen)
+        if "cells" in (m.get("tables") or {}):
+            raise ValueError(
+                f"{state_dir} holds the retired two-table cells/vecs "
+                "layout — rebuild the index (the single-table `index` "
+                "layout replaced it)"
+            )
+        self.index = store.read(spark, "index", self.batches_seen)
         return self
 
     def update(
@@ -157,21 +164,24 @@ class IncrementalIVF:
                 ),
             ).otherwise(F.lit(True))
         )
-        assigned = ivf_cell_assignments(
+        asg = ivf_cell_assignments(
             batch, self.codebook, self.id_col, self.vec_col, 1
         ).select(self.id_col, "cell")
+        # one (id, vec, cell) row per batch vector — the join is
+        # batch×batch on the id key (AQE broadcasts the bounded
+        # assignment side), and it buys a single-table index layout:
+        # one write per fold, one scan at serve
+        indexed = batch.join(asg, self.id_col)
         n = self.batches_seen
         if self._store is not None:
             spark = batch_vecs.sparkSession
-            tables = ["cells", "vecs"]
-            # cell assignments, stored vectors (and, on batch 0, the
-            # codebook) are independent tables — land them concurrently
-            # (store.write_many): the fold pays max instead of sum of
-            # the per-write job overhead
-            writes = [("cells", n, assigned), ("vecs", n, batch)]
+            tables = ["index"]
+            writes = [("index", n, indexed)]
             if n == 0:
                 # the codebook is part of the index — a load() must
-                # restore a servable state with no side-channel
+                # restore a servable state with no side-channel; it is
+                # independent of the batch table, landed concurrently
+                # (store.write_many)
                 writes.append(("codebook", 0, self.codebook))
                 tables.append("codebook")
             self._store.write_many(writes)
@@ -185,21 +195,17 @@ class IncrementalIVF:
             self.batches_seen = n + 1
             if self.batches_seen % _CONSOLIDATE_EVERY == 0:
                 self._store.compact(spark)
-            self.cells = self._store.read(spark, "cells", self.batches_seen)
-            self.vecs = self._store.read(spark, "vecs", self.batches_seen)
+            self.index = self._store.read(spark, "index", self.batches_seen)
             if n == 0:
                 self.codebook = self._store.read(spark, "codebook", 1)
             return
-        assigned = assigned.localCheckpoint(eager=True)
-        batch = batch.localCheckpoint(eager=True)
-        self.cells = (
-            assigned if self.cells is None else self.cells.unionByName(assigned)
+        indexed = indexed.localCheckpoint(eager=True)
+        self.index = (
+            indexed if self.index is None else self.index.unionByName(indexed)
         )
-        self.vecs = batch if self.vecs is None else self.vecs.unionByName(batch)
         self.batches_seen = n + 1
         if self.batches_seen % _CONSOLIDATE_EVERY == 0:
-            self.cells = self.cells.localCheckpoint(eager=True)
-            self.vecs = self.vecs.localCheckpoint(eager=True)
+            self.index = self.index.localCheckpoint(eager=True)
         # mark ONLY after the fold's actions succeeded - marking first
         # would classify a failed fold's retry (incl. one stopped by
         # the width guard) as a replay (review r11)
@@ -215,7 +221,7 @@ class IncrementalIVF:
         self-matches excluded), so the incremental index must serve
         the batch operator's exact results over the same corpus and
         codebook."""
-        if self.cells is None:
+        if self.index is None:
             raise ValueError("empty index: no batch has been folded")
         probe = ivf_cell_assignments(
             queries, self.codebook, self.id_col, self.vec_col, max(1, nprobe)
@@ -228,15 +234,17 @@ class IncrementalIVF:
             probe.select(F.col(self.id_col).alias("query_id"), "cell"),
             "query_id",
         )
-        cand = _normed(self.vecs, self.id_col, self.vec_col).select(
+        # single-table layout: the candidate side is ONE scan of the
+        # index (vector, norm, cell all from the same row; the
+        # as_double projection is _normed's, inlined to keep `cell`)
+        from connected_component_spark.functions.vectors import as_double
+
+        cand = self.index.select(
             F.col(self.id_col).alias("neighbor_id"),
-            F.col(self.vec_col).alias("cv"),
-            l2_norm(F.col(self.vec_col)).alias("cn"),
-        ).join(
-            self.cells.select(
-                F.col(self.id_col).alias("neighbor_id"), "cell"
-            ),
-            "neighbor_id",
+            as_double(self.vec_col).alias("cv"),
+            "cell",
+        ).select(
+            "neighbor_id", "cv", l2_norm(F.col("cv")).alias("cn"), "cell"
         )
         scored = (
             q.join(cand, "cell")

@@ -355,9 +355,9 @@ def test_incremental_ivf_equals_batch_and_restarts(spark, tmp_path, sf_dir):
             cond = cond & (F.col("vec_id") < lo + stride)
         resumed.update(emb.where(cond), epoch_id=i)
     # replayed epoch: no-op (index size unchanged)
-    size = resumed.vecs.count()
+    size = resumed.index.count()
     resumed.update(emb.limit(3), epoch_id=3)
-    assert resumed.vecs.count() == size == n
+    assert resumed.index.count() == size == n
 
     got = sorted(map(tuple, resumed.topk(q, k=5, nprobe=2).collect()))
     assert got == want
