@@ -126,8 +126,16 @@ class IncrementalIVF:
                 "layout — rebuild the index (the single-table `index` "
                 "layout replaced it)"
             )
-        self.index = store.read(spark, "index", self.batches_seen)
+        self.index = self._read_index(spark)
         return self
+
+    def _read_index(self, spark: SparkSession) -> DataFrame | None:
+        """The committed index with ``cell`` restored to long —
+        hive-partition value inference types small ids as int."""
+        df = self._store.read(spark, "index", self.batches_seen)
+        if df is None:
+            return None
+        return df.withColumn("cell", F.col("cell").cast("long"))
 
     def update(
         self,
@@ -176,7 +184,10 @@ class IncrementalIVF:
         if self._store is not None:
             spark = batch_vecs.sparkSession
             tables = ["index"]
-            writes = [("index", n, indexed)]
+            # hive-partitioned by cell: the batch dir IS the inverted-
+            # list layout (cell=N subdirs), so a serve restricted to
+            # the probed cells skips whole directories
+            writes = [("index", n, indexed, ("cell",))]
             if n == 0:
                 # the codebook is part of the index — a load() must
                 # restore a servable state with no side-channel; it is
@@ -191,11 +202,12 @@ class IncrementalIVF:
                 epoch_id,
                 tables=tuple(tables),
                 epoch_lineage=epoch_lineage,
+                partitioning={"index": ("cell",)},
             )
             self.batches_seen = n + 1
             if self.batches_seen % _CONSOLIDATE_EVERY == 0:
                 self._store.compact(spark)
-            self.index = self._store.read(spark, "index", self.batches_seen)
+            self.index = self._read_index(spark)
             if n == 0:
                 self.codebook = self._store.read(spark, "codebook", 1)
             return
@@ -226,6 +238,16 @@ class IncrementalIVF:
         probe = ivf_cell_assignments(
             queries, self.codebook, self.id_col, self.vec_col, max(1, nprobe)
         )
+        # the probed-cell set is BOUNDED (|queries| × nprobe, and
+        # queries are a bounded batch by the serving contract) — the
+        # one collect a real IVF serve does: push the probe list as a
+        # static filter so the durable layout's cell=N partition dirs
+        # are pruned at the scan (plan shows PartitionFilters), not
+        # post-filtered after reading the whole index
+        probed = [
+            r["cell"] for r in probe.select("cell").distinct().collect()
+        ]
+        index = self.index.where(F.col("cell").isin(probed))
         q = _normed(queries, self.id_col, self.vec_col).select(
             F.col(self.id_col).alias("query_id"),
             F.col(self.vec_col).alias("qv"),
@@ -239,7 +261,7 @@ class IncrementalIVF:
         # as_double projection is _normed's, inlined to keep `cell`)
         from connected_component_spark.functions.vectors import as_double
 
-        cand = self.index.select(
+        cand = index.select(
             F.col(self.id_col).alias("neighbor_id"),
             as_double(self.vec_col).alias("cv"),
             "cell",

@@ -143,8 +143,14 @@ class ParquetStateStore:
         tables: tuple[str, ...] = (),
         epoch_lineage: str | None = None,
         snapshot_tables: tuple[str, ...] = (),
+        partitioning: dict[str, tuple[str, ...]] | None = None,
     ) -> None:
         """Advance the committed-batch count to ``batch_idx + 1``.
+        ``partitioning`` declares hive-partitioned table layouts
+        (table -> partition columns, as written via ``write``'s
+        ``partition_by``); the manifest carries it so ``read`` unions
+        the per-batch dirs correctly and ``compact`` preserves the
+        layout.
         Atomic (temp file + ``os.replace``): every reader sees either
         the old manifest or the new one, never a torn write.
         ``tables`` names the tables this batch wrote a dir for — the
@@ -181,6 +187,10 @@ class ParquetStateStore:
             ),
             "tables": committed_tables,
             "gens": m.get("gens", {}),
+            "partitioning": {
+                **(m.get("partitioning") or {}),
+                **{k: list(v) for k, v in (partitioning or {}).items()},
+            },
         }
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._manifest_")
         try:
@@ -201,20 +211,37 @@ class ParquetStateStore:
     def _batch_dir(self, table: str, batch_idx: int) -> str:
         return os.path.join(self.root, table, f"batch={batch_idx:06d}")
 
-    def write(self, table: str, batch_idx: int, df: DataFrame) -> None:
+    def write(
+        self,
+        table: str,
+        batch_idx: int,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
         """Land batch ``batch_idx``'s rows for ``table`` — overwrite,
-        so a crashed batch's retry replaces its own partial residue."""
-        df.write.mode("overwrite").parquet(self._batch_dir(table, batch_idx))
+        so a crashed batch's retry replaces its own partial residue.
+        ``partition_by`` lays the batch dir out as hive-style
+        partition subdirs (e.g. the IVF index's ``cell=N`` inverted
+        lists) — readers of a partition-keyed table then skip whole
+        directories under a partition-column filter.  The layout must
+        be declared to :meth:`commit` via ``partitioning`` so readers
+        and :meth:`compact` preserve it."""
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._batch_dir(table, batch_idx))
 
     def write_many(
-        self, writes: list[tuple[str, int, DataFrame]]
+        self, writes: list[tuple]
     ) -> None:
         """Land several INDEPENDENT tables' batch dirs concurrently
         (one Spark job per write, submitted from a small thread pool —
         Spark schedules concurrent actions on one session natively).
         At micro-batch state sizes each write job is dominated by
         fixed scheduling/committer overhead, so overlapping them takes
-        the per-fold write cost from sum to max.  Crash-safety is
+        the per-fold write cost from sum to max.  Each entry is
+        ``(table, batch_idx, df)`` or ``(table, batch_idx, df,
+        partition_by)``.  Crash-safety is
         unchanged: nothing becomes visible until :meth:`commit`, write
         order never mattered, and a failed write both propagates (the
         fold never commits) and leaves only invisible residue the
@@ -235,9 +262,9 @@ class ParquetStateStore:
 
         errors: list[BaseException] = []
 
-        def _run(t: str, i: int, df: DataFrame) -> None:
+        def _run(*w) -> None:
             try:
-                self.write(t, i, df)
+                self.write(*w)
             except BaseException as e:  # surfaced after the join
                 errors.append(e)
 
@@ -298,6 +325,18 @@ class ParquetStateStore:
         paths.extend(self._batch_dir(table, i) for i in sorted(idxs))
         if not paths:
             return None
+        pb = (m.get("partitioning") or {}).get(table)
+        if pb:
+            # hive-partitioned dirs cannot be listed as sibling roots
+            # of one scan (conflicting-structure detection); read each
+            # committed dir with its own partition discovery and union
+            # — dir count is bounded by the compaction cadence, so the
+            # union stays shallow on a long-running stream
+            dfs = [spark.read.parquet(p) for p in paths]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
         return spark.read.parquet(*paths)
 
     # -- compaction ---------------------------------------------------
@@ -350,7 +389,11 @@ class ParquetStateStore:
                 # only reachable via a crashed compact at the same
                 # batch count — keep the generation monotone
                 new_gen = cur_gen + 1
-            df.write.mode("overwrite").parquet(self._gen_dir(table, new_gen))
+            w = df.write.mode("overwrite")
+            pb = (m.get("partitioning") or {}).get(table)
+            if pb:  # preserve the hive layout through consolidation
+                w = w.partitionBy(*pb)
+            w.parquet(self._gen_dir(table, new_gen))
             gens[table] = new_gen
             ledger[table] = []
             changed = True

@@ -470,3 +470,84 @@ def test_winnow_stream_checkpoint_restart_end_to_end(spark, tmp_path):
     )
     assert resumed.batches_seen == 4
     assert _rows(resumed) == _rows(_fold_winnow(spark, _BATCHES))
+
+
+def test_incremental_ivf_partition_pruned_serving(spark, tmp_path, sf_dir):
+    """The durable index is hive-partitioned by cell (the inverted-
+    list layout), and a serve pushes its bounded probed-cell set as a
+    static partition filter — the scan must carry a non-empty
+    PartitionFilters on cell, i.e. unprobed lists are skipped at the
+    directory level rather than post-filtered."""
+    import os
+    import re
+
+    from connected_component_spark.sources.tables import load_table
+    from connected_component_spark.streaming.annindex import IncrementalIVF
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = emb.where(F.col("vec_id") % 50 == 0).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"
+        ),
+    )
+    sd = str(tmp_path / "ivf_pp")
+    idx = IncrementalIVF(cb, state_dir=sd)
+    idx.update(emb.limit(200), epoch_id=0)
+    # on-disk layout: the batch dir holds cell=N partition subdirs
+    bdir = os.path.join(sd, "index", "batch=000000")
+    assert any(p.startswith("cell=") for p in os.listdir(bdir))
+    out = idx.topk(emb.where(F.col("vec_id") % 97 == 0), k=3, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:2000]
+    assert out.count() > 0
+
+
+def test_incremental_ivf_compaction_preserves_layout(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """Generation-based compaction of a hive-partitioned table must
+    preserve the partition layout (gen dir holds cell=N subdirs) and
+    the consolidated index must keep serving the same results."""
+    import os
+
+    import connected_component_spark.streaming.annindex as ai
+    from connected_component_spark.sources.tables import load_table
+
+    monkeypatch.setattr(ai, "_CONSOLIDATE_EVERY", 2)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = emb.where(F.col("vec_id") % 50 == 0).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"
+        ),
+    )
+    q = emb.where(F.col("vec_id") % 97 == 3)
+
+    def batches():
+        for i in range(4):
+            yield emb.where(
+                (F.col("vec_id") >= i * 100) & (F.col("vec_id") < (i + 1) * 100)
+            )
+
+    ref = ai.IncrementalIVF(cb)
+    for i, b in enumerate(batches()):
+        ref.update(b, epoch_id=i)
+    want = sorted(map(tuple, ref.topk(q, k=3, nprobe=2).collect()))
+
+    sd = str(tmp_path / "ivf_cp")
+    idx = ai.IncrementalIVF(cb, state_dir=sd)
+    for i, b in enumerate(batches()):
+        idx.update(b, epoch_id=i)
+    gens = [
+        p for p in os.listdir(os.path.join(sd, "index")) if p.startswith("gen=")
+    ]
+    assert gens, "compaction never ran"
+    assert any(
+        p.startswith("cell=")
+        for p in os.listdir(os.path.join(sd, "index", gens[0]))
+    ), "compacted generation lost the cell partitioning"
+    assert sorted(map(tuple, idx.topk(q, k=3, nprobe=2).collect())) == want
+    # a fresh load() over the compacted layout serves identically
+    resumed = ai.IncrementalIVF.load(spark, sd)
+    assert sorted(map(tuple, resumed.topk(q, k=3, nprobe=2).collect())) == want
