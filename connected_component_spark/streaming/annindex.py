@@ -181,13 +181,23 @@ class IncrementalIVF:
         # one write per fold, one scan at serve
         indexed = batch.join(asg, self.id_col)
         n = self.batches_seen
+        # an EMPTY micro-batch (a trigger that fired with no new data)
+        # must not write the index table: a hive-partitioned write of
+        # zero rows lands a _SUCCESS-only dir with no schema-bearing
+        # file, and a committed ledger entry pointing at it would make
+        # every later read fail forever (review r11 — the flat layout
+        # tolerated empty writes, partitionBy does not).  The commit
+        # below still runs so the epoch high-water mark advances.
+        empty = batch.isEmpty()
         if self._store is not None:
             spark = batch_vecs.sparkSession
-            tables = ["index"]
-            # hive-partitioned by cell: the batch dir IS the inverted-
-            # list layout (cell=N subdirs), so a serve restricted to
-            # the probed cells skips whole directories
-            writes = [("index", n, indexed, ("cell",))]
+            tables, writes = [], []
+            if not empty:
+                # hive-partitioned by cell: the batch dir IS the
+                # inverted-list layout (cell=N subdirs), so a serve
+                # restricted to the probed cells skips whole dirs
+                writes.append(("index", n, indexed, ("cell",)))
+                tables.append("index")
             if n == 0:
                 # the codebook is part of the index — a load() must
                 # restore a servable state with no side-channel; it is
@@ -211,12 +221,15 @@ class IncrementalIVF:
             if n == 0:
                 self.codebook = self._store.read(spark, "codebook", 1)
             return
-        indexed = indexed.localCheckpoint(eager=True)
-        self.index = (
-            indexed if self.index is None else self.index.unionByName(indexed)
-        )
+        if not empty:
+            indexed = indexed.localCheckpoint(eager=True)
+            self.index = (
+                indexed
+                if self.index is None
+                else self.index.unionByName(indexed)
+            )
         self.batches_seen = n + 1
-        if self.batches_seen % _CONSOLIDATE_EVERY == 0:
+        if self.batches_seen % _CONSOLIDATE_EVERY == 0 and self.index is not None:
             self.index = self.index.localCheckpoint(eager=True)
         # mark ONLY after the fold's actions succeeded - marking first
         # would classify a failed fold's retry (incl. one stopped by
@@ -235,9 +248,14 @@ class IncrementalIVF:
         codebook."""
         if self.index is None:
             raise ValueError("empty index: no batch has been folded")
+        # checkpointed EAGERLY so the probe assignment is evaluated
+        # exactly once: both the collected partition filter below and
+        # the join read the same materialized leaf — a re-evaluated
+        # non-deterministic `queries` could otherwise probe different
+        # cells at join time than the filter kept (review r11)
         probe = ivf_cell_assignments(
             queries, self.codebook, self.id_col, self.vec_col, max(1, nprobe)
-        )
+        ).localCheckpoint(eager=True)
         # the probed-cell set is BOUNDED (|queries| × nprobe, and
         # queries are a bounded batch by the serving contract) — the
         # one collect a real IVF serve does: push the probe list as a

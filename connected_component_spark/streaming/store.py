@@ -235,7 +235,7 @@ class ParquetStateStore:
         self, writes: list[tuple]
     ) -> None:
         """Land several INDEPENDENT tables' batch dirs concurrently
-        (one Spark job per write, submitted from a small thread pool —
+        (one Spark job per write, each on its own InheritableThread —
         Spark schedules concurrent actions on one session natively).
         At micro-batch state sizes each write job is dominated by
         fixed scheduling/committer overhead, so overlapping them takes

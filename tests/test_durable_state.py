@@ -551,3 +551,47 @@ def test_incremental_ivf_compaction_preserves_layout(
     # a fresh load() over the compacted layout serves identically
     resumed = ai.IncrementalIVF.load(spark, sd)
     assert sorted(map(tuple, resumed.topk(q, k=3, nprobe=2).collect())) == want
+
+
+def test_incremental_ivf_empty_batch_is_harmless(spark, tmp_path, sf_dir):
+    """review r11: a trigger that fires with no new data must not
+    brick the durable store — a hive-partitioned write of zero rows
+    lands a schema-less _SUCCESS-only dir, so an empty batch commits
+    WITHOUT an index table entry (epoch still advances) and every
+    later read, fold, serve, and load keeps working."""
+    from connected_component_spark.sources.tables import load_table
+    from connected_component_spark.streaming.annindex import IncrementalIVF
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = emb.where(F.col("vec_id") % 50 == 0).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"
+        ),
+    )
+    sd = str(tmp_path / "ivf_empty")
+    idx = IncrementalIVF(cb, state_dir=sd)
+    idx.update(emb.limit(100), epoch_id=0)
+    idx.update(emb.limit(0), epoch_id=1)  # the empty trigger
+    assert idx.batches_seen == 2
+    # replaying the empty epoch is still a no-op
+    idx.update(emb.limit(100), epoch_id=1)
+    assert idx.batches_seen == 2
+    q = emb.where(F.col("vec_id") % 97 == 0)
+    served = idx.topk(q, k=3).count()
+    assert served > 0
+    idx.update(
+        emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)),
+        epoch_id=2,
+    )
+    resumed = IncrementalIVF.load(spark, sd)
+    assert resumed.batches_seen == 3
+    assert sorted(map(tuple, resumed.topk(q, k=3).collect())) == sorted(
+        map(tuple, idx.topk(q, k=3).collect())
+    )
+    # in-session path tolerates a LEADING empty batch too
+    mem = IncrementalIVF(cb)
+    mem.update(emb.limit(0), epoch_id=0)
+    assert mem.index is None and mem.batches_seen == 1
+    mem.update(emb.limit(100), epoch_id=1)
+    assert mem.topk(q, k=3).count() == served
