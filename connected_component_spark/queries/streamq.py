@@ -1014,6 +1014,92 @@ LEFT JOIN batch_m USING (doc_id)
 STREAM_WINNOW_DEDUP_SQL = _stream_winnow_dedup_sql()
 
 
+_ANN_STREAM_SLICES = 5
+
+
+def _staged_emb_slices(spark: SparkSession, sf_dir: str) -> str:
+    """The embeddings table staged as vec_id-range parquet files with
+    strictly increasing mtimes — the ANN twin of _staged_doc_slices,
+    so a maxFilesPerTrigger=1 file stream replays the corpus one
+    micro-batch per trigger in ingestion order."""
+    from connected_component_spark.sources.tables import table_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = table_row_count(spark, sf_dir, "embeddings")
+    stride = n // _ANN_STREAM_SLICES
+    staged, build = _staged_cache(
+        "ccs_stream_ann", sf_dir, str(stride), table="embeddings"
+    )
+    if build:
+        now = time.time()
+        for i in range(_ANN_STREAM_SLICES):
+            lo = i * stride
+            cond = F.col("vec_id") >= lo
+            if i < _ANN_STREAM_SLICES - 1:
+                cond = cond & (F.col("vec_id") < lo + stride)
+            tmp = os.path.join(staged, "_tmp_slice")
+            emb.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                p
+                for p in os.listdir(tmp)
+                if p.startswith("part-") and p.endswith(".parquet")
+            )
+            dst = os.path.join(staged, f"{i:03d}.parquet")
+            os.replace(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        _mark_ready(staged)
+    return staged
+
+
+def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ANN-index ingestion as a REAL Structured Streaming
+    path (streaming/annindex.py:run_vec_stream): the embeddings
+    corpus is staged as vec_id-range files replayed one per trigger;
+    foreachBatch assigns each micro-batch to the fixed trained coarse
+    cells and appends it to the durable cell-partitioned index, which
+    is then served once the backlog drains.  Cell membership is a
+    pure function of (vector, codebook), so the stream-built index
+    must serve results IDENTICAL to the batch trained-IVF query —
+    the oracle is ann_ivf_kmeans_topk's verbatim (the same claim
+    the direct-fold ann_ivf_incremental_topk row makes, here through
+    the actual readStream/foreachBatch machinery)."""
+    from connected_component_spark.queries.llmops import (
+        _ivf_kmeans_centroids,
+    )
+    from connected_component_spark.sources.tables import table_row_count
+    from connected_component_spark.streaming.annindex import (
+        IncrementalIVF,
+        run_vec_stream,
+    )
+
+    n = table_row_count(spark, sf_dir, "embeddings")
+    staged = _staged_emb_slices(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    state_dir = tempfile.mkdtemp(prefix="ccs_stream_ann_state_")
+    try:
+        with _scaled_shuffle(spark, n):
+            idx = run_vec_stream(
+                stream,
+                IncrementalIVF(
+                    _ivf_kmeans_centroids(spark, sf_dir),
+                    state_dir=state_dir,
+                ),
+            )
+            assert idx.batches_seen == _ANN_STREAM_SLICES
+            out = idx.topk(emb.where(F.col("vec_id") % 50 == 0), k=5)
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 QUERIES = {
     "stream_window_counts": stream_window_counts,
     "stream_incremental_cc": stream_incremental_cc,
@@ -1026,7 +1112,16 @@ QUERIES = {
     "stream_incremental_dedup": stream_incremental_dedup,
     "stream_winnow_dedup": stream_winnow_dedup,
     "stream_winnow_restart": stream_winnow_restart,
+    "stream_ann_ingest": stream_ann_ingest,
 }
+
+
+def _ann_ingest_oracle() -> str:
+    from connected_component_spark.queries.llmops import (
+        ANN_IVF_KMEANS_TOPK_SQL,
+    )
+
+    return ANN_IVF_KMEANS_TOPK_SQL
 
 ORACLES = {
     "stream_window_counts": STREAM_WINDOW_COUNTS_SQL,
@@ -1041,4 +1136,6 @@ ORACLES = {
     "stream_winnow_dedup": STREAM_WINNOW_DEDUP_SQL,
     # restart must reproduce the uninterrupted run exactly — same oracle
     "stream_winnow_restart": STREAM_WINNOW_DEDUP_SQL,
+    # stream-built index == batch index (cell assignment is pure)
+    "stream_ann_ingest": _ann_ingest_oracle(),
 }

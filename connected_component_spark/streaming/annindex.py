@@ -42,7 +42,7 @@ from connected_component_spark.streaming.store import (
     ParquetStateStore,
 )
 
-__all__ = ["IncrementalIVF"]
+__all__ = ["IncrementalIVF", "run_vec_stream"]
 
 #: patchable module alias of the shared cadence (store.py)
 _CONSOLIDATE_EVERY = CONSOLIDATE_EVERY
@@ -312,3 +312,35 @@ class IncrementalIVF:
                 F.col("rank").cast("long").alias("rank"),
             )
         )
+
+
+def run_vec_stream(
+    vec_stream: DataFrame,
+    state: IncrementalIVF,
+    checkpoint_dir: str | None = None,
+) -> IncrementalIVF:
+    """Drive an IncrementalIVF from a streaming DataFrame of
+    (id, vector) rows via ``foreachBatch`` with the available-now
+    trigger — the same ingestion harness the dedup/winnow operators
+    use (streaming/dedup.py:run_doc_stream), applied to the ANN
+    index: vectors arrive as micro-batches, each fold assigns them to
+    the fixed cells and appends durably, and the index is servable
+    between triggers.  With ``checkpoint_dir`` (and a durable
+    ``state``), a restarted stream replays only uncommitted epochs
+    and the lineage-scoped epoch skip makes ingestion exactly-once."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        state.update(
+            batch_df.select(state.id_col, state.vec_col),
+            epoch_id=batch_id,
+            epoch_lineage=checkpoint_dir,
+        )
+
+    writer = vec_stream.writeStream.foreachBatch(_fold).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return state

@@ -595,3 +595,22 @@ def test_incremental_ivf_empty_batch_is_harmless(spark, tmp_path, sf_dir):
     assert mem.index is None and mem.batches_seen == 1
     mem.update(emb.limit(100), epoch_id=1)
     assert mem.topk(q, k=3).count() == served
+
+
+def test_dedup_and_winnow_tolerate_empty_batches(spark, tmp_path):
+    """The unpartitioned operators' empty-batch behavior, pinned: a
+    trigger with no new data folds harmlessly (flat parquet writes of
+    zero rows keep their schema), the epoch advances, and a load()
+    over the state serves identical classifications."""
+    for cls, kw in (
+        (IncrementalWinnow, dict(k=4, window=4, min_shared=1)),
+        (IncrementalDedup, dict(threshold=0.4)),
+    ):
+        sd = str(tmp_path / f"empty_{cls.__name__}")
+        st = cls(state_dir=sd, **kw)
+        st.update(_docs(spark, _BATCHES[0]), epoch_id=0)
+        st.update(_docs(spark, []), epoch_id=1)  # the empty trigger
+        st.update(_docs(spark, _BATCHES[1]), epoch_id=2)
+        assert st.batches_seen == 3
+        loaded = cls.load(spark, sd)
+        assert _rows(loaded) == _rows(st)
