@@ -30,6 +30,8 @@ __all__ = [
     "source_divergence",
     "lm_score",
     "bm25_topk",
+    "bm25_scores",
+    "bm25_hard_negatives",
     "textrank_keywords",
     "chunk_documents",
     "redact_pii",
@@ -642,6 +644,30 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
+    scores = bm25_scores(docs, queries, k1=k1, b=b, max_df=max_df)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return scores.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= F.lit(k))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The un-ranked BM25 scorer behind :func:`bm25_topk`:
+    (query_id, doc_id, score) for every document matching at least
+    one surviving query term — exposed separately so consumers that
+    must filter candidates BEFORE ranking (e.g. hard-negative mining,
+    which excludes the anchor's own near-dup cluster) rank the
+    surviving set instead of losing excluded slots from a pre-cut
+    top-k.  Semantics, plan shape, and cross-engine float discipline
+    exactly as documented on bm25_topk."""
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -687,13 +713,67 @@ def bm25_topk(
             roundd(idf * norm, 9).cast("decimal(12,9)").alias("c"),
         )
     )
-    scores = contrib.groupBy("query_id", "doc_id").agg(
+    return contrib.groupBy("query_id", "doc_id").agg(
         roundd(F.sum("c").cast("double"), 6).alias("score")
+    )
+
+
+def bm25_hard_negatives(
+    docs: DataFrame,
+    anchors: DataFrame,
+    clusters: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training (the
+    DPR/Contriever recipe: BM25-top lexical matches that are NOT
+    positives): for each anchor document, score the corpus with the
+    anchor's own text as the BM25 query, EXCLUDE the anchor itself
+    and every member of the anchor's near-dup cluster (those are
+    positives, not negatives), and keep the ``k`` hardest survivors.
+    (query_id, doc_id, score, rank).
+
+    ``anchors``: (query_id, query_text) — typically a doc_id-keyed
+    projection of the corpus.  ``clusters``: (doc_id, cluster) — the
+    near-dup cluster table (minhash_dedup_clusters output; a
+    production pipeline reuses its staged snapshot).
+
+    Scale shape: bm25_scores' inverted-index probe, then two
+    cluster-table equi-joins (query side is anchor-count bounded and
+    broadcast; candidate side joins on doc_id), a different-cluster
+    filter, and the per-anchor top-k window over surviving candidates
+    only.  Exclusion happens BEFORE ranking, so excluded positives
+    never consume top-k slots."""
+    from pyspark.sql import Window
+
+    scores = bm25_scores(docs, anchors, k1=k1, b=b, max_df=max_df)
+    # restrict the query-side cluster lookup to the bounded anchor id
+    # set BEFORE broadcasting — broadcasting the full corpus-sized
+    # cluster table would not survive 100 TB
+    aid = anchors.select(F.col("query_id").alias("doc_id"))
+    qc = (
+        clusters.join(F.broadcast(aid), "doc_id")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("cluster").alias("q_cluster"),
+        )
+    )
+    dc = clusters.select("doc_id", F.col("cluster").alias("d_cluster"))
+    kept = (
+        scores.join(F.broadcast(qc), "query_id")
+        .join(dc, "doc_id")
+        .where(
+            (F.col("query_id") != F.col("doc_id"))
+            & (F.col("q_cluster") != F.col("d_cluster"))
+        )
+        .select("query_id", "doc_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    return scores.withColumn(
+    return kept.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).where(F.col("rank") <= F.lit(k))
 

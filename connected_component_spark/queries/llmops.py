@@ -3299,6 +3299,96 @@ SELECT token, rank, CAST(pos AS BIGINT) AS pos FROM top WHERE pos <= {_TR_TOPK}
 TEXT_TEXTRANK_KEYWORDS_SQL = _textrank_sql()
 
 
+_HN_ANCHOR_MOD = 100
+_HN_TOPK = 5
+
+
+def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training
+    (operators/text.py:bm25_hard_negatives, the DPR/Contriever
+    recipe): every 100th document is an anchor whose own text is the
+    BM25 query; the anchor itself and its whole minhash near-dup
+    cluster (positives) are excluded BEFORE ranking, and the 5
+    hardest surviving lexical matches per anchor are kept.  Consumes
+    the staged cluster table like the other same-params consumers."""
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = docs.where(F.col("doc_id") % _HN_ANCHOR_MOD == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    return tx.bm25_hard_negatives(
+        docs,
+        anchors,
+        _staged_minhash_clusters(spark, sf_dir),
+        k=_HN_TOPK,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+def _hard_negatives_sql() -> str:
+    k1, k1p1, one_m_b, b = (
+        repr(_BM25_K1),
+        repr(_BM25_K1 + 1.0),
+        repr(1.0 - _BM25_B),
+        repr(_BM25_B),
+    )
+    contrib = (
+        f"ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))"
+        f" * ((tf.tf * {k1p1}) / (tf.tf + {k1} * ({one_m_b} + {b}"
+        f" * (dl.dl * stats.n_docs) / CAST(stats.n_corpus AS DOUBLE))))"
+    )
+    return f"""
+WITH RECURSIVE {_minhash_sql_core()},
+{_lsh_pairs_sql()},
+{_cc_walk_sql(_JAC_EDGES, _DOC_UNIVERSE)},
+clus AS (SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node),
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY 1),
+stats AS (SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS n_corpus FROM ex),
+q AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS token
+  FROM toks WHERE doc_id % {_HN_ANCHOR_MOD} = 0
+),
+dft AS (
+  SELECT token, count(*) AS df
+  FROM tf JOIN (SELECT DISTINCT token FROM q) USING (token)
+  GROUP BY 1
+),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST({roundd_sql(contrib, 9)} AS DECIMAL(12,9)) AS c
+  FROM tf
+  JOIN q USING (token)
+  JOIN dft USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+scores AS (
+  SELECT query_id, doc_id, {roundd_sql('CAST(sum(c) AS DOUBLE)', 6)} AS score
+  FROM contrib GROUP BY 1, 2
+),
+kept AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scores s
+  JOIN clus cq ON cq.doc_id = s.query_id
+  JOIN clus cd ON cd.doc_id = s.doc_id
+  WHERE s.query_id <> s.doc_id AND cq.cluster <> cd.cluster
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM kept
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {_HN_TOPK}
+"""
+
+
+PIPELINE_HARD_NEGATIVES_SQL = _hard_negatives_sql()
+
+
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality metadata decode (operators/multimodal.py:
     decode_audio_metadata) — stub codec pinned for the oracle; the
@@ -3919,6 +4009,7 @@ QUERIES = {
     "text_lm_score": text_lm_score,
     "text_bm25_topk": text_bm25_topk,
     "text_textrank_keywords": text_textrank_keywords,
+    "pipeline_hard_negatives": pipeline_hard_negatives,
     "pipeline_doc_chunks": pipeline_doc_chunks,
     "pipeline_semantic_dedup": pipeline_semantic_dedup,
     "text_distinctive_terms": text_distinctive_terms,
@@ -3999,6 +4090,7 @@ ORACLES = {
     "text_lm_score": TEXT_LM_SCORE_SQL,
     "text_bm25_topk": TEXT_BM25_TOPK_SQL,
     "text_textrank_keywords": TEXT_TEXTRANK_KEYWORDS_SQL,
+    "pipeline_hard_negatives": PIPELINE_HARD_NEGATIVES_SQL,
     "pipeline_doc_chunks": PIPELINE_DOC_CHUNKS_SQL,
     "pipeline_semantic_dedup": PIPELINE_SEMANTIC_DEDUP_SQL,
     "text_distinctive_terms": TEXT_DISTINCTIVE_TERMS_SQL,

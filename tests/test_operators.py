@@ -883,3 +883,33 @@ def test_textrank_hub_word_ranks_first(spark):
     assert [r["pos"] for r in got] == list(range(1, len(got) + 1))
     # every graph participant appears exactly once
     assert len({r["token"] for r in got}) == len(got) == 7
+
+
+def test_bm25_hard_negatives_excludes_own_cluster(spark):
+    """The anchor itself and every member of its near-dup cluster are
+    positives and must never appear among its hard negatives; ranking
+    happens AFTER exclusion so excluded docs don't consume slots."""
+    from connected_component_spark.operators.text import bm25_hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engine fast"),
+            (2, "spark query engine fast extra"),  # near-dup of 1
+            (3, "spark query slow"),
+            (4, "unrelated words entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4)], "doc_id long, cluster long"
+    )
+    anchors = docs.where(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    got = bm25_hard_negatives(docs, anchors, clusters, k=3).collect()
+    ids = {r["doc_id"] for r in got}
+    assert 1 not in ids and 2 not in ids  # self + cluster-mate excluded
+    assert 3 in ids  # the hard negative: lexically close, different cluster
+    got.sort(key=lambda r: r["rank"])
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    assert got[0]["doc_id"] == 3  # shares the most terms -> hardest
