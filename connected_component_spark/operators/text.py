@@ -741,11 +741,14 @@ def bm25_hard_negatives(
     production pipeline reuses its staged snapshot).
 
     Scale shape: bm25_scores' inverted-index probe, then two
-    cluster-table equi-joins (query side is anchor-count bounded and
+    cluster-table LEFT joins (query side is anchor-count bounded and
     broadcast; candidate side joins on doc_id), a different-cluster
     filter, and the per-anchor top-k window over surviving candidates
     only.  Exclusion happens BEFORE ranking, so excluded positives
-    never consume top-k slots."""
+    never consume top-k slots.  A doc absent from ``clusters`` is its
+    own singleton cluster (the cluster-id-is-min-member convention) —
+    it stays a valid negative instead of being silently dropped by an
+    inner join (review r11)."""
     from pyspark.sql import Window
 
     scores = bm25_scores(docs, anchors, k1=k1, b=b, max_df=max_df)
@@ -762,11 +765,14 @@ def bm25_hard_negatives(
     )
     dc = clusters.select("doc_id", F.col("cluster").alias("d_cluster"))
     kept = (
-        scores.join(F.broadcast(qc), "query_id")
-        .join(dc, "doc_id")
+        scores.join(F.broadcast(qc), "query_id", "left")
+        .join(dc, "doc_id", "left")
         .where(
             (F.col("query_id") != F.col("doc_id"))
-            & (F.col("q_cluster") != F.col("d_cluster"))
+            & (
+                F.coalesce(F.col("q_cluster"), F.col("query_id"))
+                != F.coalesce(F.col("d_cluster"), F.col("doc_id"))
+            )
         )
         .select("query_id", "doc_id", "score")
     )

@@ -3165,11 +3165,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_sql() -> str:
-    values = ", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)
-    # float literals embedded via repr of the SAME Python doubles the
-    # Spark plan uses (k1+1 is not exactly representable), so both
-    # engines compute with bit-identical constants
+def _bm25_core_sql(q_cte: str) -> str:
+    """The shared BM25 scoring chain (CTEs ex → tf → dl → stats → q →
+    dft → contrib → scores), single-sourced for text_bm25_topk and
+    pipeline_hard_negatives (review r11 — a copy-pasted float
+    discipline would drift).  Expects a ``toks`` CTE (doc_id, t) in
+    scope; ``q_cte`` is the caller's query-term SELECT producing
+    (query_id, token).  Float literals embedded via repr of the SAME
+    Python doubles the Spark plan uses (k1+1 is not exactly
+    representable), so both engines compute with bit-identical
+    constants."""
     k1, k1p1, one_m_b, b = (
         repr(_BM25_K1),
         repr(_BM25_K1 + 1.0),
@@ -3181,19 +3186,11 @@ def _bm25_sql() -> str:
         f" * ((tf.tf * {k1p1}) / (tf.tf + {k1} * ({one_m_b} + {b}"
         f" * (dl.dl * stats.n_docs) / CAST(stats.n_corpus AS DOUBLE))))"
     )
-    return f"""
-WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
-ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    return f"""ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY 1),
 stats AS (SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS n_corpus FROM ex),
-qraw(query_id, qtext) AS (VALUES {values}),
-q AS (
-  SELECT CAST(query_id AS BIGINT) AS query_id,
-         unnest(list_distinct(list_filter(
-             string_split_regex(trim(qtext), '\\s+'), x -> x <> ''))) AS token
-  FROM qraw
-),
+q AS ({q_cte}),
 dft AS (
   SELECT token, count(*) AS df
   FROM tf JOIN (SELECT DISTINCT token FROM q) USING (token)
@@ -3211,7 +3208,21 @@ contrib AS (
 scores AS (
   SELECT query_id, doc_id, {roundd_sql('CAST(sum(c) AS DOUBLE)', 6)} AS score
   FROM contrib GROUP BY 1, 2
-),
+)"""
+
+
+def _bm25_sql() -> str:
+    values = ", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)
+    q_cte = """
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(trim(qtext), '\\s+'), x -> x <> ''))) AS token
+  FROM qraw
+"""
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+qraw(query_id, qtext) AS (VALUES {values}),
+{_bm25_core_sql(q_cte)},
 ranked AS (
   SELECT query_id, doc_id, score,
          CAST(row_number() OVER (PARTITION BY query_id
@@ -3327,48 +3338,16 @@ def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hard_negatives_sql() -> str:
-    k1, k1p1, one_m_b, b = (
-        repr(_BM25_K1),
-        repr(_BM25_K1 + 1.0),
-        repr(1.0 - _BM25_B),
-        repr(_BM25_B),
-    )
-    contrib = (
-        f"ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))"
-        f" * ((tf.tf * {k1p1}) / (tf.tf + {k1} * ({one_m_b} + {b}"
-        f" * (dl.dl * stats.n_docs) / CAST(stats.n_corpus AS DOUBLE))))"
-    )
+    q_cte = f"""
+  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS token
+  FROM toks WHERE doc_id % {_HN_ANCHOR_MOD} = 0
+"""
     return f"""
 WITH RECURSIVE {_minhash_sql_core()},
 {_lsh_pairs_sql()},
 {_cc_walk_sql(_JAC_EDGES, _DOC_UNIVERSE)},
 clus AS (SELECT node AS doc_id, min(comp) AS cluster FROM walk GROUP BY node),
-ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
-tf AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*) AS dl FROM ex GROUP BY 1),
-stats AS (SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS n_corpus FROM ex),
-q AS (
-  SELECT doc_id AS query_id, unnest(list_distinct(t)) AS token
-  FROM toks WHERE doc_id % {_HN_ANCHOR_MOD} = 0
-),
-dft AS (
-  SELECT token, count(*) AS df
-  FROM tf JOIN (SELECT DISTINCT token FROM q) USING (token)
-  GROUP BY 1
-),
-contrib AS (
-  SELECT q.query_id, tf.doc_id,
-         CAST({roundd_sql(contrib, 9)} AS DECIMAL(12,9)) AS c
-  FROM tf
-  JOIN q USING (token)
-  JOIN dft USING (token)
-  JOIN dl USING (doc_id)
-  CROSS JOIN stats
-),
-scores AS (
-  SELECT query_id, doc_id, {roundd_sql('CAST(sum(c) AS DOUBLE)', 6)} AS score
-  FROM contrib GROUP BY 1, 2
-),
+{_bm25_core_sql(q_cte)},
 kept AS (
   SELECT s.query_id, s.doc_id, s.score
   FROM scores s

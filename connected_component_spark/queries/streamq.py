@@ -705,29 +705,37 @@ GROUP BY 1, 2
 _DEDUP_STREAM_SLICES = 5
 
 
-def _staged_doc_slices(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the documents table as ``_DEDUP_STREAM_SLICES`` doc_id-
-    range parquet files with strictly increasing mtimes, so a
-    maxFilesPerTrigger=1 file stream replays them one per trigger in
-    ingestion order.  Shared by the incremental-dedup and incremental-
-    winnow stream queries (one staging, one cache key)."""
+def _staged_id_slices(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    table: str,
+    id_col: str,
+    n_slices: int,
+    cols: tuple[str, ...] | None = None,
+) -> str:
+    """Stage ``table`` as ``n_slices`` id-range parquet files with
+    strictly increasing mtimes, so a maxFilesPerTrigger=1 file stream
+    replays them one per trigger in ingestion order — single-sourced
+    for every replay staging (review r11: the embeddings variant had
+    copy-pasted this loop)."""
     from connected_component_spark.sources.tables import table_row_count
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n = table_row_count(spark, sf_dir, "documents")
-    stride = n // _DEDUP_STREAM_SLICES
-    staged, build = _staged_cache(
-        "ccs_stream_dedup", sf_dir, str(stride), table="documents"
-    )
+    df = load_table(spark, sf_dir, table)
+    if cols is not None:
+        df = df.select(*cols)
+    n = table_row_count(spark, sf_dir, table)
+    stride = n // n_slices
+    staged, build = _staged_cache(kind, sf_dir, str(stride), table=table)
     if build:
         now = time.time()
-        for i in range(_DEDUP_STREAM_SLICES):
+        for i in range(n_slices):
             lo = i * stride
-            cond = F.col("doc_id") >= lo
-            if i < _DEDUP_STREAM_SLICES - 1:
-                cond = cond & (F.col("doc_id") < lo + stride)
+            cond = F.col(id_col) >= lo
+            if i < n_slices - 1:
+                cond = cond & (F.col(id_col) < lo + stride)
             tmp = os.path.join(staged, "_tmp_slice")
-            docs.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+            df.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
             src = next(
                 p
                 for p in os.listdir(tmp)
@@ -739,6 +747,21 @@ def _staged_doc_slices(spark: SparkSession, sf_dir: str) -> str:
             os.utime(dst, (now + 10 * i, now + 10 * i))
         _mark_ready(staged)
     return staged
+
+
+def _staged_doc_slices(spark: SparkSession, sf_dir: str) -> str:
+    """Documents as doc_id-range replay slices — shared by the
+    incremental-dedup and incremental-winnow stream queries (one
+    staging, one cache key)."""
+    return _staged_id_slices(
+        spark,
+        sf_dir,
+        "ccs_stream_dedup",
+        "documents",
+        "doc_id",
+        _DEDUP_STREAM_SLICES,
+        cols=("doc_id", "text"),
+    )
 
 
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1018,38 +1041,16 @@ _ANN_STREAM_SLICES = 5
 
 
 def _staged_emb_slices(spark: SparkSession, sf_dir: str) -> str:
-    """The embeddings table staged as vec_id-range parquet files with
-    strictly increasing mtimes — the ANN twin of _staged_doc_slices,
-    so a maxFilesPerTrigger=1 file stream replays the corpus one
-    micro-batch per trigger in ingestion order."""
-    from connected_component_spark.sources.tables import table_row_count
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    n = table_row_count(spark, sf_dir, "embeddings")
-    stride = n // _ANN_STREAM_SLICES
-    staged, build = _staged_cache(
-        "ccs_stream_ann", sf_dir, str(stride), table="embeddings"
+    """The embeddings table as vec_id-range replay slices — the ANN
+    twin of _staged_doc_slices on the shared staging loop."""
+    return _staged_id_slices(
+        spark,
+        sf_dir,
+        "ccs_stream_ann",
+        "embeddings",
+        "vec_id",
+        _ANN_STREAM_SLICES,
     )
-    if build:
-        now = time.time()
-        for i in range(_ANN_STREAM_SLICES):
-            lo = i * stride
-            cond = F.col("vec_id") >= lo
-            if i < _ANN_STREAM_SLICES - 1:
-                cond = cond & (F.col("vec_id") < lo + stride)
-            tmp = os.path.join(staged, "_tmp_slice")
-            emb.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = next(
-                p
-                for p in os.listdir(tmp)
-                if p.startswith("part-") and p.endswith(".parquet")
-            )
-            dst = os.path.join(staged, f"{i:03d}.parquet")
-            os.replace(os.path.join(tmp, src), dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (now + 10 * i, now + 10 * i))
-        _mark_ready(staged)
-    return staged
 
 
 def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,6 +40,7 @@ from connected_component_spark.streaming.store import (
     CONSOLIDATE_EVERY,
     MemEpochGuard,
     ParquetStateStore,
+    run_state_stream,
 )
 
 __all__ = ["IncrementalIVF", "run_vec_stream"]
@@ -159,11 +160,18 @@ class IncrementalIVF:
         dim = self._codebook_dim()
         batch = batch.where(
             F.when(
-                F.size(F.col(self.vec_col)) != F.lit(dim),
+                # isNull first: size(NULL) is NULL, which would fall
+                # through to otherwise(True) and store a NULL vector
+                # in a garbage cell (review r11)
+                F.col(self.vec_col).isNull()
+                | (F.size(F.col(self.vec_col)) != F.lit(dim)),
                 F.raise_error(
                     F.concat(
                         F.lit("IncrementalIVF: vector length "),
-                        F.size(F.col(self.vec_col)).cast("string"),
+                        F.coalesce(
+                            F.size(F.col(self.vec_col)).cast("string"),
+                            F.lit("NULL"),
+                        ),
                         F.lit(
                             f" != codebook dim {dim} — the batch does not"
                             " match the index's vector space"
@@ -181,15 +189,19 @@ class IncrementalIVF:
         # one write per fold, one scan at serve
         indexed = batch.join(asg, self.id_col)
         n = self.batches_seen
-        # an EMPTY micro-batch (a trigger that fired with no new data)
-        # must not write the index table: a hive-partitioned write of
-        # zero rows lands a _SUCCESS-only dir with no schema-bearing
-        # file, and a committed ledger entry pointing at it would make
-        # every later read fail forever (review r11 — the flat layout
-        # tolerated empty writes, partitionBy does not).  The commit
-        # below still runs so the epoch high-water mark advances.
-        empty = batch.isEmpty()
         if self._store is not None:
+            # an EMPTY micro-batch (a trigger that fired with no new
+            # data) must not write the index table: a hive-partitioned
+            # write of zero rows lands a _SUCCESS-only dir with no
+            # schema-bearing file, and a committed ledger entry
+            # pointing at it would make every later read fail forever
+            # (review r11 — the flat layout tolerated empty writes,
+            # partitionBy does not).  The commit below still runs so
+            # the epoch high-water mark advances.  The limit-1 probe
+            # is confined to this durable pre-write path; the
+            # in-session branch derives emptiness for free from its
+            # already-required checkpointed leaf (review r11).
+            empty = batch.isEmpty()
             spark = batch_vecs.sparkSession
             tables, writes = [], []
             if not empty:
@@ -221,8 +233,11 @@ class IncrementalIVF:
             if n == 0:
                 self.codebook = self._store.read(spark, "codebook", 1)
             return
-        if not empty:
-            indexed = indexed.localCheckpoint(eager=True)
+        # in-session: the eager checkpoint is required anyway, and
+        # isEmpty on the materialized leaf is a metadata check — no
+        # extra evaluation of the batch plan
+        indexed = indexed.localCheckpoint(eager=True)
+        if not indexed.isEmpty():
             self.index = (
                 indexed
                 if self.index is None
@@ -329,18 +344,9 @@ def run_vec_stream(
     ``state``), a restarted stream replays only uncommitted epochs
     and the lineage-scoped epoch skip makes ingestion exactly-once."""
 
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        state.update(
-            batch_df.select(state.id_col, state.vec_col),
-            epoch_id=batch_id,
-            epoch_lineage=checkpoint_dir,
-        )
-
-    writer = vec_stream.writeStream.foreachBatch(_fold).trigger(
-        availableNow=True
+    return run_state_stream(
+        vec_stream,
+        state,
+        prepare=lambda df: df.select(state.id_col, state.vec_col),
+        checkpoint_dir=checkpoint_dir,
     )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
-    return state

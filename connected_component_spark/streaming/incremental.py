@@ -240,17 +240,11 @@ def run_edge_stream(
     uncommitted epoch and the lineage-scoped epoch guard makes the
     fold exactly-once end to end.
     """
-    state = state or IncrementalCC()
+    from connected_component_spark.streaming.store import run_state_stream
 
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        edges = derive_edges(batch_df) if derive_edges is not None else batch_df
-        state.update(edges, epoch_id=batch_id, epoch_lineage=checkpoint_dir)
-
-    writer = edge_stream.writeStream.foreachBatch(_fold).trigger(
-        availableNow=True
+    return run_state_stream(
+        edge_stream,
+        state or IncrementalCC(),
+        prepare=derive_edges,
+        checkpoint_dir=checkpoint_dir,
     )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
-    return state

@@ -41,7 +41,12 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["ParquetStateStore", "MemEpochGuard", "CONSOLIDATE_EVERY"]
+__all__ = [
+    "ParquetStateStore",
+    "MemEpochGuard",
+    "CONSOLIDATE_EVERY",
+    "run_state_stream",
+]
 
 _MANIFEST = "_manifest.json"
 
@@ -451,3 +456,34 @@ class ParquetStateStore:
                 ):
                     continue
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+
+
+def run_state_stream(
+    stream: DataFrame,
+    state,
+    prepare=None,
+    checkpoint_dir: str | None = None,
+):
+    """Shared ``foreachBatch`` runner for every incremental operator
+    on this store contract (dedup, winnow, CC, ANN index) — single-
+    sourced like MemEpochGuard after four near-verbatim copies
+    drifted into existence (review r11).  Drives ``state.update`` per
+    micro-batch with the available-now trigger (processes the backlog,
+    then stops); ``prepare`` optionally maps the raw batch rows to the
+    operator's input shape (runs in batch context, so windows etc.
+    are available).  With ``checkpoint_dir`` (and a durable state), a
+    restarted stream replays only uncommitted epochs and the lineage-
+    scoped epoch guard makes the fold exactly-once end to end."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        b = prepare(batch_df) if prepare is not None else batch_df
+        state.update(b, epoch_id=batch_id, epoch_lineage=checkpoint_dir)
+
+    writer = stream.writeStream.foreachBatch(_fold).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return state

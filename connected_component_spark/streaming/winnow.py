@@ -293,20 +293,11 @@ def run_winnow_stream(
     With ``checkpoint_dir`` (and a durable ``state``), a restarted
     stream replays only from the last uncommitted epoch and the
     epoch-id skip makes the fold exactly-once end to end."""
-    state = state or IncrementalWinnow()
+    from connected_component_spark.streaming.store import run_state_stream
 
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        state.update(
-            batch_df.select("doc_id", "text"),
-            epoch_id=batch_id,
-            epoch_lineage=checkpoint_dir,
-        )
-
-    writer = doc_stream.writeStream.foreachBatch(_fold).trigger(
-        availableNow=True
+    return run_state_stream(
+        doc_stream,
+        state or IncrementalWinnow(),
+        prepare=lambda df: df.select("doc_id", "text"),
+        checkpoint_dir=checkpoint_dir,
     )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    q.awaitTermination()
-    return state
