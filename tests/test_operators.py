@@ -913,3 +913,72 @@ def test_bm25_hard_negatives_excludes_own_cluster(spark):
     got.sort(key=lambda r: r["rank"])
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
     assert got[0]["doc_id"] == 3  # shares the most terms -> hardest
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """Independent differential (the pagerank-vs-numpy pattern): the
+    distributed BM25 must match a from-scratch pure-Python Okapi
+    implementation on seeded random corpora to 1e-6 — catching any
+    formula/plumbing error the DuckDB oracle (built from the same
+    reading of the formula) could share."""
+    import math
+    import random
+
+    from connected_component_spark.operators.text import bm25_topk
+
+    k1, b = 1.2, 0.75
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs_py = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(3, 40))]
+        for i in range(60)
+    }
+    queries_py = {1: ["w0", "w3", "w7"], 2: ["w11", "w29"], 3: ["w5"]}
+
+    # -- reference implementation, straight from the paper ----------
+    n_docs = len(docs_py)
+    avgdl = sum(len(t) for t in docs_py.values()) / n_docs
+    df = {}
+    for toks in docs_py.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+
+    def score(q_terms, toks):
+        s = 0.0
+        for t in set(q_terms):
+            if t not in df or t not in toks:
+                continue
+            tf = toks.count(t)
+            idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(toks) / avgdl)
+            )
+        return s
+
+    expected = {}
+    for qid, terms in queries_py.items():
+        scored = [
+            (d, score(terms, toks))
+            for d, toks in docs_py.items()
+            if any(t in toks for t in terms)
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        expected[qid] = scored[:5]
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs_py.items()],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(qid, " ".join(t)) for qid, t in queries_py.items()],
+        "query_id long, query_text string",
+    )
+    got = {}
+    for r in bm25_topk(docs, q, k1=k1, b=b, k=5).collect():
+        got.setdefault(r["query_id"], []).append(r)
+    for qid, rows in got.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows] == [d for d, _ in expected[qid]]
+        for r, (_, s) in zip(rows, expected[qid]):
+            assert abs(r["score"] - s) <= 1e-6, (qid, r["doc_id"], r["score"], s)
+    assert set(got) == set(expected)
