@@ -982,3 +982,53 @@ def test_bm25_matches_pure_python_reference(spark):
         for r, (_, s) in zip(rows, expected[qid]):
             assert abs(r["score"] - s) <= 1e-6, (qid, r["doc_id"], r["score"], s)
     assert set(got) == set(expected)
+
+
+def test_textrank_matches_pure_python_reference(spark):
+    """Independent differential for the TextRank composition: build
+    the bigram co-occurrence graph and run synchronous PageRank from
+    scratch in pure Python on a seeded random corpus — the operator's
+    ranking and ranks must match (1e-6), isolating the graph
+    construction the pagerank-vs-numpy test doesn't cover."""
+    import random
+
+    from connected_component_spark.operators.text import textrank_keywords
+
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(12)]
+    docs_py = [
+        [rng.choice(vocab) for _ in range(rng.randint(2, 15))]
+        for _ in range(25)
+    ]
+
+    edges = set()
+    for toks in docs_py:
+        for a, bb in zip(toks, toks[1:]):
+            if a != bb:
+                edges.add((a, bb))
+                edges.add((bb, a))
+    nodes = sorted({u for u, _ in edges})
+    out = {u: sum(1 for e in edges if e[0] == u) for u in nodes}
+    n = len(nodes)
+    d = 0.85
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(5):
+        nxt = {}
+        for u in nodes:
+            s = sum(rank[v] / out[v] for v, w in edges if w == u)
+            nxt[u] = (1.0 - d) / n + d * s
+        rank = nxt
+    want = sorted(
+        ((round(r, 6), t) for t, r in rank.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:10]
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs_py)],
+        "doc_id long, text string",
+    )
+    got = textrank_keywords(docs, top_k=10).collect()
+    got.sort(key=lambda r: r["pos"])
+    assert [r["token"] for r in got] == [t for _, t in want]
+    for r, (rr, _) in zip(got, want):
+        assert abs(r["rank"] - rr) <= 1e-6
