@@ -1032,3 +1032,68 @@ def test_textrank_matches_pure_python_reference(spark):
     assert [r["token"] for r in got] == [t for _, t in want]
     for r, (rr, _) in zip(got, want):
         assert abs(r["rank"] - rr) <= 1e-6
+
+
+def test_knn_label_vote_matches_numpy_reference(spark):
+    """Independent differential for the k-NN label evaluation: numpy
+    cosine top-k + a hand-rolled majority vote (ties to the smallest
+    label) on a seeded random corpus must reproduce the query's
+    prediction and correctness rows exactly."""
+    import numpy as np
+
+    from connected_component_spark.queries.llmops import _KNN_K
+
+    rng = np.random.default_rng(23)
+    n, dim = 120, 8
+    vecs = rng.standard_normal((n, dim))
+    labels = rng.integers(0, 4, size=n)
+    emb = spark.createDataFrame(
+        [
+            (i, [float(x) for x in vecs[i]], int(labels[i]))
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # mirror the declared query's shape on this corpus: queries are
+    # the vec_id % 50 == 0, < 500 subset, k=5 neighbors, self excluded
+    from connected_component_spark.operators.similarity import cosine_topk
+    from pyspark.sql import Window, functions as F
+
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500))
+    topk = cosine_topk(queries, emb, k=_KNN_K)
+    votes = (
+        topk.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pick = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    got = {
+        r["query_id"]: r["n_label"]
+        for r in votes.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+
+    # numpy reference: float32-rounded vectors like the stored column
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    norms = np.linalg.norm(v32, axis=1)
+    for qid in range(0, n, 50):
+        cos = (v32 @ v32[qid]) / (norms * norms[qid])
+        cos = np.round(cos, 6)  # the operator ranks rounded cosines
+        order = sorted(
+            (i for i in range(n) if i != qid),
+            key=lambda i: (-cos[i], i),
+        )[:_KNN_K]
+        counts = {}
+        for i in order:
+            counts[int(labels[i])] = counts.get(int(labels[i]), 0) + 1
+        pred = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert got[qid] == pred, (qid, got[qid], pred)
