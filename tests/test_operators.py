@@ -1097,3 +1097,29 @@ def test_knn_label_vote_matches_numpy_reference(spark):
             counts[int(labels[i])] = counts.get(int(labels[i]), 0) + 1
         pred = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
         assert got[qid] == pred, (qid, got[qid], pred)
+
+
+def test_bm25_edge_cases_empty_and_absent(spark):
+    """Edge pins: an empty query batch yields an empty result (not an
+    error); a query whose every term is absent from the corpus yields
+    no rows for that query while other queries are unaffected; an
+    empty-text query contributes nothing."""
+    from connected_component_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta")],
+        "doc_id long, text string",
+    )
+    empty_q = spark.createDataFrame([], "query_id long, query_text string")
+    assert bm25_topk(docs, empty_q, k=3).count() == 0
+
+    q = spark.createDataFrame(
+        [(1, "zzz qqq"), (2, "beta"), (3, "")],
+        "query_id long, query_text string",
+    )
+    got = bm25_topk(docs, q, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert 1 not in by_q and 3 not in by_q
+    assert sorted(by_q[2]) == [1, 2]
