@@ -2366,7 +2366,14 @@ def ann_ivf_restart_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 idx.update(batch(i), epoch_id=i)
             del idx  # the "crash": only the disk state survives
             resumed = IncrementalIVF.load(spark, state_dir)
-            assert resumed.batches_seen == crash_at
+            # explicit raise, not assert — the resumed-at-crash-point
+            # claim is the row's core invariant and must survive
+            # `python -O` (advice r11)
+            if resumed.batches_seen != crash_at:
+                raise RuntimeError(
+                    f"ann_ivf_restart_topk: resumed at batch "
+                    f"{resumed.batches_seen}, expected {crash_at}"
+                )
             for i in range(crash_at, _ANN_INC_BATCHES):
                 resumed.update(batch(i), epoch_id=i)
             out = resumed.topk(emb.where(F.col("vec_id") % 50 == 0), k=5)

@@ -239,7 +239,14 @@ def stream_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             state = run_edge_stream(
                 stream, IncrementalCC(state_dir=state_dir), derive_edges=derive
             )
-        assert state.assignments is not None and state.batches_seen > 1
+        # explicit raise, not assert: core row invariant, must survive
+        # `python -O` (advice r11)
+        if state.assignments is None or state.batches_seen <= 1:
+            raise RuntimeError(
+                "stream_incremental_cc: backlog not folded — "
+                f"{state.batches_seen} batches, assignments "
+                f"{'missing' if state.assignments is None else 'present'}"
+            )
         return state.assignments.select(
             F.col("node").alias("user_id"), F.col("component")
         ).localCheckpoint(eager=True)
@@ -814,10 +821,13 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     state_dir=state_dir,
                 ),
             )
-        assert (
-            state.batches_seen == _DEDUP_STREAM_SLICES
-            and state.results is not None
-        )
+        # explicit raise, not assert: core row invariant, must survive
+        # `python -O` (advice r11)
+        if state.batches_seen != _DEDUP_STREAM_SLICES or state.results is None:
+            raise RuntimeError(
+                "stream_incremental_dedup: backlog not drained — folded "
+                f"{state.batches_seen}/{_DEDUP_STREAM_SLICES} slices"
+            )
         # materialize off the state dir before tearing it down (the
         # returned plan must not reference deleted parquet)
         return state.results.localCheckpoint(eager=True)
@@ -922,10 +932,13 @@ def stream_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     state_dir=state_dir,
                 ),
             )
-        assert (
-            state.batches_seen == _DEDUP_STREAM_SLICES
-            and state.results is not None
-        )
+        # explicit raise, not assert: core row invariant, must survive
+        # `python -O` (advice r11)
+        if state.batches_seen != _DEDUP_STREAM_SLICES or state.results is None:
+            raise RuntimeError(
+                "stream_winnow_dedup: backlog not drained — folded "
+                f"{state.batches_seen}/{_DEDUP_STREAM_SLICES} slices"
+            )
         return state.results.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
@@ -980,16 +993,23 @@ def stream_winnow_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             del state  # the "crash": only the disk state survives
             resumed = IncrementalWinnow.load(spark, state_dir)
-            assert resumed.batches_seen == crash_at
+            # explicit raise, not assert: the resumed-at-crash-point
+            # claim is the row's core invariant (advice r11)
+            if resumed.batches_seen != crash_at:
+                raise RuntimeError(
+                    f"stream_winnow_restart: resumed at batch "
+                    f"{resumed.batches_seen}, expected {crash_at}"
+                )
             for i, path in enumerate(slices[crash_at:], start=crash_at):
                 resumed.update(
                     spark.read.parquet(path).select("doc_id", "text"),
                     epoch_id=i,
                 )
-        assert (
-            resumed.batches_seen == _DEDUP_STREAM_SLICES
-            and resumed.results is not None
-        )
+        if resumed.batches_seen != _DEDUP_STREAM_SLICES or resumed.results is None:
+            raise RuntimeError(
+                "stream_winnow_restart: backlog not drained — folded "
+                f"{resumed.batches_seen}/{_DEDUP_STREAM_SLICES} slices"
+            )
         return resumed.results.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
@@ -1094,7 +1114,14 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     state_dir=state_dir,
                 ),
             )
-            assert idx.batches_seen == _ANN_STREAM_SLICES
+            # explicit raise, not assert — the backlog-drained claim is
+            # the row's core invariant and must survive `python -O`
+            # (advice r11)
+            if idx.batches_seen != _ANN_STREAM_SLICES:
+                raise RuntimeError(
+                    f"stream_ann_ingest: backlog not drained — folded "
+                    f"{idx.batches_seen}/{_ANN_STREAM_SLICES} slices"
+                )
             out = idx.topk(emb.where(F.col("vec_id") % 50 == 0), k=5)
             return out.localCheckpoint(eager=True)
     finally:

@@ -77,7 +77,9 @@ class IncrementalIVF:
         self.vec_col = vec_col
         self.codebook = centroids
         self._dim: int | None = None
-        self.index: DataFrame | None = None  # (id, vec, cell)
+        self._ncells_cached: int | None = None
+        self._index: DataFrame | None = None  # (id, vec, cell)
+        self._index_stale = False  # durable path: re-read on next access
         self.batches_seen = 0
         self._mem_guard = MemEpochGuard()
         self._store: ParquetStateStore | None = None
@@ -89,6 +91,18 @@ class IncrementalIVF:
                     "it with IncrementalIVF.load(spark, state_dir)"
                 )
             self._store = store
+
+    @property
+    def index(self) -> DataFrame | None:
+        """The committed (id, vec, cell) index.  On the durable path
+        the parquet read is LAZY (r12): folds only mark the view
+        stale, and the one basePath-discovery scan happens on first
+        access after the fold — per-fold re-reads used to cost one
+        file-listing + schema job each, growing with state size."""
+        if self._index_stale:
+            self._index = self._read_index(self.codebook.sparkSession)
+            self._index_stale = False
+        return self._index
 
     def _params(self) -> dict:
         return {"id_col": self.id_col, "vec_col": self.vec_col}
@@ -103,15 +117,44 @@ class IncrementalIVF:
             self._dim = int(row["d"])
         return self._dim
 
+    def _ncells(self) -> int:
+        """Codebook cell count, resolved once — sizes the durable
+        fold's write parallelism (one count over the bounded
+        codebook-sized table)."""
+        if self._ncells_cached is None:
+            self._ncells_cached = max(1, self.codebook.count())
+        return self._ncells_cached
+
     @classmethod
     def load(cls, spark: SparkSession, state_dir: str) -> IncrementalIVF:
         """Resume a durable index: codebook, inverted lists, and
         stored vectors bind to the committed parquet — servable
         immediately, no retraining or reassignment."""
+        import os
+
         store = ParquetStateStore(state_dir)
         m = store.manifest()
         if m is None:
             raise ValueError(f"no committed state manifest under {state_dir}")
+        # the retired two-table cells/vecs layout: detectable via the
+        # ledger, or — for a pre-ledger manifest — via its directories
+        # still sitting under state_dir (advice r11: without the dir
+        # probe such a store would fail later with a misleading
+        # missing-codebook / empty-index error).  Checked FIRST so the
+        # rebuild message wins over any downstream read failure.
+        ledger = m.get("tables") or {}
+        if "cells" in ledger or (
+            not ledger
+            and any(
+                os.path.isdir(os.path.join(state_dir, d))
+                for d in ("cells", "vecs")
+            )
+        ):
+            raise ValueError(
+                f"{state_dir} holds the retired two-table cells/vecs "
+                "layout — rebuild the index (the single-table `index` "
+                "layout replaced it)"
+            )
         p = m["params"]
         codebook = store.read(spark, "codebook", m["batches"])
         if codebook is None:
@@ -121,13 +164,9 @@ class IncrementalIVF:
         )
         self._store = store
         self.batches_seen = m["batches"]
-        if "cells" in (m.get("tables") or {}):
-            raise ValueError(
-                f"{state_dir} holds the retired two-table cells/vecs "
-                "layout — rebuild the index (the single-table `index` "
-                "layout replaced it)"
-            )
-        self.index = self._read_index(spark)
+        # servable immediately; the actual parquet bind happens on
+        # first .index access (lazy, r12)
+        self._index_stale = True
         return self
 
     def _read_index(self, spark: SparkSession) -> DataFrame | None:
@@ -190,34 +229,43 @@ class IncrementalIVF:
         indexed = batch.join(asg, self.id_col)
         n = self.batches_seen
         if self._store is not None:
-            # an EMPTY micro-batch (a trigger that fired with no new
-            # data) must not write the index table: a hive-partitioned
-            # write of zero rows lands a _SUCCESS-only dir with no
-            # schema-bearing file, and a committed ledger entry
-            # pointing at it would make every later read fail forever
-            # (review r11 — the flat layout tolerated empty writes,
-            # partitionBy does not).  The commit below still runs so
-            # the epoch high-water mark advances.  The limit-1 probe
-            # is confined to this durable pre-write path; the
-            # in-session branch derives emptiness for free from its
-            # already-required checkpointed leaf (review r11).
-            empty = batch.isEmpty()
             spark = batch_vecs.sparkSession
-            tables, writes = [], []
-            if not empty:
-                # hive-partitioned by cell: the batch dir IS the
-                # inverted-list layout (cell=N subdirs), so a serve
-                # restricted to the probed cells skips whole dirs
-                writes.append(("index", n, indexed, ("cell",)))
-                tables.append("index")
+            # the (guarded) batch plan is evaluated EXACTLY ONCE per
+            # fold — by the write itself (r12; this subsumes the r11
+            # checkpoint-before-probe hardening: with a single
+            # evaluation, a non-deterministic DataFrame handed to a
+            # direct update() call cannot store inconsistent rows).
+            # The repartition on the cell key spreads the dynamic-
+            # partition write across tasks, each landing only the
+            # cell= dirs it holds — a single-task write serializes one
+            # file create per cell (~1 s/fold at fixture scale, and
+            # the wrong shape for a large micro-batch anyway).
+            width = min(self._ncells(), spark.sparkContext.defaultParallelism)
+            writes = [
+                ("index", n, indexed.repartition(width, "cell"), ("cell",))
+            ]
             if n == 0:
                 # the codebook is part of the index — a load() must
                 # restore a servable state with no side-channel; it is
                 # independent of the batch table, landed concurrently
                 # (store.write_many)
                 writes.append(("codebook", 0, self.codebook))
-                tables.append("codebook")
             self._store.write_many(writes)
+            # an EMPTY micro-batch (a trigger that fired with no new
+            # data) must not be LEDGERED for the index table: a hive-
+            # partitioned write of zero rows lands a _SUCCESS-only dir
+            # with no schema-bearing file, and a committed ledger entry
+            # pointing at it would make every later read fail forever
+            # (review r11).  Emptiness is derived from the write that
+            # already happened (one dir walk, no second evaluation);
+            # the commit below still runs so the epoch mark advances.
+            tables = []
+            if self._store.batch_has_data("index", n):
+                tables.append("index")
+            else:
+                self._store.discard_batch("index", n)
+            if n == 0:
+                tables.append("codebook")
             self._store.commit(
                 n,
                 self._params(),
@@ -229,7 +277,9 @@ class IncrementalIVF:
             self.batches_seen = n + 1
             if self.batches_seen % _CONSOLIDATE_EVERY == 0:
                 self._store.compact(spark)
-            self.index = self._read_index(spark)
+            # the committed view is re-read LAZILY on next .index
+            # access (r12) — a fold-only stream never pays the read
+            self._index_stale = True
             if n == 0:
                 self.codebook = self._store.read(spark, "codebook", 1)
             return
@@ -238,14 +288,14 @@ class IncrementalIVF:
         # extra evaluation of the batch plan
         indexed = indexed.localCheckpoint(eager=True)
         if not indexed.isEmpty():
-            self.index = (
+            self._index = (
                 indexed
-                if self.index is None
-                else self.index.unionByName(indexed)
+                if self._index is None
+                else self._index.unionByName(indexed)
             )
         self.batches_seen = n + 1
-        if self.batches_seen % _CONSOLIDATE_EVERY == 0 and self.index is not None:
-            self.index = self.index.localCheckpoint(eager=True)
+        if self.batches_seen % _CONSOLIDATE_EVERY == 0 and self._index is not None:
+            self._index = self._index.localCheckpoint(eager=True)
         # mark ONLY after the fold's actions succeeded - marking first
         # would classify a failed fold's retry (incl. one stopped by
         # the width guard) as a replay (review r11)

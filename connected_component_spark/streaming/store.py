@@ -38,6 +38,7 @@ import json
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -265,13 +266,28 @@ class ParquetStateStore:
         # JVM thread on exit (review r11).
         from pyspark import InheritableThread
 
+        # fail-fast contract (advice r11): the first failed write
+        # cancels the shared job group, so hung sibling write jobs are
+        # interrupted instead of wedging the joins forever, and EVERY
+        # error is surfaced — multiple failures raise as an
+        # ExceptionGroup rather than silently dropping all but the
+        # first.
+        spark = writes[0][2].sparkSession
+        group = f"ccs-write-many-{uuid.uuid4().hex}"
         errors: list[BaseException] = []
 
         def _run(*w) -> None:
             try:
+                spark.sparkContext.setJobGroup(
+                    group, "state store write_many", interruptOnCancel=True
+                )
                 self.write(*w)
             except BaseException as e:  # surfaced after the join
                 errors.append(e)
+                try:
+                    spark.sparkContext.cancelJobGroup(group)
+                except BaseException:
+                    pass  # cancellation is best-effort; errors still raise
 
         threads = [
             InheritableThread(target=_run, args=w) for w in writes
@@ -280,8 +296,27 @@ class ParquetStateStore:
             th.start()
         for th in threads:
             th.join()
-        if errors:
+        if len(errors) == 1:
             raise errors[0]
+        if errors:
+            raise ExceptionGroup("write_many: multiple writes failed", errors)
+
+    def batch_has_data(self, table: str, batch_idx: int) -> bool:
+        """Whether batch ``batch_idx``'s landed dir holds any DATA file
+        (hive-partitioned writes of zero rows leave a _SUCCESS-only dir
+        no reader can bind a schema to).  Lets a fold derive emptiness
+        from the write it already performed — one dir walk instead of a
+        second evaluation of the batch plan (r12)."""
+        for _root, _dirs, files in os.walk(self._batch_dir(table, batch_idx)):
+            if any(not f.startswith(("_", ".")) for f in files):
+                return True
+        return False
+
+    def discard_batch(self, table: str, batch_idx: int) -> None:
+        """Remove an UNCOMMITTED batch dir (e.g. an empty partitioned
+        write the fold decided not to ledger).  Never call on a dir the
+        manifest references."""
+        shutil.rmtree(self._batch_dir(table, batch_idx), ignore_errors=True)
 
     def read_batch(
         self, spark: SparkSession, table: str, batch_idx: int
@@ -332,14 +367,35 @@ class ParquetStateStore:
             return None
         pb = (m.get("partitioning") or {}).get(table)
         if pb:
-            # hive-partitioned dirs cannot be listed as sibling roots
-            # of one scan (conflicting-structure detection); read each
-            # committed dir with its own partition discovery and union
-            # — dir count is bounded by the compaction cadence, so the
-            # union stays shallow on a long-running stream
-            dfs = [spark.read.parquet(p) for p in paths]
-            out = dfs[0]
-            for d in dfs[1:]:
+            # hive-partitioned batch dirs ARE themselves hive-named
+            # (`batch=NNNNNN/<pcol>=V/...`), so ONE scan rooted at the
+            # table dir (`basePath`) discovers `batch` plus the declared
+            # partition columns across every committed dir — replacing
+            # the per-dir read + union tree of r11, whose per-dir file
+            # listing/schema jobs dominated fixture-scale serves (r12;
+            # `batch` is dropped, and data columns named `batch`/`gen`
+            # are reserved by this layout).  The consolidated `gen=` dir
+            # cannot join that scan (conflicting partition names at the
+            # same depth), so it keeps its own discovery — union fan-in
+            # is ≤ 2 regardless of stream age.
+            tdir = os.path.join(self.root, table)
+            batch_paths = [
+                p for p in paths if os.path.basename(p).startswith("batch=")
+            ]
+            gen_paths = [
+                p for p in paths if os.path.basename(p).startswith("gen=")
+            ]
+            parts = []
+            for gp in gen_paths:  # at most one generation per table
+                parts.append(spark.read.parquet(gp))
+            if batch_paths:
+                parts.append(
+                    spark.read.option("basePath", tdir)
+                    .parquet(*batch_paths)
+                    .drop("batch")
+                )
+            out = parts[0]
+            for d in parts[1:]:
                 out = out.unionByName(d)
             return out
         return spark.read.parquet(*paths)

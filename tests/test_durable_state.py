@@ -614,3 +614,30 @@ def test_dedup_and_winnow_tolerate_empty_batches(spark, tmp_path):
         assert st.batches_seen == 3
         loaded = cls.load(spark, sd)
         assert _rows(loaded) == _rows(st)
+
+
+def test_ivf_load_rejects_preledger_retired_layout(spark, tmp_path, sf_dir):
+    """advice r11: a pre-ledger manifest (no `tables` entry) from the
+    retired two-table cells/vecs layout must be rejected at load()
+    with the rebuild message, not limp on to a misleading
+    'empty index' failure later."""
+    import json
+    import os
+
+    import pytest
+
+    from connected_component_spark.streaming.annindex import IncrementalIVF
+
+    sd = str(tmp_path / "old_ivf")
+    os.makedirs(os.path.join(sd, "cells", "batch=000000"))
+    with open(os.path.join(sd, "_manifest.json"), "w") as fh:
+        json.dump(
+            {
+                "batches": 1,
+                "params": {"id_col": "vec_id", "vec_col": "embedding"},
+                "last_epoch": 0,
+            },
+            fh,
+        )
+    with pytest.raises(ValueError, match="retired two-table"):
+        IncrementalIVF.load(spark, sd)

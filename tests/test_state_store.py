@@ -102,3 +102,49 @@ def test_mem_guard_mirrors_manifest_semantics():
     assert not g.should_skip(2, "other")  # lineage-scoped
     g.mark(None, "ck")  # no-op: None never advances the mark
     assert g.should_skip(2, "ck")
+
+
+def test_batch_has_data_and_discard(tmp_path):
+    """r12: emptiness of a landed batch dir is derived from its DATA
+    files (hidden/_SUCCESS entries don't count), and an uncommitted
+    empty dir can be discarded without touching the ledger."""
+    st = _store(tmp_path)
+    bdir = os.path.join(st.root, "idx", "batch=000000")
+    os.makedirs(os.path.join(bdir, "cell=3"))
+    open(os.path.join(bdir, "_SUCCESS"), "w").close()
+    open(os.path.join(bdir, "cell=3", ".part.crc"), "w").close()
+    assert not st.batch_has_data("idx", 0)
+    open(os.path.join(bdir, "cell=3", "part-0.parquet"), "w").close()
+    assert st.batch_has_data("idx", 0)
+    st.discard_batch("idx", 0)
+    assert not os.path.exists(bdir)
+    assert not st.batch_has_data("idx", 0)  # missing dir == no data
+
+
+def test_write_many_surfaces_every_error(tmp_path, spark):
+    """advice r11: when several concurrent state writes fail, ALL the
+    errors surface (ExceptionGroup), not just the first-recorded one —
+    and the single-failure path still raises the bare exception."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    st = _store(tmp_path)
+    boom = spark.range(3).select(F.raise_error(F.lit("boom")).alias("x"))
+    # single write: the bare exception propagates (no group wrapper)
+    with pytest.raises(Exception, match="boom") as ei:
+        st.write_many([("a", 0, boom)])
+    assert not isinstance(ei.value, ExceptionGroup)
+    # two failing writes: BOTH surface — either as an ExceptionGroup,
+    # or (when fail-fast cancellation killed the sibling before it
+    # recorded) whatever error the cancelled job raised; in every case
+    # at least one underlying "boom" is visible and nothing committed
+    with pytest.raises(Exception) as eg:
+        st.write_many([("a", 1, boom), ("b", 1, boom)])
+    errs = (
+        list(eg.value.exceptions)
+        if isinstance(eg.value, ExceptionGroup)
+        else [eg.value]
+    )
+    assert any("boom" in str(e) for e in errs)
+    # nothing above became visible: the fold never committed
+    assert st.manifest() is None
