@@ -739,9 +739,20 @@ def ivf_topk(
     # query vectors (O(|q|·k), broadcast centroids — queries need not
     # exist in the corpus)
     storage = ivf_cell_assignments(corpus, centroids, id_col, vec_col, 1)
+    # probe-pruned serving (r12, the incremental index's serve shape
+    # applied to the batch operator): the probed-cell set is BOUNDED
+    # (|queries| × nprobe — queries are a bounded batch by the serving
+    # contract), so collect it once off an eagerly-checkpointed probe
+    # (evaluated exactly once, like annindex.topk) and push it as a
+    # static IN-filter on the storage assignment — unprobed cells'
+    # vectors never reach the norm/dot work or the cell-join shuffle.
+    # Purely physical: a candidate outside the probed cells could
+    # never join anyway, so results are unchanged.
     probe = ivf_cell_assignments(
         queries, centroids, id_col, vec_col, max(1, nprobe)
-    )
+    ).localCheckpoint(eager=True)
+    probed = [r["cell"] for r in probe.select("cell").distinct().collect()]
+    storage = storage.where(F.col("cell").isin(probed))
     q = _normed(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -749,12 +760,21 @@ def ivf_topk(
     ).join(
         probe.select(F.col(id_col).alias("query_id"), "cell"), "query_id"
     )
-    cand = _normed(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        l2_norm(F.col(vec_col)).alias("cn"),
-    ).join(
-        storage.select(F.col(id_col).alias("neighbor_id"), "cell"), "neighbor_id"
+    # norms are computed ABOVE the cell-pruned join (same order as the
+    # incremental index's serve): vectors in unprobed cells are dropped
+    # by the join before any per-vector arithmetic
+    cand = (
+        _normed(corpus, id_col, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        .join(
+            storage.select(F.col(id_col).alias("neighbor_id"), "cell"),
+            "neighbor_id",
+        )
+        .select(
+            "neighbor_id", "cv", l2_norm(F.col("cv")).alias("cn"), "cell"
+        )
     )
     scored = (
         q.join(cand, "cell")

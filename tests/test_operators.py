@@ -1123,3 +1123,34 @@ def test_bm25_edge_cases_empty_and_absent(spark):
         by_q.setdefault(r["query_id"], []).append(r["doc_id"])
     assert 1 not in by_q and 3 not in by_q
     assert sorted(by_q[2]) == [1, 2]
+
+
+def test_batch_ivf_serving_is_probe_pruned(spark, sf_dir):
+    """r12: the batch IVF family pushes the bounded collected
+    probed-cell set as a static IN-filter on the storage assignment —
+    the executed plan carries the cell filter ahead of the corpus
+    join, so unprobed cells' vectors/codes never reach the candidate
+    work (the incremental index's serve shape, applied to ivf_topk and
+    ivfpq_topk)."""
+    import re
+
+    from connected_component_spark.operators.quantize import (
+        ivfpq_topk,
+        pq_codebooks,
+    )
+    from connected_component_spark.operators.similarity import ivf_topk
+    from connected_component_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 200 == 0)
+
+    out = ivf_topk(q, emb, k=3, centroid_stride=50, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"cell#\d+L? IN \(", plan), plan[:3000]
+    assert out.count() > 0
+
+    books = pq_codebooks(emb, dim=64, m=2, k=4, iterations=1)
+    out2 = ivfpq_topk(q, emb, books, k=3, centroid_stride=50, nprobe=1)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"cell#\d+L? IN \(", plan2), plan2[:3000]
+    assert out2.count() > 0
