@@ -609,6 +609,7 @@ def bm25_topk(
     b: float = 0.75,
     k: int = 10,
     max_df: int | None = None,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Okapi-BM25 ranked retrieval: for each query in ``queries``
     (query_id, query_text), the ``k`` highest-scoring documents —
@@ -644,7 +645,9 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
-    scores = bm25_scores(docs, queries, k1=k1, b=b, max_df=max_df)
+    scores = bm25_scores(
+        docs, queries, k1=k1, b=b, max_df=max_df, max_queries=max_queries
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -659,6 +662,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     max_df: int | None = None,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """The un-ranked BM25 scorer behind :func:`bm25_topk`:
     (query_id, doc_id, score) for every document matching at least
@@ -667,7 +671,26 @@ def bm25_scores(
     which excludes the anchor's own near-dup cluster) rank the
     surviving set instead of losing excluded slots from a pre-cut
     top-k.  Semantics, plan shape, and cross-engine float discipline
-    exactly as documented on bm25_topk."""
+    exactly as documented on bm25_topk.
+
+    BOUNDED-QUERY-BATCH CONTRACT (advice r11): the query-term table is
+    BROADCAST into the posting lists (that is what makes this an
+    inverted-index probe instead of a corpus scan per query), so
+    ``queries`` must be a bounded serving batch, never a corpus-scale
+    table — "mine negatives for every doc" must chunk its anchors.
+    ``max_queries`` enforces it (early-exit limit probe, raises above
+    the bound; ``None`` disables for callers that have already sized
+    the batch)."""
+    if max_queries is not None:
+        # limit(n+1) short-circuits the scan: one cheap bounded job,
+        # not a count of a possibly corpus-scale table
+        if queries.limit(max_queries + 1).count() > max_queries:
+            raise ValueError(
+                f"bm25_scores: query batch exceeds max_queries="
+                f"{max_queries} — the query-term table is broadcast, "
+                "so corpus-scale query sets must be chunked (or pass "
+                "max_queries=None after sizing the batch yourself)"
+            )
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -702,9 +725,19 @@ def bm25_scores(
             / F.col("n_corpus").cast("double")
         )
     )
+    surv = ptf.join(F.broadcast(dft), "token")
+    if max_df is not None:
+        # candidate-bounded dl (verdict r11): with max_df capping every
+        # posting list, the surviving candidate set is ≤ |qterms|·max_df
+        # rows — reduce the corpus-wide doc-length table to candidate
+        # doc_ids (broadcast semi-join: dl streams, no shuffle) and
+        # BROADCAST the reduced result into the scoring join, removing
+        # the corpus-sized dl shuffle entirely.  Without max_df the
+        # candidate set is unbounded and the shuffle join stands.
+        cand_ids = surv.select("doc_id").distinct()
+        dl = F.broadcast(dl.join(F.broadcast(cand_ids), "doc_id"))
     contrib = (
-        ptf.join(F.broadcast(dft), "token")
-        .join(dl, "doc_id")
+        surv.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .join(F.broadcast(qterms), "token")
         .select(
@@ -726,6 +759,7 @@ def bm25_hard_negatives(
     k1: float = 1.2,
     b: float = 0.75,
     max_df: int | None = None,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Hard-negative mining for contrastive retrieval training (the
     DPR/Contriever recipe: BM25-top lexical matches that are NOT
@@ -748,10 +782,18 @@ def bm25_hard_negatives(
     never consume top-k slots.  A doc absent from ``clusters`` is its
     own singleton cluster (the cluster-id-is-min-member convention) —
     it stays a valid negative instead of being silently dropped by an
-    inner join (review r11)."""
+    inner join (review r11).
+
+    BOUNDED-ANCHOR CONTRACT (advice r11): the anchor-derived term
+    table and cluster lookup are BROADCAST, so ``anchors`` must be a
+    bounded batch — "mine negatives for every doc" must chunk.
+    ``max_queries`` (enforced in bm25_scores, which sees the anchor
+    batch first) raises above the bound; ``None`` disables it."""
     from pyspark.sql import Window
 
-    scores = bm25_scores(docs, anchors, k1=k1, b=b, max_df=max_df)
+    scores = bm25_scores(
+        docs, anchors, k1=k1, b=b, max_df=max_df, max_queries=max_queries
+    )
     # restrict the query-side cluster lookup to the bounded anchor id
     # set BEFORE broadcasting — broadcasting the full corpus-sized
     # cluster table would not survive 100 TB

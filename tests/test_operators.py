@@ -1154,3 +1154,62 @@ def test_batch_ivf_serving_is_probe_pruned(spark, sf_dir):
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"cell#\d+L? IN \(", plan2), plan2[:3000]
     assert out2.count() > 0
+
+
+def test_bm25_bounded_query_batch_guard(spark):
+    """advice r11: the query-term table is broadcast, so bm25 raises on
+    a query batch above max_queries instead of silently building an
+    unbroadcastable table; None disables; the valve applies to
+    hard-negative mining's anchors too."""
+    import pytest
+
+    from connected_component_spark.operators.text import (
+        bm25_hard_negatives,
+        bm25_scores,
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} shared") for i in range(8)], "doc_id long, text string"
+    )
+    q = docs.select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    clusters = docs.select("doc_id", F.col("doc_id").alias("cluster"))
+    with pytest.raises(ValueError, match="max_queries"):
+        bm25_scores(docs, q, max_queries=3)
+    with pytest.raises(ValueError, match="max_queries"):
+        bm25_topk(docs, q, max_queries=3)
+    with pytest.raises(ValueError, match="max_queries"):
+        bm25_hard_negatives(docs, q, clusters, max_queries=3)
+    # at or under the bound (and with None) the batch scores normally
+    assert bm25_scores(docs, q, max_queries=8).count() > 0
+    assert bm25_scores(docs, q, max_queries=None).count() > 0
+
+
+def test_bm25_max_df_broadcasts_candidate_dl(spark):
+    """verdict r11: with max_df bounding the candidate set, the
+    doc-length table is reduced to candidate doc_ids and BROADCAST
+    into the scoring join — no corpus-wide dl shuffle — and scores are
+    identical to the unreduced plan's."""
+    from connected_component_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha delta"),
+            (3, "epsilon zeta eta theta"),
+            (4, "beta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "alpha beta")], "query_id long, query_text string"
+    )
+    capped = bm25_scores(docs, q, max_df=3)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    # the dl aggregate feeds a broadcast exchange, not a shuffle join
+    assert "dl" in plan
+    got = sorted(map(tuple, capped.collect()))
+    want = sorted(map(tuple, bm25_scores(docs, q).collect()))
+    assert got == want
