@@ -127,10 +127,21 @@ def main() -> None:
     except Exception:
         pass  # the draw itself will surface the error
 
-    def one_draw() -> tuple[dict[str, float], dict[str, str]]:
+    # Per-trigger fold telemetry for the durable incremental operators
+    # (verdict r11 #8): draw 1 records each state fold's wall time so a
+    # durability-cost regression is attributable to a specific
+    # trigger/operator instead of hunted by hand.  Enabled only for
+    # draw 1 — the attribution sweep — and cleared per query.
+    import connected_component_spark.streaming.store as _store_mod
+
+    fold_timings: dict[str, list] = {}
+
+    def one_draw(record_folds: bool = False) -> tuple[dict, dict]:
         draw: dict[str, float] = {}
         errs: dict[str, str] = {}
         for name in sorted(qs):
+            if record_folds:
+                _store_mod.FOLD_TELEMETRY = []
             t0 = time.perf_counter()
             try:
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -138,11 +149,15 @@ def main() -> None:
             except Exception as ex:  # one broken query must not void the bench
                 draw[name] = round(time.perf_counter() - t0, 3)
                 errs[name] = f"{type(ex).__name__}: {ex}"[:200]
+            if record_folds:
+                if _store_mod.FOLD_TELEMETRY:
+                    fold_timings[name] = _store_mod.FOLD_TELEMETRY
+                _store_mod.FOLD_TELEMETRY = None
         return draw, errs
 
     # Draw 1 is THE driver-comparable number (same protocol as every
     # earlier round: one warmed sequential sweep).
-    timings, errors = one_draw()
+    timings, errors = one_draw(record_folds=True)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_query_wall_clock",
@@ -273,6 +288,10 @@ def main() -> None:
         local["omitted"] = sorted(omitted)
     if any(draw_errors):
         local["draw_errors"] = draw_errors
+    if fold_timings:
+        # per-trigger state-fold wall times from draw 1 (verdict r11
+        # #8) — keyed by query, each entry {op, epoch, sec}
+        local["fold_timings"] = fold_timings
     target = os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json")
     # A VALIDATED env-pinned round number is an intentional request
     # and may refresh its own artifact; the inferred-round path
@@ -343,6 +362,49 @@ def main() -> None:
                     .where(SF.col("a.component") != SF.col("t.component"))
                     .count()
                 )
+                # Split-task evidence (verdict r11 #6).  AQE's skew-join
+                # rule CANNOT split the fused star layout's hot reducer
+                # (the shared exchange and the aggregation above the min
+                # side both break its shuffle-stage pattern; splitting a
+                # groupBy partition is never legal), so the split is the
+                # kernel's own star_salts layout: re-run the kernel
+                # salted and measure the converged round's per-join-key
+                # reducer input — max rows per (key, salt) vs the
+                # unsalted max rows per key.  The ratio IS the task-level
+                # spread of the hot reducer.
+                from connected_component_spark.operators.skew import (
+                    with_salt,
+                )
+
+                t1 = time.perf_counter()
+                salted = connected_components(edges, star_salts=8)
+                sa = salted.assignments.alias("a")
+                salted_mismatches = (
+                    sa.join(t, SF.col("a.node") == SF.col("t.node"))
+                    .where(SF.col("a.component") != SF.col("t.component"))
+                    .count()
+                )
+                salted_wall = round(time.perf_counter() - t1, 3)
+                conv = res.assignments.select(
+                    SF.col("node").alias("src"),
+                    SF.col("component").alias("dst"),
+                )
+                und = conv.where(SF.col("src") != SF.col("dst"))
+                emit = und.union(
+                    und.select(
+                        SF.col("dst").alias("src"), SF.col("src").alias("dst")
+                    )
+                ).where(SF.col("dst") >= SF.col("src"))
+                hot_unsalted = (
+                    emit.groupBy("src").count().agg(SF.max("count")).first()[0]
+                )
+                hot_salted = (
+                    with_salt(emit, None, 8)
+                    .groupBy("src", "_salt")
+                    .count()
+                    .agg(SF.max("count"))
+                    .first()[0]
+                )
                 return {
                     "nodes": n_nodes,
                     "giant_frac": 0.8,
@@ -357,6 +419,19 @@ def main() -> None:
                     "aqe_skewjoin": spark.conf.get(
                         "spark.sql.adaptive.skewJoin.enabled", None
                     ),
+                    # fused layout: AQE skew-join is structurally
+                    # inapplicable to the star's shared-exchange plan
+                    # (measured r12: no skew=true marker under forced
+                    # thresholds) — the salted layout is the split
+                    "aqe_splits_fused_star": False,
+                    "salted_star": {
+                        "salts": 8,
+                        "wall_sec": salted_wall,
+                        "iterations": salted.iterations,
+                        "roster_mismatches": salted_mismatches,
+                        "converged_round_hot_key_rows": int(hot_unsalted),
+                        "converged_round_hot_task_rows": int(hot_salted),
+                    },
                 }
             except Exception as ex:
                 return {"err": f"{type(ex).__name__}: {ex}"[:200]}

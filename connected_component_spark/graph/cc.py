@@ -108,7 +108,7 @@ def _canonical_edges(edges: DataFrame) -> DataFrame:
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
 
 
-def large_star(edges: DataFrame) -> DataFrame:
+def large_star(edges: DataFrame, salts: int | None = None) -> DataFrame:
     """One Large-Star round (reference ConnectedComponent.scala:114-176).
 
     For each node ``v`` with neighborhood ``N`` (edges viewed in both
@@ -121,25 +121,50 @@ def large_star(edges: DataFrame) -> DataFrame:
     ``WHERE`` on the directed edge before the join, and the ``n = v``
     member of the emit set is exactly one row per group — the min-map
     itself.
+
+    ``salts=None`` (default) is the FUSED single-shuffle layout: one
+    explicit repartition on src feeds both the aggregation and the
+    join (2 shuffles -> 1 per star, measured -22% wall on a 1.9M-node
+    graph) — but it ships every raw row of a key to one reducer, and
+    on a CONVERGED-HUB graph the giant component's whole degree lands
+    on the hub's task.  AQE cannot help there: skew-join splitting
+    requires the join to own bare shuffle stages on both sides (the
+    shared exchange and the aggregation above the min side both break
+    the rule's pattern, and splitting a groupBy partition is never
+    legal) — measured, not assumed (r12; the executed SMJ plan on an
+    800k-star carries no skew=true marker under forced-low
+    thresholds).
+
+    ``salts=N`` is the SKEW-SAFE layout for such graphs: the min
+    aggregation keeps its own exchange (partial_min map-side combine
+    bounds the hub key's reducer input at #map-partitions), and the
+    min-map join becomes operators/skew.py:salted_join — the hub's
+    rows spread over N reducers keyed (src, salt), the mins side
+    replicated N×.  Row-identical output; costs one extra (combined)
+    shuffle per round plus the N× mins replication, so it is opt-in
+    for skewed topologies rather than the default.
     """
     und = edges.where(F.col("src") != F.col("dst"))
-    # ONE explicit shuffle on the group/join key: the min-aggregation
-    # and the min-map join both consume HashPartitioning(src), so
-    # neither plans its own Exchange (2 shuffles -> 1 per star;
-    # measured -22% wall on a 1.9M-node graph)
     directed = (
         und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .union(edges.where(F.col("src") == F.col("dst")))
-    ).repartition("src")
+    )
+    if salts is None:
+        directed = directed.repartition("src")
     mins = (
         directed.groupBy("src")
         .agg(F.min("dst").alias("_mn"))
         .select("src", F.least("src", "_mn").alias("m"))
     )
-    from_neighbors = (
-        directed.where(F.col("dst") >= F.col("src"))
-        .join(mins, "src")
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    emit = directed.where(F.col("dst") >= F.col("src"))
+    if salts is None:
+        joined = emit.join(mins, "src")
+    else:
+        from connected_component_spark.operators.skew import salted_join
+
+        joined = salted_join(emit, mins, "src", salts=salts)
+    from_neighbors = joined.select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
     )
     from_self = mins.select(F.col("src"), F.col("m").alias("dst"))
     # no global distinct here: the reference also dedups only within
@@ -323,6 +348,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     skew_telemetry: bool = False,
     shuffle_telemetry: bool = False,
+    star_salts: int | None = None,
 ) -> CCResult:
     """Compute connected components of an undirected edge list.
 
@@ -346,6 +372,14 @@ def connected_components(
     kernel run at fixture scale (r11 attribution of the
     dedup_embedding_clusters drift) — bench/diagnostic cost that
     serving queries must not pay.
+
+    ``star_salts`` opts the large-star rounds into the skew-safe
+    salted layout (see :func:`large_star`) for converged-hub
+    topologies where the fused single-shuffle layout concentrates a
+    giant component's degree on one reducer.  Results are identical;
+    applies to the default stable-set convergence (the
+    reference-counts mode is a literal parity twin and stays on the
+    fused layout).
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:
@@ -394,7 +428,10 @@ def connected_components(
             for iterations in range(1, max_iterations + 1):
                 # lazy checkpoint: the fingerprint aggregation is the
                 # one action per round and materializes the blocks
-                pairs = _checkpoint(small_star(large_star(pairs)), eager=False)
+                pairs = _checkpoint(
+                    small_star(large_star(pairs, salts=star_salts)),
+                    eager=False,
+                )
                 fp = _set_fingerprint(pairs)
                 round_counts.append(fp[0])
                 if shuffle_before is not None:

@@ -2299,6 +2299,7 @@ def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from connected_component_spark.streaming.annindex import IncrementalIVF
+    from connected_component_spark.streaming.store import timed_fold
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = table_row_count(spark, sf_dir, "embeddings")
@@ -2318,7 +2319,7 @@ def ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cond = F.col("vec_id") >= lo
                 if i < _ANN_INC_BATCHES - 1:
                     cond = cond & (F.col("vec_id") < lo + stride)
-                idx.update(emb.where(cond), epoch_id=i)
+                timed_fold(idx, emb.where(cond), epoch_id=i)
             out = idx.topk(emb.where(F.col("vec_id") % 50 == 0), k=5)
             return out.localCheckpoint(eager=True)
     finally:
@@ -2342,6 +2343,7 @@ def ann_ivf_restart_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from connected_component_spark.streaming.annindex import IncrementalIVF
+    from connected_component_spark.streaming.store import timed_fold
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = table_row_count(spark, sf_dir, "embeddings")
@@ -2363,7 +2365,7 @@ def ann_ivf_restart_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _ivf_kmeans_centroids(spark, sf_dir), state_dir=state_dir
             )
             for i in range(crash_at):
-                idx.update(batch(i), epoch_id=i)
+                timed_fold(idx, batch(i), epoch_id=i)
             del idx  # the "crash": only the disk state survives
             resumed = IncrementalIVF.load(spark, state_dir)
             # explicit raise, not assert — the resumed-at-crash-point
@@ -2375,7 +2377,7 @@ def ann_ivf_restart_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{resumed.batches_seen}, expected {crash_at}"
                 )
             for i in range(crash_at, _ANN_INC_BATCHES):
-                resumed.update(batch(i), epoch_id=i)
+                timed_fold(resumed, batch(i), epoch_id=i)
             out = resumed.topk(emb.where(F.col("vec_id") % 50 == 0), k=5)
             return out.localCheckpoint(eager=True)
     finally:

@@ -964,6 +964,7 @@ def stream_winnow_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         _WINNOW_W,
     )
     from connected_component_spark.sources.tables import table_row_count
+    from connected_component_spark.streaming.store import timed_fold
     from connected_component_spark.streaming.winnow import IncrementalWinnow
 
     n = table_row_count(spark, sf_dir, "documents")
@@ -987,7 +988,8 @@ def stream_winnow_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 state_dir=state_dir,
             )
             for i, path in enumerate(slices[:crash_at]):
-                state.update(
+                timed_fold(
+                    state,
                     spark.read.parquet(path).select("doc_id", "text"),
                     epoch_id=i,
                 )
@@ -1001,7 +1003,8 @@ def stream_winnow_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{resumed.batches_seen}, expected {crash_at}"
                 )
             for i, path in enumerate(slices[crash_at:], start=crash_at):
-                resumed.update(
+                timed_fold(
+                    resumed,
                     spark.read.parquet(path).select("doc_id", "text"),
                     epoch_id=i,
                 )

@@ -108,3 +108,59 @@ def test_salted_collect_set_matches_plain(spark):
     assert {
         (r.k, tuple(r["values"])) for r in plain.collect()
     } == {(r.k, tuple(r["values"])) for r in salted.collect()}
+
+
+def test_salted_large_star_matches_fused_and_spreads_hub(spark):
+    """verdict r11 #6: AQE cannot split the fused star layout's hot
+    reducer (shared exchange + agg above the min side both break the
+    skew-join rule's pattern), so the kernel offers a salted large-star
+    (star_salts=N).  It must (a) produce identical components on the
+    converged-hub topology and (b) measurably spread the hub key's
+    reducer input: max rows per (key, salt) join-key group a factor
+    ~salts below the unsalted max rows per key."""
+    from connected_component_spark.graph.cc import (
+        connected_components,
+        large_star,
+    )
+    from connected_component_spark.graph.generator import skewed_hub_graph
+    from connected_component_spark.operators.skew import with_salt
+
+    edges, truth = skewed_hub_graph(spark, 4000)
+    edges = edges.localCheckpoint(eager=True)
+
+    plain = connected_components(edges)
+    salted = connected_components(edges, star_salts=8)
+    assert salted.converged and salted.iterations == plain.iterations
+    a = {(r.node, r.component) for r in plain.assignments.collect()}
+    b = {(r.node, r.component) for r in salted.assignments.collect()}
+    t = {(r.node, r.component) for r in truth.collect()}
+    assert a == b == t
+
+    # spread evidence on a CONVERGED star (the worst round): the fused
+    # layout's join groups 3200 hub rows under one key; the salted
+    # join's (key, salt) groups cap at ~1/salts of that
+    conv = truth.where(F.col("component") == 0).select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    hub_degree = conv.count()
+    und = conv.where(F.col("src") != F.col("dst"))
+    directed = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    emit = directed.where(F.col("dst") >= F.col("src"))
+    unsalted_max = (
+        emit.groupBy("src").count().agg(F.max("count")).first()[0]
+    )
+    salted_max = (
+        with_salt(emit, None, 8)
+        .groupBy("src", "_salt")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert unsalted_max == hub_degree - 1
+    assert salted_max <= unsalted_max / 4  # ~1/8 expected, 2x headroom
+    # and the salted round itself emits the same pair set
+    got = set(map(tuple, large_star(conv, salts=8).distinct().collect()))
+    want = set(map(tuple, large_star(conv).distinct().collect()))
+    assert got == want
