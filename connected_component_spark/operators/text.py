@@ -648,6 +648,16 @@ def bm25_topk(
     scores = bm25_scores(
         docs, queries, k1=k1, b=b, max_df=max_df, max_queries=max_queries
     )
+    return bm25_rank_topk(scores, k)
+
+
+def bm25_rank_topk(scores: DataFrame, k: int) -> DataFrame:
+    """The shared ranking tail — per-query top-k over (query_id,
+    doc_id, score) with the rounded score ordering and doc_id
+    tie-break, single-sourced for the batch and incremental-index
+    serving paths."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -681,6 +691,37 @@ def bm25_scores(
     ``max_queries`` enforces it (early-exit limit probe, raises above
     the bound; ``None`` disables for callers that have already sized
     the batch)."""
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_corpus"),
+    )
+    return bm25_scores_from_index(
+        tf, dl, stats, queries, k1=k1, b=b, max_df=max_df,
+        max_queries=max_queries,
+    )
+
+
+def bm25_scores_from_index(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+    max_queries: int | None = 10_000,
+) -> DataFrame:
+    """The BM25 scoring chain over a PREBUILT inverted index —
+    ``tf (doc_id, token, tf)``, ``dl (doc_id, dl)``, ``stats`` one row
+    ``(n_docs, n_corpus)`` — single-sourced for :func:`bm25_scores`
+    (which builds the index from the corpus per call) and the
+    continuously-ingested index (streaming/bm25.py, which serves it
+    from durable state), so the float discipline cannot drift between
+    the batch and incremental paths.  Semantics and contracts exactly
+    as documented on bm25_scores/bm25_topk."""
     if max_queries is not None:
         # limit(n+1) short-circuits the scan: one cheap bounded job,
         # not a count of a possibly corpus-scale table
@@ -691,13 +732,6 @@ def bm25_scores(
                 "so corpus-scale query sets must be chunked (or pass "
                 "max_queries=None after sizing the batch yourself)"
             )
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = tok.agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_corpus"),
-    )
     qterms = queries.select(
         "query_id",
         F.explode(F.array_distinct(tokens("query_text"))).alias("token"),

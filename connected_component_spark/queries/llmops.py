@@ -3245,6 +3245,105 @@ SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {_BM25_TOPK}
 TEXT_BM25_TOPK_SQL = _bm25_sql()
 
 
+_BM25_INC_BATCHES = 5
+
+
+def text_bm25_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-ingested BM25 index (streaming/bm25.py:
+    IncrementalBM25, r12): the corpus arrives in doc_id-range
+    micro-batches, each tokenized and counted ONCE on arrival into a
+    bucketed durable posting-list layout — the index-freshness path a
+    production search system actually runs, the lexical twin of the
+    incremental IVF index.  Term frequencies and doc lengths are pure
+    per-document functions and the corpus statistics are associative,
+    so the incrementally-built index must serve results IDENTICAL to
+    the batch BM25 query — the oracle is text_bm25_topk's verbatim,
+    which is the entire claim.  Serving probes only the query terms'
+    hash buckets (PartitionFilters on the tbucket= dirs).  Durable
+    path; the state dir is torn down after materialization."""
+    import shutil
+    import tempfile
+
+    from connected_component_spark.plans.tuning import shrunk_shuffle
+    from connected_component_spark.streaming.bm25 import IncrementalBM25
+    from connected_component_spark.streaming.store import timed_fold
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = table_row_count(spark, sf_dir, "documents")
+    stride = n // _BM25_INC_BATCHES
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, query_text string"
+    )
+    state_dir = tempfile.mkdtemp(prefix="ccs_bm25_inc_state_")
+    try:
+        with shrunk_shuffle(spark, n):
+            idx = IncrementalBM25(state_dir=state_dir)
+            for i in range(_BM25_INC_BATCHES):
+                lo = i * stride
+                cond = F.col("doc_id") >= lo
+                if i < _BM25_INC_BATCHES - 1:
+                    cond = cond & (F.col("doc_id") < lo + stride)
+                timed_fold(idx, docs.where(cond), epoch_id=i)
+            out = idx.topk(q, k1=_BM25_K1, b=_BM25_B, k=_BM25_TOPK)
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def text_bm25_restart_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-restart equivalence for the continuously-ingested BM25
+    index as a DRIVER-CHECKED row (the ann_ivf_restart_topk discipline
+    applied to the lexical index): the durable index ingests the first
+    three doc_id-range batches, the operator instance is DISCARDED —
+    only the bucketed posting lists + doc lengths behind the atomic
+    manifest survive, exactly what a session crash leaves — and a
+    fresh instance resumed via ``IncrementalBM25.load`` ingests the
+    remaining two batches and serves.  The served ranking must be
+    IDENTICAL to the uninterrupted batch query's — the oracle is
+    text_bm25_topk's verbatim."""
+    import shutil
+    import tempfile
+
+    from connected_component_spark.plans.tuning import shrunk_shuffle
+    from connected_component_spark.streaming.bm25 import IncrementalBM25
+    from connected_component_spark.streaming.store import timed_fold
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = table_row_count(spark, sf_dir, "documents")
+    stride = n // _BM25_INC_BATCHES
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, query_text string"
+    )
+
+    def batch(i: int) -> DataFrame:
+        lo = i * stride
+        cond = F.col("doc_id") >= lo
+        if i < _BM25_INC_BATCHES - 1:
+            cond = cond & (F.col("doc_id") < lo + stride)
+        return docs.where(cond)
+
+    crash_at = _BM25_INC_BATCHES - 2
+    state_dir = tempfile.mkdtemp(prefix="ccs_bm25_restart_state_")
+    try:
+        with shrunk_shuffle(spark, n):
+            idx = IncrementalBM25(state_dir=state_dir)
+            for i in range(crash_at):
+                timed_fold(idx, batch(i), epoch_id=i)
+            del idx  # the "crash": only the disk state survives
+            resumed = IncrementalBM25.load(spark, state_dir)
+            if resumed.batches_seen != crash_at:
+                raise RuntimeError(
+                    f"text_bm25_restart_topk: resumed at batch "
+                    f"{resumed.batches_seen}, expected {crash_at}"
+                )
+            for i in range(crash_at, _BM25_INC_BATCHES):
+                timed_fold(resumed, batch(i), epoch_id=i)
+            out = resumed.topk(q, k1=_BM25_K1, b=_BM25_B, k=_BM25_TOPK)
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 _TR_ITERATIONS = 5
 _TR_DAMPING = 0.85
 _TR_TOPK = 20
@@ -3996,6 +4095,8 @@ QUERIES = {
     "text_source_divergence": text_source_divergence,
     "text_lm_score": text_lm_score,
     "text_bm25_topk": text_bm25_topk,
+    "text_bm25_incremental_topk": text_bm25_incremental_topk,
+    "text_bm25_restart_topk": text_bm25_restart_topk,
     "text_textrank_keywords": text_textrank_keywords,
     "pipeline_hard_negatives": pipeline_hard_negatives,
     "pipeline_doc_chunks": pipeline_doc_chunks,
@@ -4077,6 +4178,10 @@ ORACLES = {
     "text_source_divergence": TEXT_SOURCE_DIVERGENCE_SQL,
     "text_lm_score": TEXT_LM_SCORE_SQL,
     "text_bm25_topk": TEXT_BM25_TOPK_SQL,
+    # the incremental/restart rows' whole claim is batch-equivalence:
+    # their oracle is the batch BM25 SQL verbatim
+    "text_bm25_incremental_topk": TEXT_BM25_TOPK_SQL,
+    "text_bm25_restart_topk": TEXT_BM25_TOPK_SQL,
     "text_textrank_keywords": TEXT_TEXTRANK_KEYWORDS_SQL,
     "pipeline_hard_negatives": PIPELINE_HARD_NEGATIVES_SQL,
     "pipeline_doc_chunks": PIPELINE_DOC_CHUNKS_SQL,

@@ -641,3 +641,106 @@ def test_ivf_load_rejects_preledger_retired_layout(spark, tmp_path, sf_dir):
         )
     with pytest.raises(ValueError, match="retired two-table"):
         IncrementalIVF.load(spark, sd)
+
+
+def test_incremental_bm25_equals_batch_and_restarts(spark, tmp_path, sf_dir):
+    """r12: the continuously-ingested BM25 index — documents tokenized
+    once on arrival into bucketed durable posting lists — must serve
+    rankings IDENTICAL to batch bm25_topk over the same corpus, both
+    before and after a crash-restart via load(); replayed epochs and
+    empty batches are no-ops; serving prunes unprobed tbucket= dirs."""
+    import re
+
+    from connected_component_spark.operators.text import bm25_topk
+    from connected_component_spark.sources.tables import load_table
+    from connected_component_spark.streaming.bm25 import IncrementalBM25
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(
+        [(1, "hash join"), (2, "dup filter"), (3, "slow scan zzz")],
+        "query_id long, query_text string",
+    )
+    want = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+
+    n = docs.count()
+    stride = n // 4
+
+    def batch(i):
+        lo = i * stride
+        cond = F.col("doc_id") >= lo
+        if i < 3:
+            cond = cond & (F.col("doc_id") < lo + stride)
+        return docs.where(cond)
+
+    sd = str(tmp_path / "bm25")
+    idx = IncrementalBM25(state_dir=sd)
+    for i in range(2):
+        idx.update(batch(i), epoch_id=i)
+    del idx  # crash: only the disk state survives
+
+    resumed = IncrementalBM25.load(spark, sd)
+    assert resumed.batches_seen == 2
+    for i in range(2, 4):
+        resumed.update(batch(i), epoch_id=i)
+    # replayed epoch: no-op (posting lists unchanged)
+    size = resumed.tf.count()
+    resumed.update(docs.limit(3), epoch_id=3)
+    assert resumed.tf.count() == size
+    # empty trigger: epoch advances, nothing ledgered for tf
+    resumed.update(docs.limit(0), epoch_id=4)
+    assert resumed.batches_seen == 5
+
+    out = resumed.topk(q, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*tbucket", plan), plan[:2000]
+    assert sorted(map(tuple, out.collect())) == want
+    # guards
+    with pytest.raises(ValueError, match="already holds committed state"):
+        IncrementalBM25(state_dir=sd)
+    with pytest.raises(ValueError, match="n_buckets"):
+        IncrementalBM25(n_buckets=0)
+    with pytest.raises(ValueError, match="empty index"):
+        IncrementalBM25().topk(q)
+
+
+def test_incremental_bm25_compaction_preserves_layout(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """Generation-based compaction of the bucketed posting lists must
+    preserve the tbucket= layout and the consolidated index must keep
+    serving the batch-identical ranking."""
+    import os
+
+    import connected_component_spark.streaming.bm25 as bx
+    from connected_component_spark.operators.text import bm25_topk
+    from connected_component_spark.sources.tables import load_table
+
+    monkeypatch.setattr(bx, "_CONSOLIDATE_EVERY", 2)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(
+        [(1, "hash join"), (2, "slow scan")],
+        "query_id long, query_text string",
+    )
+    lim = docs.where(F.col("doc_id") < 400)
+    want = sorted(map(tuple, bm25_topk(lim, q, k=5).collect()))
+
+    sd = str(tmp_path / "bm25_cp")
+    idx = bx.IncrementalBM25(state_dir=sd)
+    for i in range(4):
+        idx.update(
+            docs.where(
+                (F.col("doc_id") >= i * 100) & (F.col("doc_id") < (i + 1) * 100)
+            ),
+            epoch_id=i,
+        )
+    gens = [
+        p for p in os.listdir(os.path.join(sd, "tf")) if p.startswith("gen=")
+    ]
+    assert gens, "compaction never ran"
+    assert any(
+        p.startswith("tbucket=")
+        for p in os.listdir(os.path.join(sd, "tf", gens[0]))
+    ), "compacted generation lost the bucket partitioning"
+    assert sorted(map(tuple, idx.topk(q, k=5).collect())) == want
+    resumed = bx.IncrementalBM25.load(spark, sd)
+    assert sorted(map(tuple, resumed.topk(q, k=5).collect())) == want
