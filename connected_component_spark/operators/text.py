@@ -785,6 +785,182 @@ def bm25_scores_from_index(
     )
 
 
+def tfidf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    max_queries: int | None = 10_000,
+) -> DataFrame:
+    """Vector-space TF-IDF cosine retrieval: for each query
+    (query_id, query_text), the ``k`` documents with the highest
+    cosine between the query's and document's tf-idf vectors —
+    (query_id, doc_id, score, rank).  The classic second lexical
+    scorer next to Okapi BM25 (Salton's vector space model); their
+    disagreement is exactly what rank fusion exploits
+    (:func:`rrf_fuse`).
+
+    Weights: ``w_d(t) = tf · idf``, ``w_q(t) = idf`` (deduplicated
+    query terms, qtf = 1), ``idf = ln(1 + n_docs/df)``.  A query term
+    absent from the corpus has no idf and contributes to neither the
+    dot product nor the query norm (zero-weight by convention).  Only
+    documents sharing ≥ 1 query term are returned.
+
+    Scale shape — the same inverted-index probe as bm25_scores: the
+    dot product needs only q∩d terms (broadcast query-term pruning of
+    one word-count aggregate); the document norms are a second
+    word-count-shaped aggregate over the full index (every doc's norm
+    spans its whole vocabulary — an index-build cost, computed without
+    ever materializing dense vectors); query norms are bounded.
+
+    Cross-engine determinism (the BM25 recipe): every per-term product
+    is snap-rounded at 9 and summed as exact DECIMAL(20,9) (wider than
+    BM25's 12,9 — tf·idf² products are not bounded by k1+1), norms
+    take one sqrt of the exact sum, and the final cosine is rounded at
+    6 before ranking with doc_id tie-break.
+    """
+    scores = tfidf_scores(docs, queries, max_queries=max_queries)
+    return bm25_rank_topk(scores, k)
+
+
+def tfidf_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    max_queries: int | None = 10_000,
+) -> DataFrame:
+    """The un-ranked TF-IDF cosine scorer behind :func:`tfidf_topk`
+    (same split as bm25_scores/bm25_topk): (query_id, doc_id, score)
+    for every document sharing at least one corpus-present query
+    term.  Bounded-query-batch contract as bm25_scores."""
+    if max_queries is not None:
+        if queries.limit(max_queries + 1).count() > max_queries:
+            raise ValueError(
+                f"tfidf_scores: query batch exceeds max_queries="
+                f"{max_queries} — the query-term table is broadcast, "
+                "so corpus-scale query sets must be chunked (or pass "
+                "max_queries=None after sizing the batch yourself)"
+            )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf rows are distinct (doc, token) pairs: df is a plain count
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = F.log(
+        F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df")
+    )
+    # document norms span the FULL vocabulary of each doc — an
+    # index-build aggregate (snap-rounded squares, exact decimal sum,
+    # one sqrt), never a dense vector
+    wd2 = roundd((F.col("tf") * idf) * (F.col("tf") * idf), 9)
+    dnorm = (
+        tf.join(dft, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sqrt(
+                F.sum(wd2.cast("decimal(20,9)")).cast("double")
+            ).alias("dnorm")
+        )
+    )
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens("query_text"))).alias("token"),
+    )
+    # corpus-present query terms with their idf (absent terms are
+    # zero-weight: excluded from dot AND query norm)
+    qw = (
+        qterms.join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select("query_id", "token", idf.alias("qidf"))
+    )
+    qnorm = qw.groupBy("query_id").agg(
+        F.sqrt(
+            F.sum(
+                roundd(F.col("qidf") * F.col("qidf"), 9).cast("decimal(20,9)")
+            ).cast("double")
+        ).alias("qnorm")
+    )
+    # dot product over q∩d terms only: broadcast query-term pruning of
+    # the posting lists, the bm25 probe shape.  The doc-side weight's
+    # idf is the SAME idf the query side carries (one value per term),
+    # so the per-term product is qidf · (tf · qidf)
+    ptf = tf.join(F.broadcast(qw), "token")
+    dots = (
+        ptf.select(
+            "query_id",
+            "doc_id",
+            roundd(F.col("qidf") * (F.col("tf") * F.col("qidf")), 9)
+            .cast("decimal(20,9)")
+            .alias("p"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("p").cast("double").alias("dot"))
+    )
+    return (
+        dots.join(dnorm, "doc_id")
+        .join(F.broadcast(qnorm), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            roundd(
+                F.col("dot") / (F.col("dnorm") * F.col("qnorm")), 6
+            ).alias("score"),
+        )
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 10, c: int = 60
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR
+    2009): fuse per-query rankings from multiple retrievers into one
+    — ``rrf(q, d) = Σ_r 1/(c + rank_r(q, d))`` over the rankings that
+    returned the document.  The standard hybrid-retrieval combiner
+    (lexical + semantic, BM25 + TF-IDF, …): rank-based, so scorers
+    with incomparable score scales fuse without calibration.
+
+    Each input is a (query_id, doc_id, rank) DataFrame (extra columns
+    ignored); returns (query_id, doc_id, rrf, rank) with the fused
+    top-``k`` per query.  Exactness: each 1/(c+rank) is one
+    correctly-rounded IEEE division snap-rounded at 9, summed as exact
+    DECIMAL, final score rounded at 6; ties break on doc_id.
+
+    Scale shape: a union of the (bounded, per-query top-N) input
+    rankings, one hash aggregation keyed (query_id, doc_id), one
+    per-query top-k window — candidate-sized, never corpus-sized.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if c < 0:
+        raise ValueError(f"rrf c must be >= 0, got {c}")
+    parts = [
+        r.select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    contrib = roundd(
+        F.lit(1.0) / (F.lit(c).cast("double") + F.col("rank")), 9
+    ).cast("decimal(12,9)")
+    scores = (
+        u.select("query_id", "doc_id", contrib.alias("p"))
+        .groupBy("query_id", "doc_id")
+        .agg(roundd(F.sum("p").cast("double"), 6).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= F.lit(k))
+        .select(
+            "query_id", "doc_id", F.col("score").alias("rrf"), "rank"
+        )
+    )
+
+
 def bm25_hard_negatives(
     docs: DataFrame,
     anchors: DataFrame,

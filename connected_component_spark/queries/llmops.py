@@ -3344,6 +3344,162 @@ def text_bm25_restart_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+_TFIDF_TOPK = 10
+_RRF_C = 60
+_RRF_INPUT_K = 20
+_RRF_TOPK = 10
+
+#: shared idf expression for the TF-IDF oracle (ln(1 + N/df), the
+#: engine's exact formula)
+_TFIDF_IDF = "ln(1.0 + CAST(tnd.n_docs AS DOUBLE) / tdf.df)"
+
+
+def _tfidf_core_sql() -> str:
+    """The TF-IDF vector-space scoring chain (CTEs tex → ttf → tdf →
+    tnd → dnorm → tq → qw → qnorm → dots → tscores), single-sourced
+    for text_tfidf_topk and the RRF hybrid row.  Expects ``toks``
+    (doc_id, t) and ``qraw`` (query_id, qtext) CTEs in scope; CTE
+    names are t-prefixed so the chain composes next to the BM25 core
+    in one statement.  Float discipline mirrors the engine
+    (operators/text.py:tfidf_scores): snap-round 9 → DECIMAL(20,9)
+    exact sums → sqrt/divide → round 6."""
+    w2 = f"(ttf.tf * {_TFIDF_IDF}) * (ttf.tf * {_TFIDF_IDF})"
+    return f"""tex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+ttf AS (SELECT doc_id, token, count(*) AS tf FROM tex GROUP BY 1, 2),
+tdf AS (SELECT token, count(*) AS df FROM ttf GROUP BY 1),
+tnd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tex),
+dnorm AS (
+  SELECT doc_id,
+         sqrt(CAST(sum(CAST({roundd_sql(w2, 9)} AS DECIMAL(20,9))) AS DOUBLE)) AS dnorm
+  FROM ttf JOIN tdf USING (token) CROSS JOIN tnd GROUP BY 1
+),
+tq AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(trim(qtext), '\\s+'), x -> x <> ''))) AS token
+  FROM qraw
+),
+qw AS (
+  SELECT query_id, token, {_TFIDF_IDF} AS qidf
+  FROM tq JOIN tdf USING (token) CROSS JOIN tnd
+),
+qnorm AS (
+  SELECT query_id,
+         sqrt(CAST(sum(CAST({roundd_sql('qidf * qidf', 9)} AS DECIMAL(20,9))) AS DOUBLE)) AS qnorm
+  FROM qw GROUP BY 1
+),
+dots AS (
+  SELECT query_id, ttf.doc_id,
+         CAST(sum(CAST({roundd_sql('qw.qidf * (ttf.tf * qw.qidf)', 9)} AS DECIMAL(20,9))) AS DOUBLE) AS dot
+  FROM ttf JOIN qw USING (token) GROUP BY 1, 2
+),
+tscores AS (
+  SELECT query_id, doc_id, {roundd_sql('dot / (dnorm * qnorm)', 6)} AS score
+  FROM dots JOIN dnorm USING (doc_id) JOIN qnorm USING (query_id)
+)"""
+
+
+def _qraw_values_sql() -> str:
+    return ", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space TF-IDF cosine retrieval (operators/text.py:
+    tfidf_topk): top-10 documents per query for the shared lexical
+    query batch — the classic second lexical scorer next to BM25
+    (Salton's model; their rank disagreement is what the RRF hybrid
+    row fuses).  Inverted-index probe for the dot products plus a
+    word-count-shaped norm aggregate; snap-round/decimal-sum float
+    discipline end to end."""
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, query_text string"
+    )
+    return tx.tfidf_topk(
+        load_table(spark, sf_dir, "documents"), q, k=_TFIDF_TOPK
+    )
+
+
+TEXT_TFIDF_TOPK_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+qraw(query_id, qtext) AS (VALUES {_qraw_values_sql()}),
+{_tfidf_core_sql()},
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM tscores
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {_TFIDF_TOPK}
+"""
+
+
+def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack/Clarke/
+    Büttcher 2009; operators/text.py:rrf_fuse): fuse the BM25 and
+    TF-IDF top-20 rankings per query into one top-10 —
+    rrf(q,d) = Σ 1/(60 + rank).  Rank-based fusion needs no score
+    calibration between the probabilistic and vector-space scorers;
+    this is the standard combiner a production retrieval stack runs
+    over its lexical + semantic candidate lists.  Both input rankings
+    and the fusion ride the exact-decimal float discipline, so the
+    fused ranking is oracle-exact end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, query_text string"
+    )
+    bm = tx.bm25_topk(docs, q, k1=_BM25_K1, b=_BM25_B, k=_RRF_INPUT_K)
+    ti = tx.tfidf_topk(docs, q, k=_RRF_INPUT_K)
+    return tx.rrf_fuse([bm, ti], k=_RRF_TOPK, c=_RRF_C)
+
+
+def _hybrid_rrf_sql() -> str:
+    q_cte = """
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(trim(qtext), '\\s+'), x -> x <> ''))) AS token
+  FROM qraw
+"""
+    contrib = f"1.0 / (CAST({_RRF_C} AS DOUBLE) + rank)"
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+qraw(query_id, qtext) AS (VALUES {_qraw_values_sql()}),
+{_bm25_core_sql(q_cte)},
+bm_ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scores
+),
+{_tfidf_core_sql()},
+t_ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM tscores
+),
+rrf_in AS (
+  SELECT query_id, doc_id, rank FROM bm_ranked WHERE rank <= {_RRF_INPUT_K}
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM t_ranked WHERE rank <= {_RRF_INPUT_K}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         {roundd_sql(f"CAST(sum(CAST({roundd_sql(contrib, 9)} AS DECIMAL(12,9))) AS DOUBLE)", 6)} AS rrf
+  FROM rrf_in GROUP BY 1, 2
+),
+franked AS (
+  SELECT query_id, doc_id, rrf,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf, rank FROM franked WHERE rank <= {_RRF_TOPK}
+"""
+
+
+TEXT_HYBRID_RRF_TOPK_SQL = _hybrid_rrf_sql()
+
+
 _TR_ITERATIONS = 5
 _TR_DAMPING = 0.85
 _TR_TOPK = 20
@@ -4097,6 +4253,8 @@ QUERIES = {
     "text_bm25_topk": text_bm25_topk,
     "text_bm25_incremental_topk": text_bm25_incremental_topk,
     "text_bm25_restart_topk": text_bm25_restart_topk,
+    "text_tfidf_topk": text_tfidf_topk,
+    "text_hybrid_rrf_topk": text_hybrid_rrf_topk,
     "text_textrank_keywords": text_textrank_keywords,
     "pipeline_hard_negatives": pipeline_hard_negatives,
     "pipeline_doc_chunks": pipeline_doc_chunks,
@@ -4182,6 +4340,8 @@ ORACLES = {
     # their oracle is the batch BM25 SQL verbatim
     "text_bm25_incremental_topk": TEXT_BM25_TOPK_SQL,
     "text_bm25_restart_topk": TEXT_BM25_TOPK_SQL,
+    "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
+    "text_hybrid_rrf_topk": TEXT_HYBRID_RRF_TOPK_SQL,
     "text_textrank_keywords": TEXT_TEXTRANK_KEYWORDS_SQL,
     "pipeline_hard_negatives": PIPELINE_HARD_NEGATIVES_SQL,
     "pipeline_doc_chunks": PIPELINE_DOC_CHUNKS_SQL,

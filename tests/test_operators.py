@@ -1213,3 +1213,115 @@ def test_bm25_max_df_broadcasts_candidate_dl(spark):
     got = sorted(map(tuple, capped.collect()))
     want = sorted(map(tuple, bm25_scores(docs, q).collect()))
     assert got == want
+
+
+def test_tfidf_matches_pure_python_reference(spark):
+    """Independent differential (the bm25 pattern): the distributed
+    TF-IDF cosine retrieval must match a from-scratch pure-Python
+    vector-space implementation on a seeded random corpus to 1e-6 —
+    ranking exactly, scores numerically."""
+    import math
+    import random
+
+    from connected_component_spark.operators.text import tfidf_topk
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(25)]
+    docs_py = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(3, 30))]
+        for i in range(50)
+    }
+    queries_py = {1: ["w0", "w3"], 2: ["w11", "w24", "zzz"], 3: ["w5"]}
+
+    n_docs = len(docs_py)
+    df = {}
+    for toks in docs_py.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+
+    def idf(t):
+        return math.log(1.0 + n_docs / df[t])
+
+    dnorm = {
+        d: math.sqrt(
+            sum((toks.count(t) * idf(t)) ** 2 for t in set(toks))
+        )
+        for d, toks in docs_py.items()
+    }
+    expected = {}
+    for qid, terms in queries_py.items():
+        present = [t for t in set(terms) if t in df]
+        qn = math.sqrt(sum(idf(t) ** 2 for t in present))
+        scored = []
+        for d, toks in docs_py.items():
+            dot = sum(
+                idf(t) * (toks.count(t) * idf(t))
+                for t in present
+                if t in toks
+            )
+            if dot > 0:
+                scored.append((d, dot / (dnorm[d] * qn)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        expected[qid] = scored[:5]
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs_py.items()],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(qid, " ".join(t)) for qid, t in queries_py.items()],
+        "query_id long, query_text string",
+    )
+    got = {}
+    for r in tfidf_topk(docs, q, k=5).collect():
+        got.setdefault(r["query_id"], []).append(r)
+    assert set(got) == set(expected)
+    for qid, rows in got.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows] == [d for d, _ in expected[qid]]
+        for r, (_, s) in zip(rows, expected[qid]):
+            assert abs(r["score"] - s) <= 1e-6, (qid, r["doc_id"])
+
+
+def test_rrf_fuse_known_answer_and_guards(spark):
+    """RRF on hand-built rankings: a doc ranked #2 by BOTH retrievers
+    must out-fuse docs ranked #1 by only one (1/62+1/62 > 1/61 + 0);
+    docs present in one list still fuse; guards raise."""
+    import pytest
+
+    from connected_component_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 30, 2), (1, 20, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 40, 1), (1, 30, 2), (1, 10, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse([a, b], k=4).collect()}
+    # doc 30: 1/62 + 1/62 ≈ .032258; docs 10: 1/61+1/63 ≈ .032262 — 10
+    # actually wins; verify the full expected ordering numerically
+    def rrf(*ranks):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        tot = sum(
+            Decimal(repr(1.0 / (60 + r))).quantize(
+                Decimal("1e-9"), ROUND_HALF_UP
+            )
+            for r in ranks
+        )
+        return float(Decimal(tot).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    assert rows[10]["rrf"] == rrf(1, 3)
+    assert rows[30]["rrf"] == rrf(2, 2)
+    assert rows[40]["rrf"] == rrf(1)
+    assert rows[20]["rrf"] == rrf(3)
+    order = sorted(rows.values(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in order] == sorted(
+        rows, key=lambda d: (-rows[d]["rrf"], d)
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="c must be"):
+        rrf_fuse([a], c=-1)
