@@ -3500,6 +3500,115 @@ SELECT query_id, doc_id, rrf, rank FROM franked WHERE rank <= {_RRF_TOPK}
 TEXT_HYBRID_RRF_TOPK_SQL = _hybrid_rrf_sql()
 
 
+_RELATED_ANCHOR_MOD = 100
+_RELATED_ANCHOR_REM = 7
+
+
+def pipeline_related_docs_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-document retrieval fusing a LEXICAL and a SEMANTIC leg
+    (the production recommend-similar-items hybrid): for each anchor
+    document, (a) BM25-rank the corpus with the anchor's own text as
+    the query and (b) cosine-rank it by the anchor's embedding, then
+    Reciprocal-Rank-Fuse the two top-20 lists into one top-10.  Both
+    legs run over the JOINED corpus view (documents that carry an
+    embedding — at sf0.1 the embeddings table covers a prefix of the
+    documents table, so the join defines the retrievable corpus), and
+    both exclude the anchor itself BEFORE ranking.  Fusion needs no
+    score calibration between the BM25 log-scale and the cosine —
+    that is RRF's whole point, demonstrated here across genuinely
+    different modalities rather than two lexical scorers."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    base = docs.join(emb, "doc_id")
+    anchors = base.where(
+        F.col("doc_id") % _RELATED_ANCHOR_MOD == _RELATED_ANCHOR_REM
+    )
+    # lexical leg: anchor text as the BM25 query; self excluded
+    # BEFORE ranking so it never consumes a slot
+    lex_scores = tx.bm25_scores(
+        base.select("doc_id", "text"),
+        anchors.select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+        ),
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+    lex = tx.bm25_rank_topk(
+        lex_scores.where(F.col("query_id") != F.col("doc_id")), _RRF_INPUT_K
+    )
+    # semantic leg: exact cosine top-20 (self-matches excluded by
+    # cosine_topk's contract); align the output to (query_id, doc_id)
+    sem = sim.cosine_topk(
+        anchors.select("doc_id", "embedding"),
+        base.select("doc_id", "embedding"),
+        k=_RRF_INPUT_K,
+        id_col="doc_id",
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return tx.rrf_fuse([lex, sem], k=_RRF_TOPK, c=_RRF_C)
+
+
+def _related_docs_sql() -> str:
+    q_cte = f"""
+  SELECT doc_id AS query_id, unnest(list_distinct({TOKS})) AS token
+  FROM base WHERE doc_id % {_RELATED_ANCHOR_MOD} = {_RELATED_ANCHOR_REM}
+"""
+    contrib = f"1.0 / (CAST({_RRF_C} AS DOUBLE) + rank)"
+    cos = roundd_sql(
+        _DOT.format(a="qv", b="cv") + f" / ({_norm_sql('qv')} * {_norm_sql('cv')})",
+        6,
+    )
+    return f"""
+WITH base AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+toks AS (SELECT doc_id, {TOKS} AS t FROM base),
+{_bm25_core_sql(q_cte)},
+lex_ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scores WHERE query_id <> doc_id
+),
+sq AS (SELECT doc_id AS query_id, embedding AS qv FROM base
+       WHERE doc_id % {_RELATED_ANCHOR_MOD} = {_RELATED_ANCHOR_REM}),
+sc AS (SELECT doc_id AS neighbor_id, embedding AS cv FROM base),
+sscored AS (
+  SELECT query_id, neighbor_id, {cos} AS cos
+  FROM sq CROSS JOIN sc WHERE query_id <> neighbor_id
+),
+sem_ranked AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM sscored
+),
+rrf_in AS (
+  SELECT query_id, doc_id, rank FROM lex_ranked WHERE rank <= {_RRF_INPUT_K}
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM sem_ranked WHERE rank <= {_RRF_INPUT_K}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         {roundd_sql(f"CAST(sum(CAST({roundd_sql(contrib, 9)} AS DECIMAL(12,9))) AS DOUBLE)", 6)} AS rrf
+  FROM rrf_in GROUP BY 1, 2
+),
+franked AS (
+  SELECT query_id, doc_id, rrf,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf, rank FROM franked WHERE rank <= {_RRF_TOPK}
+"""
+
+
+PIPELINE_RELATED_DOCS_RRF_SQL = _related_docs_sql()
+
+
 _TR_ITERATIONS = 5
 _TR_DAMPING = 0.85
 _TR_TOPK = 20
@@ -4255,6 +4364,7 @@ QUERIES = {
     "text_bm25_restart_topk": text_bm25_restart_topk,
     "text_tfidf_topk": text_tfidf_topk,
     "text_hybrid_rrf_topk": text_hybrid_rrf_topk,
+    "pipeline_related_docs_rrf": pipeline_related_docs_rrf,
     "text_textrank_keywords": text_textrank_keywords,
     "pipeline_hard_negatives": pipeline_hard_negatives,
     "pipeline_doc_chunks": pipeline_doc_chunks,
@@ -4342,6 +4452,7 @@ ORACLES = {
     "text_bm25_restart_topk": TEXT_BM25_TOPK_SQL,
     "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
     "text_hybrid_rrf_topk": TEXT_HYBRID_RRF_TOPK_SQL,
+    "pipeline_related_docs_rrf": PIPELINE_RELATED_DOCS_RRF_SQL,
     "text_textrank_keywords": TEXT_TEXTRANK_KEYWORDS_SQL,
     "pipeline_hard_negatives": PIPELINE_HARD_NEGATIVES_SQL,
     "pipeline_doc_chunks": PIPELINE_DOC_CHUNKS_SQL,
