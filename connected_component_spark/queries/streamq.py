@@ -1131,6 +1131,59 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous BM25-index ingestion as a REAL Structured Streaming
+    path (streaming/bm25.py:run_doc_index_stream): the documents
+    corpus is staged as doc_id-range files replayed one per trigger
+    (the dedup/winnow queries' shared staging); foreachBatch tokenizes
+    each micro-batch once and appends it to the durable bucketed
+    posting-list layout, which serves the lexical query batch once the
+    backlog drains.  Term statistics are associative, so the
+    stream-built index must serve rankings IDENTICAL to the batch BM25
+    query — the oracle is text_bm25_topk's verbatim (the same claim
+    the direct-fold text_bm25_incremental_topk row makes, here through
+    the actual readStream/foreachBatch machinery)."""
+    from connected_component_spark.queries.llmops import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERIES,
+        _BM25_TOPK,
+    )
+    from connected_component_spark.sources.tables import table_row_count
+    from connected_component_spark.streaming.bm25 import (
+        IncrementalBM25,
+        run_doc_index_stream,
+    )
+
+    n = table_row_count(spark, sf_dir, "documents")
+    staged = _staged_doc_slices(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, query_text string"
+    )
+    state_dir = tempfile.mkdtemp(prefix="ccs_stream_bm25_state_")
+    try:
+        with _scaled_shuffle(spark, n):
+            idx = run_doc_index_stream(
+                stream, IncrementalBM25(state_dir=state_dir)
+            )
+            # explicit raise, not assert — the backlog-drained claim is
+            # the row's core invariant and must survive `python -O`
+            if idx.batches_seen != _DEDUP_STREAM_SLICES:
+                raise RuntimeError(
+                    f"stream_bm25_ingest: backlog not drained — indexed "
+                    f"{idx.batches_seen}/{_DEDUP_STREAM_SLICES} slices"
+                )
+            out = idx.topk(q, k1=_BM25_K1, b=_BM25_B, k=_BM25_TOPK)
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 QUERIES = {
     "stream_window_counts": stream_window_counts,
     "stream_incremental_cc": stream_incremental_cc,
@@ -1143,6 +1196,7 @@ QUERIES = {
     "stream_incremental_dedup": stream_incremental_dedup,
     "stream_winnow_dedup": stream_winnow_dedup,
     "stream_winnow_restart": stream_winnow_restart,
+    "stream_bm25_ingest": stream_bm25_ingest,
     "stream_ann_ingest": stream_ann_ingest,
 }
 
@@ -1153,6 +1207,12 @@ def _ann_ingest_oracle() -> str:
     )
 
     return ANN_IVF_KMEANS_TOPK_SQL
+
+
+def _bm25_ingest_oracle() -> str:
+    from connected_component_spark.queries.llmops import TEXT_BM25_TOPK_SQL
+
+    return TEXT_BM25_TOPK_SQL
 
 ORACLES = {
     "stream_window_counts": STREAM_WINDOW_COUNTS_SQL,
@@ -1169,4 +1229,6 @@ ORACLES = {
     "stream_winnow_restart": STREAM_WINNOW_DEDUP_SQL,
     # stream-built index == batch index (cell assignment is pure)
     "stream_ann_ingest": _ann_ingest_oracle(),
+    # stream-built posting lists == batch BM25 (term stats associative)
+    "stream_bm25_ingest": _bm25_ingest_oracle(),
 }
