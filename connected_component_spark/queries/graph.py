@@ -779,6 +779,99 @@ JOIN p99 n ON n.round = pa.round
 CC_ROUND_SKEW_SQL = _cc_round_skew_sql()
 
 
+def temporal_transition_edges(ev: DataFrame) -> DataFrame:
+    """DIRECTED user-transition edges: within each (event_type, hour)
+    bucket, order users by their FIRST event timestamp (user_id
+    tie-break) and chain consecutively, earlier → later.  Per bucket
+    this is a DAG chain; conflicting orderings across buckets create
+    the cycles — exactly the structure strongly-connected-component
+    analysis exists to find (who is mutually reachable through
+    behavioral sequences)."""
+    first = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+            "user_id",
+        )
+        .agg(F.min("ts").alias("t0"))
+    )
+    w = Window.partitionBy("event_type", "hr").orderBy("t0", "user_id")
+    return (
+        first.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed temporal-
+    transition graph (graph/scc.py — trim + forward-color + backward-
+    walk phases, the distributed FW-BW/coloring scheme; GraphX-library
+    parity for StronglyConnectedComponents next to the CC kernel).
+    Isolated users register as singleton SCCs via self-loop input
+    rows, the CC kernel's registration convention.  Oracle: recursive-
+    CTE transitive closure with the mutual-reachability definition —
+    scc(n) = min({n} ∪ {m : n→*m ∧ m→*n})."""
+    from connected_component_spark.graph.scc import (
+        strongly_connected_components,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = temporal_transition_edges(ev).union(
+        ev.select(
+            F.col("user_id").alias("src"), F.col("user_id").alias("dst")
+        ).distinct()
+    )
+    res = strongly_connected_components(edges)
+    # explicit raise: a phase/round cap hit means an incomplete
+    # assignment, never silently-wrong output
+    if not res.converged:
+        raise RuntimeError(
+            f"graph_scc: SCC kernel hit its cap after {res.phases} phases"
+        )
+    return res.assignments.select(
+        F.col("node").alias("user_id"), F.col("scc")
+    )
+
+
+GRAPH_SCC_SQL = """
+WITH RECURSIVE
+fv AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, user_id, min(ts) AS t0
+  FROM events GROUP BY 1, 2, 3
+),
+lagged AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (PARTITION BY event_type, hr
+                             ORDER BY t0, user_id) AS dst
+  FROM fv
+),
+dedges AS (
+  SELECT DISTINCT src, dst FROM lagged
+  WHERE dst IS NOT NULL AND src <> dst
+),
+reach(a, b) AS (
+  SELECT src, dst FROM dedges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedges e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS n, r1.b AS m
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+allnodes AS (SELECT DISTINCT user_id AS node FROM events),
+scc AS (
+  SELECT n.node, least(n.node, coalesce(min(m.m), n.node)) AS scc
+  FROM allnodes n LEFT JOIN mutual m ON m.n = n.node
+  GROUP BY n.node
+)
+SELECT CAST(node AS BIGINT) AS user_id, CAST(scc AS BIGINT) AS scc FROM scc
+"""
+
+
 QUERIES = {
     "cc_user_copresence": cc_user_copresence,
     "cc_round_skew_report": cc_round_skew_report,
@@ -791,6 +884,7 @@ QUERIES = {
     "graph_label_propagation": graph_label_propagation,
     "graph_link_prediction": graph_link_prediction,
     "graph_khop_sql": graph_khop_sql,
+    "graph_scc": graph_scc,
 }
 
 ORACLES = {
@@ -805,4 +899,5 @@ ORACLES = {
     "graph_label_propagation": GRAPH_LABEL_PROP_SQL,
     "graph_link_prediction": GRAPH_LINK_PREDICTION_SQL,
     "graph_khop_sql": GRAPH_KHOP_SQL,
+    "graph_scc": GRAPH_SCC_SQL,
 }

@@ -470,3 +470,53 @@ def test_khop_sql_agrees_with_frontier_bfs(spark, sf_dir):
         .collect()
     }
     assert via_sql == via_bfs
+
+
+def test_scc_matches_networkx_on_random_digraphs(spark):
+    """r12: the distributed trim+FW-BW-coloring SCC kernel must match
+    networkx's Tarjan-based SCC (min-member labeling) on hand graphs
+    and seeded random digraphs — cycles, bridged cycles, DAG fringes,
+    self-loops, isolated-by-self-loop nodes."""
+    import random
+
+    import networkx as nx
+
+    from connected_component_spark.graph.scc import (
+        strongly_connected_components,
+    )
+
+    def check(edges_py):
+        df = spark.createDataFrame(edges_py, "src long, dst long")
+        res = strongly_connected_components(df)
+        assert res.converged
+        got = {}
+        for r in res.assignments.collect():
+            got.setdefault(r["scc"], set()).add(r["node"])
+        want = {
+            min(c): set(c)
+            for c in nx.strongly_connected_components(nx.DiGraph(edges_py))
+        }
+        assert got == want, (edges_py[:10], got, want)
+
+    check([(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4)])
+    check([(1, 2), (2, 3), (1, 3), (3, 4)])  # pure DAG
+    check([(7, 7), (1, 2), (2, 1)])  # self-loop singleton + 2-cycle
+    rng = random.Random(17)
+    for _ in range(3):
+        n = 50
+        check(list({(rng.randrange(n), rng.randrange(n)) for _ in range(130)}))
+
+
+def test_scc_unconverged_cap_is_loud(spark):
+    """A phase/round cap hit must surface as converged=False (and the
+    declared query row raises on it) — never a silently-partial
+    assignment presented as complete."""
+    from connected_component_spark.graph.scc import (
+        strongly_connected_components,
+    )
+
+    # a 6-cycle needs ~6 color rounds; max_rounds=2 cannot converge
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    res = strongly_connected_components(df, max_rounds=2)
+    assert not res.converged
