@@ -183,6 +183,7 @@ def strongly_connected_components(
                 colors.where(F.col("color") == F.col("node"))
             )  # (node, color): the roots
             frontier = reached
+            walk_stable = False
             for _ in range(max_rounds):
                 # predecessors of the frontier, same color class
                 preds = (
@@ -206,8 +207,15 @@ def strongly_connected_components(
                     )
                 )
                 if frontier.isEmpty():
+                    walk_stable = True
                     break
                 reached = _ckpt(reached.unionByName(frontier))
+            if not walk_stable:
+                # round cap hit mid-walk: the reached set is a PARTIAL
+                # SCC — emitting it would silently split a component
+                # (review r12; the coloring loop already had this
+                # guard, the walk did not).  converged stays False.
+                break
             emit(reached.select("node", F.col("color").alias("scc")))
             active_n = _ckpt(
                 active_n.join(reached.select("node"), "node", "left_anti")

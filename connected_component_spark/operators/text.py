@@ -847,12 +847,35 @@ def tfidf_scores(
     idf = F.log(
         F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df")
     )
-    # document norms span the FULL vocabulary of each doc — an
-    # index-build aggregate (snap-rounded squares, exact decimal sum,
-    # one sqrt), never a dense vector
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens("query_text"))).alias("token"),
+    )
+    # corpus-present query terms with their idf (absent terms are
+    # zero-weight: excluded from dot AND query norm).  The BOUNDED
+    # query-term side is what broadcasts — dft is full-vocabulary,
+    # corpus-unbounded, and must never ship to the driver (review r12)
+    qw = (
+        dft.join(F.broadcast(qterms), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select("query_id", "token", idf.alias("qidf"))
+    )
+    # document norms span the FULL vocabulary of each doc (snap-rounded
+    # squares, exact decimal sum, one sqrt — never a dense vector), but
+    # only CANDIDATE docs (sharing ≥1 query term) survive the final
+    # inner join, so the norm aggregate is restricted to them first —
+    # candidate-sized instead of corpus-sized work per serving call
+    # (review r12; no broadcast hint: the candidate set is unbounded
+    # for stopword-grade query terms, AQE picks the strategy)
+    cand_ids = (
+        tf.join(F.broadcast(qw.select("token").distinct()), "token")
+        .select("doc_id")
+        .distinct()
+    )
     wd2 = roundd((F.col("tf") * idf) * (F.col("tf") * idf), 9)
     dnorm = (
-        tf.join(dft, "token")
+        tf.join(cand_ids, "doc_id")
+        .join(dft, "token")
         .crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(
@@ -860,17 +883,6 @@ def tfidf_scores(
                 F.sum(wd2.cast("decimal(20,9)")).cast("double")
             ).alias("dnorm")
         )
-    )
-    qterms = queries.select(
-        "query_id",
-        F.explode(F.array_distinct(tokens("query_text"))).alias("token"),
-    )
-    # corpus-present query terms with their idf (absent terms are
-    # zero-weight: excluded from dot AND query norm)
-    qw = (
-        qterms.join(F.broadcast(dft), "token")
-        .crossJoin(F.broadcast(n_docs))
-        .select("query_id", "token", idf.alias("qidf"))
     )
     qnorm = qw.groupBy("query_id").agg(
         F.sqrt(

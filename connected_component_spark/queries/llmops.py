@@ -3502,6 +3502,11 @@ TEXT_HYBRID_RRF_TOPK_SQL = _hybrid_rrf_sql()
 
 _RELATED_ANCHOR_MOD = 100
 _RELATED_ANCHOR_REM = 7
+#: absolute anchor-id ceiling: the modulus alone couples the anchor
+#: count to the corpus (1%), which would eventually trip bm25_scores'
+#: bounded-batch guard and is the wrong serving shape anyway — the
+#: ceiling keeps the batch ≤ 1000 anchors at ANY scale (review r12)
+_RELATED_ANCHOR_CAP = 100_000
 
 
 def pipeline_related_docs_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3523,7 +3528,8 @@ def pipeline_related_docs_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.join(emb, "doc_id")
     anchors = base.where(
-        F.col("doc_id") % _RELATED_ANCHOR_MOD == _RELATED_ANCHOR_REM
+        (F.col("doc_id") % _RELATED_ANCHOR_MOD == _RELATED_ANCHOR_REM)
+        & (F.col("doc_id") < _RELATED_ANCHOR_CAP)
     )
     # lexical leg: anchor text as the BM25 query; self excluded
     # BEFORE ranking so it never consumes a slot
@@ -3551,9 +3557,13 @@ def pipeline_related_docs_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _related_docs_sql() -> str:
+    anchor_pred = (
+        f"doc_id % {_RELATED_ANCHOR_MOD} = {_RELATED_ANCHOR_REM} "
+        f"AND doc_id < {_RELATED_ANCHOR_CAP}"
+    )
     q_cte = f"""
   SELECT doc_id AS query_id, unnest(list_distinct({TOKS})) AS token
-  FROM base WHERE doc_id % {_RELATED_ANCHOR_MOD} = {_RELATED_ANCHOR_REM}
+  FROM base WHERE {anchor_pred}
 """
     contrib = f"1.0 / (CAST({_RRF_C} AS DOUBLE) + rank)"
     cos = roundd_sql(
@@ -3574,7 +3584,7 @@ lex_ranked AS (
   FROM scores WHERE query_id <> doc_id
 ),
 sq AS (SELECT doc_id AS query_id, embedding AS qv FROM base
-       WHERE doc_id % {_RELATED_ANCHOR_MOD} = {_RELATED_ANCHOR_REM}),
+       WHERE {anchor_pred}),
 sc AS (SELECT doc_id AS neighbor_id, embedding AS cv FROM base),
 sscored AS (
   SELECT query_id, neighbor_id, {cos} AS cos

@@ -243,21 +243,22 @@ class IncrementalBM25:
         probed-cell pruning."""
         if self.tf is None:
             raise ValueError("empty index: no batch has been folded")
-        # evaluated once: the collected bucket filter and the scoring
-        # join read the same materialized query-term leaf (the
-        # annindex serve-determinism discipline)
-        qtok = (
-            queries.select(
+        # the QUERY BATCH ITSELF is checkpointed once (bounded by the
+        # serving contract), so the bucket collect, the max_queries
+        # probe, and the scoring chain's tokenization all read one
+        # materialized leaf — a non-deterministic queries DataFrame
+        # cannot probe buckets the filter never kept (review r12: the
+        # r11 annindex lesson applied to the raw batch, not just a
+        # derived projection)
+        queries = queries.localCheckpoint(eager=True)
+        buckets = [
+            r["b"]
+            for r in queries.select(
                 F.explode(F.array_distinct(tokens("query_text"))).alias(
                     "token"
                 )
             )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        buckets = [
-            r["b"]
-            for r in qtok.select(self._bucket(F.col("token")).alias("b"))
+            .select(self._bucket(F.col("token")).alias("b"))
             .distinct()
             .collect()
         ]

@@ -520,3 +520,19 @@ def test_scc_unconverged_cap_is_loud(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     res = strongly_connected_components(df, max_rounds=2)
     assert not res.converged
+
+    # review r12: the BACKWARD WALK cap must also surface — this graph
+    # (star 0->i plus chain 1->...->12->0) is ONE 13-node SCC whose
+    # coloring converges in ~2 rounds but whose backward walk needs 12;
+    # max_rounds=5 used to emit a truncated SCC with converged=True
+    star_chain = [(0, i) for i in range(1, 13)] + [
+        (i, i + 1) for i in range(1, 12)
+    ] + [(12, 0)]
+    df2 = spark.createDataFrame(star_chain, "src long, dst long")
+    res2 = strongly_connected_components(df2, max_rounds=5)
+    assert not res2.converged
+    # and with sufficient rounds it is exactly one component
+    res3 = strongly_connected_components(df2)
+    assert res3.converged
+    got = {r["scc"] for r in res3.assignments.collect()}
+    assert got == {0} and res3.assignments.count() == 13
