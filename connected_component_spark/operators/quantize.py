@@ -335,16 +335,19 @@ def ivfpq_topk(
     if centroids is None:
         centroids = emb.where(F.col(id_col) % centroid_stride == 0)
     storage = ivf_cell_assignments(emb, centroids, id_col, vec_col, 1)
-    # probe-pruned serving (r12, same shape as ivf_topk/annindex.topk):
-    # collect the bounded |queries|×nprobe probed-cell set off an
-    # eagerly-checkpointed probe and push it as a static IN-filter on
-    # the storage assignment, so unprobed cells' codes never reach the
-    # candidate join.  Purely physical — out-of-probe candidates could
-    # never join on the cell key anyway.
-    probe = ivf_cell_assignments(
+    # probe-pruned serving (r12, same shape as ivf_topk): the bounded
+    # |queries|×nprobe probe is COLLECTED once and rebuilt as a
+    # literal relation — the probed-cell IN-filter and the probe join
+    # read the same frozen rows, one job total.  Purely physical —
+    # out-of-probe candidates could never join on the cell key anyway.
+    probe_rows = ivf_cell_assignments(
         queries, centroids, id_col, vec_col, nprobe
-    ).localCheckpoint(eager=True)
-    probed = [r["cell"] for r in probe.select("cell").distinct().collect()]
+    ).collect()
+    probed = sorted({r["cell"] for r in probe_rows})
+    probe = queries.sparkSession.createDataFrame(
+        [(r[id_col], r["cell"]) for r in probe_rows],
+        f"{id_col} long, cell long",
+    )
     storage = storage.where(F.col("cell").isin(probed))
     pairs = (
         probe.select(F.col(id_col).alias("query_id"), "cell")

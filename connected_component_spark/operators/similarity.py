@@ -740,18 +740,23 @@ def ivf_topk(
     # exist in the corpus)
     storage = ivf_cell_assignments(corpus, centroids, id_col, vec_col, 1)
     # probe-pruned serving (r12, the incremental index's serve shape
-    # applied to the batch operator): the probed-cell set is BOUNDED
+    # applied to the batch operator): the probe assignment is BOUNDED
     # (|queries| × nprobe — queries are a bounded batch by the serving
-    # contract), so collect it once off an eagerly-checkpointed probe
-    # (evaluated exactly once, like annindex.topk) and push it as a
-    # static IN-filter on the storage assignment — unprobed cells'
-    # vectors never reach the norm/dot work or the cell-join shuffle.
-    # Purely physical: a candidate outside the probed cells could
-    # never join anyway, so results are unchanged.
-    probe = ivf_cell_assignments(
+    # contract), so COLLECT it once — one job — and rebuild it as a
+    # literal local relation: the probed-cell IN-filter on the storage
+    # assignment and the query-side probe join then both read the same
+    # frozen rows (stronger than a checkpoint, and one job cheaper —
+    # the r12 bench showed the checkpoint+distinct pair costing ~0.8 s
+    # per serving call at fixture scale).  Purely physical: a
+    # candidate outside the probed cells could never join anyway.
+    probe_rows = ivf_cell_assignments(
         queries, centroids, id_col, vec_col, max(1, nprobe)
-    ).localCheckpoint(eager=True)
-    probed = [r["cell"] for r in probe.select("cell").distinct().collect()]
+    ).collect()
+    probed = sorted({r["cell"] for r in probe_rows})
+    probe = queries.sparkSession.createDataFrame(
+        [(r[id_col], r["cell"]) for r in probe_rows],
+        f"{id_col} long, cell long",
+    )
     storage = storage.where(F.col("cell").isin(probed))
     q = _normed(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),

@@ -3619,6 +3619,108 @@ SELECT query_id, doc_id, rrf, rank FROM franked WHERE rank <= {_RRF_TOPK}
 PIPELINE_RELATED_DOCS_RRF_SQL = _related_docs_sql()
 
 
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+_MMR_CAND_K = 20
+
+
+def pipeline_mmr_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified context selection (operators/mmr.py, Carbonell
+    & Goldstein 1998): per anchor vector, the exact-cosine top-20
+    candidate list is greedily re-ranked to 5 picks by
+    λ·rel − (1−λ)·max-sim-to-selected — the standard last stage that
+    turns a near-duplicate-heavy retrieval list into a diverse context
+    window.  MMR is sequential in k, so the oracle UNROLLS the five
+    greedy steps as chained CTEs (the cc_round_skew_report unroll
+    pattern); every mmr double is engine-exact (rounded-6 cosines, λ
+    literals repr-shared, single IEEE multiply/subtract per term)."""
+    from connected_component_spark.operators.mmr import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(
+        (F.col("vec_id") % _RELATED_ANCHOR_MOD == _RELATED_ANCHOR_REM)
+        & (F.col("vec_id") < _RELATED_ANCHOR_CAP)
+    )
+    cand = sim.cosine_topk(anchors, emb, k=_MMR_CAND_K).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("cos").alias("score"),
+    )
+    return mmr_rerank(cand, emb, k=_MMR_K, lam=_MMR_LAMBDA)
+
+
+def _mmr_sql() -> str:
+    lam, one_m_lam = repr(_MMR_LAMBDA), repr(1.0 - _MMR_LAMBDA)
+    cos = _cos_sql("qv", "cv")
+    pair_cos = _cos_sql("ev.embedding", "es.embedding")
+    anchor_pred = (
+        f"vec_id % {_RELATED_ANCHOR_MOD} = {_RELATED_ANCHOR_REM} "
+        f"AND vec_id < {_RELATED_ANCHOR_CAP}"
+    )
+    steps = []
+    prev_union = "SELECT query_id, doc_id FROM sel1"
+    for s in range(2, _MMR_K + 1):
+        steps.append(f"""prev{s} AS ({prev_union}),
+pen{s} AS (
+  SELECT c.query_id, c.doc_id, max({pair_cos}) AS maxsim
+  FROM cand c
+  JOIN prev{s} p ON p.query_id = c.query_id
+  JOIN embeddings ev ON ev.vec_id = c.doc_id
+  JOIN embeddings es ON es.vec_id = p.doc_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM prev{s} x
+    WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id
+  )
+  GROUP BY 1, 2
+),
+sel{s} AS (
+  SELECT query_id, doc_id, mmr, CAST({s} AS BIGINT) AS step
+  FROM (
+    SELECT query_id, doc_id,
+           {lam} * score - {one_m_lam} * maxsim AS mmr,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {lam} * score - {one_m_lam} * maxsim DESC,
+                                       doc_id ASC) AS rn
+    FROM cand JOIN pen{s} USING (query_id, doc_id)
+  ) WHERE rn = 1
+)""")
+        prev_union += f" UNION ALL SELECT query_id, doc_id FROM sel{s}"
+    sel_union = " UNION ALL ".join(
+        f"SELECT * FROM sel{s}" for s in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE {anchor_pred}),
+c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, doc_id, {cos} AS score
+  FROM q CROSS JOIN c WHERE query_id <> doc_id
+),
+cand AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {_MMR_CAND_K}
+),
+sel1 AS (
+  SELECT query_id, doc_id, {lam} * score AS mmr, CAST(1 AS BIGINT) AS step
+  FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {lam} * score DESC, doc_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+{", ".join(steps)}
+SELECT query_id, doc_id, mmr, step FROM ({sel_union})
+"""
+
+
+PIPELINE_MMR_CONTEXT_SQL = _mmr_sql()
+
+
 _TR_ITERATIONS = 5
 _TR_DAMPING = 0.85
 _TR_TOPK = 20
@@ -4375,6 +4477,7 @@ QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_hybrid_rrf_topk": text_hybrid_rrf_topk,
     "pipeline_related_docs_rrf": pipeline_related_docs_rrf,
+    "pipeline_mmr_context": pipeline_mmr_context,
     "text_textrank_keywords": text_textrank_keywords,
     "pipeline_hard_negatives": pipeline_hard_negatives,
     "pipeline_doc_chunks": pipeline_doc_chunks,
@@ -4463,6 +4566,7 @@ ORACLES = {
     "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
     "text_hybrid_rrf_topk": TEXT_HYBRID_RRF_TOPK_SQL,
     "pipeline_related_docs_rrf": PIPELINE_RELATED_DOCS_RRF_SQL,
+    "pipeline_mmr_context": PIPELINE_MMR_CONTEXT_SQL,
     "text_textrank_keywords": TEXT_TEXTRANK_KEYWORDS_SQL,
     "pipeline_hard_negatives": PIPELINE_HARD_NEGATIVES_SQL,
     "pipeline_doc_chunks": PIPELINE_DOC_CHUNKS_SQL,

@@ -313,23 +313,26 @@ class IncrementalIVF:
         codebook."""
         if self.index is None:
             raise ValueError("empty index: no batch has been folded")
-        # checkpointed EAGERLY so the probe assignment is evaluated
-        # exactly once: both the collected partition filter below and
-        # the join read the same materialized leaf — a re-evaluated
-        # non-deterministic `queries` could otherwise probe different
-        # cells at join time than the filter kept (review r11)
-        probe = ivf_cell_assignments(
-            queries, self.codebook, self.id_col, self.vec_col, max(1, nprobe)
-        ).localCheckpoint(eager=True)
-        # the probed-cell set is BOUNDED (|queries| × nprobe, and
+        # the probe assignment is BOUNDED (|queries| × nprobe, and
         # queries are a bounded batch by the serving contract) — the
-        # one collect a real IVF serve does: push the probe list as a
-        # static filter so the durable layout's cell=N partition dirs
-        # are pruned at the scan (plan shows PartitionFilters), not
-        # post-filtered after reading the whole index
-        probed = [
-            r["cell"] for r in probe.select("cell").distinct().collect()
-        ]
+        # one collect a real IVF serve does.  COLLECTED once and
+        # rebuilt as a literal relation (r12; replaces the r11
+        # checkpoint+distinct pair — one job cheaper and stronger: the
+        # partition filter and the probe join read the same frozen
+        # rows, so a non-deterministic `queries` can never probe
+        # different cells at join time than the filter kept).  The
+        # probed list is a static filter, so the durable layout's
+        # cell=N partition dirs are pruned at the scan (plan shows
+        # PartitionFilters), not post-filtered after reading the
+        # whole index.
+        probe_rows = ivf_cell_assignments(
+            queries, self.codebook, self.id_col, self.vec_col, max(1, nprobe)
+        ).collect()
+        probed = sorted({r["cell"] for r in probe_rows})
+        probe = queries.sparkSession.createDataFrame(
+            [(r[self.id_col], r["cell"]) for r in probe_rows],
+            f"{self.id_col} long, cell long",
+        )
         index = self.index.where(F.col("cell").isin(probed))
         q = _normed(queries, self.id_col, self.vec_col).select(
             F.col(self.id_col).alias("query_id"),

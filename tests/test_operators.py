@@ -1325,3 +1325,95 @@ def test_rrf_fuse_known_answer_and_guards(spark):
         rrf_fuse([])
     with pytest.raises(ValueError, match="c must be"):
         rrf_fuse([a], c=-1)
+
+
+def test_mmr_matches_pure_python_reference(spark):
+    """Independent differential for MMR re-ranking: a from-scratch
+    greedy loop (numpy cosines with the Decimal snap-round, λ·rel −
+    (1−λ)·maxsim, doc_id tie-break) must match the distributed
+    operator's picks, steps, and mmr values exactly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from connected_component_spark.operators.mmr import mmr_rerank
+
+    def r6(x):
+        d = Decimal(repr(float(x))).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+        return float(d.quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    rng = np.random.default_rng(31)
+    vecs = {i: rng.standard_normal(8) for i in range(30)}
+    lam = 0.7
+
+    def cos(a, b):
+        da = 0.0
+        for x, y in zip(vecs[a], vecs[b]):
+            da += float(x) * float(y)
+        import math
+
+        na = math.sqrt(sum(float(x) * float(x) for x in vecs[a]))
+        nb = math.sqrt(sum(float(x) * float(x) for x in vecs[b]))
+        return r6(da / (na * nb))
+
+    # two queries, 8 candidates each, rel = cosine to the query vector
+    cands = {q: [d for d in range(10, 18)] for q in (0, 1)}
+    rel = {(q, d): cos(q, d) for q in cands for d in cands[q]}
+
+    expected = []
+    for q, ds in cands.items():
+        sel = []
+        rem = list(ds)
+        for step in range(1, 5):
+            if step == 1:
+                scored = [(lam * rel[(q, d)], d) for d in rem]
+            else:
+                scored = [
+                    (
+                        lam * rel[(q, d)]
+                        - (1.0 - lam) * max(cos(d, s) for s in sel),
+                        d,
+                    )
+                    for d in rem
+                ]
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            mmr, d = scored[0]
+            expected.append((q, d, mmr, step))
+            sel.append(d)
+            rem.remove(d)
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(q, d, rel[(q, d)]) for q in cands for d in cands[q]],
+        "query_id long, doc_id long, score double",
+    )
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["mmr"], r["step"])
+        for r in mmr_rerank(cdf, emb, k=4, lam=lam).collect()
+    )
+    assert got == sorted(expected)
+
+
+def test_mmr_guards_and_short_lists(spark):
+    """k/λ guards raise; a query with fewer candidates than k emits
+    what it has; candidates without vectors are dropped."""
+    from connected_component_spark.operators.mmr import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(9, 1, 0.9), (9, 2, 0.8), (9, 3, 0.7)],
+        "query_id long, doc_id long, score double",
+    )
+    out = mmr_rerank(cand, emb, k=5, lam=0.5).collect()
+    # doc 3 has no vector -> dropped; only 2 candidates emitted
+    assert sorted((r["doc_id"], r["step"]) for r in out) == [(1, 1), (2, 2)]
+    with pytest.raises(ValueError, match="k must be"):
+        mmr_rerank(cand, emb, k=0)
+    with pytest.raises(ValueError, match="lambda"):
+        mmr_rerank(cand, emb, lam=1.5)
