@@ -65,31 +65,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #: existing query's result-affecting path changed — the round's new
 #: queries rank first automatically as never-driver-verified.)
 _CHANGED_THIS_ROUND = (
-    # r11 (correcting the r10 comment per advice r11: that round's
-    # NEW queries were FIVE — ann_ivfpq_trained_topk/_recall,
-    # stream_winnow_dedup, pipeline_dedup_retention,
-    # ann_ivfpq_rerank_topk — not three).  This round: the two
-    # incremental-dedup stream queries moved onto the DURABLE state
-    # path (per-batch parquet appends + atomic manifest instead of
-    # in-session unions) — values fixture-identical, execution path
-    # changed; re-earn a row per convention.  rerank_exact's additive
-    # `queries=` param and the atomic staging-lock change leave
-    # declared plans untouched.
-    "stream_incremental_dedup",
-    "stream_winnow_dedup",
-    # r11: consumes the staged minhash cluster table instead of
-    # re-clustering inline (values byte-identical, execution path
-    # changed — verdict r10 #6)
-    "pipeline_dedup_retention",
-    # r11: moved onto the durable snapshot-state path like the dedup
-    # stream queries (values fixture-identical)
-    "stream_incremental_cc",
-    # r11 (continuation): these two also consume the staged minhash
-    # cluster table now instead of re-clustering inline (values
-    # byte-identical, execution path changed — the retention staging
-    # pattern extended to every same-params consumer)
-    "pipeline_leakage_safe_split",
-    "pipeline_corpus_curation",
+    # r12 (prior round's list: the 6 durable/staged-path movers of
+    # r11, all re-earned green).  This round's result-preserving
+    # execution-path changes, re-earn per convention:
+    # — the durable IVF index moved to single-evaluation repartitioned
+    #   folds + one basePath-discovery state scan + lazy re-reads:
+    "ann_ivf_incremental_topk",
+    "ann_ivf_restart_topk",
+    "stream_ann_ingest",
+    # — the batch ANN serving family gained probe-pruned storage
+    #   (collected literal probe relation + static cell IN-filter):
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_trained_topk",
+    "ann_ivfpq_trained_recall",
+    "ann_ivfpq_rerank_topk",
+    "ann_recall_report",
+    # — BM25 scoring refactored through the shared index core plus the
+    #   bounded-batch guard (values identical, plan/probe changed):
+    "text_bm25_topk",
+    "pipeline_hard_negatives",
 )
 
 
