@@ -973,6 +973,106 @@ def rrf_fuse(
     )
 
 
+def retrieval_eval_report(
+    rankings: dict[str, DataFrame], truth: DataFrame, k: int = 10
+) -> DataFrame:
+    """Retrieval-quality report: for each named retriever's per-query
+    top-k ranking (query_id, doc_id, rank), recall@k and MRR against a
+    shared ground-truth list — (retriever, n_queries, recall_at_k,
+    mrr), one row per retriever, ordered by name.  The evaluation
+    harness every retrieval stack runs before swapping a first-stage
+    ranker (the ann_knn_label_report / ann_recall_report discipline
+    applied to lexical retrievers: honest numbers, engine-exact).
+
+    ``truth``: (query_id, doc_id) relevant pairs (e.g. a semantic
+    exact-cosine top-k).  recall@k = Σ hits / Σ truth-list sizes over
+    the queries the retriever RAN (its distinct query_ids); a query
+    with no hits contributes 0 to MRR.  Exactness: per-query
+    reciprocal ranks are snap-rounded at 9 and summed as exact
+    DECIMAL; both final ratios are one IEEE division rounded at 6.
+
+    Scale shape: each input is a bounded per-query top-k list; the
+    evaluation is equi-joins on (query_id, doc_id) plus two-level
+    aggregation — candidate-sized throughout."""
+    if not rankings:
+        raise ValueError("retrieval_eval_report needs at least one ranking")
+    spark = truth.sparkSession
+    t = truth.select("query_id", "doc_id")
+    reports = []
+    for name in sorted(rankings):
+        r = rankings[name].select("query_id", "doc_id", "rank").where(
+            F.col("rank") <= F.lit(k)
+        )
+        qids = r.select("query_id").distinct()
+        tq = t.join(qids, "query_id")
+        hits = r.join(t, ["query_id", "doc_id"])
+        per_q = (
+            qids.join(
+                hits.groupBy("query_id").agg(
+                    F.count(F.lit(1)).alias("n_hits"),
+                    F.min("rank").alias("first_rank"),
+                ),
+                "query_id",
+                "left",
+            )
+            .select(
+                "query_id",
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                F.when(
+                    F.col("first_rank").isNotNull(),
+                    roundd(
+                        F.lit(1.0) / F.col("first_rank").cast("double"), 9
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("rr"),
+            )
+        )
+        truth_sizes = tq.groupBy().agg(F.count(F.lit(1)).alias("n_truth"))
+        agg = per_q.groupBy().agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("n_hits").alias("sum_hits"),
+            F.sum(F.col("rr").cast("decimal(12,9)")).alias("sum_rr"),
+        )
+        # a retriever whose ranking is empty after the rank<=k cut has
+        # zero queries and zero truth coverage: report honest zeros,
+        # never NULL/NaN ratios
+        reports.append(
+            agg.crossJoin(truth_sizes).select(
+                F.lit(name).alias("retriever"),
+                F.col("n_queries").cast("long").alias("n_queries"),
+                F.when(
+                    F.col("n_truth") > 0,
+                    roundd(
+                        F.coalesce(F.col("sum_hits"), F.lit(0)).cast(
+                            "double"
+                        )
+                        / F.col("n_truth"),
+                        6,
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("recall_at_k"),
+                F.when(
+                    F.col("n_queries") > 0,
+                    roundd(
+                        F.coalesce(
+                            F.col("sum_rr"), F.lit(0).cast("decimal(12,9)")
+                        ).cast("double")
+                        / F.col("n_queries"),
+                        6,
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("mrr"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def bm25_hard_negatives(
     docs: DataFrame,
     anchors: DataFrame,

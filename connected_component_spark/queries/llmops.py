@@ -3354,15 +3354,24 @@ _RRF_TOPK = 10
 _TFIDF_IDF = "ln(1.0 + CAST(tnd.n_docs AS DOUBLE) / tdf.df)"
 
 
-def _tfidf_core_sql() -> str:
+def _tfidf_core_sql(q_cte: str | None = None) -> str:
     """The TF-IDF vector-space scoring chain (CTEs tex → ttf → tdf →
     tnd → dnorm → tq → qw → qnorm → dots → tscores), single-sourced
-    for text_tfidf_topk and the RRF hybrid row.  Expects ``toks``
-    (doc_id, t) and ``qraw`` (query_id, qtext) CTEs in scope; CTE
-    names are t-prefixed so the chain composes next to the BM25 core
-    in one statement.  Float discipline mirrors the engine
+    for text_tfidf_topk, the RRF hybrid row, and the retrieval-eval
+    row.  Expects a ``toks`` (doc_id, t) CTE in scope; ``q_cte`` is
+    the caller's query-term SELECT producing (query_id, token) —
+    default reads a ``qraw`` (query_id, qtext) CTE.  CTE names are
+    t-prefixed so the chain composes next to the BM25 core in one
+    statement.  Float discipline mirrors the engine
     (operators/text.py:tfidf_scores): snap-round 9 → DECIMAL(20,9)
     exact sums → sqrt/divide → round 6."""
+    if q_cte is None:
+        q_cte = """
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(trim(qtext), '\\s+'), x -> x <> ''))) AS token
+  FROM qraw
+"""
     w2 = f"(ttf.tf * {_TFIDF_IDF}) * (ttf.tf * {_TFIDF_IDF})"
     return f"""tex AS (SELECT doc_id, unnest(t) AS token FROM toks),
 ttf AS (SELECT doc_id, token, count(*) AS tf FROM tex GROUP BY 1, 2),
@@ -3373,12 +3382,7 @@ dnorm AS (
          sqrt(CAST(sum(CAST({roundd_sql(w2, 9)} AS DECIMAL(20,9))) AS DOUBLE)) AS dnorm
   FROM ttf JOIN tdf USING (token) CROSS JOIN tnd GROUP BY 1
 ),
-tq AS (
-  SELECT CAST(query_id AS BIGINT) AS query_id,
-         unnest(list_distinct(list_filter(
-             string_split_regex(trim(qtext), '\\s+'), x -> x <> ''))) AS token
-  FROM qraw
-),
+tq AS ({q_cte}),
 qw AS (
   SELECT query_id, token, {_TFIDF_IDF} AS qidf
   FROM tq JOIN tdf USING (token) CROSS JOIN tnd
@@ -3719,6 +3723,182 @@ SELECT query_id, doc_id, mmr, step FROM ({sel_union})
 
 
 PIPELINE_MMR_CONTEXT_SQL = _mmr_sql()
+
+
+_EVAL_K = 10
+
+
+def pipeline_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retriever-agreement evaluation (operators/text.py:
+    retrieval_eval_report): overlap@10 ("recall_at_k") and MRR of
+    TF-IDF, the BM25+TF-IDF RRF fusion, and the SEMANTIC exact-cosine
+    ranking, each measured against the BM25 top-10 as the reference —
+    the diagnostic a retrieval stack runs before swapping its
+    first-stage ranker ("how differently would this ranker retrieve?").
+    On this fixture the lexical pair agrees substantially and the
+    fusion agrees most (it contains the reference's votes), while the
+    embedding space is independent of the texts so the semantic row
+    honestly sits at ~zero — the ann_knn_label_report
+    honest-numbers discipline.  Anchors' own rows excluded everywhere;
+    every ratio engine-exact (snap-rounded reciprocal ranks, DECIMAL
+    sums, one rounded division each)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    base = docs.join(emb, "doc_id")
+    anchors = base.where(
+        (F.col("doc_id") % _RELATED_ANCHOR_MOD == _RELATED_ANCHOR_REM)
+        & (F.col("doc_id") < _RELATED_ANCHOR_CAP)
+    )
+    sem = sim.cosine_topk(
+        anchors.select("doc_id", "embedding"),
+        base.select("doc_id", "embedding"),
+        k=_EVAL_K,
+        id_col="doc_id",
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    lex_scores = tx.bm25_scores(
+        base.select("doc_id", "text"),
+        anchors.select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+        ),
+        k1=_BM25_K1,
+        b=_BM25_B,
+    ).where(F.col("query_id") != F.col("doc_id"))
+    ti_scores = tx.tfidf_scores(
+        base.select("doc_id", "text"),
+        anchors.select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+        ),
+    ).where(F.col("query_id") != F.col("doc_id"))
+    bm = tx.bm25_rank_topk(lex_scores, _RRF_INPUT_K)
+    ti = tx.bm25_rank_topk(ti_scores, _RRF_INPUT_K)
+    fused = tx.rrf_fuse([bm, ti], k=_EVAL_K, c=_RRF_C)
+    reference = bm.where(F.col("rank") <= _EVAL_K).select(
+        "query_id", "doc_id"
+    )
+    return tx.retrieval_eval_report(
+        {"tfidf": ti, "rrf": fused, "semantic": sem}, reference, k=_EVAL_K
+    )
+
+
+def _retrieval_eval_sql() -> str:
+    anchor_pred = (
+        f"doc_id % {_RELATED_ANCHOR_MOD} = {_RELATED_ANCHOR_REM} "
+        f"AND doc_id < {_RELATED_ANCHOR_CAP}"
+    )
+    q_cte = f"""
+  SELECT doc_id AS query_id, unnest(list_distinct({TOKS})) AS token
+  FROM base WHERE {anchor_pred}
+"""
+    cos = roundd_sql(
+        _DOT.format(a="qv", b="cv")
+        + f" / ({_norm_sql('qv')} * {_norm_sql('cv')})",
+        6,
+    )
+    contrib = f"1.0 / (CAST({_RRF_C} AS DOUBLE) + rank)"
+
+    def eval_cte(name: str, ranked: str) -> str:
+        return f"""
+ev_{name} AS (
+  SELECT '{name}' AS retriever, query_id, doc_id, rank
+  FROM {ranked} WHERE rank <= {_EVAL_K}
+),
+pq_{name} AS (
+  SELECT q.query_id,
+         coalesce(h.n_hits, 0) AS n_hits,
+         CASE WHEN h.first_rank IS NOT NULL
+              THEN {roundd_sql('1.0 / CAST(h.first_rank AS DOUBLE)', 9)}
+              ELSE 0.0 END AS rr
+  FROM (SELECT DISTINCT query_id FROM ev_{name}) q
+  LEFT JOIN (
+    SELECT e.query_id, count(*) AS n_hits, min(e.rank) AS first_rank
+    FROM ev_{name} e JOIN truth t
+      ON t.query_id = e.query_id AND t.doc_id = e.doc_id
+    GROUP BY 1
+  ) h ON h.query_id = q.query_id
+),
+agg_{name} AS (
+  SELECT '{name}' AS retriever,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         {roundd_sql(
+             "CAST(sum(n_hits) AS DOUBLE) / "
+             f"(SELECT count(*) FROM truth WHERE query_id IN "
+             f"(SELECT query_id FROM ev_{name}))",
+             6,
+         )} AS recall_at_k,
+         {roundd_sql(
+             "CAST(sum(CAST(rr AS DECIMAL(12,9))) AS DOUBLE) / count(*)", 6
+         )} AS mrr
+  FROM pq_{name}
+)"""
+
+    return f"""
+WITH base AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+toks AS (SELECT doc_id, {TOKS} AS t FROM base),
+{_bm25_core_sql(q_cte)},
+bm_ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scores WHERE query_id <> doc_id
+),
+{_tfidf_core_sql(q_cte)},
+t_ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM tscores WHERE query_id <> doc_id
+),
+rrf_in AS (
+  SELECT query_id, doc_id, rank FROM bm_ranked WHERE rank <= {_RRF_INPUT_K}
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM t_ranked WHERE rank <= {_RRF_INPUT_K}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         {roundd_sql(f"CAST(sum(CAST({roundd_sql(contrib, 9)} AS DECIMAL(12,9))) AS DOUBLE)", 6)} AS rrf
+  FROM rrf_in GROUP BY 1, 2
+),
+f_ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+  FROM fused
+),
+sq AS (SELECT doc_id AS query_id, embedding AS qv FROM base
+       WHERE {anchor_pred}),
+sc AS (SELECT doc_id AS neighbor_id, embedding AS cv FROM base),
+sscored AS (
+  SELECT query_id, neighbor_id, {cos} AS cos
+  FROM sq CROSS JOIN sc WHERE query_id <> neighbor_id
+),
+sem_ranked AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM sscored
+),
+truth AS (
+  SELECT query_id, doc_id FROM bm_ranked WHERE rank <= {_EVAL_K}
+),
+{eval_cte('tfidf', 't_ranked')},
+{eval_cte('rrf', 'f_ranked')},
+{eval_cte('semantic', 'sem_ranked')}
+SELECT retriever, n_queries, recall_at_k, mrr FROM agg_tfidf
+UNION ALL
+SELECT retriever, n_queries, recall_at_k, mrr FROM agg_rrf
+UNION ALL
+SELECT retriever, n_queries, recall_at_k, mrr FROM agg_semantic
+"""
+
+
+PIPELINE_RETRIEVAL_EVAL_SQL = _retrieval_eval_sql()
 
 
 _TR_ITERATIONS = 5
@@ -4478,6 +4658,7 @@ QUERIES = {
     "text_hybrid_rrf_topk": text_hybrid_rrf_topk,
     "pipeline_related_docs_rrf": pipeline_related_docs_rrf,
     "pipeline_mmr_context": pipeline_mmr_context,
+    "pipeline_retrieval_eval": pipeline_retrieval_eval,
     "text_textrank_keywords": text_textrank_keywords,
     "pipeline_hard_negatives": pipeline_hard_negatives,
     "pipeline_doc_chunks": pipeline_doc_chunks,
@@ -4567,6 +4748,7 @@ ORACLES = {
     "text_hybrid_rrf_topk": TEXT_HYBRID_RRF_TOPK_SQL,
     "pipeline_related_docs_rrf": PIPELINE_RELATED_DOCS_RRF_SQL,
     "pipeline_mmr_context": PIPELINE_MMR_CONTEXT_SQL,
+    "pipeline_retrieval_eval": PIPELINE_RETRIEVAL_EVAL_SQL,
     "text_textrank_keywords": TEXT_TEXTRANK_KEYWORDS_SQL,
     "pipeline_hard_negatives": PIPELINE_HARD_NEGATIVES_SQL,
     "pipeline_doc_chunks": PIPELINE_DOC_CHUNKS_SQL,

@@ -1417,3 +1417,48 @@ def test_mmr_guards_and_short_lists(spark):
         mmr_rerank(cand, emb, k=0)
     with pytest.raises(ValueError, match="lambda"):
         mmr_rerank(cand, emb, lam=1.5)
+
+
+def test_retrieval_eval_report_known_answers(spark):
+    """Hand-computed recall@k/MRR: retriever A hits truth at ranks
+    2 and 3 for q1 (rr=1/2) and misses entirely for q2 (rr=0);
+    retriever B hits rank 1 everywhere.  Guards raise on empty input."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from connected_component_spark.operators.text import (
+        retrieval_eval_report,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, doc_id long"
+    )
+    a = spark.createDataFrame(
+        [(1, 99, 1), (1, 10, 2), (1, 11, 3), (2, 98, 1), (2, 97, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "query_id long, doc_id long, rank long"
+    )
+    rows = {
+        r["retriever"]: r
+        for r in retrieval_eval_report({"a": a, "b": b}, truth, k=3).collect()
+    }
+    # A: hits = 2 of 4 truth rows -> recall .5; rr = (1/2 + 0)/2 = .25
+    assert rows["a"]["n_queries"] == 2
+    assert rows["a"]["recall_at_k"] == 0.5
+    assert rows["a"]["mrr"] == 0.25
+    # B: 1 hit per query of 2 truth rows each -> recall .5; mrr 1.0
+    assert rows["b"]["recall_at_k"] == 0.5 and rows["b"]["mrr"] == 1.0
+    # rank > k rows are cut before evaluation
+    c = spark.createDataFrame(
+        [(1, 10, 4)], "query_id long, doc_id long, rank long"
+    )
+    rc = retrieval_eval_report({"c": c}, truth, k=3).collect()[0]
+    assert rc["recall_at_k"] == 0.0 and rc["mrr"] == 0.0
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        retrieval_eval_report({}, truth)
+    # float discipline sanity: rr snap-round matches Decimal recipe
+    d = Decimal(repr(1.0 / 3)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+    assert float(d) == 0.333333333
