@@ -335,20 +335,17 @@ def ivfpq_topk(
     if centroids is None:
         centroids = emb.where(F.col(id_col) % centroid_stride == 0)
     storage = ivf_cell_assignments(emb, centroids, id_col, vec_col, 1)
-    # probe-pruned serving (r12, same shape as ivf_topk): the bounded
-    # |queries|×nprobe probe is COLLECTED once and rebuilt as a
-    # literal relation — the probed-cell IN-filter and the probe join
-    # read the same frozen rows, one job total.  Purely physical —
-    # out-of-probe candidates could never join on the cell key anyway.
-    probe_rows = ivf_cell_assignments(
+    # probe-pruned serving (r12, same shape as ivf_topk): the storage
+    # assignment is semi-joined against the bounded probed-cell set
+    # ahead of the candidate join — in-plan and lazy (see ivf_topk's
+    # comment for why the batch operators don't collect the probe the
+    # way the durable index does).
+    probe = ivf_cell_assignments(
         queries, centroids, id_col, vec_col, nprobe
-    ).collect()
-    probed = sorted({r["cell"] for r in probe_rows})
-    probe = queries.sparkSession.createDataFrame(
-        [(r[id_col], r["cell"]) for r in probe_rows],
-        f"{id_col} long, cell long",
     )
-    storage = storage.where(F.col("cell").isin(probed))
+    storage = storage.join(
+        F.broadcast(probe.select("cell").distinct()), "cell", "semi"
+    )
     pairs = (
         probe.select(F.col(id_col).alias("query_id"), "cell")
         .join(

@@ -740,24 +740,25 @@ def ivf_topk(
     # exist in the corpus)
     storage = ivf_cell_assignments(corpus, centroids, id_col, vec_col, 1)
     # probe-pruned serving (r12, the incremental index's serve shape
-    # applied to the batch operator): the probe assignment is BOUNDED
-    # (|queries| × nprobe — queries are a bounded batch by the serving
-    # contract), so COLLECT it once — one job — and rebuild it as a
-    # literal local relation: the probed-cell IN-filter on the storage
-    # assignment and the query-side probe join then both read the same
-    # frozen rows (stronger than a checkpoint, and one job cheaper —
-    # the r12 bench showed the checkpoint+distinct pair costing ~0.8 s
-    # per serving call at fixture scale).  Purely physical: a
-    # candidate outside the probed cells could never join anyway.
-    probe_rows = ivf_cell_assignments(
+    # applied to the batch operator): the storage assignment is
+    # SEMI-JOINED against the bounded probed-cell set ahead of the
+    # candidate join, so unprobed cells' vectors never reach the
+    # norm/dot work or the cell-join shuffle.  In-plan (a broadcast
+    # semi-join — the probe side is |queries| × nprobe) rather than a
+    # collected IN-list: this operator is LAZY by contract (the plan
+    # gate sweeps it unexecuted), and the r12 bench measured the
+    # collect variant costing ~1-3 s per call on the nprobe-sweeping
+    # report queries.  The durable index (streaming/annindex.py) keeps
+    # the collect — there the list becomes a PartitionFilter that
+    # skips inverted-list DIRECTORIES, which no in-plan join can do.
+    # Purely physical either way: a candidate outside the probed cells
+    # could never join on the cell key.
+    probe = ivf_cell_assignments(
         queries, centroids, id_col, vec_col, max(1, nprobe)
-    ).collect()
-    probed = sorted({r["cell"] for r in probe_rows})
-    probe = queries.sparkSession.createDataFrame(
-        [(r[id_col], r["cell"]) for r in probe_rows],
-        f"{id_col} long, cell long",
     )
-    storage = storage.where(F.col("cell").isin(probed))
+    storage = storage.join(
+        F.broadcast(probe.select("cell").distinct()), "cell", "semi"
+    )
     q = _normed(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

@@ -1126,12 +1126,12 @@ def test_bm25_edge_cases_empty_and_absent(spark):
 
 
 def test_batch_ivf_serving_is_probe_pruned(spark, sf_dir):
-    """r12: the batch IVF family pushes the bounded collected
-    probed-cell set as a static IN-filter on the storage assignment —
-    the executed plan carries the cell filter ahead of the corpus
-    join, so unprobed cells' vectors/codes never reach the candidate
-    work (the incremental index's serve shape, applied to ivf_topk and
-    ivfpq_topk)."""
+    """r12: the batch IVF family semi-joins the storage assignment
+    against the bounded probed-cell set ahead of the corpus join —
+    the executed plan carries a LeftSemi on the cell key, so unprobed
+    cells' vectors/codes never reach the candidate work (in-plan and
+    lazy; the durable index keeps the collected PartitionFilter
+    variant for directory-level pruning)."""
     import re
 
     from connected_component_spark.operators.quantize import (
@@ -1146,13 +1146,13 @@ def test_batch_ivf_serving_is_probe_pruned(spark, sf_dir):
 
     out = ivf_topk(q, emb, k=3, centroid_stride=50, nprobe=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert re.search(r"cell#\d+L? IN \(", plan), plan[:3000]
+    assert re.search(r"\[(cell|cid)#\d+L?\], LeftSemi", plan), plan[:3000]
     assert out.count() > 0
 
     books = pq_codebooks(emb, dim=64, m=2, k=4, iterations=1)
     out2 = ivfpq_topk(q, emb, books, k=3, centroid_stride=50, nprobe=1)
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
-    assert re.search(r"cell#\d+L? IN \(", plan2), plan2[:3000]
+    assert re.search(r"\[(cell|cid)#\d+L?\], LeftSemi", plan2), plan2[:3000]
     assert out2.count() > 0
 
 
