@@ -74,7 +74,10 @@ _CHANGED_THIS_ROUND = (
     "ann_ivf_restart_topk",
     "stream_ann_ingest",
     # — the batch ANN serving family gained probe-pruned storage
-    #   (collected literal probe relation + static cell IN-filter):
+    #   (ivf_topk: broadcast LeftSemi on the probed-cell set ahead of
+    #   the candidate join; ivfpq_topk: the probe x storage cell join
+    #   does the pruning; the durable index keeps a collected list as
+    #   a directory-pruning PartitionFilter):
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "ann_ivfpq_topk",

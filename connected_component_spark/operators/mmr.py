@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from connected_component_spark.functions.vectors import dot, l2_norm
+from connected_component_spark.functions.vectors import as_double, dot, l2_norm
 from connected_component_spark.queries.parity import roundd
 
 __all__ = ["mmr_rerank"]
@@ -75,15 +75,8 @@ def mmr_rerank(
             ),
             "doc_id",
         )
-        .select(
-            "query_id",
-            "doc_id",
-            "score",
-            F.transform("v", lambda x: x.cast("double")).alias("v"),
-            l2_norm(
-                F.transform("v", lambda x: x.cast("double"))
-            ).alias("vn"),
-        )
+        .select("query_id", "doc_id", "score", as_double("v").alias("v"))
+        .select("query_id", "doc_id", "score", "v", l2_norm(F.col("v")).alias("vn"))
         .localCheckpoint(eager=True)
     )
     pick_w = Window.partitionBy("query_id").orderBy(

@@ -335,16 +335,16 @@ def ivfpq_topk(
     if centroids is None:
         centroids = emb.where(F.col(id_col) % centroid_stride == 0)
     storage = ivf_cell_assignments(emb, centroids, id_col, vec_col, 1)
-    # probe-pruned serving (r12, same shape as ivf_topk): the storage
-    # assignment is semi-joined against the bounded probed-cell set
-    # ahead of the candidate join — in-plan and lazy (see ivf_topk's
-    # comment for why the batch operators don't collect the probe the
-    # way the durable index does).
+    # probe-pruned serving: here the prune IS the ``pairs`` inner join
+    # below — probe ⋈ storage on the cell key drops every
+    # unprobed-cell row before the PQ codes are joined in, so the
+    # expensive per-candidate ADC work only ever sees probed cells.
+    # No extra semi-join: storage's only consumer is that join, so a
+    # pre-filter would prune nothing it doesn't already prune
+    # (review r12 — an earlier draft paid a redundant probe
+    # evaluation + broadcast for exactly zero extra pruning).
     probe = ivf_cell_assignments(
         queries, centroids, id_col, vec_col, nprobe
-    )
-    storage = storage.join(
-        F.broadcast(probe.select("cell").distinct()), "cell", "semi"
     )
     pairs = (
         probe.select(F.col(id_col).alias("query_id"), "cell")

@@ -325,13 +325,16 @@ class IncrementalIVF:
         # cell=N partition dirs are pruned at the scan (plan shows
         # PartitionFilters), not post-filtered after reading the
         # whole index.
-        probe_rows = ivf_cell_assignments(
+        probe_src = ivf_cell_assignments(
             queries, self.codebook, self.id_col, self.vec_col, max(1, nprobe)
-        ).collect()
+        ).select(self.id_col, "cell")
+        probe_rows = probe_src.collect()
         probed = sorted({r["cell"] for r in probe_rows})
+        # rebuild with the probe's OWN schema, not a hardcoded one —
+        # the id column's type follows the caller's id_col contract
+        # (review r12)
         probe = queries.sparkSession.createDataFrame(
-            [(r[self.id_col], r["cell"]) for r in probe_rows],
-            f"{self.id_col} long, cell long",
+            probe_rows, probe_src.schema
         )
         index = self.index.where(F.col("cell").isin(probed))
         q = _normed(queries, self.id_col, self.vec_col).select(

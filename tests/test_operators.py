@@ -1150,9 +1150,13 @@ def test_batch_ivf_serving_is_probe_pruned(spark, sf_dir):
     assert out.count() > 0
 
     books = pq_codebooks(emb, dim=64, m=2, k=4, iterations=1)
+    # ivfpq: the prune IS the probe x storage inner join on the cell
+    # key (storage has no other consumer, so a semi-join would prune
+    # nothing extra — review r12); assert the cell equi-join is in the
+    # executed plan ahead of the ADC work
     out2 = ivfpq_topk(q, emb, books, k=3, centroid_stride=50, nprobe=1)
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
-    assert re.search(r"\[(cell|cid)#\d+L?\], LeftSemi", plan2), plan2[:3000]
+    assert re.search(r"\[(cell|cid)#\d+L?\], Inner", plan2), plan2[:3000]
     assert out2.count() > 0
 
 
