@@ -385,6 +385,19 @@ def main() -> None:
                     .count()
                 )
                 salted_wall = round(time.perf_counter() - t1, 3)
+                # Adaptive flip (verdict r12 #3): star_salts="auto"
+                # must detect the converging hub from its own round
+                # skew profile and flip mid-run — record the flip
+                # round and that rosters stay exact.
+                t2 = time.perf_counter()
+                auto = connected_components(edges, star_salts="auto")
+                aa = auto.assignments.alias("a")
+                auto_mismatches = (
+                    aa.join(t, SF.col("a.node") == SF.col("t.node"))
+                    .where(SF.col("a.component") != SF.col("t.component"))
+                    .count()
+                )
+                auto_wall = round(time.perf_counter() - t2, 3)
                 conv = res.assignments.select(
                     SF.col("node").alias("src"),
                     SF.col("component").alias("dst"),
@@ -431,6 +444,12 @@ def main() -> None:
                         "roster_mismatches": salted_mismatches,
                         "converged_round_hot_key_rows": int(hot_unsalted),
                         "converged_round_hot_task_rows": int(hot_salted),
+                    },
+                    "auto_star": {
+                        "salted_from_round": auto.salted_from_round,
+                        "wall_sec": auto_wall,
+                        "iterations": auto.iterations,
+                        "roster_mismatches": auto_mismatches,
                     },
                 }
             except Exception as ex:

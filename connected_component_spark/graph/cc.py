@@ -93,6 +93,10 @@ class CCResult:
     round_pair_counts: list[int] | None = None
     round_shuffle_bytes: list[int] | None = None
     round_key_skew: list[dict] | None = None
+    #: the 1-based round from which large-star ran the SALTED layout
+    #: (``star_salts="auto"`` flipped mid-run, or the static opt-in's
+    #: round 1); None = the whole run stayed fused
+    salted_from_round: int | None = None
 
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
@@ -341,6 +345,19 @@ def _small_star_counted(edges: DataFrame) -> tuple[DataFrame, int]:
     return grouped.select("src", "dst").distinct(), change
 
 
+#: adaptive salting (star_salts="auto"): salt count applied on a flip,
+#: and the flip trigger — the round's hot KEY must be both absolutely
+#: large (below this, one reducer absorbs it anyway) and far above the
+#: p99 (a flat-but-heavy profile is capacity, not skew).  Thresholds
+#: sit between the measured profiles: the r12 hub graph crosses at
+#: round 3 (max 45,979 / p99 6 ≈ 7,663×; wall 75.6 s fused → 39.1 s
+#: salted at 8), while the non-skewed clique benches peak at
+#: max 91 / p99 55 (1.7×) and never flip.
+_AUTO_SALTS = 8
+_AUTO_SALT_MIN_HOT = 10_000
+_AUTO_SALT_RATIO = 64
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
@@ -348,7 +365,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     skew_telemetry: bool = False,
     shuffle_telemetry: bool = False,
-    star_salts: int | None = None,
+    star_salts: int | None | Literal["auto"] = None,
 ) -> CCResult:
     """Compute connected components of an undirected edge list.
 
@@ -380,6 +397,20 @@ def connected_components(
     applies to the default stable-set convergence (the
     reference-counts mode is a literal parity twin and stays on the
     fused layout).
+
+    ``star_salts="auto"`` (verdict r12 #3) closes the loop the static
+    opt-in left open — at 100 TB the topology is not known a priori:
+    the kernel starts fused, reads its own per-round reducer-skew
+    profile, and FLIPS to the salted layout for all later rounds when
+    the hot key crosses ``_AUTO_SALT_MIN_HOT`` rows AND
+    ``_AUTO_SALT_RATIO``× the p99 (thresholds sit between the
+    measured hub-graph and clique-bench profiles; AQE measurably
+    cannot split this reducer — see :func:`large_star`).  Rosters are
+    identical either way (salting is a physical rewrite); the flip
+    round is recorded as ``CCResult.salted_from_round``.  Auto mode
+    pays the skew-profile aggregation every pre-flip round — the same
+    job ``skew_telemetry`` runs — which is why it is not the default
+    for fixture-scale serving queries.
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:
@@ -421,6 +452,9 @@ def connected_components(
                     break
                 prev_counts = counts
         else:
+            auto_salt = star_salts == "auto"
+            active_salts: int | None = None if auto_salt else star_salts
+            salted_from = 1 if active_salts is not None else None
             prev_fp: tuple[int, int] | None = None
             shuffle_before = (
                 _shuffle_write_bytes_total(spark) if shuffle_telemetry else None
@@ -429,7 +463,7 @@ def connected_components(
                 # lazy checkpoint: the fingerprint aggregation is the
                 # one action per round and materializes the blocks
                 pairs = _checkpoint(
-                    small_star(large_star(pairs, salts=star_salts)),
+                    small_star(large_star(pairs, salts=active_salts)),
                     eager=False,
                 )
                 fp = _set_fingerprint(pairs)
@@ -446,9 +480,27 @@ def connected_components(
                 # union+groupBy shuffle must appear in neither this
                 # round's delta nor the next one's — round_shuffle_bytes
                 # stays comparable whether telemetry is on or off
-                # (review r7).
-                if skew_telemetry:
-                    round_skew.append(_key_skew(pairs))
+                # (review r7).  Auto-salting consumes the same profile
+                # (computed once per round); it stops paying the job
+                # once flipped unless telemetry still wants the record.
+                need_skew = skew_telemetry or (
+                    auto_salt and active_salts is None
+                )
+                if need_skew:
+                    profile = _key_skew(pairs)
+                    if skew_telemetry:
+                        round_skew.append(profile)
+                    if (
+                        auto_salt
+                        and active_salts is None
+                        and profile["max"] >= _AUTO_SALT_MIN_HOT
+                        and profile["max"]
+                        >= _AUTO_SALT_RATIO * max(profile["p99"], 1)
+                    ):
+                        # hot-key skew crossed the threshold: every
+                        # later large-star round runs the salted layout
+                        active_salts = _AUTO_SALTS
+                        salted_from = iterations + 1
                     if shuffle_before is not None:
                         # None means "metric unavailable" (keep the old
                         # baseline); a literal 0 is a valid reading and
@@ -468,6 +520,11 @@ def connected_components(
         .agg(F.min("dst").alias("component"))
     )
     stable = convergence == "stable-set"
+    if not stable:
+        salted_from = None
+    elif salted_from is not None and salted_from > iterations:
+        # auto flip decided on the FINAL round: no salted round ran
+        salted_from = None
     return CCResult(
         assignments=assignments,
         converged=converged,
@@ -479,6 +536,7 @@ def connected_components(
             else None
         ),
         round_key_skew=(round_skew if stable and skew_telemetry else None),
+        salted_from_round=salted_from,
     )
 
 

@@ -731,6 +731,19 @@ def ivf_topk(
     are scored like any other instead of silently vanishing from the
     result.  For in-corpus queries the assignment expression is
     identical, so results are unchanged.
+
+    **Deterministic-queries precondition** (advice r12): this operator
+    is lazy by contract (the plan gate sweeps it unexecuted), so the
+    probed-cell semi-join below and the query-side probe join are two
+    independent evaluations of the same ``ivf_cell_assignments(
+    queries, ...)`` subtree.  ``queries`` must therefore be
+    deterministic under re-evaluation (a table read, a deterministic
+    projection — every declared caller); a non-deterministic batch
+    (e.g. a ``rand()``-sampled one) could prune cells the query join
+    later probes and silently drop candidates.  Serving paths that
+    hold non-deterministic batches freeze them first — the durable
+    index (streaming/annindex.py:topk) collects the probe once, the
+    BM25 serve localCheckpoints the raw batch.
     """
     if centroids is None:
         centroids = corpus.where(F.col(id_col) % centroid_stride == 0)

@@ -3823,15 +3823,26 @@ pq_{name} AS (
 agg_{name} AS (
   SELECT '{name}' AS retriever,
          CAST(count(*) AS BIGINT) AS n_queries,
-         {roundd_sql(
-             "CAST(sum(n_hits) AS DOUBLE) / "
-             f"(SELECT count(*) FROM truth WHERE query_id IN "
-             f"(SELECT query_id FROM ev_{name}))",
-             6,
-         )} AS recall_at_k,
-         {roundd_sql(
-             "CAST(sum(CAST(rr AS DECIMAL(12,9))) AS DOUBLE) / count(*)", 6
-         )} AS mrr
+         -- guards mirror the engine's (operators/text.py
+         -- retrieval_eval_report): an empty post-cut ranking has zero
+         -- truth coverage and zero queries — honest 0.0, never a
+         -- NULL/zero division (advice r12: the parity claim must be
+         -- total over degenerate inputs)
+         CASE WHEN (SELECT count(*) FROM truth WHERE query_id IN
+                    (SELECT query_id FROM ev_{name})) > 0
+              THEN {roundd_sql(
+                  "CAST(coalesce(sum(n_hits), 0) AS DOUBLE) / "
+                  f"(SELECT count(*) FROM truth WHERE query_id IN "
+                  f"(SELECT query_id FROM ev_{name}))",
+                  6,
+              )}
+              ELSE 0.0 END AS recall_at_k,
+         CASE WHEN count(*) > 0
+              THEN {roundd_sql(
+                  "CAST(sum(CAST(rr AS DECIMAL(12,9))) AS DOUBLE) / count(*)",
+                  6,
+              )}
+              ELSE 0.0 END AS mrr
   FROM pq_{name}
 )"""
 

@@ -78,9 +78,15 @@ class IncrementalDedup:
         self.rows_per_band = num_hashes // bands
         self.shingle_k = shingle_k
         self.threshold = threshold
-        self.band_state: DataFrame | None = None  # (doc_id, band, bucket)
-        self.set_state: DataFrame | None = None  # (doc_id, sh)
-        self.results: DataFrame | None = None  # (doc_id, status, canonical)
+        self._band_state: DataFrame | None = None  # (doc_id, band, bucket)
+        self._set_state: DataFrame | None = None  # (doc_id, sh)
+        self._results: DataFrame | None = None  # (doc_id, status, canonical)
+        # durable path: committed state is re-read LAZILY on property
+        # access (the IVF fold recipe, r13) — folds only mark the
+        # views stale, so a fold-only stream never pays the per-fold
+        # file-listing + schema jobs the eager re-reads used to cost
+        self._state_stale = False
+        self._spark: SparkSession | None = None
         self.batches_seen = 0
         # in-session replay guard (same contract as the durable
         # manifest's last_epoch/epoch_lineage, held in memory)
@@ -103,6 +109,46 @@ class IncrementalDedup:
             "threshold": self.threshold,
         }
 
+    def _refresh(self) -> None:
+        """Bind the state views to the committed parquet (one read per
+        table, deferred to first access after a fold)."""
+        store, spark = self._store, self._spark
+        assert store is not None and spark is not None
+        self._band_state = store.read(spark, "band", self.batches_seen)
+        self._set_state = store.read(spark, "sh", self.batches_seen)
+        self._results = store.read(spark, "results", self.batches_seen)
+        self._state_stale = False
+
+    @property
+    def band_state(self) -> DataFrame | None:
+        if self._state_stale:
+            self._refresh()
+        return self._band_state
+
+    @band_state.setter
+    def band_state(self, df: DataFrame | None) -> None:
+        self._band_state = df
+
+    @property
+    def set_state(self) -> DataFrame | None:
+        if self._state_stale:
+            self._refresh()
+        return self._set_state
+
+    @set_state.setter
+    def set_state(self, df: DataFrame | None) -> None:
+        self._set_state = df
+
+    @property
+    def results(self) -> DataFrame | None:
+        if self._state_stale:
+            self._refresh()
+        return self._results
+
+    @results.setter
+    def results(self, df: DataFrame | None) -> None:
+        self._results = df
+
     @classmethod
     def load(cls, spark: SparkSession, state_dir: str) -> IncrementalDedup:
         """Resume a durable state dir: operator params come from the
@@ -121,10 +167,11 @@ class IncrementalDedup:
             threshold=p["threshold"],
         )
         self._store = store
+        self._spark = spark
         self.batches_seen = m["batches"]
-        self.band_state = store.read(spark, "band", self.batches_seen)
-        self.set_state = store.read(spark, "sh", self.batches_seen)
-        self.results = store.read(spark, "results", self.batches_seen)
+        # servable immediately; the parquet binds happen on first
+        # state access (lazy, the IVF load recipe)
+        self._state_stale = True
         return self
 
     def _batch_classification(
@@ -145,9 +192,10 @@ class IncrementalDedup:
             .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
             .distinct()
         )
-        # intra-batch candidates from the MATERIALIZED band table
-        # (not lsh_candidate_pairs — that would recompute the
-        # batch signatures from scratch)
+        # intra-batch candidates from the batch band table (a
+        # checkpointed leaf in-session; a deterministic plan over the
+        # checkpointed raw batch on the durable path — the SOURCE is
+        # never re-read either way)
         intra = banded_pairs(banded_b)
         verified = jaccard_pairs_from_sets(
             set_state.unionByName(sh_b), cross.unionByName(intra)
@@ -241,56 +289,60 @@ class IncrementalDedup:
         epoch_id: int | None,
         epoch_lineage: str | None,
     ) -> None:
-        """One fold on the parquet-backed path: land the batch's band
-        and shingle tables, classify against COMMITTED state, land the
-        classifications, then commit the manifest — a crash anywhere
-        before the commit leaves the committed view untouched and the
-        re-folded batch overwrites its own partial writes."""
+        """One fold on the parquet-backed path (r13: the IVF fold
+        recipe applied here — the r12 verdict's lead carry-over):
+
+        * the raw bounded micro-batch is evaluated EXACTLY ONCE, into
+          one ``localCheckpoint`` leaf — every derived table (band,
+          shingle, classification) is a deterministic function of that
+          leaf, so a non-deterministic source cannot land mutually
+          inconsistent state tables (the annindex-r11 / bm25-r12
+          freeze-the-batch lesson, applied to the fold itself);
+        * ALL of the fold's table writes land in ONE concurrent
+          ``write_many`` wave (previously band+sh, then a read-back,
+          then the results write — three job waves; now the
+          classification plan joins committed state directly, so the
+          fold pays max-of-writes instead of sum);
+        * the committed view is re-read LAZILY on next state access —
+          the three eager per-fold re-reads are gone.
+
+        A crash anywhere before the commit leaves the committed view
+        untouched and the re-folded batch overwrites its own partial
+        writes."""
         store = self._store
         assert store is not None
         if store.should_skip_epoch(epoch_id, epoch_lineage):
             return  # replayed, already committed: exactly-once
         spark = batch_docs.sparkSession
+        self._spark = spark
         n = self.batches_seen
-        sigs = minhash_signatures(batch_docs, self.num_hashes, self.shingle_k)
-        # the band and shingle tables are independent projections of
-        # the batch — land them concurrently (store.write_many): at
-        # micro-batch sizes each write is fixed job overhead, so the
-        # fold pays max instead of sum
-        store.write_many(
-            [
-                (
-                    "band",
-                    n,
-                    banded_buckets(sigs, self.bands, self.rows_per_band),
-                ),
-                (
-                    "sh",
-                    n,
-                    batch_docs.select(
-                        "doc_id",
-                        word_shingles(F.col("text"), self.shingle_k).alias(
-                            "sh"
-                        ),
-                    ),
-                ),
-            ]
+        batch = batch_docs.select("doc_id", "text").localCheckpoint(
+            eager=True
         )
-        banded_b = store.read_batch(spark, "band", n)
-        sh_b = store.read_batch(spark, "sh", n)
+        sigs = minhash_signatures(batch, self.num_hashes, self.shingle_k)
+        banded_b = banded_buckets(sigs, self.bands, self.rows_per_band)
+        sh_b = batch.select(
+            "doc_id",
+            word_shingles(F.col("text"), self.shingle_k).alias("sh"),
+        )
+        writes: list[tuple] = [("band", n, banded_b), ("sh", n, sh_b)]
         tables = ["band", "sh"]
         if n > 0:
             # band_state/set_state are bound to the COMMITTED read
-            # (batches 0..n-1) — exactly the earlier-batch corpus
+            # (batches 0..n-1) — exactly the earlier-batch corpus; the
+            # batch-side inputs re-derive from the checkpointed leaf
+            # inside this plan (map-side recomputation, never a second
+            # source evaluation)
             out = self._batch_classification(
                 self.band_state,
                 self.set_state,
                 banded_b,
                 sh_b,
-                sh_b.select("doc_id"),
+                batch.select("doc_id"),
             )
-            store.write("results", n, out)
+            writes.append(("results", n, out))
             tables.append("results")
+        store.write_many(writes)
         store.commit(
             n,
             self._params(),
@@ -304,9 +356,7 @@ class IncrementalDedup:
         # read fan-in stays O(1) on a long-running stream (r11)
         if self.batches_seen % _CONSOLIDATE_EVERY == 0:
             store.compact(spark)
-        self.band_state = store.read(spark, "band", self.batches_seen)
-        self.set_state = store.read(spark, "sh", self.batches_seen)
-        self.results = store.read(spark, "results", self.batches_seen)
+        self._state_stale = True
 
 
 def run_doc_stream(

@@ -262,7 +262,23 @@ class ParquetStateStore:
         lists) — readers of a partition-keyed table then skip whole
         directories under a partition-column filter.  The layout must
         be declared to :meth:`commit` via ``partitioning`` so readers
-        and :meth:`compact` preserve it."""
+        and :meth:`compact` preserve it.
+
+        ``batch``/``gen`` are RESERVED data-column names on
+        partitioned tables: the basePath read in :meth:`read`
+        discovers them as layout partition columns and drops
+        ``batch``, so a data column with either name would be
+        silently corrupted — raise loudly instead (advice r12)."""
+        if partition_by:
+            reserved = {"batch", "gen"} & set(df.columns)
+            if reserved:
+                raise ValueError(
+                    f"table {table!r}: data column(s) {sorted(reserved)} "
+                    "collide with the partitioned state layout's reserved "
+                    "names ('batch'/'gen' name the per-batch and "
+                    "consolidated generation dirs, and the basePath read "
+                    "would drop or misbind them) — rename the column(s)"
+                )
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)

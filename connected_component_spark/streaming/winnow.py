@@ -97,8 +97,13 @@ class IncrementalWinnow:
         self.window = window
         self.min_shared = min_shared
         self.max_state_df = max_state_df
-        self.fp_state: DataFrame | None = None  # (doc_id, fp)
-        self.results: DataFrame | None = None  # (doc_id, status, canonical)
+        self._fp_state: DataFrame | None = None  # (doc_id, fp)
+        self._results: DataFrame | None = None  # (doc_id, status, canonical)
+        # durable path: committed state is re-read LAZILY on property
+        # access (the IVF fold recipe, r13) — folds only mark the
+        # views stale
+        self._state_stale = False
+        self._spark: SparkSession | None = None
         self.batches_seen = 0
         # in-session replay guard (same contract as the durable
         # manifest's last_epoch/epoch_lineage, held in memory)
@@ -121,6 +126,35 @@ class IncrementalWinnow:
             "max_state_df": self.max_state_df,
         }
 
+    def _refresh(self) -> None:
+        """Bind the state views to the committed parquet (one read per
+        table, deferred to first access after a fold)."""
+        store, spark = self._store, self._spark
+        assert store is not None and spark is not None
+        self._fp_state = store.read(spark, "fp", self.batches_seen)
+        self._results = store.read(spark, "results", self.batches_seen)
+        self._state_stale = False
+
+    @property
+    def fp_state(self) -> DataFrame | None:
+        if self._state_stale:
+            self._refresh()
+        return self._fp_state
+
+    @fp_state.setter
+    def fp_state(self, df: DataFrame | None) -> None:
+        self._fp_state = df
+
+    @property
+    def results(self) -> DataFrame | None:
+        if self._state_stale:
+            self._refresh()
+        return self._results
+
+    @results.setter
+    def results(self, df: DataFrame | None) -> None:
+        self._results = df
+
     @classmethod
     def load(cls, spark: SparkSession, state_dir: str) -> IncrementalWinnow:
         """Resume a durable state dir: operator params come from the
@@ -139,9 +173,11 @@ class IncrementalWinnow:
             max_state_df=p["max_state_df"],
         )
         self._store = store
+        self._spark = spark
         self.batches_seen = m["batches"]
-        self.fp_state = store.read(spark, "fp", self.batches_seen)
-        self.results = store.read(spark, "results", self.batches_seen)
+        # servable immediately; the parquet binds happen on first
+        # state access (lazy, the IVF load recipe)
+        self._state_stale = True
         return self
 
     def _batch_classification(
@@ -166,9 +202,11 @@ class IncrementalWinnow:
             .where(F.col("n_shared") >= self.min_shared)
             .select("a", "b")
         )
-        # intra-batch pairs from the MATERIALIZED fingerprint leaf
-        # (never re-fingerprint the batch); a < b orients the
-        # earlier batch doc as the canonical candidate
+        # intra-batch pairs from the batch fingerprint table (a
+        # checkpointed leaf in-session; a deterministic plan over the
+        # checkpointed raw batch on the durable path — the SOURCE is
+        # never re-read either way); a < b orients the earlier batch
+        # doc as the canonical candidate
         left = fp_b.withColumnRenamed("doc_id", "a")
         right = fp_b.withColumnRenamed("doc_id", "b")
         intra = (
@@ -251,20 +289,31 @@ class IncrementalWinnow:
         if store.should_skip_epoch(epoch_id, epoch_lineage):
             return  # replayed, already committed: exactly-once
         spark = batch_docs.sparkSession
+        self._spark = spark
         n = self.batches_seen
-        store.write(
-            "fp", n, winnow_fingerprints(batch_docs, k=self.k, window=self.window)
+        # the IVF fold recipe (r13): the raw bounded micro-batch is
+        # evaluated EXACTLY ONCE into a checkpoint leaf — the
+        # fingerprint table and the classification's batch ids derive
+        # from the same materialized rows (previously the ids re-read
+        # the raw batch, so a non-deterministic source could classify
+        # ids the fp table never saw) — and the fold's writes land in
+        # ONE concurrent write_many wave, with the committed view
+        # re-read lazily on next access.
+        batch = batch_docs.select("doc_id", "text").localCheckpoint(
+            eager=True
         )
-        fp_b = store.read_batch(spark, "fp", n)
+        fp_b = winnow_fingerprints(batch, k=self.k, window=self.window)
+        writes: list[tuple] = [("fp", n, fp_b)]
         tables = ["fp"]
         if n > 0:
             # self.fp_state is bound to the COMMITTED read (batches
             # 0..n-1) — exactly the earlier-batch corpus
             out = self._batch_classification(
-                self.fp_state, fp_b, batch_docs.select("doc_id")
+                self.fp_state, fp_b, batch.select("doc_id")
             )
-            store.write("results", n, out)
+            writes.append(("results", n, out))
             tables.append("results")
+        store.write_many(writes)
         store.commit(
             n,
             self._params(),
@@ -278,8 +327,7 @@ class IncrementalWinnow:
         # read fan-in stays O(1) on a long-running stream (r11)
         if self.batches_seen % _CONSOLIDATE_EVERY == 0:
             store.compact(spark)
-        self.fp_state = store.read(spark, "fp", self.batches_seen)
-        self.results = store.read(spark, "results", self.batches_seen)
+        self._state_stale = True
 
 
 def run_winnow_stream(

@@ -536,3 +536,33 @@ def test_scc_unconverged_cap_is_loud(spark):
     assert res3.converged
     got = {r["scc"] for r in res3.assignments.collect()}
     assert got == {0} and res3.assignments.count() == 13
+
+
+def test_scc_long_path_converges_in_log_rounds(spark):
+    """verdict r12 #2: the r12 kernel propagated labels one hop per
+    round (O(diameter) rounds — a long temporal chain is exactly the
+    declared query's shape class).  The r13 pointer-doubled
+    propagation must resolve a 400-node directed PATH in O(log n)
+    total inner rounds and ONE refine phase (every (fmin, bmin) pair
+    is unique on a DAG path -> all singleton SCCs immediately)."""
+    from pyspark.sql import functions as F
+
+    from connected_component_spark.graph.scc import (
+        strongly_connected_components,
+    )
+
+    n = 400
+    path = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    res = strongly_connected_components(path)
+    assert res.converged
+    assert res.assignments.count() == n
+    assert (
+        res.assignments.where(F.col("node") != F.col("scc")).count() == 0
+    )
+    # 2 propagations/phase; doubling covers distance 2^r; generous 2x
+    # headroom over 2 * (log2(400) ~ 9 + detection) -- the r12 kernel
+    # needed ~400 rounds here
+    assert res.phases <= 2
+    assert res.rounds <= 44, res.rounds

@@ -164,3 +164,44 @@ def test_salted_large_star_matches_fused_and_spreads_hub(spark):
     got = set(map(tuple, large_star(conv, salts=8).distinct().collect()))
     want = set(map(tuple, large_star(conv).distinct().collect()))
     assert got == want
+
+
+def test_auto_star_salts_flips_on_hub_and_not_on_flat(spark, monkeypatch):
+    """verdict r12 #3: star_salts="auto" must flip to the salted
+    large-star layout mid-run from the kernel's OWN round skew profile
+    on a converged-hub topology — with rosters identical to the fused
+    run — and must never flip on a flat-degree graph (the fused layout
+    stays, no regression on the clique benches).  Thresholds are
+    module globals tuned to the r12 measured profiles (hot key 10k+,
+    64x the p99); the fixture hub is smaller, so the absolute floor is
+    lowered to the fixture's scale — the RATIO trigger is the one
+    under test."""
+    import connected_component_spark.graph.cc as cc
+
+    from connected_component_spark.graph.generator import skewed_hub_graph
+
+    monkeypatch.setattr(cc, "_AUTO_SALT_MIN_HOT", 500)
+
+    edges, truth = skewed_hub_graph(spark, 4000)
+    edges = edges.localCheckpoint(eager=True)
+
+    auto = cc.connected_components(edges, star_salts="auto")
+    assert auto.converged
+    # the hub's degree concentrates as rounds converge: the flip must
+    # happen after round 1 (adaptive, not static) and before the end
+    assert auto.salted_from_round is not None
+    assert 1 < auto.salted_from_round <= auto.iterations
+    fused = cc.connected_components(edges)
+    assert fused.salted_from_round is None
+    a = {(r.node, r.component) for r in auto.assignments.collect()}
+    b = {(r.node, r.component) for r in fused.assignments.collect()}
+    t = {(r.node, r.component) for r in truth.collect()}
+    assert a == b == t
+
+    # flat-degree graph (disjoint 5-node paths): profile never crosses
+    # the ratio trigger -> whole run stays fused
+    flat = spark.range(1000).where(F.col("id") % 5 != 4).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    res = cc.connected_components(flat, star_salts="auto")
+    assert res.converged and res.salted_from_round is None
