@@ -37,6 +37,7 @@ __all__ = [
     "word_shingles",
     "char_ngrams",
     "minhash_signatures",
+    "minhash_from_shingles",
     "banded_buckets",
     "banded_pairs",
     "lsh_candidate_pairs",
@@ -389,8 +390,24 @@ def minhash_signatures(
     by explode → groupBy(doc) with ``num_hashes`` min() aggregates —
     one shuffle, map-side partial aggregation, no arrays on the wire.
     """
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), shingle_k)).alias("shingle")
+    return minhash_from_shingles(
+        docs.select(
+            "doc_id", word_shingles(F.col("text"), shingle_k).alias("sh")
+        ),
+        num_hashes,
+    )
+
+
+def minhash_from_shingles(
+    shingled: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """:func:`minhash_signatures` over an ALREADY-SHINGLED
+    ``(doc_id, sh array<string>)`` table — the streaming fold's entry
+    point (streaming/dedup.py materializes the shingle table once per
+    micro-batch and derives signatures, bands, and classification from
+    that single leaf; r13)."""
+    sh = shingled.select(
+        "doc_id", F.explode("sh").alias("shingle")
     ).select("doc_id", hash64(F.col("shingle")).alias("base"))
     aggs = [
         F.min(affine_hash(F.col("base"), i)).alias(f"h{i}")
@@ -717,32 +734,33 @@ def classify_batch_matches(
 
     Corpus ids all precede batch ids, so a < b puts the corpus
     partner (when any) on the a side; batch-batch pairs orient the
-    earlier batch doc as a.  Matches split by partner origin via an
-    anti/semi against the batch key set (broadcast — batch is
-    small)."""
-    corpus_match = (
-        verified.join(
-            F.broadcast(batch_ids.withColumnRenamed("doc_id", "a")),
-            "a",
-            "left_anti",
-        )
-        .groupBy("b")
-        .agg(F.min("a").alias("corpus_canon"))
+    earlier batch doc as a.  Partner origin is ONE broadcast left
+    join (a ∈ batch?) feeding ONE conditional-min aggregation — the
+    r12 shape ran a separate anti/semi + groupBy per origin plus a
+    second result join, three avoidable exchanges on every streaming
+    fold (r13; duplicate ``verified`` pairs are absorbed by the min
+    aggregation either way)."""
+    flagged = verified.join(
+        F.broadcast(
+            batch_ids.select(
+                F.col("doc_id").alias("a"), F.lit(1).alias("_in_batch")
+            )
+        ),
+        "a",
+        "left",
     )
-    batch_match = (
-        verified.join(
-            F.broadcast(batch_ids.withColumnRenamed("doc_id", "a")),
-            "a",
-            "left_semi",
-        )
-        .groupBy("b")
-        .agg(F.min("a").alias("batch_canon"))
+    matches = flagged.groupBy("b").agg(
+        F.min(F.when(F.col("_in_batch").isNull(), F.col("a"))).alias(
+            "corpus_canon"
+        ),
+        F.min(F.when(F.col("_in_batch").isNotNull(), F.col("a"))).alias(
+            "batch_canon"
+        ),
     )
     return (
         batch_ids.join(
-            corpus_match.withColumnRenamed("b", "doc_id"), "doc_id", "left"
+            matches.withColumnRenamed("b", "doc_id"), "doc_id", "left"
         )
-        .join(batch_match.withColumnRenamed("b", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("corpus_canon").isNotNull(), F.lit("dup_of_corpus"))

@@ -29,7 +29,11 @@ import struct
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["mixture_centers", "gaussian_mixture_embeddings"]
+__all__ = [
+    "mixture_centers",
+    "gaussian_mixture_embeddings",
+    "hashed_bow_embeddings",
+]
 
 #: 52-bit mantissa mask — hash bits → uniform doubles without float
 #: precision loss
@@ -131,5 +135,72 @@ def gaussian_mixture_embeddings(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda j: F.element_at("center", (j + F.lit(1)).cast("int"))
             + F.lit(float(sigma)) * _std_normal(seed, j, 1),
+        ).alias("embedding"),
+    )
+
+
+def hashed_bow_embeddings(
+    docs: DataFrame, dim: int = 32
+) -> DataFrame:
+    """(doc_id, embedding array<double>): deterministic feature-hashed
+    bag-of-words projection (Weinberger et al., "Feature Hashing for
+    Large Scale Multitask Learning", ICML 2009) of each document's
+    token bag — the TEXT-CORRELATED embedding fixture the retrieval/
+    ANN evaluation rows need (verdict r12 #5: the parquet fixture
+    embeddings are isotropic and text-independent, so semantic-leg
+    recall honestly measured ~0 against lexical ground truth).
+
+    ``embedding[j] = Σ_tokens sign(t) · count(t)`` over tokens with
+    ``bucket(t) = j``, where bucket and sign derive from the portable
+    md5 hash family (functions/hashing.py:hash64) — so a DuckDB
+    oracle reproduces the vectors bit-exactly, and cosine over them
+    (integer-valued doubles, one IEEE division rounded at 6) is
+    engine-exact.  Vectors are intentionally NOT normalized: cosine
+    is scale-invariant and integer components keep both engines
+    exact.  Documents whose text yields no tokens are EXCLUDED (a
+    zero vector has no direction; the fixture corpus has none).
+
+    Scale shape: tokenize → explode → two hash-keyed aggregations
+    (map-side partial combine) → one width-``dim`` array projection.
+    No shuffle wider than (doc_id, bucket), no Python, no driver
+    state — any slice of a 100 TB corpus projects independently.
+    """
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    from connected_component_spark.functions.hashing import hash64
+    from connected_component_spark.operators.text import tokens
+
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens("text")).alias("token")
+    )
+    feat = (
+        toks.select(
+            "doc_id",
+            F.pmod(hash64(F.col("token")), F.lit(dim)).alias("bucket"),
+            F.when(
+                F.pmod(
+                    hash64(F.concat(F.lit("s#"), F.col("token"))), F.lit(2)
+                )
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("v"))
+    )
+    per_doc = feat.groupBy("doc_id").agg(
+        F.map_from_arrays(
+            F.collect_list("bucket"), F.collect_list("v")
+        ).alias("m")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.coalesce(
+                F.element_at("m", j.cast("long")), F.lit(0)
+            ).cast("double"),
         ).alias("embedding"),
     )

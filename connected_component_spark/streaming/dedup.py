@@ -34,6 +34,7 @@ from connected_component_spark.operators.dedup import (
     banded_pairs,
     classify_batch_matches,
     jaccard_pairs_from_sets,
+    minhash_from_shingles,
     minhash_signatures,
     word_shingles,
 )
@@ -84,8 +85,12 @@ class IncrementalDedup:
         # durable path: committed state is re-read LAZILY on property
         # access (the IVF fold recipe, r13) — folds only mark the
         # views stale, so a fold-only stream never pays the per-fold
-        # file-listing + schema jobs the eager re-reads used to cost
+        # file-listing + schema jobs the eager re-reads used to cost.
+        # _state_stale (set by load()/compact) forces a full re-read
+        # of every table; _results_stale (set per fold) re-reads only
+        # `results` — band/sh bindings are extended incrementally.
         self._state_stale = False
+        self._results_stale = False
         self._spark: SparkSession | None = None
         self.batches_seen = 0
         # in-session replay guard (same contract as the durable
@@ -111,13 +116,14 @@ class IncrementalDedup:
 
     def _refresh(self) -> None:
         """Bind the state views to the committed parquet (one read per
-        table, deferred to first access after a fold)."""
+        table, deferred to first access after load()/compaction)."""
         store, spark = self._store, self._spark
         assert store is not None and spark is not None
         self._band_state = store.read(spark, "band", self.batches_seen)
         self._set_state = store.read(spark, "sh", self.batches_seen)
         self._results = store.read(spark, "results", self.batches_seen)
         self._state_stale = False
+        self._results_stale = False
 
     @property
     def band_state(self) -> DataFrame | None:
@@ -143,6 +149,11 @@ class IncrementalDedup:
     def results(self) -> DataFrame | None:
         if self._state_stale:
             self._refresh()
+        elif self._results_stale:
+            self._results = self._store.read(
+                self._spark, "results", self.batches_seen
+            )
+            self._results_stale = False
         return self._results
 
     @results.setter
@@ -184,14 +195,14 @@ class IncrementalDedup:
     ) -> DataFrame:
         """Classify one batch against accumulated band/shingle state —
         the shared core of the in-session and durable paths."""
-        cross = (
-            band_state.join(
-                F.broadcast(banded_b.withColumnRenamed("doc_id", "b_id")),
-                ["band", "bucket"],
-            )
-            .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
-            .distinct()
-        )
+        cross = band_state.join(
+            F.broadcast(banded_b.withColumnRenamed("doc_id", "b_id")),
+            ["band", "bucket"],
+        ).select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
+        # no distinct: a pair matched in several bands just carries
+        # duplicate rows into the (row-wise) jaccard verification, and
+        # classify_batch_matches' min aggregation absorbs them — the
+        # dedup exchange cost more than the few duplicate rows (r13)
         # intra-batch candidates from the batch band table (a
         # checkpointed leaf in-session; a deterministic plan over the
         # checkpointed raw batch on the durable path — the SOURCE is
@@ -316,29 +327,43 @@ class IncrementalDedup:
         spark = batch_docs.sparkSession
         self._spark = spark
         n = self.batches_seen
-        batch = batch_docs.select("doc_id", "text").localCheckpoint(
-            eager=True
+        # the SINGLE evaluation of the (possibly non-deterministic)
+        # source is the sh-table WRITE itself (the IVF recipe's
+        # evaluate-once-by-writing): one row per batch doc, the
+        # shingle arrays every other product needs.  Bands (minhash
+        # is a pure hash fold over shingles), the classification, and
+        # its batch ids all derive from the written parquet leaf, so
+        # the state tables can never disagree about what the batch
+        # contained.  (Measured r13: writing + re-reading the leaf is
+        # ~2× cheaper than an eager localCheckpoint of the same rows,
+        # and the leaf read is free — it IS the next fold's state
+        # binding.)  The remaining band + results writes then land in
+        # one concurrent wave.
+        store.write(
+            "sh",
+            n,
+            batch_docs.select(
+                "doc_id",
+                word_shingles(F.col("text"), self.shingle_k).alias("sh"),
+            ),
         )
-        sigs = minhash_signatures(batch, self.num_hashes, self.shingle_k)
-        banded_b = banded_buckets(sigs, self.bands, self.rows_per_band)
-        sh_b = batch.select(
-            "doc_id",
-            word_shingles(F.col("text"), self.shingle_k).alias("sh"),
+        sh_b = store.read_batch(spark, "sh", n)
+        banded_b = banded_buckets(
+            minhash_from_shingles(sh_b, self.num_hashes),
+            self.bands,
+            self.rows_per_band,
         )
-        writes: list[tuple] = [("band", n, banded_b), ("sh", n, sh_b)]
-        tables = ["band", "sh"]
+        writes: list[tuple] = [("band", n, banded_b)]
+        tables = ["sh", "band"]
         if n > 0:
             # band_state/set_state are bound to the COMMITTED read
-            # (batches 0..n-1) — exactly the earlier-batch corpus; the
-            # batch-side inputs re-derive from the checkpointed leaf
-            # inside this plan (map-side recomputation, never a second
-            # source evaluation)
+            # (batches 0..n-1) — exactly the earlier-batch corpus
             out = self._batch_classification(
                 self.band_state,
                 self.set_state,
                 banded_b,
                 sh_b,
-                batch.select("doc_id"),
+                sh_b.select("doc_id"),
             )
             writes.append(("results", n, out))
             tables.append("results")
@@ -353,10 +378,30 @@ class IncrementalDedup:
         self.batches_seen = n + 1
         # durable twin of the in-session consolidation cadence:
         # rewrite the per-batch appends into one generation dir so
-        # read fan-in stays O(1) on a long-running stream (r11)
+        # read fan-in stays O(1) on a long-running stream (r11).
+        # Compaction rewrites/deletes dirs, so the bindings must be
+        # rebuilt from the new manifest (lazily).
         if self.batches_seen % _CONSOLIDATE_EVERY == 0:
             store.compact(spark)
-        self._state_stale = True
+            self._state_stale = True
+            return
+        # between compactions the committed dirs are immutable:
+        # extend the existing bindings with the batch leaves already
+        # in hand instead of re-listing the whole table per fold (the
+        # lazy stale-refresh still covers first access after load())
+        if not self._state_stale:
+            new_band = store.read_batch(spark, "band", n)
+            self._band_state = (
+                new_band
+                if self._band_state is None
+                else self._band_state.unionByName(new_band)
+            )
+            self._set_state = (
+                sh_b
+                if self._set_state is None
+                else self._set_state.unionByName(sh_b)
+            )
+            self._results_stale = True
 
 
 def run_doc_stream(

@@ -101,8 +101,11 @@ class IncrementalWinnow:
         self._results: DataFrame | None = None  # (doc_id, status, canonical)
         # durable path: committed state is re-read LAZILY on property
         # access (the IVF fold recipe, r13) — folds only mark the
-        # views stale
+        # views stale.  _state_stale (load()/compact) forces a full
+        # re-read; _results_stale (per fold) re-reads only `results` —
+        # the fp binding is extended incrementally between compactions.
         self._state_stale = False
+        self._results_stale = False
         self._spark: SparkSession | None = None
         self.batches_seen = 0
         # in-session replay guard (same contract as the durable
@@ -128,12 +131,13 @@ class IncrementalWinnow:
 
     def _refresh(self) -> None:
         """Bind the state views to the committed parquet (one read per
-        table, deferred to first access after a fold)."""
+        table, deferred to first access after load()/compaction)."""
         store, spark = self._store, self._spark
         assert store is not None and spark is not None
         self._fp_state = store.read(spark, "fp", self.batches_seen)
         self._results = store.read(spark, "results", self.batches_seen)
         self._state_stale = False
+        self._results_stale = False
 
     @property
     def fp_state(self) -> DataFrame | None:
@@ -149,6 +153,11 @@ class IncrementalWinnow:
     def results(self) -> DataFrame | None:
         if self._state_stale:
             self._refresh()
+        elif self._results_stale:
+            self._results = self._store.read(
+                self._spark, "results", self.batches_seen
+            )
+            self._results_stale = False
         return self._results
 
     @results.setter
@@ -296,13 +305,18 @@ class IncrementalWinnow:
         # fingerprint table and the classification's batch ids derive
         # from the same materialized rows (previously the ids re-read
         # the raw batch, so a non-deterministic source could classify
-        # ids the fp table never saw) — and the fold's writes land in
-        # ONE concurrent write_many wave, with the committed view
-        # re-read lazily on next access.
+        # ids the fp table never saw).  The fingerprint table itself
+        # is checkpointed too: winnowing is a windowed (shuffling)
+        # computation, and the classification plan consumes it three
+        # times — one evaluation, then leaf reads.  The fold's writes
+        # land in ONE concurrent write_many wave, and the committed
+        # view is re-read lazily / extended incrementally.
         batch = batch_docs.select("doc_id", "text").localCheckpoint(
             eager=True
         )
-        fp_b = winnow_fingerprints(batch, k=self.k, window=self.window)
+        fp_b = winnow_fingerprints(
+            batch, k=self.k, window=self.window
+        ).localCheckpoint(eager=True)
         writes: list[tuple] = [("fp", n, fp_b)]
         tables = ["fp"]
         if n > 0:
@@ -324,10 +338,23 @@ class IncrementalWinnow:
         self.batches_seen = n + 1
         # durable twin of the in-session consolidation cadence:
         # rewrite the per-batch appends into one generation dir so
-        # read fan-in stays O(1) on a long-running stream (r11)
+        # read fan-in stays O(1) on a long-running stream (r11).
+        # Compaction rewrites/deletes dirs: rebuild bindings lazily.
         if self.batches_seen % _CONSOLIDATE_EVERY == 0:
             store.compact(spark)
-        self._state_stale = True
+            self._state_stale = True
+            return
+        # between compactions the committed dirs are immutable:
+        # extend the fp binding with ONE leaf read instead of
+        # re-listing the whole table per fold
+        if not self._state_stale:
+            new_fp = store.read_batch(spark, "fp", n)
+            self._fp_state = (
+                new_fp
+                if self._fp_state is None
+                else self._fp_state.unionByName(new_fp)
+            )
+            self._results_stale = True
 
 
 def run_winnow_stream(

@@ -1466,3 +1466,56 @@ def test_retrieval_eval_report_known_answers(spark):
     # float discipline sanity: rr snap-round matches Decimal recipe
     d = Decimal(repr(1.0 / 3)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
     assert float(d) == 0.333333333
+
+
+def test_hashed_bow_embeddings_match_pure_python(spark):
+    """r13 (verdict r12 #5): the feature-hashed bag-of-words
+    projection must match an independent pure-Python construction of
+    the same md5 bucket/sign family — bit-exact integer-valued
+    doubles — and exclude token-less documents."""
+    import hashlib
+
+    from connected_component_spark.operators.embedgen import (
+        hashed_bow_embeddings,
+    )
+
+    dim = 8
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "completely different words here"),
+        (4, "   "),  # no tokens: excluded
+        (5, "the the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["embedding"])
+        for r in hashed_bow_embeddings(df, dim).collect()
+    }
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split() if t]
+        if not toks:
+            continue
+        vec = [0.0] * dim
+        for t in toks:
+            vec[h64(t) % dim] += 1.0 if h64("s#" + t) % 2 == 0 else -1.0
+        want[doc_id] = vec
+    assert got == want
+    assert 4 not in got
+    # deterministic across evaluations
+    again = {
+        r["doc_id"]: list(r["embedding"])
+        for r in hashed_bow_embeddings(df, dim).collect()
+    }
+    assert again == got
+
+    # guard
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        hashed_bow_embeddings(df, 1)
