@@ -3290,6 +3290,63 @@ def text_bm25_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+def text_bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore impact-ordered pruned serving of the continuously-
+    ingested BM25 index (streaming/bm25.py:topk_pruned; r12 verdict
+    #7 — the last gap between the lexical stack and a production
+    serving shape): the index stores per-posting-list impact bounds
+    (df, max tf, min dl) in its bucketed layout; the serve derives a
+    per-query threshold from the top-impact term's partial scores and
+    generates candidates from the ESSENTIAL lists only — posting
+    lists whose summed upper bounds cannot reach the running top-k
+    are skipped beyond the max_df valve, with the skipped lists'
+    buckets pruned at the directory level.  Results are EXACT by
+    construction (strict-inequality pruning with a rounding-margin
+    guard, so tie-breaks cannot flip): the oracle is the batch
+    text_bm25_topk SQL verbatim, the same claim the incremental row
+    makes for the unpruned serve.  The row raises if the serve did
+    not actually skip any list — the pruning-evidence gate."""
+    import shutil
+    import tempfile
+
+    from connected_component_spark.plans.tuning import shrunk_shuffle
+    from connected_component_spark.streaming.bm25 import IncrementalBM25
+    from connected_component_spark.streaming.store import timed_fold
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = table_row_count(spark, sf_dir, "documents")
+    stride = n // _BM25_INC_BATCHES
+    q = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, query_text string"
+    )
+    state_dir = tempfile.mkdtemp(prefix="ccs_bm25_ms_state_")
+    try:
+        with shrunk_shuffle(spark, n):
+            idx = IncrementalBM25(state_dir=state_dir)
+            for i in range(_BM25_INC_BATCHES):
+                lo = i * stride
+                cond = F.col("doc_id") >= lo
+                if i < _BM25_INC_BATCHES - 1:
+                    cond = cond & (F.col("doc_id") < lo + stride)
+                timed_fold(idx, docs.where(cond), epoch_id=i)
+            out = idx.topk_pruned(
+                q, k1=_BM25_K1, b=_BM25_B, k=_BM25_TOPK
+            ).localCheckpoint(eager=True)
+            # explicit raise (survives python -O): the row's claim is
+            # exact results WITH lists skipped — a serve that pruned
+            # nothing silently would demote this row to a duplicate of
+            # text_bm25_incremental_topk
+            st = idx.last_prune_stats
+            if not st or st["skipped_pairs"] < 1:
+                raise RuntimeError(
+                    f"text_bm25_maxscore_topk: no posting list was "
+                    f"skipped (stats={st}) — pruning evidence gate"
+                )
+            return out
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def text_bm25_restart_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crash-restart equivalence for the continuously-ingested BM25
     index as a DRIVER-CHECKED row (the ann_ivf_restart_topk discipline
@@ -4991,6 +5048,7 @@ QUERIES = {
     "text_lm_score": text_lm_score,
     "text_bm25_topk": text_bm25_topk,
     "text_bm25_incremental_topk": text_bm25_incremental_topk,
+    "text_bm25_maxscore_topk": text_bm25_maxscore_topk,
     "text_bm25_restart_topk": text_bm25_restart_topk,
     "text_tfidf_topk": text_tfidf_topk,
     "text_hybrid_rrf_topk": text_hybrid_rrf_topk,
@@ -5083,6 +5141,7 @@ ORACLES = {
     # the incremental/restart rows' whole claim is batch-equivalence:
     # their oracle is the batch BM25 SQL verbatim
     "text_bm25_incremental_topk": TEXT_BM25_TOPK_SQL,
+    "text_bm25_maxscore_topk": TEXT_BM25_TOPK_SQL,
     "text_bm25_restart_topk": TEXT_BM25_TOPK_SQL,
     "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
     "text_hybrid_rrf_topk": TEXT_HYBRID_RRF_TOPK_SQL,

@@ -22,6 +22,15 @@ State tables:
   layout gets — ``PartitionFilters`` in the executed plan).
 * ``dl`` (doc_id, dl) — per-document token counts (flat layout; the
   corpus stats n_docs/n_corpus are count/sum over it at serve time).
+* ``tstat`` (token, df, max_tf, min_dl, tbucket) — per-posting-list
+  IMPACT BOUNDS in the same bucketed layout (r13, verdict r12 #7):
+  df, the list's maximum term frequency, and its minimum document
+  length are associative per-batch aggregates whose union re-
+  aggregates to the corpus values, and BM25's per-term contribution
+  is increasing in tf and decreasing in dl — so
+  ``idf(df) · norm(max_tf, min_dl)`` is a valid upper bound on any
+  posting's contribution, the quantity MaxScore/WAND-style serving
+  prunes with (:meth:`IncrementalBM25.topk_pruned`).
 
 Scale shape: per-batch work is one tokenize + two word-count-shaped
 aggregations over the bounded micro-batch, landed concurrently
@@ -71,7 +80,12 @@ class IncrementalBM25:
         self.n_buckets = n_buckets
         self._tf: DataFrame | None = None  # (doc_id, token, tf, tbucket)
         self._dl: DataFrame | None = None  # (doc_id, dl)
+        self._tstat: DataFrame | None = None  # (token, df, max_tf, min_dl, tbucket)
         self._state_stale = False  # durable path: re-read on next access
+        #: serve telemetry of the last :meth:`topk_pruned` call —
+        #: {"queries", "essential_pairs", "skipped_pairs"}; the
+        #: pruning-evidence record the declared row/test pins
+        self.last_prune_stats: dict | None = None
         self._spark: SparkSession | None = None
         self.batches_seen = 0
         self._mem_guard = MemEpochGuard()
@@ -100,11 +114,25 @@ class IncrementalBM25:
         self._refresh()
         return self._dl
 
+    @property
+    def tstat(self) -> DataFrame | None:
+        """The committed per-token impact bounds (lazy like
+        :attr:`tf`); None on a pre-r13 state dir that never stored
+        them."""
+        self._refresh()
+        return self._tstat
+
     def _refresh(self) -> None:
         if self._state_stale:
             spark = self._spark or SparkSession.getActiveSession()
             self._tf = self._read_tf(spark)
             self._dl = self._store.read(spark, "dl", self.batches_seen)
+            ts = self._store.read(spark, "tstat", self.batches_seen)
+            self._tstat = (
+                None
+                if ts is None
+                else ts.withColumn("tbucket", F.col("tbucket").cast("int"))
+            )
             self._state_stale = False
 
     def _params(self) -> dict:
@@ -156,50 +184,77 @@ class IncrementalBM25:
                 return
         elif self._mem_guard.should_skip(epoch_id, epoch_lineage):
             return
-        tok = batch_docs.select(
-            "doc_id", F.explode(tokens("text")).alias("token")
-        )
         tf_b = (
-            tok.groupBy("doc_id", "token")
+            batch_docs.select(
+                "doc_id", F.explode(tokens("text")).alias("token")
+            )
+            .groupBy("doc_id", "token")
             .agg(F.count(F.lit(1)).alias("tf"))
             .withColumn("tbucket", self._bucket(F.col("token")))
         )
-        dl_b = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
         n = self.batches_seen
         if self._store is not None:
             spark = self._spark = batch_docs.sparkSession
-            # independent projections of one tokenize, landed
-            # concurrently; the tf batch dir IS the bucketed
-            # posting-list layout.  The repartition spreads the
+            # the tf WRITE is the batch's SINGLE source evaluation
+            # (the r13 fold recipe): doc lengths are the per-doc sum
+            # of term frequencies and the impact bounds are per-token
+            # aggregates of tf ⋈ dl, so both derive from the landed
+            # tf leaf — a non-deterministic source can no longer land
+            # mutually inconsistent tf/dl tables (previously two
+            # independent evaluations).  The repartition spreads the
             # dynamic-partition write across tasks (the annindex r12
             # lesson: a single-task write serializes one file create
-            # per bucket).
+            # per bucket); dl + tstat then land concurrently.
             width = min(
                 self.n_buckets, spark.sparkContext.defaultParallelism
             )
-            self._store.write_many(
-                [
-                    ("tf", n, tf_b.repartition(width, "tbucket"), ("tbucket",)),
-                    ("dl", n, dl_b),
-                ]
+            self._store.write(
+                "tf", n, tf_b.repartition(width, "tbucket"), ("tbucket",)
             )
-            # an empty micro-batch must not LEDGER the partitioned tf
-            # dir (a zero-row hive-partitioned write lands a
+            tables = ["dl"]
+            # an empty micro-batch must not LEDGER the partitioned
+            # dirs (a zero-row hive-partitioned write lands a
             # _SUCCESS-only dir no reader can bind a schema to); the
             # flat dl write keeps its schema and ledgers harmlessly.
             # Emptiness derives from the write that already happened.
-            tables = ["dl"]
             if self._store.batch_has_data("tf", n):
+                tf_leaf = self._store.read_batch(
+                    spark, "tf", n
+                ).withColumn("tbucket", F.col("tbucket").cast("int"))
+                dl_b = tf_leaf.groupBy("doc_id").agg(
+                    F.sum("tf").alias("dl")
+                )
+                tstat_b = self._tstat_of(tf_leaf, dl_b)
+                self._store.write_many(
+                    [
+                        ("dl", n, dl_b),
+                        (
+                            "tstat",
+                            n,
+                            tstat_b.repartition(width, "tbucket"),
+                            ("tbucket",),
+                        ),
+                    ]
+                )
                 tables.append("tf")
+                if self._store.batch_has_data("tstat", n):
+                    tables.append("tstat")
+                else:  # unreachable when tf has data, kept defensive
+                    self._store.discard_batch("tstat", n)
             else:
                 self._store.discard_batch("tf", n)
+                self._store.write(
+                    "dl",
+                    n,
+                    spark.createDataFrame([], "doc_id long, dl long"),
+                )
             self._store.commit(
                 n,
                 self._params(),
                 epoch_id,
                 tables=tuple(tables),
                 epoch_lineage=epoch_lineage,
-                partitioning={"tf": ("tbucket",)},
+                partitioning={"tf": ("tbucket",), "tstat": ("tbucket",)},
             )
             self.batches_seen = n + 1
             if self.batches_seen % _CONSOLIDATE_EVERY == 0:
@@ -208,18 +263,41 @@ class IncrementalBM25:
             # stream never pays the read
             self._state_stale = True
             return
-        # in-session: checkpointed leaves accumulate as unions
+        # in-session: the checkpointed tf leaf is the single source
+        # evaluation; dl/tstat accumulate as plans over the leaves
         tf_b = tf_b.localCheckpoint(eager=True)
-        dl_b = dl_b.localCheckpoint(eager=True)
         if not tf_b.isEmpty():
+            dl_b = tf_b.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+            tstat_b = self._tstat_of(tf_b, dl_b)
             self._tf = tf_b if self._tf is None else self._tf.unionByName(tf_b)
             self._dl = dl_b if self._dl is None else self._dl.unionByName(dl_b)
+            self._tstat = (
+                tstat_b
+                if self._tstat is None
+                else self._tstat.unionByName(tstat_b)
+            )
         self.batches_seen = n + 1
         if self.batches_seen % _CONSOLIDATE_EVERY == 0 and self._tf is not None:
             self._tf = self._tf.localCheckpoint(eager=True)
             self._dl = self._dl.localCheckpoint(eager=True)
+            self._tstat = self._tstat.localCheckpoint(eager=True)
         # mark ONLY after the fold's actions succeeded (review r11)
         self._mem_guard.mark(epoch_id, epoch_lineage)
+
+    @staticmethod
+    def _tstat_of(tf_b: DataFrame, dl_b: DataFrame) -> DataFrame:
+        """Per-token impact bounds of ONE batch: df (list length),
+        max term frequency, min document length — associative, so the
+        accumulated table re-aggregates to the corpus bounds."""
+        return (
+            tf_b.join(dl_b, "doc_id")
+            .groupBy("token", "tbucket")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.max("tf").alias("max_tf"),
+                F.min("dl").alias("min_dl"),
+            )
+        )
 
     def topk(
         self,
@@ -276,6 +354,272 @@ class IncrementalBM25:
             b=b,
             max_df=max_df,
             max_queries=max_queries,
+        )
+        return bm25_rank_topk(scores, k)
+
+    #: rounding guard for the MaxScore prune decision: pruning is
+    #: decided on driver-float upper bounds while scores live in the
+    #: snap-round-9 / DECIMAL-sum / round-6 discipline, so a term set
+    #: is only declared non-essential when its bound sits this far
+    #: BELOW the threshold — conservatively exact, never aggressive
+    _PRUNE_EPS = 1e-5
+
+    def topk_pruned(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        max_queries: int | None = 10_000,
+    ) -> DataFrame:
+        """MaxScore-pruned serving (Turtle & Flood 1995; the
+        block-max/WAND family's term-at-a-time member) — output
+        contract IDENTICAL to :meth:`topk` / batch ``bm25_topk``
+        (r12 verdict #7).  Per query:
+
+        1. Upper-bound each query term's possible contribution from
+           the STORED per-list bounds: ``ub(t) = idf(df_t) ·
+           norm(max_tf_t, min_dl_t)`` (norm is increasing in tf,
+           decreasing in dl, so the bound is valid for every posting).
+        2. Threshold ``θ`` = the k-th best SINGLE-TERM score over the
+           highest-ub term's posting list — a realized partial score,
+           hence a lower bound on the true k-th best full score.
+        3. Terms whose ascending-ub prefix sum stays below
+           ``θ − _PRUNE_EPS`` are NON-ESSENTIAL: a document matching
+           only those terms scores strictly below θ and can neither
+           enter nor tie into the top-k (ties break on doc_id, so
+           strictness matters).  Candidates are generated from the
+           ESSENTIAL lists only — the skipped lists' buckets never
+           reach the candidate scan (PartitionFilters beyond the
+           ``max_df`` valve) — then candidates are scored EXACTLY
+           against all query terms.
+
+        Results are exact by construction; with a degenerate θ (fewer
+        than k postings under the top term) nothing is pruned and the
+        serve degrades to the unpruned plan.  ``last_prune_stats``
+        records the split.  The per-term df used for idf comes from
+        the stored tstat sums — identical integers to the probed
+        ``dft`` aggregate, so the float chain cannot drift."""
+        import math
+
+        from connected_component_spark.operators.text import roundd
+
+        if self.tf is None:
+            raise ValueError("empty index: no batch has been folded")
+        if self.tstat is None:
+            raise ValueError(
+                "index lacks the tstat impact-bound table (pre-r13 "
+                "state layout) — rebuild the index or serve via topk()"
+            )
+        spark = queries.sparkSession
+        queries = queries.localCheckpoint(eager=True)
+        if max_queries is not None:
+            if queries.limit(max_queries + 1).count() > max_queries:
+                raise ValueError(
+                    f"topk_pruned: query batch exceeds max_queries="
+                    f"{max_queries} — the query-term table is collected "
+                    "and broadcast, so corpus-scale query sets must be "
+                    "chunked (or pass max_queries=None after sizing the "
+                    "batch yourself)"
+                )
+        qterms = queries.select(
+            "query_id",
+            F.explode(F.array_distinct(tokens("query_text"))).alias("token"),
+        )
+        # ONE bounded collect: (query_id, token, bucket) rows
+        qt_rows = qterms.withColumn(
+            "b", self._bucket(F.col("token"))
+        ).collect()
+        if not qt_rows:
+            return bm25_rank_topk(
+                spark.createDataFrame(
+                    [], "query_id long, doc_id long, score double"
+                ),
+                k,
+            )
+        buckets = sorted({r["b"] for r in qt_rows})
+        all_tokens = sorted({r["token"] for r in qt_rows})
+        # per-token corpus bounds from the stored table (bounded:
+        # ≤ |distinct query terms| rows after the aggregate)
+        ts = (
+            self.tstat.where(F.col("tbucket").isin(buckets))
+            .where(F.col("token").isin(all_tokens))
+            .groupBy("token")
+            .agg(
+                F.sum("df").alias("df"),
+                F.max("max_tf").alias("max_tf"),
+                F.min("min_dl").alias("min_dl"),
+            )
+            .collect()
+        )
+        srow = self.dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("n_corpus"),
+        ).first()
+        n_docs, n_corpus = int(srow["n_docs"]), int(srow["n_corpus"])
+        stat = {r["token"]: r for r in ts}
+
+        def idf(df: int) -> float:
+            return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+        def ub(t: str) -> float:
+            s = stat[t]
+            mtf, mdl = int(s["max_tf"]), int(s["min_dl"])
+            nm = (mtf * (k1 + 1.0)) / (
+                mtf + k1 * ((1.0 - b) + b * (mdl * n_docs) / float(n_corpus))
+            )
+            return idf(int(s["df"])) * nm + 1e-9  # pad: snap-round slack
+
+        per_q: dict = {}
+        for r in qt_rows:
+            if r["token"] in stat:  # unindexed terms contribute nothing
+                per_q.setdefault(r["query_id"], []).append(r["token"])
+        # θ per query: k-th best single-term partial score over the
+        # top-ub term's postings — one bounded job over the pruned scan
+        tstar = {q: max(toks, key=lambda t: (ub(t), t)) for q, toks in per_q.items()}
+        theta = {q: 0.0 for q in per_q}
+        if tstar:
+            pair_df = spark.createDataFrame(
+                sorted(tstar.items()), "query_id long, token string"
+            )
+            df_lit = spark.createDataFrame(
+                [(t, int(stat[t]["df"])) for t in sorted(set(tstar.values()))],
+                "token string, df long",
+            )
+            star_buckets = sorted(
+                {r["b"] for r in qt_rows if r["token"] == tstar[r["query_id"]]}
+            )
+            tf_star = self.tf.where(
+                F.col("tbucket").isin(star_buckets)
+            ).where(F.col("token").isin(sorted(set(tstar.values()))))
+            partial = (
+                tf_star.join(F.broadcast(pair_df), "token")
+                .join(self.dl, "doc_id")
+                .join(F.broadcast(df_lit), "token")
+                .select(
+                    "query_id",
+                    "doc_id",
+                    roundd(
+                        F.log(
+                            F.lit(1.0)
+                            + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                            / (F.col("df") + F.lit(0.5))
+                        )
+                        * (
+                            (F.col("tf") * F.lit(k1 + 1.0))
+                            / (
+                                F.col("tf")
+                                + F.lit(k1)
+                                * (
+                                    F.lit(1.0 - b)
+                                    + F.lit(b)
+                                    * (F.col("dl") * F.lit(n_docs))
+                                    / F.lit(float(n_corpus))
+                                )
+                            )
+                        ),
+                        9,
+                    )
+                    .cast("decimal(12,9)")
+                    .alias("c"),
+                )
+                .select(
+                    "query_id",
+                    "doc_id",
+                    roundd(F.col("c").cast("double"), 6).alias("s"),
+                )
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("s").desc(), F.col("doc_id").asc()
+            )
+            kth = (
+                partial.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == k)
+                .select("query_id", "s")
+                .collect()
+            )
+            theta.update({r["query_id"]: float(r["s"]) for r in kth})
+
+        essential: list[tuple] = []
+        skipped = 0
+        for q, toks in per_q.items():
+            toks = sorted(toks, key=lambda t: (ub(t), t))
+            cum = 0.0
+            for i, t in enumerate(toks):
+                cum += ub(t)
+                if cum >= theta[q] - self._PRUNE_EPS:
+                    essential.extend((q, t) for t in toks[i:])
+                    skipped += i
+                    break
+            else:  # unreachable (θ ≤ ub(t*) ≤ Σ ubs); defensive: no prune
+                essential.extend((q, t) for t in toks)
+        self.last_prune_stats = {
+            "queries": len(per_q),
+            "essential_pairs": len(essential),
+            "skipped_pairs": skipped,
+        }
+
+        ess_df = spark.createDataFrame(
+            sorted(essential), "query_id long, token string"
+        )
+        ess_tokens = sorted({t for _, t in essential})
+        ess_buckets = sorted(
+            {r["b"] for r in qt_rows if (r["query_id"], r["token"]) in set(essential)}
+        )
+        # candidate generation touches ONLY the essential lists: the
+        # token filter prunes rows and the bucket filter prunes whole
+        # tbucket= directories the essential terms never hash to
+        cand = (
+            self.tf.where(F.col("tbucket").isin(ess_buckets))
+            .where(F.col("token").isin(ess_tokens))
+            .join(F.broadcast(ess_df), "token")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        # exact full scoring of the candidates against ALL query terms
+        qt_df = spark.createDataFrame(
+            sorted({(r["query_id"], r["token"]) for r in qt_rows if r["token"] in stat}),
+            "query_id long, token string",
+        )
+        df_all = spark.createDataFrame(
+            [(t, int(stat[t]["df"])) for t in sorted(stat)],
+            "token string, df long",
+        )
+        needed = cand.join(F.broadcast(qt_df), "query_id")
+        tf_probed = self.tf.where(F.col("tbucket").isin(buckets)).where(
+            F.col("token").isin(sorted(stat))
+        )
+        idf_col = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        norm_col = (F.col("tf") * F.lit(k1 + 1.0)) / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b)
+                * (F.col("dl") * F.lit(n_docs))
+                / F.lit(float(n_corpus))
+            )
+        )
+        contrib = (
+            needed.join(tf_probed, ["doc_id", "token"])
+            .join(self.dl, "doc_id")
+            .join(F.broadcast(df_all), "token")
+            .select(
+                "query_id",
+                "doc_id",
+                roundd(idf_col * norm_col, 9)
+                .cast("decimal(12,9)")
+                .alias("c"),
+            )
+        )
+        scores = contrib.groupBy("query_id", "doc_id").agg(
+            roundd(F.sum("c").cast("double"), 6).alias("score")
         )
         return bm25_rank_topk(scores, k)
 

@@ -744,3 +744,81 @@ def test_incremental_bm25_compaction_preserves_layout(
     assert sorted(map(tuple, idx.topk(q, k=5).collect())) == want
     resumed = bx.IncrementalBM25.load(spark, sd)
     assert sorted(map(tuple, resumed.topk(q, k=5).collect())) == want
+
+
+def test_bm25_maxscore_pruned_serve_is_exact_and_skips_lists(spark, tmp_path):
+    """r13 (verdict r12 #7): MaxScore-pruned serving must return
+    byte-identical results to the unpruned serve while actually
+    SKIPPING non-essential posting lists.  Crafted corpus: a stopword
+    ('the') sits in every document (huge df -> tiny idf -> tiny upper
+    bound), a rare term sits in few — for a query mixing them with
+    k=1, the stopword's list must be skipped."""
+    from connected_component_spark.streaming.bm25 import IncrementalBM25
+
+    rows = []
+    for i in range(60):
+        body = f"the filler{i % 7} common"
+        if i % 11 == 0:
+            body += " zebra"
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(0, "zebra the common")], "query_id long, query_text string"
+    )
+
+    idx = IncrementalBM25(state_dir=str(tmp_path / "ms"))
+    for i in range(3):
+        from pyspark.sql import functions as F
+
+        idx.update(docs.where(F.col("doc_id") % 3 == i), epoch_id=i)
+
+    plain = sorted(map(tuple, idx.topk(q, k=1).collect()))
+    pruned = sorted(map(tuple, idx.topk_pruned(q, k=1).collect()))
+    assert plain == pruned and len(plain) == 1
+    st = idx.last_prune_stats
+    assert st["queries"] == 1 and st["skipped_pairs"] >= 1, st
+
+    # and on the fixture queries at k=10: exact equivalence, durable
+    # AND resumed index
+    fx = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    from connected_component_spark.queries.llmops import _BM25_QUERIES
+
+    qs = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, query_text string"
+    )
+    from pyspark.sql import functions as F
+
+    idx2 = IncrementalBM25(state_dir=str(tmp_path / "ms2"))
+    for i in range(2):
+        idx2.update(fx.where(F.col("doc_id") % 2 == i), epoch_id=i)
+    resumed = IncrementalBM25.load(spark, str(tmp_path / "ms2"))
+    a = sorted(map(tuple, idx2.topk(qs, k=10).collect()))
+    b = sorted(map(tuple, resumed.topk_pruned(qs, k=10).collect()))
+    assert a == b
+
+
+def test_bm25_pruned_serve_rejects_pre_tstat_state(spark, tmp_path):
+    """A pre-r13 state dir (no tstat table) must raise a clear error
+    from topk_pruned, not serve silently-unpruned or crash obscurely."""
+    import pytest
+
+    from connected_component_spark.streaming.bm25 import IncrementalBM25
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    idx = IncrementalBM25(state_dir=str(tmp_path / "old"))
+    idx.update(docs, epoch_id=0)
+    # simulate the pre-r13 layout: drop tstat from the committed view
+    resumed = IncrementalBM25.load(spark, str(tmp_path / "old"))
+    resumed._refresh()
+    resumed._tstat = None
+    q = spark.createDataFrame(
+        [(0, "alpha")], "query_id long, query_text string"
+    )
+    with pytest.raises(ValueError, match="tstat"):
+        resumed.topk_pruned(q)
+    # the unpruned serve is unaffected
+    assert resumed.topk(q).count() >= 1
