@@ -704,6 +704,33 @@ def bm25_scores(
     )
 
 
+def bm25_idf_col(df_col, n_docs_col):
+    """The BM25 idf expression, single-sourced (r13 review: the
+    MaxScore serve re-implemented this chain inline — any drift would
+    silently break its pruned-equals-unpruned exactness claim).
+    Inputs may be columns or literals; the expression tree must stay
+    byte-identical to the SQL oracle's."""
+    return F.log(
+        F.lit(1.0) + (n_docs_col - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def bm25_norm_col(tf_col, dl_col, n_docs_col, n_corpus_dbl_col, k1, b):
+    """The BM25 tf-saturation/length-normalization expression,
+    single-sourced like :func:`bm25_idf_col`.  ``dl * n_docs`` stays
+    exact in int64 (doc length × doc count) and the single double
+    division keeps the tree identical to the SQL oracle's;
+    ``n_corpus_dbl_col`` must already be double-typed."""
+    return (tf_col * F.lit(k1 + 1.0)) / (
+        tf_col
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (dl_col * n_docs_col) / n_corpus_dbl_col
+        )
+    )
+
+
 def bm25_scores_from_index(
     tf: DataFrame,
     dl: DataFrame,
@@ -741,23 +768,14 @@ def bm25_scores_from_index(
     dft = ptf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         dft = dft.where(F.col("df") <= F.lit(max_df))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    # dl * n_docs stays exact in int64 (doc length × doc count); the
-    # single double division keeps the expression tree identical to
-    # the SQL oracle's
-    norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (
-            F.lit(1.0 - b)
-            + F.lit(b)
-            * (F.col("dl") * F.col("n_docs"))
-            / F.col("n_corpus").cast("double")
-        )
+    idf = bm25_idf_col(F.col("df"), F.col("n_docs"))
+    norm = bm25_norm_col(
+        F.col("tf"),
+        F.col("dl"),
+        F.col("n_docs"),
+        F.col("n_corpus").cast("double"),
+        k1,
+        b,
     )
     surv = ptf.join(F.broadcast(dft), "token")
     if max_df is not None:

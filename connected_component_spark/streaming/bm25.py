@@ -411,6 +411,24 @@ class IncrementalBM25:
                 "index lacks the tstat impact-bound table (pre-r13 "
                 "state layout) — rebuild the index or serve via topk()"
             )
+        if self._store is not None:
+            # the bounds are only valid if EVERY committed tf batch
+            # also wrote tstat — a pre-r13 state dir resumed and
+            # extended under this code would otherwise carry a
+            # partially-covered tstat whose df/max_tf/min_dl understate
+            # the corpus and prune genuinely essential lists (r13
+            # review)
+            m = self._store.manifest() or {}
+            t = m.get("tables") or {}
+            gens = m.get("gens") or {}
+            if not set(t.get("tf", [])) <= set(t.get("tstat", [])) or (
+                gens.get("tf") is not None and gens.get("tstat") is None
+            ):
+                raise ValueError(
+                    "tstat impact bounds do not cover every committed "
+                    "tf batch (state dir predates the r13 layout) — "
+                    "rebuild the index or serve via topk()"
+                )
         spark = queries.sparkSession
         queries = queries.localCheckpoint(eager=True)
         if max_queries is not None:
@@ -487,11 +505,22 @@ class IncrementalBM25:
                 "token string, df long",
             )
             star_buckets = sorted(
-                {r["b"] for r in qt_rows if r["token"] == tstar[r["query_id"]]}
+                {
+                    r["b"]
+                    for r in qt_rows
+                    # a query whose terms are ALL unindexed has no
+                    # tstar entry — it simply gets no rows, like topk()
+                    if r["token"] == tstar.get(r["query_id"])
+                }
             )
             tf_star = self.tf.where(
                 F.col("tbucket").isin(star_buckets)
             ).where(F.col("token").isin(sorted(set(tstar.values()))))
+            from connected_component_spark.operators.text import (
+                bm25_idf_col,
+                bm25_norm_col,
+            )
+
             partial = (
                 tf_star.join(F.broadcast(pair_df), "token")
                 .join(self.dl, "doc_id")
@@ -500,23 +529,14 @@ class IncrementalBM25:
                     "query_id",
                     "doc_id",
                     roundd(
-                        F.log(
-                            F.lit(1.0)
-                            + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
-                            / (F.col("df") + F.lit(0.5))
-                        )
-                        * (
-                            (F.col("tf") * F.lit(k1 + 1.0))
-                            / (
-                                F.col("tf")
-                                + F.lit(k1)
-                                * (
-                                    F.lit(1.0 - b)
-                                    + F.lit(b)
-                                    * (F.col("dl") * F.lit(n_docs))
-                                    / F.lit(float(n_corpus))
-                                )
-                            )
+                        bm25_idf_col(F.col("df"), F.lit(n_docs))
+                        * bm25_norm_col(
+                            F.col("tf"),
+                            F.col("dl"),
+                            F.lit(n_docs),
+                            F.lit(float(n_corpus)),
+                            k1,
+                            b,
                         ),
                         9,
                     )
@@ -565,8 +585,13 @@ class IncrementalBM25:
             sorted(essential), "query_id long, token string"
         )
         ess_tokens = sorted({t for _, t in essential})
+        ess_set = set(essential)  # hoisted: O(pairs), not O(pairs²)
         ess_buckets = sorted(
-            {r["b"] for r in qt_rows if (r["query_id"], r["token"]) in set(essential)}
+            {
+                r["b"]
+                for r in qt_rows
+                if (r["query_id"], r["token"]) in ess_set
+            }
         )
         # candidate generation touches ONLY the essential lists: the
         # token filter prunes rows and the bucket filter prunes whole
@@ -591,20 +616,19 @@ class IncrementalBM25:
         tf_probed = self.tf.where(F.col("tbucket").isin(buckets)).where(
             F.col("token").isin(sorted(stat))
         )
-        idf_col = F.log(
-            F.lit(1.0)
-            + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
+        from connected_component_spark.operators.text import (
+            bm25_idf_col,
+            bm25_norm_col,
         )
-        norm_col = (F.col("tf") * F.lit(k1 + 1.0)) / (
-            F.col("tf")
-            + F.lit(k1)
-            * (
-                F.lit(1.0 - b)
-                + F.lit(b)
-                * (F.col("dl") * F.lit(n_docs))
-                / F.lit(float(n_corpus))
-            )
+
+        idf_col = bm25_idf_col(F.col("df"), F.lit(n_docs))
+        norm_col = bm25_norm_col(
+            F.col("tf"),
+            F.col("dl"),
+            F.lit(n_docs),
+            F.lit(float(n_corpus)),
+            k1,
+            b,
         )
         contrib = (
             needed.join(tf_probed, ["doc_id", "token"])

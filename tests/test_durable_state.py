@@ -822,3 +822,28 @@ def test_bm25_pruned_serve_rejects_pre_tstat_state(spark, tmp_path):
         resumed.topk_pruned(q)
     # the unpruned serve is unaffected
     assert resumed.topk(q).count() >= 1
+
+
+def test_bm25_pruned_serve_handles_out_of_vocabulary_queries(spark, tmp_path):
+    """r13 review: a query whose terms are ALL unindexed must get no
+    rows (the topk() contract), not crash the batch's star-bucket
+    computation; mixed batches keep the indexed queries exact."""
+    from pyspark.sql import functions as F
+
+    from connected_component_spark.streaming.bm25 import IncrementalBM25
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = IncrementalBM25(state_dir=str(tmp_path / "oov"))
+    idx.update(docs.where(F.col("doc_id") < 10), epoch_id=0)
+    idx.update(docs.where(F.col("doc_id") >= 10), epoch_id=1)
+    q = spark.createDataFrame(
+        [(1, "alpha w3"), (2, "qqzzxy nothere")],
+        "query_id long, query_text string",
+    )
+    plain = sorted(map(tuple, idx.topk(q, k=3).collect()))
+    pruned = sorted(map(tuple, idx.topk_pruned(q, k=3).collect()))
+    assert plain == pruned
+    assert {r[0] for r in pruned} == {1}
