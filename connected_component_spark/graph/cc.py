@@ -421,6 +421,30 @@ def connected_components(
             return df.checkpoint(eager=eager)
         return df.localCheckpoint(eager=eager)
 
+    # Stats barrier for the iterated self-join (r13; see
+    # graph/scc.py:_stats_safe_leaf for the measured pathology): a
+    # checkpoint leaf INHERITS the checkpointed plan's size estimate,
+    # and each star round multiplies leaf stats into the next capture
+    # (the min-map join references the round's pair set twice), so the
+    # estimate's bit-length compounds per round and deep runs
+    # (10+ rounds — long-chain graphs) eventually burn planning CPU in
+    # BigInteger arithmetic.  Persisting each round's leaf routes
+    # downstream stats through InMemoryRelation's REAL byte size; the
+    # round's single action fills checkpoint and cache together, and
+    # the superseded round's cache entry is dropped (its checkpoint
+    # blocks remain valid).
+    # ordering contract: the previous round's cache must still be
+    # LIVE while the new round's checkpoint captures its stats (the
+    # capture reads the inputs' current stats), so the rotation runs
+    # only AFTER the round's action has materialized the new leaf
+    prev_cached: DataFrame | None = None
+
+    def _retire_prev_cache(new_cached: DataFrame) -> None:
+        nonlocal prev_cached
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_cached
+
     pairs = _checkpoint(_canonical_edges(edges).distinct())
     converged = False
     iterations = 0
@@ -445,7 +469,11 @@ def connected_components(
                 after_large, large_count = _large_star_counted(pairs)
                 after_large = _checkpoint(after_large)
                 after_small, small_count = _small_star_counted(after_large)
-                pairs = _checkpoint(after_small)
+                pairs = _checkpoint(after_small, eager=False).persist()
+                # the count inside _small_star_counted already ran;
+                # materialize the new leaf, then retire the old cache
+                pairs.count()
+                _retire_prev_cache(pairs)
                 counts = (large_count, small_count)
                 if counts == prev_counts or counts == (0, 0):
                     converged = True
@@ -461,12 +489,14 @@ def connected_components(
             )
             for iterations in range(1, max_iterations + 1):
                 # lazy checkpoint: the fingerprint aggregation is the
-                # one action per round and materializes the blocks
+                # one action per round and materializes blocks AND the
+                # stats-barrier cache together
                 pairs = _checkpoint(
                     small_star(large_star(pairs, salts=active_salts)),
                     eager=False,
-                )
+                ).persist()
                 fp = _set_fingerprint(pairs)
+                _retire_prev_cache(pairs)
                 round_counts.append(fp[0])
                 if shuffle_before is not None:
                     after = _shuffle_write_bytes_total(spark)
@@ -515,6 +545,10 @@ def connected_components(
                     break
                 prev_fp = fp
 
+    if prev_cached is not None:
+        # drop the final round's cache entry — the checkpoint blocks
+        # stay, so the assignments plan below evaluates unaffected
+        prev_cached.unpersist()
     assignments = (
         pairs.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("component"))

@@ -91,13 +91,37 @@ def _ckpt(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _stats_safe_leaf(df: DataFrame) -> DataFrame:
+    """Checkpoint + persist: the iterated-self-join stats barrier.
+
+    ``localCheckpoint`` truncates the LOGICAL plan, but its leaf
+    INHERITS the checkpointed plan's size-in-bytes estimate — and a
+    fixpoint round that joins the evolving frame against itself
+    (the jump term here; the min-map join in graph/cc.py) makes
+    Catalyst MULTIPLY that estimate into the next round's captured
+    stats.  The estimate's bit-length then doubles per round, and
+    after ~17 rounds every planning pass burns CPU in
+    ``BigInteger.multiply`` — measured r13: a 50-row loop went flat
+    0.3 s/round → 175 s/round by round 23, with plan, partition
+    count, and data all constant.  Persisting the checkpointed leaf
+    routes downstream stats through ``InMemoryRelation``'s REAL byte
+    size instead of the inherited estimate, so captured stats stay
+    bounded (measured flat over 30+ rounds).  The persist is lazy —
+    the round's single action materializes checkpoint and cache
+    together — and the caller unpersists superseded rounds, so cache
+    entries never accumulate."""
+    return df.localCheckpoint(eager=False).persist()
+
+
 def _min_propagate(
     nodes: DataFrame, edges: DataFrame, max_rounds: int
-) -> tuple[DataFrame, bool, int]:
+) -> tuple[DataFrame, bool, int, DataFrame]:
     """Fixpoint of ``lab(v) = min({v} ∪ {lab(u) : u→v} ∪
     {lab(lab(v))})`` over ``edges`` (must already be restricted to
     intra-class pairs of ``nodes``).  Returns ``(labels, stable,
-    rounds)`` with ``labels = (node, lab)``.
+    rounds, cached)`` with ``labels = (node, lab)``; ``cached`` is
+    the final round's persisted leaf — the caller unpersists it once
+    the labels have been folded into a downstream checkpoint.
 
     Soundness of the jump term: ``lab(v)`` is by induction the id of
     a node that reaches ``v`` within the class (init: itself; edge
@@ -107,7 +131,8 @@ def _min_propagate(
     computes; the jump only shortens the round count (doubling on
     chains).  The change flag rides inside the checkpointed round, so
     convergence is one cheap aggregate over the materialized leaf."""
-    labels = _ckpt(nodes.select("node", F.col("node").alias("lab")))
+    cached = _stats_safe_leaf(nodes.select("node", F.col("node").alias("lab")))
+    labels = cached
     for r in range(1, max_rounds + 1):
         incoming = (
             edges.join(
@@ -125,7 +150,7 @@ def _min_propagate(
         cand = F.least(
             "lab", F.coalesce("l_edge", "lab"), "l_jump"
         )
-        new_labels = _ckpt(
+        new_cached = _stats_safe_leaf(
             labels.join(incoming, "node", "left")
             .join(jmp, F.col("lab") == F.col("_jt"))
             .select(
@@ -134,11 +159,17 @@ def _min_propagate(
                 (cand < F.col("lab")).cast("int").alias("_chg"),
             )
         )
-        changed = new_labels.agg(F.sum("_chg")).first()[0]
-        labels = new_labels.drop("_chg")
+        # the one action per round: materializes this round's
+        # checkpoint AND its stats-barrier cache together
+        changed = new_cached.agg(F.sum("_chg")).first()[0]
+        # the superseded round's cache entry can go (its checkpoint
+        # blocks stay — later plans never reference them)
+        cached.unpersist()
+        cached = new_cached
+        labels = new_cached.drop("_chg")
         if not changed:
-            return labels, True, r
-    return labels, False, max_rounds
+            return labels, True, r, cached
+    return labels, False, max_rounds, cached
 
 
 def strongly_connected_components(
@@ -198,23 +229,33 @@ def strongly_connected_components(
         converged = True
     with shrunk_shuffle(spark, max(n0, 1)):
         active, cls_edges = nodes, e
+        prev_phase_cached: list[DataFrame] = []
         for phases in range(1, (max_phases if n0 else 0) + 1):
-            f, st_f, r_f = _min_propagate(active, cls_edges, max_rounds)
+            f, st_f, r_f, f_cached = _min_propagate(
+                active, cls_edges, max_rounds
+            )
             rounds += r_f
             if not st_f:
+                f_cached.unpersist()
                 break  # round cap: incomplete, converged stays False
             rev = cls_edges.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
-            b, st_b, r_b = _min_propagate(active, rev, max_rounds)
+            b, st_b, r_b, b_cached = _min_propagate(active, rev, max_rounds)
             rounds += r_b
             if not st_b:
+                f_cached.unpersist()
+                b_cached.unpersist()
                 break
             lab = _ckpt(
                 f.withColumnRenamed("lab", "fmin").join(
                     b.withColumnRenamed("lab", "bmin"), "node"
                 )
             )
+            # lab is materialized: the propagation leaves' cache
+            # entries can go (their checkpoint blocks remain)
+            f_cached.unpersist()
+            b_cached.unpersist()
             # each class's pivot SCC: fmin==bmin==c ⟺ c↔v in-class
             emit(
                 lab.where(F.col("fmin") == F.col("bmin")).select(
@@ -244,12 +285,16 @@ def strongly_connected_components(
             if not n_multi:
                 converged = True
                 break
-            cls_map = _ckpt(
+            # the across-phase looped frames get the same stats
+            # barrier: cls_edges joins cls_map TWICE, so inherited
+            # stats would compound phase over phase like the round
+            # loop's (see _stats_safe_leaf)
+            cls_map = _stats_safe_leaf(
                 rest.join(grp.where(F.col("cnt") > 1), ["fmin", "bmin"])
                 .select("node", F.col("ncls").alias("cls"))
             )
             active = cls_map.select("node")
-            cls_edges = _ckpt(
+            cls_edges = _stats_safe_leaf(
                 cls_edges.join(
                     cls_map.select(
                         F.col("node").alias("src"), F.col("cls").alias("c1")
@@ -265,6 +310,14 @@ def strongly_connected_components(
                 .where(F.col("c1") == F.col("c2"))
                 .select("src", "dst")
             )
+            # one action materializes both new leaves (cls_map feeds
+            # cls_edges); previous phase's cache entries then retire
+            cls_edges.count()
+            for c in prev_phase_cached:
+                c.unpersist()
+            prev_phase_cached = [cls_map, cls_edges]
+        for c in prev_phase_cached:
+            c.unpersist()
 
     if done is None:
         done = nodes.select("node", F.col("node").alias("scc")).limit(0)

@@ -847,3 +847,47 @@ def test_bm25_pruned_serve_handles_out_of_vocabulary_queries(spark, tmp_path):
     pruned = sorted(map(tuple, idx.topk_pruned(q, k=3).collect()))
     assert plain == pruned
     assert {r[0] for r in pruned} == {1}
+
+
+def test_bm25_pruned_serve_randomized_equivalence(spark, tmp_path):
+    """r13: randomized differential for the MaxScore exactness claim —
+    corpora drawn with heavy stopwords (to force non-essential lists)
+    and many duplicate texts (to force score TIES, where an
+    over-aggressive prune would flip doc_id tie-breaks).  Pruned and
+    unpruned serves must agree exactly, ranks included."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from connected_component_spark.streaming.bm25 import IncrementalBM25
+
+    vocab_rare = [f"rare{i}" for i in range(12)]
+    vocab_mid = [f"mid{i}" for i in range(6)]
+    for seed in (3, 11, 29):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(80):
+            words = ["the", "of"]  # stopwords in every doc
+            words += rng.sample(vocab_mid, rng.randint(1, 3))
+            if rng.random() < 0.25:
+                words.append(rng.choice(vocab_rare))
+            rng.shuffle(words)
+            # duplicate blocks -> exact score ties across doc_ids
+            text = " ".join(words if i % 7 else ["the", "of", "mid0"])
+            rows.append((i, text))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = IncrementalBM25(state_dir=str(tmp_path / f"rnd{seed}"))
+        for b in range(3):
+            idx.update(docs.where(F.col("doc_id") % 3 == b), epoch_id=b)
+        queries = spark.createDataFrame(
+            [
+                (1, f"the of {vocab_rare[seed % 12]} mid1"),
+                (2, "the mid0 of"),
+                (3, f"{vocab_rare[(seed + 5) % 12]} the"),
+            ],
+            "query_id long, query_text string",
+        )
+        for k in (1, 5):
+            a = sorted(map(tuple, idx.topk(queries, k=k).collect()))
+            p = sorted(map(tuple, idx.topk_pruned(queries, k=k).collect()))
+            assert a == p, (seed, k, idx.last_prune_stats)

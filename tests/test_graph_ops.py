@@ -566,3 +566,44 @@ def test_scc_long_path_converges_in_log_rounds(spark):
     # needed ~400 rounds here
     assert res.phases <= 2
     assert res.rounds <= 44, res.rounds
+
+
+def test_scc_matches_networkx_on_sparse_dag_heavy_digraphs(spark):
+    """r13: the partition-refinement rewrite resolves DAG regions as
+    singleton (fmin,bmin) classes instead of the removed trim loop —
+    differential vs networkx on sparse forward-biased digraphs (mostly
+    acyclic, a few back edges creating scattered small SCCs)."""
+    import random
+
+    import networkx as nx
+
+    from connected_component_spark.graph.scc import (
+        strongly_connected_components,
+    )
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        n = 60
+        edges = set()
+        for _ in range(70):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a == b:
+                continue
+            if a > b and rng.random() < 0.8:
+                a, b = b, a  # forward bias -> mostly a DAG
+            edges.add((a, b))
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        res = strongly_connected_components(df)
+        assert res.converged
+        got = {}
+        for r in res.assignments.collect():
+            got.setdefault(r["scc"], set()).add(r["node"])
+        want = {
+            min(c): set(c)
+            for c in nx.strongly_connected_components(
+                nx.DiGraph(sorted(edges))
+            )
+        }
+        assert got == want, (seed, res.phases, res.rounds)
+        # DAG-heavy: must resolve in few phases, not O(#SCCs)
+        assert res.phases <= 6, (seed, res.phases)
