@@ -353,6 +353,10 @@ def _small_star_counted(edges: DataFrame) -> tuple[DataFrame, int]:
 #: round 3 (max 45,979 / p99 6 ≈ 7,663×; wall 75.6 s fused → 39.1 s
 #: salted at 8), while the non-skewed clique benches peak at
 #: max 91 / p99 55 (1.7×) and never flip.
+#: round from which the kernel's stats barrier (persist of the round
+#: leaf) engages — see the note at _retire_prev_cache
+_STATS_BARRIER_FROM = 8
+
 _AUTO_SALTS = 8
 _AUTO_SALT_MIN_HOT = 10_000
 _AUTO_SALT_RATIO = 64
@@ -433,13 +437,23 @@ def connected_components(
     # round's single action fills checkpoint and cache together, and
     # the superseded round's cache entry is dropped (its checkpoint
     # blocks remain valid).
+    # The barrier is THRESHOLDED (unlike the SCC kernel's, whose
+    # per-round tables are node-sized): caching a multi-million-row
+    # pair set costs real wall per round (measured r13: unconditional
+    # persist added 25-45% to the 6-round kernel benches), while the
+    # stats explosion only bites deep runs — estimates compound ~×4
+    # bits per round from 64 bits, so at round 8 they are ~1M bits
+    # (ms-scale planning) and the barrier caps them there before the
+    # 17+-round blowup territory.  Runs that converge in ≤7 rounds
+    # (every fixture and bench graph) pay nothing.
+    #
     # ordering contract: the previous round's cache must still be
     # LIVE while the new round's checkpoint captures its stats (the
     # capture reads the inputs' current stats), so the rotation runs
     # only AFTER the round's action has materialized the new leaf
     prev_cached: DataFrame | None = None
 
-    def _retire_prev_cache(new_cached: DataFrame) -> None:
+    def _retire_prev_cache(new_cached: DataFrame | None) -> None:
         nonlocal prev_cached
         if prev_cached is not None:
             prev_cached.unpersist()
@@ -469,11 +483,14 @@ def connected_components(
                 after_large, large_count = _large_star_counted(pairs)
                 after_large = _checkpoint(after_large)
                 after_small, small_count = _small_star_counted(after_large)
-                pairs = _checkpoint(after_small, eager=False).persist()
-                # the count inside _small_star_counted already ran;
-                # materialize the new leaf, then retire the old cache
-                pairs.count()
-                _retire_prev_cache(pairs)
+                if iterations >= _STATS_BARRIER_FROM:
+                    pairs = _checkpoint(after_small, eager=False).persist()
+                    # the counts inside the counted stars already ran;
+                    # materialize the new leaf, then retire the old one
+                    pairs.count()
+                    _retire_prev_cache(pairs)
+                else:
+                    pairs = _checkpoint(after_small)
                 counts = (large_count, small_count)
                 if counts == prev_counts or counts == (0, 0):
                     converged = True
@@ -489,14 +506,18 @@ def connected_components(
             )
             for iterations in range(1, max_iterations + 1):
                 # lazy checkpoint: the fingerprint aggregation is the
-                # one action per round and materializes blocks AND the
-                # stats-barrier cache together
+                # one action per round and materializes blocks (and,
+                # past the barrier threshold, the stats cache) together
                 pairs = _checkpoint(
                     small_star(large_star(pairs, salts=active_salts)),
                     eager=False,
-                ).persist()
+                )
+                barrier = iterations >= _STATS_BARRIER_FROM
+                if barrier:
+                    pairs = pairs.persist()
                 fp = _set_fingerprint(pairs)
-                _retire_prev_cache(pairs)
+                if barrier:
+                    _retire_prev_cache(pairs)
                 round_counts.append(fp[0])
                 if shuffle_before is not None:
                     after = _shuffle_write_bytes_total(spark)
