@@ -54,42 +54,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # artifacts (r4 verdict task 4 — no hand-maintained priority tuple):
 #   1. never driver-verified (no green row in any round) — includes
 #      every query new this round,
-#   2. changed this round (listed below, must re-earn a row),
-#   3. everything else, oldest-last-verified-round first,
-# with registry order as the deterministic tie-break.  Under the
-# 50-row budget every query re-earns a hard-signal row within ~2-3
-# rounds.
+#   2. an INTERLEAVE of queries changed this round (listed below,
+#      must re-earn a row) and stable queries stalest-first: every
+#      _CHANGED_INTERLEAVE changed entries are followed by one stable
+#      entry, so a wide changed set can never fill the driver's
+#      ~50-row window and starve the stale tail past the 3-round
+#      freshness bound (r13 verdict #1 — exactly that happened when
+#      an 11-query changed list plus 3 new queries displaced the two
+#      stalest rows for a 4th consecutive round),
+# with (last-green-round, registry order) as the deterministic sort
+# inside each bucket.  Under the 50-row budget every query re-earns
+# a hard-signal row within ~2-3 rounds.
 
 #: queries whose code path changed this round — re-verify first.
-#: Maintained per round alongside the change itself.  (Round 6: no
-#: existing query's result-affecting path changed — the round's new
-#: queries rank first automatically as never-driver-verified.)
+#: Maintained per round alongside the change itself.
 _CHANGED_THIS_ROUND = (
-    # r12 (prior round's list: the 6 durable/staged-path movers of
-    # r11, all re-earned green).  This round's result-preserving
-    # execution-path changes, re-earn per convention:
-    # — the durable IVF index moved to single-evaluation repartitioned
-    #   folds + one basePath-discovery state scan + lazy re-reads:
+    # r14: the BM25 fold rewrite (single write_many wave for
+    # tf+dl+tstat off one checkpointed batch leaf) changes the
+    # execution path of every durable-BM25 row:
+    "text_bm25_incremental_topk",
+    "text_bm25_restart_topk",
+    "text_bm25_maxscore_topk",
+    "stream_bm25_ingest",
+    # — the incremental dedup/winnow state-write consolidation:
+    "stream_incremental_dedup",
+    "stream_incremental_winnow",
+    # — the shared lazy-binding mixin on ParquetStateStore re-routes
+    #   every durable operator's committed-view refresh:
     "ann_ivf_incremental_topk",
     "ann_ivf_restart_topk",
     "stream_ann_ingest",
-    # — the batch ANN serving family gained probe-pruned storage
-    #   (ivf_topk: broadcast LeftSemi on the probed-cell set ahead of
-    #   the candidate join; ivfpq_topk: the probe x storage cell join
-    #   does the pruning; the durable index keeps a collected list as
-    #   a directory-pruning PartitionFilter):
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_trained_topk",
-    "ann_ivfpq_trained_recall",
-    "ann_ivfpq_rerank_topk",
-    "ann_recall_report",
-    # — BM25 scoring refactored through the shared index core plus the
-    #   bounded-batch guard (values identical, plan/probe changed):
-    "text_bm25_topk",
-    "pipeline_hard_negatives",
 )
+
+#: interleave ratio for the changed/stable merge: this many changed
+#: entries per one stalest-first stable entry.  At 2:1 a window of 50
+#: holds >=16 stable rows no matter how wide the changed set is.
+_CHANGED_INTERLEAVE = 2
 
 
 def _green_rounds() -> dict[str, int]:
@@ -142,24 +142,49 @@ def _modules():
     return [order[name] for name in _MODULE_ORDER]
 
 
+def _priority_order(
+    names,
+    verified: dict[str, int],
+    changed,
+    interleave: int = _CHANGED_INTERLEAVE,
+) -> list[str]:
+    """Deterministic verification order (pure — unit-testable without
+    Spark): never-verified names first, then a strict interleave of
+    changed-this-round and stalest-first stable names (``interleave``
+    changed per one stable).  Guarantees the i-th stalest stable name
+    appears within never + (i+1)*(interleave+1) positions, so the
+    driver's fixed window always reaches the stale tail."""
+    pos = {n: i for i, n in enumerate(names)}
+    key = lambda n: (verified.get(n, 0), pos[n])  # noqa: E731
+    never = [n for n in names if verified.get(n, 0) == 0]
+    chg = sorted(
+        (n for n in names if verified.get(n, 0) > 0 and n in changed), key=key
+    )
+    stable = sorted(
+        (n for n in names if verified.get(n, 0) > 0 and n not in changed),
+        key=key,
+    )
+    out = list(never)
+    ci = si = 0
+    while ci < len(chg) or si < len(stable):
+        for _ in range(interleave):
+            if ci < len(chg):
+                out.append(chg[ci])
+                ci += 1
+        if si < len(stable):
+            out.append(stable[si])
+            si += 1
+    return out
+
+
 def _ordered(registries: list[dict]) -> dict:
     merged: dict = {}
     for reg in registries:
         merged.update(reg)
-    verified = _green_rounds()
-    registry_pos = {name: i for i, name in enumerate(merged)}
-
-    def staleness(name: str):
-        last = verified.get(name, 0)
-        if last == 0:
-            tier = 0  # never driver-verified
-        elif name in _CHANGED_THIS_ROUND:
-            tier = 1  # changed this round
-        else:
-            tier = 2  # stable: stalest first
-        return (tier, last, registry_pos[name])
-
-    return {name: merged[name] for name in sorted(merged, key=staleness)}
+    order = _priority_order(
+        list(merged), _green_rounds(), frozenset(_CHANGED_THIS_ROUND)
+    )
+    return {name: merged[name] for name in order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -36,11 +36,11 @@ def test_entry_contract(spark):
 
 
 def test_entry_staleness_rotation():
-    """Registry order = verification priority (r4 verdict #4): queries
-    with no green driver row anywhere come first, then queries changed
-    this round, then everything else stalest-first — so under the
-    driver's 50-row budget each round's rows are exactly the stalest/
-    changed queries."""
+    """Registry order = verification priority (r4 verdict #4, r13
+    verdict #1): queries with no green driver row anywhere come first,
+    then a strict interleave of changed-this-round and stalest-first
+    stable queries — so under the driver's 50-row budget each round's
+    rows cover the changed set AND the stale tail."""
     import __spark_entry__ as e
 
     qs = list(e.queries())
@@ -52,12 +52,48 @@ def test_entry_staleness_rotation():
     for n in never:
         assert all(idx[n] < idx[c] for c in changed)
         assert all(idx[n] < idx[r] for r in rest)
-    for c in changed:
-        assert all(idx[c] < idx[r] for r in rest)
-    lasts = [green[q] for q in rest]
-    assert lasts == sorted(lasts), "stable queries not ordered stalest-first"
+    # each bucket internally stalest-first
+    for bucket in (changed, rest):
+        lasts = [green[q] for q in sorted(bucket, key=idx.get)]
+        assert lasts == sorted(lasts), "bucket not ordered stalest-first"
+    # interleave bound: the i-th stalest stable query sits within
+    # never + (i+1)*(interleave+1) positions, so a wide changed set
+    # can never push the stale tail out of a fixed window.
+    step = e._CHANGED_INTERLEAVE + 1
+    for i, q in enumerate(sorted(rest, key=idx.get)):
+        assert idx[q] <= len(never) + (i + 1) * step - 1, (
+            f"stable query {q} starved to position {idx[q]}"
+        )
     # the artifacts the rotation reads exist and parse
     assert green, "no CORRECTNESS_r*.json artifacts found"
+
+
+def test_priority_order_interleave_unit():
+    """r13 verdict #1 'done' criterion: a changed set of 60 plus two
+    four-round-stale queries must land the stale pair inside the
+    driver's 50-row window."""
+    import __spark_entry__ as e
+
+    changed = [f"chg_{i:02d}" for i in range(60)]
+    stale = ["stale_a", "stale_b"]
+    fresh = [f"ok_{i:02d}" for i in range(30)]
+    names = changed + stale + fresh
+    verified = {n: 12 for n in changed}
+    verified.update({n: 9 for n in stale})
+    verified.update({n: 13 for n in fresh})
+    order = e._priority_order(names, verified, frozenset(changed))
+    assert sorted(order) == sorted(names)
+    window = order[:50]
+    assert set(stale) <= set(window), f"stale pair starved: {window}"
+    # stalest-first inside the stable bucket: both r9 rows precede
+    # every r13 row.
+    pos = {n: i for i, n in enumerate(order)}
+    assert max(pos[s] for s in stale) < min(pos[f] for f in fresh)
+    # never-verified still leads everything
+    order2 = e._priority_order(
+        ["new_q"] + names, verified, frozenset(changed)
+    )
+    assert order2[0] == "new_q"
 
 
 def test_staleness_window_bounded():
