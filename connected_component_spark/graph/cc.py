@@ -345,18 +345,19 @@ def _small_star_counted(edges: DataFrame) -> tuple[DataFrame, int]:
     return grouped.select("src", "dst").distinct(), change
 
 
-#: adaptive salting (star_salts="auto"): salt count applied on a flip,
-#: and the flip trigger — the round's hot KEY must be both absolutely
-#: large (below this, one reducer absorbs it anyway) and far above the
-#: p99 (a flat-but-heavy profile is capacity, not skew).  Thresholds
-#: sit between the measured profiles: the r12 hub graph crosses at
-#: round 3 (max 45,979 / p99 6 ≈ 7,663×; wall 75.6 s fused → 39.1 s
-#: salted at 8), while the non-skewed clique benches peak at
-#: max 91 / p99 55 (1.7×) and never flip.
 #: round from which the kernel's stats barrier (persist of the round
 #: leaf) engages — see the note at _retire_prev_cache
 _STATS_BARRIER_FROM = 8
 
+#: adaptive salting (star_salts="auto"): _AUTO_SALTS is the salt count
+#: applied on a flip; _AUTO_SALT_MIN_HOT/_AUTO_SALT_RATIO are the flip
+#: trigger — the round's hot KEY must be both absolutely large (below
+#: MIN_HOT, one reducer absorbs it anyway) and far above the p99 (a
+#: flat-but-heavy profile is capacity, not skew).  Thresholds sit
+#: between the measured profiles: the r12 hub graph crosses at
+#: round 3 (max 45,979 / p99 6 ≈ 7,663×; wall 75.6 s fused → 39.1 s
+#: salted at 8), while the non-skewed clique benches peak at
+#: max 91 / p99 55 (1.7×) and never flip.
 _AUTO_SALTS = 8
 _AUTO_SALT_MIN_HOT = 10_000
 _AUTO_SALT_RATIO = 64

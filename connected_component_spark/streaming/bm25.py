@@ -195,59 +195,63 @@ class IncrementalBM25:
         n = self.batches_seen
         if self._store is not None:
             spark = self._spark = batch_docs.sparkSession
-            # the tf WRITE is the batch's SINGLE source evaluation
-            # (the r13 fold recipe): doc lengths are the per-doc sum
-            # of term frequencies and the impact bounds are per-token
-            # aggregates of tf ⋈ dl, so both derive from the landed
-            # tf leaf — a non-deterministic source can no longer land
-            # mutually inconsistent tf/dl tables (previously two
-            # independent evaluations).  The repartition spreads the
-            # dynamic-partition write across tasks (the annindex r12
-            # lesson: a single-task write serializes one file create
-            # per bucket); dl + tstat then land concurrently.
+            # the eager localCheckpoint is the batch's SINGLE source
+            # evaluation (r13 recipe, r13-verdict #2 shape): doc
+            # lengths are the per-doc sum of term frequencies and the
+            # impact bounds are per-token aggregates over dl-annotated
+            # postings, so both derive from the one materialized leaf
+            # — a non-deterministic source cannot land mutually
+            # inconsistent tables.  tf + dl + tstat then land in ONE
+            # concurrent write_many wave (three cheap scans of the
+            # in-memory leaf), replacing r13's serialized tf-write →
+            # dir-walk → read-back → dl/tstat wave, which doubled the
+            # per-fold cost paying for the bounds.  The (doc_id,
+            # token, tf, tbucket) rows are narrow — the fat-array
+            # caveat that steered the IVF fold to write+read-back does
+            # not apply.  The tbucket repartition happens BEFORE the
+            # checkpoint, so the tf write is a shuffle-free scan-out
+            # of the leaf that is already clustered for the dynamic-
+            # partition layout (annindex r12: a single-task write
+            # serializes one file create per bucket).
             width = min(
                 self.n_buckets, spark.sparkContext.defaultParallelism
             )
-            self._store.write(
-                "tf", n, tf_b.repartition(width, "tbucket"), ("tbucket",)
+            tf_b = tf_b.repartition(width, "tbucket").localCheckpoint(
+                eager=True
             )
             tables = ["dl"]
-            # an empty micro-batch must not LEDGER the partitioned
-            # dirs (a zero-row hive-partitioned write lands a
-            # _SUCCESS-only dir no reader can bind a schema to); the
-            # flat dl write keeps its schema and ledgers harmlessly.
-            # Emptiness derives from the write that already happened.
-            if self._store.batch_has_data("tf", n):
-                tf_leaf = self._store.read_batch(
-                    spark, "tf", n
-                ).withColumn("tbucket", F.col("tbucket").cast("int"))
-                dl_b = tf_leaf.groupBy("doc_id").agg(
-                    F.sum("tf").alias("dl")
-                )
-                tstat_b = self._tstat_of(tf_leaf, dl_b)
-                self._store.write_many(
-                    [
-                        ("dl", n, dl_b),
-                        (
-                            "tstat",
-                            n,
-                            tstat_b.repartition(width, "tbucket"),
-                            ("tbucket",),
-                        ),
-                    ]
-                )
-                tables.append("tf")
-                if self._store.batch_has_data("tstat", n):
-                    tables.append("tstat")
-                else:  # unreachable when tf has data, kept defensive
-                    self._store.discard_batch("tstat", n)
-            else:
-                self._store.discard_batch("tf", n)
-                self._store.write(
-                    "dl",
-                    n,
-                    spark.createDataFrame([], "doc_id long, dl long"),
-                )
+            try:
+                if not tf_b.isEmpty():
+                    dl_b = tf_b.groupBy("doc_id").agg(
+                        F.sum("tf").alias("dl")
+                    )
+                    tstat_b = self._tstat_of(tf_b)
+                    self._store.write_many(
+                        [
+                            ("tf", n, tf_b, ("tbucket",)),
+                            ("dl", n, dl_b),
+                            (
+                                "tstat",
+                                n,
+                                tstat_b.repartition(width, "tbucket"),
+                                ("tbucket",),
+                            ),
+                        ]
+                    )
+                    tables += ["tf", "tstat"]
+                else:
+                    # an empty micro-batch never writes the partitioned
+                    # dirs at all (a zero-row hive-partitioned write
+                    # lands a _SUCCESS-only dir no reader can bind a
+                    # schema to); the flat dl write keeps its schema
+                    # and ledgers harmlessly.
+                    self._store.write(
+                        "dl",
+                        n,
+                        spark.createDataFrame([], "doc_id long, dl long"),
+                    )
+            finally:
+                tf_b.unpersist()
             self._store.commit(
                 n,
                 self._params(),
@@ -268,7 +272,7 @@ class IncrementalBM25:
         tf_b = tf_b.localCheckpoint(eager=True)
         if not tf_b.isEmpty():
             dl_b = tf_b.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-            tstat_b = self._tstat_of(tf_b, dl_b)
+            tstat_b = self._tstat_of(tf_b)
             self._tf = tf_b if self._tf is None else self._tf.unionByName(tf_b)
             self._dl = dl_b if self._dl is None else self._dl.unionByName(dl_b)
             self._tstat = (
@@ -285,12 +289,20 @@ class IncrementalBM25:
         self._mem_guard.mark(epoch_id, epoch_lineage)
 
     @staticmethod
-    def _tstat_of(tf_b: DataFrame, dl_b: DataFrame) -> DataFrame:
+    def _tstat_of(tf_b: DataFrame) -> DataFrame:
         """Per-token impact bounds of ONE batch: df (list length),
         max term frequency, min document length — associative, so the
-        accumulated table re-aggregates to the corpus bounds."""
+        accumulated table re-aggregates to the corpus bounds.  The
+        doc length rides in as a window sum (one doc_id shuffle)
+        instead of a groupBy + join-back (two), shaving a shuffle off
+        the fold's slowest write (r14; values identical — dl is the
+        per-doc sum of tf either way)."""
+        from pyspark.sql import Window
+
         return (
-            tf_b.join(dl_b, "doc_id")
+            tf_b.withColumn(
+                "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+            )
             .groupBy("token", "tbucket")
             .agg(
                 F.count(F.lit(1)).alias("df"),
@@ -399,7 +411,15 @@ class IncrementalBM25:
         serve degrades to the unpruned plan.  ``last_prune_stats``
         records the split.  The per-term df used for idf comes from
         the stored tstat sums — identical integers to the probed
-        ``dft`` aggregate, so the float chain cannot drift."""
+        ``dft`` aggregate, so the float chain cannot drift.
+
+        Exactness additionally leans on the class's append-not-upsert
+        doc_id contract (advice r13): θ takes the k-th best partial by
+        row_number over (doc_id, token) posting rows, which equals the
+        k-th best PER-DOC partial only because doc_ids are unique
+        across batches.  An upserted doc would not merely double-count
+        its score (as :meth:`topk` would) — it would inflate θ past
+        the true k-th bound and prune genuinely essential lists."""
         import math
 
         from connected_component_spark.operators.text import roundd
@@ -521,9 +541,20 @@ class IncrementalBM25:
                 bm25_norm_col,
             )
 
+            star = tf_star.join(F.broadcast(pair_df), "token")
+            # candidate-bounded dl (advice r13): the θ job's doc set
+            # is bounded by the probed top-ub posting lists, so reduce
+            # the corpus-wide doc-length table to those doc_ids
+            # (broadcast semi-join — dl streams, no shuffle) and
+            # broadcast the reduced result, mirroring
+            # bm25_scores_from_index's max_df branch.
+            dl_star = F.broadcast(
+                self.dl.join(
+                    F.broadcast(star.select("doc_id").distinct()), "doc_id"
+                )
+            )
             partial = (
-                tf_star.join(F.broadcast(pair_df), "token")
-                .join(self.dl, "doc_id")
+                star.join(dl_star, "doc_id")
                 .join(F.broadcast(df_lit), "token")
                 .select(
                     "query_id",
@@ -630,9 +661,18 @@ class IncrementalBM25:
             k1,
             b,
         )
+        # candidate-bounded dl for the exact scoring join too (advice
+        # r13): candidates are bounded by the essential posting lists,
+        # so dl shrinks to the candidate doc_ids and broadcasts
+        # instead of shuffling corpus-wide.
+        dl_cand = F.broadcast(
+            self.dl.join(
+                F.broadcast(cand.select("doc_id").distinct()), "doc_id"
+            )
+        )
         contrib = (
             needed.join(tf_probed, ["doc_id", "token"])
-            .join(self.dl, "doc_id")
+            .join(dl_cand, "doc_id")
             .join(F.broadcast(df_all), "token")
             .select(
                 "query_id",
