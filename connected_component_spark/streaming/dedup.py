@@ -339,10 +339,16 @@ class IncrementalDedup:
         # and the leaf read is free — it IS the next fold's state
         # binding.)  The remaining band + results writes then land in
         # one concurrent wave.
+        # a micro-batch staged as one file arrives as ONE partition, so
+        # without the repartition the shingle+encode wave runs on a
+        # single task; hashing on doc_id spreads it across the cores
+        # (hash, not round-robin: RoundRobinPartitioning pays a local
+        # sort for determinism) at the cost of a narrow text exchange
+        width = min(16, spark.sparkContext.defaultParallelism)
         store.write(
             "sh",
             n,
-            batch_docs.select(
+            batch_docs.repartition(width, "doc_id").select(
                 "doc_id",
                 word_shingles(F.col("text"), self.shingle_k).alias("sh"),
             ),
