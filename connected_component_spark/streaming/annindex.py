@@ -38,6 +38,7 @@ from connected_component_spark.operators.similarity import (
 )
 from connected_component_spark.streaming.store import (
     CONSOLIDATE_EVERY,
+    LazyBindings,
     MemEpochGuard,
     ParquetStateStore,
     run_state_stream,
@@ -49,7 +50,7 @@ __all__ = ["IncrementalIVF", "run_vec_stream"]
 _CONSOLIDATE_EVERY = CONSOLIDATE_EVERY
 
 
-class IncrementalIVF:
+class IncrementalIVF(LazyBindings):
     """Mutable IVF index folded over embedding micro-batches against a
     FIXED coarse codebook (``centroids``: a (id_col, vec_col)
     DataFrame, e.g. ``operators/clustering.py:kmeans_centroids``
@@ -78,8 +79,7 @@ class IncrementalIVF:
         self.codebook = centroids
         self._dim: int | None = None
         self._ncells_cached: int | None = None
-        self._index: DataFrame | None = None  # (id, vec, cell)
-        self._index_stale = False  # durable path: re-read on next access
+        self._init_bindings(("index",))  # (id, vec, cell)
         self.batches_seen = 0
         self._mem_guard = MemEpochGuard()
         self._store: ParquetStateStore | None = None
@@ -95,14 +95,16 @@ class IncrementalIVF:
     @property
     def index(self) -> DataFrame | None:
         """The committed (id, vec, cell) index.  On the durable path
-        the parquet read is LAZY (r12): folds only mark the view
-        stale, and the one basePath-discovery scan happens on first
-        access after the fold — per-fold re-reads used to cost one
-        file-listing + schema job each, growing with state size."""
-        if self._index_stale:
-            self._index = self._read_index(self.codebook.sparkSession)
-            self._index_stale = False
-        return self._index
+        the parquet read is LAZY (r12, shared LazyBindings contract
+        since r14): folds only mark the view stale, and the one
+        basePath-discovery scan happens on first access after the
+        fold — per-fold re-reads used to cost one file-listing +
+        schema job each, growing with state size."""
+        return self._binding("index")
+
+    @index.setter
+    def index(self, df: DataFrame | None) -> None:
+        self._set_binding("index", df)
 
     def _params(self) -> dict:
         return {"id_col": self.id_col, "vec_col": self.vec_col}
@@ -166,13 +168,15 @@ class IncrementalIVF:
         self.batches_seen = m["batches"]
         # servable immediately; the actual parquet bind happens on
         # first .index access (lazy, r12)
-        self._index_stale = True
+        self._mark_stale()
         return self
 
-    def _read_index(self, spark: SparkSession) -> DataFrame | None:
+    def _read_binding(self, table: str) -> DataFrame | None:
         """The committed index with ``cell`` restored to long —
         hive-partition value inference types small ids as int."""
-        df = self._store.read(spark, "index", self.batches_seen)
+        df = self._store.read(
+            self.codebook.sparkSession, table, self.batches_seen
+        )
         if df is None:
             return None
         return df.withColumn("cell", F.col("cell").cast("long"))
@@ -279,7 +283,7 @@ class IncrementalIVF:
                 self._store.compact(spark)
             # the committed view is re-read LAZILY on next .index
             # access (r12) — a fold-only stream never pays the read
-            self._index_stale = True
+            self._mark_stale()
             if n == 0:
                 self.codebook = self._store.read(spark, "codebook", 1)
             return
@@ -288,14 +292,10 @@ class IncrementalIVF:
         # extra evaluation of the batch plan
         indexed = indexed.localCheckpoint(eager=True)
         if not indexed.isEmpty():
-            self._index = (
-                indexed
-                if self._index is None
-                else self._index.unionByName(indexed)
-            )
+            self._extend_binding("index", indexed)
         self.batches_seen = n + 1
-        if self.batches_seen % _CONSOLIDATE_EVERY == 0 and self._index is not None:
-            self._index = self._index.localCheckpoint(eager=True)
+        if self.batches_seen % _CONSOLIDATE_EVERY == 0 and self.index is not None:
+            self.index = self.index.localCheckpoint(eager=True)
         # mark ONLY after the fold's actions succeeded - marking first
         # would classify a failed fold's retry (incl. one stopped by
         # the width guard) as a replay (review r11)

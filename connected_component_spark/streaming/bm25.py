@@ -53,6 +53,7 @@ from connected_component_spark.operators.text import (
 )
 from connected_component_spark.streaming.store import (
     CONSOLIDATE_EVERY,
+    LazyBindings,
     MemEpochGuard,
     ParquetStateStore,
     run_state_stream,
@@ -64,7 +65,7 @@ __all__ = ["IncrementalBM25", "run_doc_index_stream"]
 _CONSOLIDATE_EVERY = CONSOLIDATE_EVERY
 
 
-class IncrementalBM25:
+class IncrementalBM25(LazyBindings):
     """Mutable inverted-index state folded over (doc_id, text)
     micro-batches.  With ``state_dir`` the posting lists and document
     lengths are parquet-backed and crash-durable; resume with
@@ -78,10 +79,9 @@ class IncrementalBM25:
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         self.n_buckets = n_buckets
-        self._tf: DataFrame | None = None  # (doc_id, token, tf, tbucket)
-        self._dl: DataFrame | None = None  # (doc_id, dl)
-        self._tstat: DataFrame | None = None  # (token, df, max_tf, min_dl, tbucket)
-        self._state_stale = False  # durable path: re-read on next access
+        # tf: (doc_id, token, tf, tbucket); dl: (doc_id, dl);
+        # tstat: (token, df, max_tf, min_dl, tbucket)
+        self._init_bindings(("tf", "dl", "tstat"))
         #: serve telemetry of the last :meth:`topk_pruned` call —
         #: {"queries", "essential_pairs", "skipped_pairs"}; the
         #: pruning-evidence record the declared row/test pins
@@ -102,38 +102,32 @@ class IncrementalBM25:
     @property
     def tf(self) -> DataFrame | None:
         """The committed posting lists.  On the durable path the
-        parquet read is LAZY (the annindex r12 pattern): folds only
-        mark the view stale; the one basePath-discovery scan happens
-        on first access after the fold."""
-        self._refresh()
-        return self._tf
+        parquet read is LAZY (the annindex r12 pattern, shared
+        LazyBindings contract since r14): folds only mark the view
+        stale; the one basePath-discovery scan happens on first
+        access after the fold."""
+        return self._binding("tf")
 
     @property
     def dl(self) -> DataFrame | None:
         """The committed doc-length table (lazy like :attr:`tf`)."""
-        self._refresh()
-        return self._dl
+        return self._binding("dl")
 
     @property
     def tstat(self) -> DataFrame | None:
         """The committed per-token impact bounds (lazy like
         :attr:`tf`); None on a pre-r13 state dir that never stored
         them."""
-        self._refresh()
-        return self._tstat
+        return self._binding("tstat")
 
-    def _refresh(self) -> None:
-        if self._state_stale:
-            spark = self._spark or SparkSession.getActiveSession()
-            self._tf = self._read_tf(spark)
-            self._dl = self._store.read(spark, "dl", self.batches_seen)
-            ts = self._store.read(spark, "tstat", self.batches_seen)
-            self._tstat = (
-                None
-                if ts is None
-                else ts.withColumn("tbucket", F.col("tbucket").cast("int"))
-            )
-            self._state_stale = False
+    def _read_binding(self, table: str) -> DataFrame | None:
+        """One committed-view read; ``tbucket`` restored to int —
+        hive-partition value inference types it from the dir names."""
+        spark = self._spark or SparkSession.getActiveSession()
+        df = self._store.read(spark, table, self.batches_seen)
+        if df is None or table == "dl":
+            return df
+        return df.withColumn("tbucket", F.col("tbucket").cast("int"))
 
     def _params(self) -> dict:
         return {"n_buckets": self.n_buckets}
@@ -153,17 +147,8 @@ class IncrementalBM25:
         self.batches_seen = m["batches"]
         # retrievable immediately; the parquet bind happens on first
         # .tf/.dl access (lazy)
-        self._state_stale = True
+        self._mark_stale()
         return self
-
-    def _read_tf(self, spark: SparkSession) -> DataFrame | None:
-        """The committed posting lists with ``tbucket`` restored to
-        int — hive-partition value inference types it from the dir
-        names."""
-        df = self._store.read(spark, "tf", self.batches_seen)
-        if df is None:
-            return None
-        return df.withColumn("tbucket", F.col("tbucket").cast("int"))
 
     def _bucket(self, token_col) -> F.Column:
         return F.pmod(F.xxhash64(token_col), F.lit(self.n_buckets)).cast(
@@ -265,7 +250,7 @@ class IncrementalBM25:
                 self._store.compact(spark)
             # re-read LAZILY on next .tf/.dl access — a fold-only
             # stream never pays the read
-            self._state_stale = True
+            self._mark_stale()
             return
         # in-session: the checkpointed tf leaf is the single source
         # evaluation; dl/tstat accumulate as plans over the leaves
@@ -273,18 +258,16 @@ class IncrementalBM25:
         if not tf_b.isEmpty():
             dl_b = tf_b.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
             tstat_b = self._tstat_of(tf_b)
-            self._tf = tf_b if self._tf is None else self._tf.unionByName(tf_b)
-            self._dl = dl_b if self._dl is None else self._dl.unionByName(dl_b)
-            self._tstat = (
-                tstat_b
-                if self._tstat is None
-                else self._tstat.unionByName(tstat_b)
-            )
+            self._extend_binding("tf", tf_b)
+            self._extend_binding("dl", dl_b)
+            self._extend_binding("tstat", tstat_b)
         self.batches_seen = n + 1
-        if self.batches_seen % _CONSOLIDATE_EVERY == 0 and self._tf is not None:
-            self._tf = self._tf.localCheckpoint(eager=True)
-            self._dl = self._dl.localCheckpoint(eager=True)
-            self._tstat = self._tstat.localCheckpoint(eager=True)
+        if self.batches_seen % _CONSOLIDATE_EVERY == 0 and self.tf is not None:
+            self._set_binding("tf", self.tf.localCheckpoint(eager=True))
+            self._set_binding("dl", self.dl.localCheckpoint(eager=True))
+            self._set_binding(
+                "tstat", self.tstat.localCheckpoint(eager=True)
+            )
         # mark ONLY after the fold's actions succeeded (review r11)
         self._mem_guard.mark(epoch_id, epoch_lineage)
 

@@ -40,6 +40,7 @@ from connected_component_spark.operators.dedup import (
 )
 from connected_component_spark.streaming.store import (
     CONSOLIDATE_EVERY,
+    LazyBindings,
     MemEpochGuard,
     ParquetStateStore,
 )
@@ -52,7 +53,7 @@ __all__ = ["IncrementalDedup", "run_doc_stream"]
 _CONSOLIDATE_EVERY = CONSOLIDATE_EVERY
 
 
-class IncrementalDedup:
+class IncrementalDedup(LazyBindings):
     """Mutable running near-dedup state folded over document
     micro-batches.  The FIRST batch seeds the corpus and emits no
     classifications (there is nothing prior to compare against);
@@ -79,18 +80,13 @@ class IncrementalDedup:
         self.rows_per_band = num_hashes // bands
         self.shingle_k = shingle_k
         self.threshold = threshold
-        self._band_state: DataFrame | None = None  # (doc_id, band, bucket)
-        self._set_state: DataFrame | None = None  # (doc_id, sh)
-        self._results: DataFrame | None = None  # (doc_id, status, canonical)
-        # durable path: committed state is re-read LAZILY on property
-        # access (the IVF fold recipe, r13) — folds only mark the
-        # views stale, so a fold-only stream never pays the per-fold
-        # file-listing + schema jobs the eager re-reads used to cost.
-        # _state_stale (set by load()/compact) forces a full re-read
-        # of every table; _results_stale (set per fold) re-reads only
-        # `results` — band/sh bindings are extended incrementally.
-        self._state_stale = False
-        self._results_stale = False
+        # band: (doc_id, band, bucket); sh: (doc_id, sh);
+        # results: (doc_id, status, canonical).  Durable path:
+        # committed state is re-read LAZILY on property access (the
+        # IVF fold recipe r13, shared LazyBindings contract since
+        # r14) — folds only mark views stale; between compactions the
+        # band/sh bindings are extended incrementally instead.
+        self._init_bindings(("band", "sh", "results"))
         self._spark: SparkSession | None = None
         self.batches_seen = 0
         # in-session replay guard (same contract as the durable
@@ -114,51 +110,36 @@ class IncrementalDedup:
             "threshold": self.threshold,
         }
 
-    def _refresh(self) -> None:
-        """Bind the state views to the committed parquet (one read per
-        table, deferred to first access after load()/compaction)."""
+    def _read_binding(self, table: str) -> DataFrame | None:
+        """One committed-view read, deferred to first access after
+        load()/compaction/fold."""
         store, spark = self._store, self._spark
         assert store is not None and spark is not None
-        self._band_state = store.read(spark, "band", self.batches_seen)
-        self._set_state = store.read(spark, "sh", self.batches_seen)
-        self._results = store.read(spark, "results", self.batches_seen)
-        self._state_stale = False
-        self._results_stale = False
+        return store.read(spark, table, self.batches_seen)
 
     @property
     def band_state(self) -> DataFrame | None:
-        if self._state_stale:
-            self._refresh()
-        return self._band_state
+        return self._binding("band")
 
     @band_state.setter
     def band_state(self, df: DataFrame | None) -> None:
-        self._band_state = df
+        self._set_binding("band", df)
 
     @property
     def set_state(self) -> DataFrame | None:
-        if self._state_stale:
-            self._refresh()
-        return self._set_state
+        return self._binding("sh")
 
     @set_state.setter
     def set_state(self, df: DataFrame | None) -> None:
-        self._set_state = df
+        self._set_binding("sh", df)
 
     @property
     def results(self) -> DataFrame | None:
-        if self._state_stale:
-            self._refresh()
-        elif self._results_stale:
-            self._results = self._store.read(
-                self._spark, "results", self.batches_seen
-            )
-            self._results_stale = False
-        return self._results
+        return self._binding("results")
 
     @results.setter
     def results(self, df: DataFrame | None) -> None:
-        self._results = df
+        self._set_binding("results", df)
 
     @classmethod
     def load(cls, spark: SparkSession, state_dir: str) -> IncrementalDedup:
@@ -182,7 +163,7 @@ class IncrementalDedup:
         self.batches_seen = m["batches"]
         # servable immediately; the parquet binds happen on first
         # state access (lazy, the IVF load recipe)
-        self._state_stale = True
+        self._mark_stale()
         return self
 
     def _batch_classification(
@@ -389,25 +370,18 @@ class IncrementalDedup:
         # rebuilt from the new manifest (lazily).
         if self.batches_seen % _CONSOLIDATE_EVERY == 0:
             store.compact(spark)
-            self._state_stale = True
+            self._mark_stale()
             return
         # between compactions the committed dirs are immutable:
         # extend the existing bindings with the batch leaves already
         # in hand instead of re-listing the whole table per fold (the
-        # lazy stale-refresh still covers first access after load())
-        if not self._state_stale:
-            new_band = store.read_batch(spark, "band", n)
-            self._band_state = (
-                new_band
-                if self._band_state is None
-                else self._band_state.unionByName(new_band)
-            )
-            self._set_state = (
-                sh_b
-                if self._set_state is None
-                else self._set_state.unionByName(sh_b)
-            )
-            self._results_stale = True
+        # lazy stale-refresh still covers first access after load());
+        # sh_b already IS the committed leaf read (the fold's single
+        # evaluation), so it binds directly
+        if self._binding_current("band"):
+            self._extend_binding("band", store.read_batch(spark, "band", n))
+        self._extend_binding("sh", sh_b)
+        self._mark_stale("results")
 
 
 def run_doc_stream(

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "ParquetStateStore",
     "MemEpochGuard",
+    "LazyBindings",
     "CONSOLIDATE_EVERY",
     "run_state_stream",
     "timed_fold",
@@ -116,6 +117,72 @@ class MemEpochGuard:
         if epoch_id is not None:
             self._last = epoch_id
             self._lineage = epoch_lineage
+
+
+class LazyBindings:
+    """Lazy committed-view bindings for the durable incremental
+    operators, single-sourced (r13 review / r14 verdict #7 — dedup
+    and winnow carried an incremental-extension variant while bm25
+    and annindex carried a stale-flag re-read variant; the r11/r12
+    serve-determinism bugs came exactly from such drift).
+
+    Contract: a binding is the operator's in-memory DataFrame view of
+    one committed state table.  Folds and ``load()``/``compact()``
+    never re-read state eagerly — they call :meth:`_mark_stale`, and
+    the one committed-view read per table happens on the next
+    :meth:`_binding` access (the annindex r12 lesson: eager per-fold
+    re-reads cost one file-listing + schema job each, growing with
+    stream age).  Between compactions the committed dirs are
+    immutable, so a fold that already holds the batch's leaf may
+    :meth:`_extend_binding` instead — extending a CURRENT binding
+    with one leaf read replaces re-listing the whole table.
+
+    Subclasses call ``_init_bindings(tables)`` in ``__init__`` and
+    implement ``_read_binding(table) -> DataFrame | None`` (the one
+    committed-view read, operator casts applied)."""
+
+    def _init_bindings(self, tables: tuple[str, ...]) -> None:
+        self._binding_tables = tables
+        self._bound: dict[str, DataFrame | None] = {
+            t: None for t in tables
+        }
+        self._stale: set[str] = set()
+
+    def _read_binding(self, table: str) -> DataFrame | None:
+        raise NotImplementedError  # pragma: no cover - subclass hook
+
+    def _binding(self, table: str) -> DataFrame | None:
+        if table in self._stale:
+            self._bound[table] = self._read_binding(table)
+            self._stale.discard(table)
+        return self._bound[table]
+
+    def _set_binding(self, table: str, df: DataFrame | None) -> None:
+        """Direct assignment (the in-session path, or a fold that just
+        computed the exact new view) — the binding is CURRENT."""
+        self._bound[table] = df
+        self._stale.discard(table)
+
+    def _extend_binding(self, table: str, leaf: DataFrame) -> None:
+        """Append one committed batch leaf to a CURRENT binding (no-op
+        fallback to stale if the binding was already stale — extending
+        a stale binding would resurrect a pre-compaction view)."""
+        if table in self._stale:
+            return  # next access re-reads the full committed view
+        cur = self._bound.get(table)
+        self._bound[table] = (
+            leaf if cur is None else cur.unionByName(leaf)
+        )
+
+    def _mark_stale(self, *tables: str) -> None:
+        """Invalidate bindings (all of them when called bare)."""
+        self._stale.update(tables or self._binding_tables)
+
+    def _binding_current(self, table: str) -> bool:
+        """Whether the binding can be extended in place — lets a fold
+        skip even CONSTRUCTING the batch-leaf read when the binding is
+        stale anyway (a parquet read is a schema-inference touch)."""
+        return table not in self._stale
 
 
 class ParquetStateStore:

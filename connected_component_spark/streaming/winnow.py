@@ -51,6 +51,7 @@ from connected_component_spark.operators.dedup import (
 )
 from connected_component_spark.streaming.store import (
     CONSOLIDATE_EVERY,
+    LazyBindings,
     MemEpochGuard,
     ParquetStateStore,
 )
@@ -63,7 +64,7 @@ __all__ = ["IncrementalWinnow", "run_winnow_stream"]
 _CONSOLIDATE_EVERY = CONSOLIDATE_EVERY
 
 
-class IncrementalWinnow:
+class IncrementalWinnow(LazyBindings):
     """Mutable running passage-dedup state folded over document
     micro-batches.  The FIRST batch seeds the corpus and emits no
     classifications; every later batch appends one row per batch doc
@@ -97,15 +98,12 @@ class IncrementalWinnow:
         self.window = window
         self.min_shared = min_shared
         self.max_state_df = max_state_df
-        self._fp_state: DataFrame | None = None  # (doc_id, fp)
-        self._results: DataFrame | None = None  # (doc_id, status, canonical)
-        # durable path: committed state is re-read LAZILY on property
-        # access (the IVF fold recipe, r13) — folds only mark the
-        # views stale.  _state_stale (load()/compact) forces a full
-        # re-read; _results_stale (per fold) re-reads only `results` —
-        # the fp binding is extended incrementally between compactions.
-        self._state_stale = False
-        self._results_stale = False
+        # fp: (doc_id, fp); results: (doc_id, status, canonical).
+        # Durable path: committed state is re-read LAZILY on property
+        # access (the IVF fold recipe r13, shared LazyBindings
+        # contract since r14) — folds only mark views stale; between
+        # compactions the fp binding is extended incrementally.
+        self._init_bindings(("fp", "results"))
         self._spark: SparkSession | None = None
         self.batches_seen = 0
         # in-session replay guard (same contract as the durable
@@ -129,40 +127,28 @@ class IncrementalWinnow:
             "max_state_df": self.max_state_df,
         }
 
-    def _refresh(self) -> None:
-        """Bind the state views to the committed parquet (one read per
-        table, deferred to first access after load()/compaction)."""
+    def _read_binding(self, table: str) -> DataFrame | None:
+        """One committed-view read, deferred to first access after
+        load()/compaction/fold."""
         store, spark = self._store, self._spark
         assert store is not None and spark is not None
-        self._fp_state = store.read(spark, "fp", self.batches_seen)
-        self._results = store.read(spark, "results", self.batches_seen)
-        self._state_stale = False
-        self._results_stale = False
+        return store.read(spark, table, self.batches_seen)
 
     @property
     def fp_state(self) -> DataFrame | None:
-        if self._state_stale:
-            self._refresh()
-        return self._fp_state
+        return self._binding("fp")
 
     @fp_state.setter
     def fp_state(self, df: DataFrame | None) -> None:
-        self._fp_state = df
+        self._set_binding("fp", df)
 
     @property
     def results(self) -> DataFrame | None:
-        if self._state_stale:
-            self._refresh()
-        elif self._results_stale:
-            self._results = self._store.read(
-                self._spark, "results", self.batches_seen
-            )
-            self._results_stale = False
-        return self._results
+        return self._binding("results")
 
     @results.setter
     def results(self, df: DataFrame | None) -> None:
-        self._results = df
+        self._set_binding("results", df)
 
     @classmethod
     def load(cls, spark: SparkSession, state_dir: str) -> IncrementalWinnow:
@@ -186,7 +172,7 @@ class IncrementalWinnow:
         self.batches_seen = m["batches"]
         # servable immediately; the parquet binds happen on first
         # state access (lazy, the IVF load recipe)
-        self._state_stale = True
+        self._mark_stale()
         return self
 
     def _batch_classification(
@@ -342,19 +328,14 @@ class IncrementalWinnow:
         # Compaction rewrites/deletes dirs: rebuild bindings lazily.
         if self.batches_seen % _CONSOLIDATE_EVERY == 0:
             store.compact(spark)
-            self._state_stale = True
+            self._mark_stale()
             return
         # between compactions the committed dirs are immutable:
         # extend the fp binding with ONE leaf read instead of
         # re-listing the whole table per fold
-        if not self._state_stale:
-            new_fp = store.read_batch(spark, "fp", n)
-            self._fp_state = (
-                new_fp
-                if self._fp_state is None
-                else self._fp_state.unionByName(new_fp)
-            )
-            self._results_stale = True
+        if self._binding_current("fp"):
+            self._extend_binding("fp", store.read_batch(spark, "fp", n))
+        self._mark_stale("results")
 
 
 def run_winnow_stream(

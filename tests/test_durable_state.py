@@ -813,8 +813,7 @@ def test_bm25_pruned_serve_rejects_pre_tstat_state(spark, tmp_path):
     idx.update(docs, epoch_id=0)
     # simulate the pre-r13 layout: drop tstat from the committed view
     resumed = IncrementalBM25.load(spark, str(tmp_path / "old"))
-    resumed._refresh()
-    resumed._tstat = None
+    resumed._set_binding("tstat", None)
     q = spark.createDataFrame(
         [(0, "alpha")], "query_id long, query_text string"
     )
