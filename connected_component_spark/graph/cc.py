@@ -278,6 +278,82 @@ def _set_fingerprint(pairs: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _set_fingerprint_with_skew(
+    pairs: DataFrame,
+) -> tuple[tuple[int, int], dict]:
+    """:func:`_set_fingerprint` plus a DST-side degree profile, fused
+    into ONE action (r13 verdict #6 — auto-salt mode used to pay the
+    skew profile as a separate per-round job, which kept it off the
+    serving default): one groupBy(dst) aggregation re-aggregated to 4
+    scalars yields the exact fingerprint (each pair counted once, no
+    halving) AND the profile of the column where round-output skew
+    structurally lives.
+
+    Why dst-only suffices for the FLIP decision (unlike
+    :func:`_key_skew`'s bidirectional reducer profile, which the
+    telemetry record keeps): the probe always runs on a ROUND OUTPUT
+    — a small-star-shaped (node, component-min) pair set in which
+    each node appears as src a bounded number of times (its current
+    star targets, ~1), while a converging hub accumulates its whole
+    component's rows on the DST column.  The bidirectional reducer
+    degree of the hot key is therefore dst_deg + O(1), so
+    thresholding dst_deg against the same constants preserves the
+    calibrated margins (hub 45,979 vs clique-bench ≤91 — 3 orders of
+    magnitude).
+
+    The profile is SAMPLED (the fingerprint is not): only pairs in a
+    deterministic 1/``_PROBE_SAMPLE_MOD`` hash slice keep their real
+    dst as the grouping key; the rest fold into ``_PROBE_SPREAD``
+    fixed hash buckets that carry their count/hash mass for the
+    fingerprint but are excluded from the degree scalars.  Map-side
+    combine then shuffles ~1/MOD of the distinct keys plus SPREAD
+    rows per partition instead of every key — measured as the
+    difference between a ~9% and a ~3% auto-mode tax on the
+    non-skewed kernel bench.  Degree scalars are rescaled by MOD, so
+    callers threshold on the same (approximate) true-scale numbers;
+    Binomial noise at the ``_AUTO_SALT_MIN_HOT`` boundary is ~3%
+    relative, far inside the threshold's order-of-magnitude margins.
+    """
+    h = F.xxhash64("src", "dst")
+    is_probe = F.pmod(h, F.lit(_PROBE_SAMPLE_MOD)) == 0
+    row = (
+        pairs.select(
+            is_probe.alias("p"),
+            F.when(is_probe, F.col("dst"))
+            .otherwise(F.pmod(h, F.lit(_PROBE_SPREAD)))
+            .alias("k"),
+            h.cast("decimal(20,0)").alias("h"),
+        )
+        .groupBy("p", "k")
+        .agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.sum("h").cast("decimal(38,0)").alias("hsum"),
+        )
+        .agg(
+            F.sum("deg").alias("n"),
+            F.coalesce(F.sum("hsum"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("h"),
+            F.max(F.when(F.col("p"), F.col("deg"))).alias("mx"),
+            F.percentile_approx(
+                F.when(F.col("p"), F.col("deg")), [0.5, 0.99], 10_000
+            ).alias("pct"),
+        )
+        .first()
+    )
+    if row["n"] is None or int(row["n"]) == 0:  # empty pair set
+        return (0, 0), {"max": 0, "p50": 0, "p99": 0}
+    fp = (int(row["n"]), int(row["h"]))
+    if row["mx"] is None:  # tiny set, no pair in the probe slice
+        return fp, {"max": 0, "p50": 0, "p99": 0}
+    profile = {
+        "max": int(row["mx"]) * _PROBE_SAMPLE_MOD,
+        "p50": int(row["pct"][0]) * _PROBE_SAMPLE_MOD,
+        "p99": int(row["pct"][1]) * _PROBE_SAMPLE_MOD,
+    }
+    return fp, profile
+
+
 def _reference_change_count(new_pairs_grouped: DataFrame, directed_old: DataFrame) -> int:
     """Literal port of the reference change metric for one star step.
 
@@ -350,17 +426,29 @@ def _small_star_counted(edges: DataFrame) -> tuple[DataFrame, int]:
 _STATS_BARRIER_FROM = 8
 
 #: adaptive salting (star_salts="auto"): _AUTO_SALTS is the salt count
-#: applied on a flip; _AUTO_SALT_MIN_HOT/_AUTO_SALT_RATIO are the flip
+#: applied on a flip; _AUTO_SALT_MIN_HOT/_AUTO_SALT_SHARE are the flip
 #: trigger — the round's hot KEY must be both absolutely large (below
-#: MIN_HOT, one reducer absorbs it anyway) and far above the p99 (a
-#: flat-but-heavy profile is capacity, not skew).  Thresholds sit
-#: between the measured profiles: the r12 hub graph crosses at
-#: round 3 (max 45,979 / p99 6 ≈ 7,663×; wall 75.6 s fused → 39.1 s
-#: salted at 8), while the non-skewed clique benches peak at
-#: max 91 / p99 55 (1.7×) and never flip.
+#: MIN_HOT, one reducer absorbs it anyway) and hold at least
+#: 1/SHARE of the round's TOTAL pairs (r14; a flat-but-heavy profile
+#: spreads across reducers — that is capacity, not skew — while a key
+#: carrying ≥3% of all rows is a straggler at ANY cluster width).
+#: The share rule replaced the r12 max/p99 ratio when the probe moved
+#: to the fused dst-side aggregation: dst keys thin out exactly as a
+#: hub converges, so a dst-side percentile approaches the max and the
+#: ratio goes blind; the total pair count rides the same aggregation
+#: for free and normalizes the same profiles (r12 hub: max 45,979 of
+#: ~1M pairs ≈ 1/22 crosses; clique benches: max ≤91 of ≥1M pairs
+#: never comes close).
 _AUTO_SALTS = 8
 _AUTO_SALT_MIN_HOT = 10_000
-_AUTO_SALT_RATIO = 64
+_AUTO_SALT_SHARE = 32
+
+#: fused auto-salt probe (_set_fingerprint_with_skew): fraction of
+#: pairs (1/MOD, deterministic by pair hash) whose dst feeds the
+#: degree profile, and the fixed bucket count the remaining rows'
+#: fingerprint mass folds into
+_PROBE_SAMPLE_MOD = 8
+_PROBE_SPREAD = 1024
 
 
 def connected_components(
@@ -370,7 +458,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     skew_telemetry: bool = False,
     shuffle_telemetry: bool = False,
-    star_salts: int | None | Literal["auto"] = None,
+    star_salts: int | None | Literal["auto"] = "auto",
 ) -> CCResult:
     """Compute connected components of an undirected edge list.
 
@@ -395,27 +483,32 @@ def connected_components(
     dedup_embedding_clusters drift) — bench/diagnostic cost that
     serving queries must not pay.
 
-    ``star_salts`` opts the large-star rounds into the skew-safe
-    salted layout (see :func:`large_star`) for converged-hub
-    topologies where the fused single-shuffle layout concentrates a
-    giant component's degree on one reducer.  Results are identical;
-    applies to the default stable-set convergence (the
-    reference-counts mode is a literal parity twin and stays on the
-    fused layout).
+    ``star_salts`` selects the large-star layout (see
+    :func:`large_star`): an int opts into the skew-safe salted layout
+    from round 1, for converged-hub topologies where the fused
+    single-shuffle layout concentrates a giant component's degree on
+    one reducer; ``None`` forces the fused layout for the whole run.
+    Results are identical; applies to the default stable-set
+    convergence (the reference-counts mode is a literal parity twin
+    and stays on the fused layout).
 
-    ``star_salts="auto"`` (verdict r12 #3) closes the loop the static
+    ``star_salts="auto"`` — the DEFAULT since r14 (verdict r13 #6) —
+    closes the loop the static
     opt-in left open — at 100 TB the topology is not known a priori:
     the kernel starts fused, reads its own per-round reducer-skew
     profile, and FLIPS to the salted layout for all later rounds when
-    the hot key crosses ``_AUTO_SALT_MIN_HOT`` rows AND
-    ``_AUTO_SALT_RATIO``× the p99 (thresholds sit between the
-    measured hub-graph and clique-bench profiles; AQE measurably
+    the hot key crosses ``_AUTO_SALT_MIN_HOT`` rows AND holds at
+    least 1/``_AUTO_SALT_SHARE`` of the round's total pairs
+    (thresholds sit between the measured hub-graph and clique-bench
+    profiles; AQE measurably
     cannot split this reducer — see :func:`large_star`).  Rosters are
     identical either way (salting is a physical rewrite); the flip
-    round is recorded as ``CCResult.salted_from_round``.  Auto mode
-    pays the skew-profile aggregation every pre-flip round — the same
-    job ``skew_telemetry`` runs — which is why it is not the default
-    for fixture-scale serving queries.
+    round is recorded as ``CCResult.salted_from_round``.  The probe
+    is free of extra jobs (r14): pre-flip rounds compute the skew
+    profile INSIDE the round's single fingerprint action
+    (:func:`_set_fingerprint_with_skew`), so auto mode is safe as the
+    serving default — the only residual cost is the probe's per-key
+    groupBy riding the round's aggregation shuffle.
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:
@@ -516,7 +609,21 @@ def connected_components(
                 barrier = iterations >= _STATS_BARRIER_FROM
                 if barrier:
                     pairs = pairs.persist()
-                fp = _set_fingerprint(pairs)
+                probe_skew = auto_salt and active_salts is None
+                profile: dict | None = None
+                if probe_skew:
+                    # the auto-salt probe rides INSIDE the round's one
+                    # action (r14): the dst-side skew profile shares
+                    # the fingerprint aggregation, so pre-flip rounds
+                    # pay no separate job — what kept auto off the
+                    # serving default.  Always the probe's profile
+                    # source, so turning telemetry on cannot change
+                    # flip behavior.  (Its per-dst groupBy does ride
+                    # the round's shuffle-byte delta; honest — it IS
+                    # part of the round's action now.)
+                    fp, profile = _set_fingerprint_with_skew(pairs)
+                else:
+                    fp = _set_fingerprint(pairs)
                 if barrier:
                     _retire_prev_cache(pairs)
                 round_counts.append(fp[0])
@@ -527,32 +634,18 @@ def connected_components(
                         shuffle_before = after
                     else:
                         shuffle_before = None
-                # skew telemetry runs AFTER the shuffle-byte delta is
-                # taken, then re-baselines the counter: its own
-                # union+groupBy shuffle must appear in neither this
-                # round's delta nor the next one's — round_shuffle_bytes
-                # stays comparable whether telemetry is on or off
-                # (review r7).  Auto-salting consumes the same profile
-                # (computed once per round); it stops paying the job
-                # once flipped unless telemetry still wants the record.
-                need_skew = skew_telemetry or (
-                    auto_salt and active_salts is None
-                )
-                if need_skew:
-                    profile = _key_skew(pairs)
-                    if skew_telemetry:
-                        round_skew.append(profile)
-                    if (
-                        auto_salt
-                        and active_salts is None
-                        and profile["max"] >= _AUTO_SALT_MIN_HOT
-                        and profile["max"]
-                        >= _AUTO_SALT_RATIO * max(profile["p99"], 1)
-                    ):
-                        # hot-key skew crossed the threshold: every
-                        # later large-star round runs the salted layout
-                        active_salts = _AUTO_SALTS
-                        salted_from = iterations + 1
+                # skew TELEMETRY keeps its separate job, run AFTER the
+                # shuffle-byte delta is taken, then re-baselines the
+                # counter: its union+groupBy shuffle must appear in
+                # neither this round's delta nor the next one's —
+                # round_shuffle_bytes stays comparable whether
+                # telemetry is on or off (review r7).  Auto-salting
+                # consumes the same profile when telemetry records it.
+                if skew_telemetry:
+                    # recorded profile stays bidirectional (the
+                    # documented reducer-input shape); the flip above
+                    # reads only the fused dst-side probe
+                    round_skew.append(_key_skew(pairs))
                     if shuffle_before is not None:
                         # None means "metric unavailable" (keep the old
                         # baseline); a literal 0 is a valid reading and
@@ -562,6 +655,16 @@ def connected_components(
                         shuffle_before = (
                             t if t is not None else shuffle_before
                         )
+                if (
+                    probe_skew
+                    and profile is not None
+                    and profile["max"] >= _AUTO_SALT_MIN_HOT
+                    and profile["max"] * _AUTO_SALT_SHARE >= fp[0]
+                ):
+                    # hot-key skew crossed the threshold: every
+                    # later large-star round runs the salted layout
+                    active_salts = _AUTO_SALTS
+                    salted_from = iterations + 1
                 if fp == prev_fp:
                     converged = True
                     break

@@ -172,10 +172,10 @@ def test_auto_star_salts_flips_on_hub_and_not_on_flat(spark, monkeypatch):
     on a converged-hub topology — with rosters identical to the fused
     run — and must never flip on a flat-degree graph (the fused layout
     stays, no regression on the clique benches).  Thresholds are
-    module globals tuned to the r12 measured profiles (hot key 10k+,
-    64x the p99); the fixture hub is smaller, so the absolute floor is
-    lowered to the fixture's scale — the RATIO trigger is the one
-    under test."""
+    module globals tuned to the measured profiles (hot key 10k+
+    holding >= 1/_AUTO_SALT_SHARE of the round's pairs, r14); the
+    fixture hub is smaller, so the absolute floor is lowered to the
+    fixture's scale — the SHARE trigger is the one under test."""
     import connected_component_spark.graph.cc as cc
 
     from connected_component_spark.graph.generator import skewed_hub_graph
@@ -191,7 +191,7 @@ def test_auto_star_salts_flips_on_hub_and_not_on_flat(spark, monkeypatch):
     # happen after round 1 (adaptive, not static) and before the end
     assert auto.salted_from_round is not None
     assert 1 < auto.salted_from_round <= auto.iterations
-    fused = cc.connected_components(edges)
+    fused = cc.connected_components(edges, star_salts=None)
     assert fused.salted_from_round is None
     a = {(r.node, r.component) for r in auto.assignments.collect()}
     b = {(r.node, r.component) for r in fused.assignments.collect()}
