@@ -245,6 +245,87 @@ ORDER BY user_id
 GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
+_PPR_N_SOURCES = 3
+
+
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph/pagerank.py:personalized_pagerank)
+    from the 3 smallest user ids of the copresence graph — the last
+    GraphX-library PageRank variant (the reference's stack,
+    CCGraphXDriver.scala:84-85) in the parity set: (source, user_id,
+    rank) per reached node after the same fixed 5 rounds as
+    graph_pagerank, restart mass at the source.  Decimal-exact
+    contribution sums; the oracle unrolls the rounds as CTE levels
+    with a full-outer reset join per level, matching bit-for-bit
+    before the final snap-round."""
+    from connected_component_spark.graph.pagerank import personalized_pagerank
+    from connected_component_spark.queries.parity import roundd
+
+    ev = load_table(spark, sf_dir, "events")
+    sources = (
+        ev.select("user_id").distinct().orderBy("user_id").limit(_PPR_N_SOURCES)
+    )
+    pr = personalized_pagerank(
+        copresence_edges(spark, sf_dir),
+        sources,
+        iterations=_PR_ITERATIONS,
+        damping=_PR_DAMPING,
+    )
+    return pr.select(
+        "source",
+        F.col("node").alias("user_id"),
+        roundd(F.col("rank"), 6).alias("rank"),
+    ).orderBy("source", "user_id")
+
+
+def _personalized_pagerank_oracle_sql(iterations: int = _PR_ITERATIONS) -> str:
+    """Unroll the restart-formulation rounds as CTE levels: each level
+    is the decimal-exact contribution aggregate full-outer-joined with
+    the per-source reset row — the same float-op order (CASE + d *
+    COALESCE) the Spark expression uses, so the doubles agree to the
+    last ulp before the snap-round."""
+    d = "CAST(0.85 AS DOUBLE)"
+    base = f"(CAST(1.0 AS DOUBLE) - {d})"
+    levels = []
+    for i in range(1, iterations + 1):
+        levels.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT r.source, s.dst AS node,
+         CAST(sum(CAST(r.rank / o.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS in_sum
+  FROM sym s
+  JOIN outd o ON o.src = s.src
+  JOIN r{i - 1} r ON r.node = s.src
+  GROUP BY r.source, s.dst
+),
+r{i} AS MATERIALIZED (
+  SELECT COALESCE(c.source, l.s) AS source,
+         COALESCE(c.node, l.s) AS node,
+         CASE WHEN l.s IS NOT NULL THEN {base} ELSE CAST(0.0 AS DOUBLE) END
+         + {d} * COALESCE(c.in_sum, CAST(0.0 AS DOUBLE)) AS rank
+  FROM c{i} c
+  FULL OUTER JOIN lm l ON c.source = l.s AND c.node = l.s
+)"""
+        )
+    chain = ",\n".join(levels)
+    from connected_component_spark.queries.parity import roundd_sql
+
+    return f"""
+WITH {_COPRESENCE_EDGES_SQL.strip()},
+outd AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+lm AS (
+  SELECT DISTINCT user_id AS s FROM events ORDER BY user_id LIMIT {_PPR_N_SOURCES}
+),
+r0 AS (SELECT s AS source, s AS node, CAST(1.0 AS DOUBLE) AS rank FROM lm),
+{chain}
+SELECT source, node AS user_id, {roundd_sql("rank", 6)} AS rank
+FROM r{iterations}
+ORDER BY source, user_id
+"""
+
+
+GRAPH_PERSONALIZED_PAGERANK_SQL = _personalized_pagerank_oracle_sql()
+
+
 _BFS_MAX_DEPTH = 20
 _BFS_N_LANDMARKS = 3
 
@@ -879,6 +960,7 @@ QUERIES = {
     "cc_copresence_rosters": cc_copresence_rosters,
     "graph_triangles": graph_triangles,
     "graph_pagerank": graph_pagerank,
+    "graph_personalized_pagerank": graph_personalized_pagerank,
     "graph_shortest_paths": graph_shortest_paths,
     "graph_kcore": graph_kcore,
     "graph_label_propagation": graph_label_propagation,
@@ -894,6 +976,7 @@ ORACLES = {
     "cc_copresence_rosters": CC_COPRESENCE_ROSTERS_SQL,
     "graph_triangles": GRAPH_TRIANGLES_SQL,
     "graph_pagerank": GRAPH_PAGERANK_SQL,
+    "graph_personalized_pagerank": GRAPH_PERSONALIZED_PAGERANK_SQL,
     "graph_shortest_paths": GRAPH_SHORTEST_PATHS_SQL,
     "graph_kcore": GRAPH_KCORE_SQL,
     "graph_label_propagation": GRAPH_LABEL_PROP_SQL,

@@ -179,6 +179,131 @@ def test_pagerank_mass_conservation_generated_graph(spark):
 
 
 # ---------------------------------------------------------------------------
+# personalized_pagerank (graph/pagerank.py)
+# ---------------------------------------------------------------------------
+
+def _sources(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "source long")
+
+
+def test_personalized_pagerank_matches_pure_python(spark):
+    """Personalized ranks after the same fixed round count equal an
+    independent pure-Python power iteration of the restart
+    formulation, per reached node; the sparse frame omits exactly the
+    unreached (zero-mass) nodes."""
+    from connected_component_spark.graph.pagerank import (
+        personalized_pagerank,
+    )
+
+    iters = 80  # deep enough to cross several eager-consolidations
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0), (5, 6)]
+    got = {
+        (r.source, r.node): r.rank
+        for r in personalized_pagerank(
+            _edges(spark, pairs), _sources(spark, [0, 5]), iterations=iters
+        ).collect()
+    }
+    und = set()
+    for a, b in pairs:
+        und.add((a, b))
+        und.add((b, a))
+    nodes = sorted({a for a, _ in und})
+    outdeg = {n: sum(1 for a, _ in und if a == n) for n in nodes}
+    for s in (0, 5):
+        r = {n: (1.0 if n == s else 0.0) for n in nodes}
+        for _ in range(iters):
+            nxt = {n: (0.15 if n == s else 0.0) for n in nodes}
+            for a, b in und:
+                nxt[b] += 0.85 * r[a] / outdeg[a]
+            r = nxt
+        reached = {n for (src, n) in got if src == s}
+        for n in nodes:
+            if n in reached:
+                assert got[(s, n)] == pytest.approx(r[n], abs=1e-9), (s, n)
+            else:  # different component: exactly zero mass
+                assert r[n] == 0.0
+    # sparsity: source 5's walk never leaves the {5, 6} component
+    assert {n for (src, n) in got if src == 5} == {5, 6}
+
+
+def test_personalized_pagerank_matches_networkx(spark):
+    """Converged personalized ranks equal networkx's personalization
+    fixpoint (independent library implementation); env-gated like the
+    Pillow/GraphFrames differentials — nx 3.x pagerank needs scipy."""
+    from connected_component_spark.graph.pagerank import (
+        personalized_pagerank,
+    )
+
+    nx = pytest.importorskip("networkx")
+    pytest.importorskip("scipy")
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0), (5, 6)]
+    got = {
+        (r.source, r.node): r.rank
+        for r in personalized_pagerank(
+            _edges(spark, pairs), _sources(spark, [0, 5]), iterations=80
+        ).collect()
+    }
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    for s in (0, 5):
+        want = nx.pagerank(
+            g, alpha=0.85, personalization={s: 1.0}, max_iter=500,
+            tol=1e-13,
+        )
+        reached = {n for (src, n) in got if src == s}
+        for n, w in want.items():
+            if n in reached:
+                assert got[(s, n)] == pytest.approx(w, abs=1e-8), (s, n)
+            else:  # different component: exactly zero mass
+                assert w == pytest.approx(0.0, abs=1e-12)
+    # sparsity: source 5's walk never leaves the {5, 6} component
+    assert {n for (src, n) in got if src == 5} == {5, 6}
+
+
+def test_personalized_pagerank_semantics(spark):
+    """Fixed-round semantics by hand: round 0 is all mass at the
+    source; each round is reset + damped in-flow; per-source mass
+    converges toward 1; a source absent from the graph keeps its
+    reset row."""
+    from connected_component_spark.graph.pagerank import (
+        personalized_pagerank,
+    )
+    from pyspark.sql import functions as F
+
+    edges = _edges(spark, [(1, 2), (2, 3)])
+    r0 = personalized_pagerank(edges, _sources(spark, [1]), iterations=0)
+    assert [(r.source, r.node, r.rank) for r in r0.collect()] == [(1, 1, 1.0)]
+    r1 = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            edges, _sources(spark, [1]), iterations=1
+        ).collect()
+    }
+    # r1: source keeps reset 0.15 (no in-flow: node 2 had rank 0);
+    # node 2 takes 0.85 * (1.0 / outdeg(1)=1)
+    assert r1 == {1: pytest.approx(0.15), 2: pytest.approx(0.85)}
+    deep = personalized_pagerank(edges, _sources(spark, [1]), iterations=60)
+    total = deep.agg(F.sum("rank").alias("s")).collect()[0].s
+    assert total == pytest.approx(1.0, abs=1e-9)
+    # a source id with no edges still emits its reset-mass row
+    lone = personalized_pagerank(edges, _sources(spark, [99]), iterations=3)
+    assert [(r.source, r.node, r.rank) for r in lone.collect()] == [
+        (99, 99, pytest.approx(0.15))
+    ]
+
+
+def test_personalized_pagerank_rejects_negative_iterations(spark):
+    from connected_component_spark.graph.pagerank import (
+        personalized_pagerank,
+    )
+
+    with pytest.raises(ValueError):
+        personalized_pagerank(
+            _edges(spark, [(1, 2)]), _sources(spark, [1]), iterations=-1
+        )
+
+
+# ---------------------------------------------------------------------------
 # shortest_paths (graph/bfs.py)
 # ---------------------------------------------------------------------------
 
