@@ -70,20 +70,40 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Maintained per round alongside the change itself.
 _CHANGED_THIS_ROUND = (
     # r14: the BM25 fold rewrite (single write_many wave for
-    # tf+dl+tstat off one checkpointed batch leaf) changes the
+    # tf+dl+tstat off one checkpointed batch leaf, window-derived dl
+    # in tstat, candidate-bounded dl in the pruned serve) changes the
     # execution path of every durable-BM25 row:
     "text_bm25_incremental_topk",
     "text_bm25_restart_topk",
     "text_bm25_maxscore_topk",
     "stream_bm25_ingest",
-    # — the incremental dedup/winnow state-write consolidation:
+    # — the dedup fold's parallelized shingle write:
     "stream_incremental_dedup",
-    "stream_incremental_winnow",
-    # — the shared lazy-binding mixin on ParquetStateStore re-routes
-    #   every durable operator's committed-view refresh:
+    # — the shared LazyBindings mixin re-routes every durable
+    #   operator's committed-view refresh (dedup/winnow/bm25/ann):
+    "stream_winnow_dedup",
+    "stream_winnow_restart",
     "ann_ivf_incremental_topk",
     "ann_ivf_restart_topk",
     "stream_ann_ingest",
+    # — star_salts="auto" became the CC kernel default (the fused
+    #   in-action skew probe), changing every declared CC row's
+    #   execution path:
+    "cc_generated_chains",
+    "cc_user_copresence",
+    "cc_copresence_rosters",
+    # ...including every row whose clustering step runs the kernel
+    #   through components_with_isolates / the staged minhash table:
+    "dedup_minhash_clusters",
+    "dedup_ngram_clusters",
+    "dedup_embedding_clusters",
+    "dedup_winnow_clusters",
+    "ann_similarity_clusters",
+    "pipeline_semantic_dedup",
+    "pipeline_dedup_retention",
+    "pipeline_leakage_safe_split",
+    "pipeline_corpus_curation",
+    "pipeline_hard_negatives",
 )
 
 #: interleave ratio for the changed/stable merge: this many changed
