@@ -207,6 +207,10 @@ def main() -> None:
                 # per-round reducer-key skew (max/p50/p99 rows per src
                 # key): the straggler signal a 100 TB run tunes against
                 "round_key_skew": res.round_key_skew,
+                # r14: the kernel default is star_salts="auto" — this
+                # point benches the serving posture; a flip on the
+                # non-skewed clique graphs would be a threshold bug
+                "salted_from_round": res.salted_from_round,
             }
         except Exception as ex:
             return {"err": f"{type(ex).__name__}: {ex}"[:200]}
@@ -355,7 +359,12 @@ def main() -> None:
 
                 t0 = time.perf_counter()
                 edges, truth = skewed_hub_graph(spark, n_nodes)
-                res = connected_components(edges, skew_telemetry=True)
+                # explicitly FUSED: this leg is the no-salting baseline
+                # the salted/auto legs are measured against (auto
+                # became the kernel default in r14)
+                res = connected_components(
+                    edges, skew_telemetry=True, star_salts=None
+                )
                 a, t = res.assignments.alias("a"), truth.alias("t")
                 mismatches = (
                     a.join(t, SF.col("a.node") == SF.col("t.node"))
