@@ -595,6 +595,7 @@ def connected_components(
             active_salts: int | None = None if auto_salt else star_salts
             salted_from = 1 if active_salts is not None else None
             prev_fp: tuple[int, int] | None = None
+            prev_count = n0  # the small-set probe bypass's gate
             shuffle_before = (
                 _shuffle_write_bytes_total(spark) if shuffle_telemetry else None
             )
@@ -609,7 +610,20 @@ def connected_components(
                 barrier = iterations >= _STATS_BARRIER_FROM
                 if barrier:
                     pairs = pairs.persist()
-                probe_skew = auto_salt and active_salts is None
+                # small-set bypass (r14): a flip needs a key with
+                # >= MIN_HOT rows, which needs >= MIN_HOT pairs in the
+                # round — and one star round grows the pair set at
+                # most 3x (output <= input + #nodes <= 3*input), so
+                # prev_count < MIN_HOT/3 PROVES no flip is possible
+                # this round and the probe's per-key aggregation is
+                # skipped outright.  This zeroes the auto-default tax
+                # for every fixture-scale CC call; at hot-key scale
+                # the gate is always open.
+                probe_skew = (
+                    auto_salt
+                    and active_salts is None
+                    and prev_count >= _AUTO_SALT_MIN_HOT // 3
+                )
                 profile: dict | None = None
                 if probe_skew:
                     # the auto-salt probe rides INSIDE the round's one
@@ -624,6 +638,7 @@ def connected_components(
                     fp, profile = _set_fingerprint_with_skew(pairs)
                 else:
                     fp = _set_fingerprint(pairs)
+                prev_count = fp[0]
                 if barrier:
                     _retire_prev_cache(pairs)
                 round_counts.append(fp[0])
