@@ -104,6 +104,17 @@ _CHANGED_THIS_ROUND = (
     "pipeline_leakage_safe_split",
     "pipeline_corpus_curation",
     "pipeline_hard_negatives",
+    # — r14 optimization round: duplicated-subtree materialization in
+    #   the lexical scorers (tok/tf checkpoint) and the retrieval-eval
+    #   composites (bounded-ranking checkpoint) changes these queries'
+    #   physical execution paths (results oracle-verified identical):
+    "text_bm25_topk",
+    "text_tfidf_topk",
+    "text_hybrid_rrf_topk",
+    "pipeline_related_docs_rrf",
+    "pipeline_retrieval_eval",
+    "pipeline_retrieval_eval_bow",
+    "ann_bow_recall_report",
 )
 
 #: interleave ratio for the changed/stable merge: this many changed

@@ -610,6 +610,7 @@ def bm25_topk(
     k: int = 10,
     max_df: int | None = None,
     max_queries: int | None = 10_000,
+    materialize: bool = False,
 ) -> DataFrame:
     """Okapi-BM25 ranked retrieval: for each query in ``queries``
     (query_id, query_text), the ``k`` highest-scoring documents —
@@ -646,7 +647,13 @@ def bm25_topk(
     from pyspark.sql import Window
 
     scores = bm25_scores(
-        docs, queries, k1=k1, b=b, max_df=max_df, max_queries=max_queries
+        docs,
+        queries,
+        k1=k1,
+        b=b,
+        max_df=max_df,
+        max_queries=max_queries,
+        materialize=materialize,
     )
     return bm25_rank_topk(scores, k)
 
@@ -673,6 +680,7 @@ def bm25_scores(
     b: float = 0.75,
     max_df: int | None = None,
     max_queries: int | None = 10_000,
+    materialize: bool = False,
 ) -> DataFrame:
     """The un-ranked BM25 scorer behind :func:`bm25_topk`:
     (query_id, doc_id, score) for every document matching at least
@@ -690,8 +698,19 @@ def bm25_scores(
     table — "mine negatives for every doc" must chunk its anchors.
     ``max_queries`` enforces it (early-exit limit probe, raises above
     the bound; ``None`` disables for callers that have already sized
-    the batch)."""
+    the batch).
+
+    ``materialize=True`` (opt-in, physical only — values unchanged)
+    localCheckpoints the exploded token stream, so the tf/dl/stats
+    index aggregates read ONE tokenize pass instead of re-running the
+    corpus scan + explode three times (r14: AQE stage reuse does not
+    dedupe these subtrees — measured on the declared retrieval
+    queries).  Default off: the durable-index path
+    (streaming/bm25.py) and callers needing a fully lazy plan keep
+    the composable shape."""
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    if materialize:
+        tok = tok.localCheckpoint(eager=True)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = tok.agg(
@@ -808,6 +827,7 @@ def tfidf_topk(
     queries: DataFrame,
     k: int = 10,
     max_queries: int | None = 10_000,
+    materialize: bool = False,
 ) -> DataFrame:
     """Vector-space TF-IDF cosine retrieval: for each query
     (query_id, query_text), the ``k`` documents with the highest
@@ -836,7 +856,9 @@ def tfidf_topk(
     take one sqrt of the exact sum, and the final cosine is rounded at
     6 before ranking with doc_id tie-break.
     """
-    scores = tfidf_scores(docs, queries, max_queries=max_queries)
+    scores = tfidf_scores(
+        docs, queries, max_queries=max_queries, materialize=materialize
+    )
     return bm25_rank_topk(scores, k)
 
 
@@ -844,11 +866,19 @@ def tfidf_scores(
     docs: DataFrame,
     queries: DataFrame,
     max_queries: int | None = 10_000,
+    materialize: bool = False,
 ) -> DataFrame:
     """The un-ranked TF-IDF cosine scorer behind :func:`tfidf_topk`
     (same split as bm25_scores/bm25_topk): (query_id, doc_id, score)
     for every document sharing at least one corpus-present query
-    term.  Bounded-query-batch contract as bm25_scores."""
+    term.  Bounded-query-batch contract as bm25_scores.
+
+    ``materialize=True`` (opt-in, physical only — values unchanged)
+    localCheckpoints the exploded token stream and the (doc, token,
+    tf) index it feeds: ``tf`` is referenced by the df table, the
+    candidate-id set, the doc norms, and the posting-list probe —
+    four re-executions of the tokenize subtree per call otherwise
+    (r14, measured; AQE stage reuse does not dedupe them)."""
     if max_queries is not None:
         if queries.limit(max_queries + 1).count() > max_queries:
             raise ValueError(
@@ -858,7 +888,11 @@ def tfidf_scores(
                 "max_queries=None after sizing the batch yourself)"
             )
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    if materialize:
+        tok = tok.localCheckpoint(eager=True)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    if materialize:
+        tf = tf.localCheckpoint(eager=True)
     # tf rows are distinct (doc, token) pairs: df is a plain count
     dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -1100,6 +1134,7 @@ def bm25_hard_negatives(
     b: float = 0.75,
     max_df: int | None = None,
     max_queries: int | None = 10_000,
+    materialize: bool = False,
 ) -> DataFrame:
     """Hard-negative mining for contrastive retrieval training (the
     DPR/Contriever recipe: BM25-top lexical matches that are NOT
@@ -1132,7 +1167,13 @@ def bm25_hard_negatives(
     from pyspark.sql import Window
 
     scores = bm25_scores(
-        docs, anchors, k1=k1, b=b, max_df=max_df, max_queries=max_queries
+        docs,
+        anchors,
+        k1=k1,
+        b=b,
+        max_df=max_df,
+        max_queries=max_queries,
+        materialize=materialize,
     )
     # restrict the query-side cluster lookup to the bounded anchor id
     # set BEFORE broadcasting — broadcasting the full corpus-sized

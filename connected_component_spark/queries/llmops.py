@@ -3171,6 +3171,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1=_BM25_K1,
         b=_BM25_B,
         k=_BM25_TOPK,
+        # one tokenize pass instead of three (r14; physical only)
+        materialize=True,
     )
 
 
@@ -3476,7 +3478,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_BM25_QUERIES), "query_id long, query_text string"
     )
     return tx.tfidf_topk(
-        load_table(spark, sf_dir, "documents"), q, k=_TFIDF_TOPK
+        load_table(spark, sf_dir, "documents"),
+        q,
+        k=_TFIDF_TOPK,
+        # one tokenize pass instead of five (r14; physical only)
+        materialize=True,
     )
 
 
@@ -3508,8 +3514,12 @@ def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = spark.createDataFrame(
         list(_BM25_QUERIES), "query_id long, query_text string"
     )
-    bm = tx.bm25_topk(docs, q, k1=_BM25_K1, b=_BM25_B, k=_RRF_INPUT_K)
-    ti = tx.tfidf_topk(docs, q, k=_RRF_INPUT_K)
+    # materialize: one tokenize pass per scorer instead of 3/5
+    # re-executions of the corpus scan+explode subtree (r14)
+    bm = tx.bm25_topk(
+        docs, q, k1=_BM25_K1, b=_BM25_B, k=_RRF_INPUT_K, materialize=True
+    )
+    ti = tx.tfidf_topk(docs, q, k=_RRF_INPUT_K, materialize=True)
     return tx.rrf_fuse([bm, ti], k=_RRF_TOPK, c=_RRF_C)
 
 
@@ -3602,6 +3612,8 @@ def pipeline_related_docs_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k1=_BM25_K1,
         b=_BM25_B,
+        # one tokenize pass instead of three (r14; physical only)
+        materialize=True,
     )
     lex = tx.bm25_rank_topk(
         lex_scores.where(F.col("query_id") != F.col("doc_id")), _RRF_INPUT_K
@@ -3808,12 +3820,25 @@ def pipeline_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _RELATED_ANCHOR_MOD == _RELATED_ANCHOR_REM)
         & (F.col("doc_id") < _RELATED_ANCHOR_CAP)
     )
+    # Each retriever's bounded top-k ranking is MATERIALIZED once
+    # (eager localCheckpoint of a ≤|anchors|·k frame) before fusion
+    # and evaluation reference it: rrf_fuse + retrieval_eval_report
+    # fan each ranking (and the bm-derived truth) out into ~10 plan
+    # references, and without the barrier every reference re-executes
+    # the full scorer subtree — measured r14: 653 executed Exchanges /
+    # 322 parquet scans / 62 jobs for 3 output rows, with AQE stage
+    # reuse recovering only 39 (guide §2.4/§5: reuse beats recompute
+    # when the subtree is this heavy; the checkpointed frames are
+    # rank-list-sized at any corpus scale, so the barrier costs O(k)
+    # memory, not a corpus materialization).
     sem = sim.cosine_topk(
         anchors.select("doc_id", "embedding"),
         base.select("doc_id", "embedding"),
         k=_EVAL_K,
         id_col="doc_id",
-    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    ).localCheckpoint(eager=True)
     lex_scores = tx.bm25_scores(
         base.select("doc_id", "text"),
         anchors.select(
@@ -3822,6 +3847,7 @@ def pipeline_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k1=_BM25_K1,
         b=_BM25_B,
+        materialize=True,
     ).where(F.col("query_id") != F.col("doc_id"))
     ti_scores = tx.tfidf_scores(
         base.select("doc_id", "text"),
@@ -3829,9 +3855,14 @@ def pipeline_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("query_id"),
             F.col("text").alias("query_text"),
         ),
+        materialize=True,
     ).where(F.col("query_id") != F.col("doc_id"))
-    bm = tx.bm25_rank_topk(lex_scores, _RRF_INPUT_K)
-    ti = tx.bm25_rank_topk(ti_scores, _RRF_INPUT_K)
+    bm = tx.bm25_rank_topk(lex_scores, _RRF_INPUT_K).localCheckpoint(
+        eager=True
+    )
+    ti = tx.bm25_rank_topk(ti_scores, _RRF_INPUT_K).localCheckpoint(
+        eager=True
+    )
     fused = tx.rrf_fuse([bm, ti], k=_EVAL_K, c=_RRF_C)
     reference = bm.where(F.col("rank") <= _EVAL_K).select(
         "query_id", "doc_id"
@@ -4044,18 +4075,27 @@ def pipeline_retrieval_eval_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % _RELATED_ANCHOR_MOD == _RELATED_ANCHOR_REM
     ) & (F.col("doc_id") < _RELATED_ANCHOR_CAP)
     anchors = base.where(anchor_pred)
+    # bow is referenced by BOTH sides of the sem_bow cross join (query
+    # slice + corpus), so its two-agg build is materialized once; each
+    # retriever's bounded ranking is then checkpointed before the
+    # eval report fans it out — same measured duplicated-subtree
+    # rationale as pipeline_retrieval_eval (r14).
     bow = eg.hashed_bow_embeddings(
         base.select("doc_id", "text"), _BOW_DIM
-    )
+    ).localCheckpoint(eager=True)
     sem_bow = sim.cosine_topk(
         bow.where(anchor_pred), bow, k=_EVAL_K, id_col="doc_id"
-    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    ).localCheckpoint(eager=True)
     sem_iso = sim.cosine_topk(
         anchors.select("doc_id", "embedding"),
         base.select("doc_id", "embedding"),
         k=_EVAL_K,
         id_col="doc_id",
-    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    ).localCheckpoint(eager=True)
     lex_scores = tx.bm25_scores(
         base.select("doc_id", "text"),
         anchors.select(
@@ -4064,6 +4104,7 @@ def pipeline_retrieval_eval_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k1=_BM25_K1,
         b=_BM25_B,
+        materialize=True,
     ).where(F.col("query_id") != F.col("doc_id"))
     ti_scores = tx.tfidf_scores(
         base.select("doc_id", "text"),
@@ -4071,9 +4112,14 @@ def pipeline_retrieval_eval_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("query_id"),
             F.col("text").alias("query_text"),
         ),
+        materialize=True,
     ).where(F.col("query_id") != F.col("doc_id"))
-    bm = tx.bm25_rank_topk(lex_scores, _RRF_INPUT_K)
-    ti = tx.bm25_rank_topk(ti_scores, _RRF_INPUT_K)
+    bm = tx.bm25_rank_topk(lex_scores, _RRF_INPUT_K).localCheckpoint(
+        eager=True
+    )
+    ti = tx.bm25_rank_topk(ti_scores, _RRF_INPUT_K).localCheckpoint(
+        eager=True
+    )
     reference = bm.where(F.col("rank") <= _EVAL_K).select(
         "query_id", "doc_id"
     )
@@ -4181,7 +4227,15 @@ def ann_bow_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connected_component_spark.operators import embedgen as eg
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bow = eg.hashed_bow_embeddings(docs, _BOW_DIM)
+    # the BoW table feeds every leg's query slice, corpus side,
+    # centroid derivation, and storage/probe assignments (10+ plan
+    # references across exact/ivf1/ivf2) — materialize its two-agg
+    # build once instead of re-tokenizing the corpus per reference
+    # (r14, the measured duplicated-subtree pathology of the eval
+    # composites; guide §2.4/§5)
+    bow = eg.hashed_bow_embeddings(docs, _BOW_DIM).localCheckpoint(
+        eager=True
+    )
     queries = bow.where(
         (F.col("doc_id") % _BOW_QUERY_MOD == _BOW_QUERY_REM)
         & (F.col("doc_id") < _BOW_QUERY_CAP)
@@ -4394,6 +4448,8 @@ def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_HN_TOPK,
         k1=_BM25_K1,
         b=_BM25_B,
+        # one tokenize pass instead of three (r14; physical only)
+        materialize=True,
     )
 
 
