@@ -710,7 +710,7 @@ def bm25_scores(
     the composable shape."""
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     if materialize:
-        tok = tok.localCheckpoint(eager=True)
+        tok = tok.localCheckpoint(eager=False)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = tok.agg(
@@ -889,10 +889,10 @@ def tfidf_scores(
             )
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     if materialize:
-        tok = tok.localCheckpoint(eager=True)
+        tok = tok.localCheckpoint(eager=False)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     if materialize:
-        tf = tf.localCheckpoint(eager=True)
+        tf = tf.localCheckpoint(eager=False)
     # tf rows are distinct (doc, token) pairs: df is a plain count
     dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))

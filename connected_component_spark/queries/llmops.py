@@ -3838,7 +3838,7 @@ def pipeline_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
     ).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     lex_scores = tx.bm25_scores(
         base.select("doc_id", "text"),
         anchors.select(
@@ -3858,10 +3858,10 @@ def pipeline_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize=True,
     ).where(F.col("query_id") != F.col("doc_id"))
     bm = tx.bm25_rank_topk(lex_scores, _RRF_INPUT_K).localCheckpoint(
-        eager=True
+        eager=False
     )
     ti = tx.bm25_rank_topk(ti_scores, _RRF_INPUT_K).localCheckpoint(
-        eager=True
+        eager=False
     )
     fused = tx.rrf_fuse([bm, ti], k=_EVAL_K, c=_RRF_C)
     reference = bm.where(F.col("rank") <= _EVAL_K).select(
@@ -4082,12 +4082,12 @@ def pipeline_retrieval_eval_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rationale as pipeline_retrieval_eval (r14).
     bow = eg.hashed_bow_embeddings(
         base.select("doc_id", "text"), _BOW_DIM
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sem_bow = sim.cosine_topk(
         bow.where(anchor_pred), bow, k=_EVAL_K, id_col="doc_id"
     ).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sem_iso = sim.cosine_topk(
         anchors.select("doc_id", "embedding"),
         base.select("doc_id", "embedding"),
@@ -4095,7 +4095,7 @@ def pipeline_retrieval_eval_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
     ).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     lex_scores = tx.bm25_scores(
         base.select("doc_id", "text"),
         anchors.select(
@@ -4115,10 +4115,10 @@ def pipeline_retrieval_eval_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize=True,
     ).where(F.col("query_id") != F.col("doc_id"))
     bm = tx.bm25_rank_topk(lex_scores, _RRF_INPUT_K).localCheckpoint(
-        eager=True
+        eager=False
     )
     ti = tx.bm25_rank_topk(ti_scores, _RRF_INPUT_K).localCheckpoint(
-        eager=True
+        eager=False
     )
     reference = bm.where(F.col("rank") <= _EVAL_K).select(
         "query_id", "doc_id"
@@ -4234,7 +4234,7 @@ def ann_bow_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r14, the measured duplicated-subtree pathology of the eval
     # composites; guide §2.4/§5)
     bow = eg.hashed_bow_embeddings(docs, _BOW_DIM).localCheckpoint(
-        eager=True
+        eager=False
     )
     queries = bow.where(
         (F.col("doc_id") % _BOW_QUERY_MOD == _BOW_QUERY_REM)
