@@ -115,6 +115,11 @@ _CHANGED_THIS_ROUND = (
     "pipeline_retrieval_eval",
     "pipeline_retrieval_eval_bow",
     "ann_bow_recall_report",
+    # — r14 optimization: the prefix/bitmap jaccard barriers went lazy
+    #   (shared-RDD checkpoint instead of a blocking construction job):
+    "dedup_wordgram_pairs",
+    "dedup_ngram_pairs",
+    "dedup_ngram_pairs_prefix",
 )
 
 #: interleave ratio for the changed/stable merge: this many changed

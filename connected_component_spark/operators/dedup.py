@@ -186,7 +186,7 @@ def _ngram_jaccard_prefix(grams: DataFrame, threshold: float) -> DataFrame:
             <= F.floor((1.0 - F.lit(threshold)) * F.col("sz")).cast("int") + 1
         )
         .select("doc_id", "gram")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cand = (
         prefix.alias("l")
@@ -225,7 +225,7 @@ def _ngram_jaccard_prefix(grams: DataFrame, threshold: float) -> DataFrame:
             "b",
         )
         .select("a", "b", "sz_a", "sz_b", ni.alias("ni"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return (
         counted.select(
@@ -279,7 +279,7 @@ def _ngram_jaccard_bitmap(
         gids.withColumn("blk", F.pmod(F.xxhash64("doc_id"), F.lit(doc_blocks)))
         .groupBy("blk")
         .agg(F.collect_list(F.struct("doc_id", "gids")).alias("items"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_pairs = doc_blocks * (doc_blocks + 1) // 2
     pairs = (
