@@ -49,7 +49,10 @@ def k_core(
         .distinct()
     )
     if checkpoint:
-        cur = cur.localCheckpoint(eager=True)
+        # lazy: the count below is the one action and materializes the
+        # checkpoint blocks with it (the CC kernel's one-action-per-
+        # round discipline, r14 — eager+count was two jobs)
+        cur = cur.localCheckpoint(eager=False)
     n_cur = cur.count()
     from connected_component_spark.plans.tuning import shrunk_shuffle
 
@@ -67,7 +70,8 @@ def k_core(
                 keep.select(F.col("src").alias("dst")), "dst", "left_semi"
             )
             if checkpoint:
-                nxt = nxt.localCheckpoint(eager=True)
+                # lazy + count = one job per round (see above)
+                nxt = nxt.localCheckpoint(eager=False)
             n_nxt = nxt.count()
             if n_nxt == n_cur:
                 break
