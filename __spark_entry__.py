@@ -120,6 +120,9 @@ _CHANGED_THIS_ROUND = (
     "dedup_wordgram_pairs",
     "dedup_ngram_pairs",
     "dedup_ngram_pairs_prefix",
+    # — r14 optimization: the k-core peel's per-round checkpoint went
+    #   lazy (one action per round instead of eager-ckpt + count):
+    "graph_kcore",
 )
 
 #: interleave ratio for the changed/stable merge: this many changed
