@@ -4064,6 +4064,15 @@ def pipeline_retrieval_eval_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0 rides alongside as the control — the same honest-numbers
     discipline, now with signal.  All three evaluated by
     operators/text.py:retrieval_eval_report (engine-exact ratios)."""
+    # Deliberately NOT materialized: a 3x2-block paired A/B (r14)
+    # measured every checkpoint/materialize combination on this query
+    # and the plain composable shape won outright (medians ~6.3-7.5 s
+    # vs ~8.1-9.7 s with any subset of the pipeline_retrieval_eval
+    # barriers) -- with only three retriever legs and a tiny anchor
+    # slice, the duplicated subtrees run in parallel stages, and any
+    # barrier serializes more than it saves.  The sibling queries
+    # (pipeline_retrieval_eval, ann_bow_recall_report) keep their
+    # measured materialization wins.
     from connected_component_spark.operators import embedgen as eg
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4075,27 +4084,18 @@ def pipeline_retrieval_eval_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % _RELATED_ANCHOR_MOD == _RELATED_ANCHOR_REM
     ) & (F.col("doc_id") < _RELATED_ANCHOR_CAP)
     anchors = base.where(anchor_pred)
-    # bow is referenced by BOTH sides of the sem_bow cross join (query
-    # slice + corpus), so its two-agg build is materialized once; each
-    # retriever's bounded ranking is then checkpointed before the
-    # eval report fans it out — same measured duplicated-subtree
-    # rationale as pipeline_retrieval_eval (r14).
     bow = eg.hashed_bow_embeddings(
         base.select("doc_id", "text"), _BOW_DIM
-    ).localCheckpoint(eager=False)
+    )
     sem_bow = sim.cosine_topk(
         bow.where(anchor_pred), bow, k=_EVAL_K, id_col="doc_id"
-    ).select(
-        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
-    ).localCheckpoint(eager=False)
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     sem_iso = sim.cosine_topk(
         anchors.select("doc_id", "embedding"),
         base.select("doc_id", "embedding"),
         k=_EVAL_K,
         id_col="doc_id",
-    ).select(
-        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
-    ).localCheckpoint(eager=False)
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     lex_scores = tx.bm25_scores(
         base.select("doc_id", "text"),
         anchors.select(
@@ -4104,7 +4104,6 @@ def pipeline_retrieval_eval_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k1=_BM25_K1,
         b=_BM25_B,
-        materialize=True,
     ).where(F.col("query_id") != F.col("doc_id"))
     ti_scores = tx.tfidf_scores(
         base.select("doc_id", "text"),
@@ -4112,14 +4111,9 @@ def pipeline_retrieval_eval_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("query_id"),
             F.col("text").alias("query_text"),
         ),
-        materialize=True,
     ).where(F.col("query_id") != F.col("doc_id"))
-    bm = tx.bm25_rank_topk(lex_scores, _RRF_INPUT_K).localCheckpoint(
-        eager=False
-    )
-    ti = tx.bm25_rank_topk(ti_scores, _RRF_INPUT_K).localCheckpoint(
-        eager=False
-    )
+    bm = tx.bm25_rank_topk(lex_scores, _RRF_INPUT_K)
+    ti = tx.bm25_rank_topk(ti_scores, _RRF_INPUT_K)
     reference = bm.where(F.col("rank") <= _EVAL_K).select(
         "query_id", "doc_id"
     )
