@@ -22,9 +22,61 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from connected_component_spark.session import get_spark  # noqa: E402
 
 
+def _select_local_target(
+    here: str, env_round: str | None, cores: int
+) -> tuple[int, str | None]:
+    """Pick the round number and per-query artifact path.
+
+    Round: ``env_round`` when it is a valid int (an env-pinned round
+    may refresh its own artifact), else max(existing BENCH_r*) + 1.
+    The inferred path NEVER overwrites an existing record (a
+    mis-inferred round must not clobber a real one — ADVICE r4 /
+    VERDICT r5 #2), but a collision must not LOSE the per-query map
+    either: r13 and r14 both ended with the driver's round-over-round
+    comparison empty (PERF n_common=0) because an existing
+    inferred-name file made the write silently skip (VERDICT r14 #1).
+    On collision, fall back to a suffixed sibling — core count, then
+    a counter — and let ``queries_in`` point at the file actually
+    written.  Returns (round, path-or-None)."""
+    import re
+
+    if env_round and env_round.isdigit():
+        n = int(env_round)
+        return n, os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json")
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    n = (max(rounds) + 1) if rounds else 0
+    target = os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json")
+    if not os.path.exists(target):
+        return n, target
+    for suffix in [f"_{cores}c"] + [f"_{cores}c_{k}" for k in range(2, 10)]:
+        cand = os.path.join(here, f"BENCH_LOCAL_r{n:02d}{suffix}.json")
+        if not os.path.exists(cand):
+            return n, cand
+    return n, None  # ten collisions: give up rather than overwrite
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # Host-drift calibration (verdict r14 #9): one fixed CPU-bound
+    # single-thread job, timed OUTSIDE every timed region, so
+    # cross-session artifact comparisons can be normalized against a
+    # measured host-speed number instead of inferred from
+    # untouched-row inflation.  Pure Python (no Spark): the driver-side
+    # interpreter is the shared substrate of every per-query wall.
+    def _calib_cpu_s() -> float:
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc * 1103515245 + i) & 0xFFFFFFFFFFFF
+        assert acc >= 0
+        return round(time.perf_counter() - t0, 4)
+
+    calib_cpu_s = _calib_cpu_s()
     spark = get_spark(app_name="cc-spark-bench")
     # Benign-but-noisy WARNs (bounded top-N WindowExec, etc.) flooded the
     # driver's short stdout tail in r5 and voided the bench record; the
@@ -165,6 +217,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": spark.sparkContext.defaultParallelism,
+        "calib_cpu_s": calib_cpu_s,
     }
     if warmup_train_s is not None:
         out["warmup_train_s"] = warmup_train_s
@@ -262,25 +316,8 @@ def main() -> None:
     # Also persist the FULL per-query map next to the repo: the
     # driver's BENCH_r{N}.json stores a truncated stdout tail, which
     # deleted the first ~38 queries (alphabetically) from the r3
-    # record.  Round number: $SPARK_GRAFT_BENCH_ROUND when set, else
-    # inferred as max(existing BENCH_r*) + 1 (assumes the driver wrote
-    # the previous round's artifact before this runs); an existing
-    # target file is never overwritten — the write is skipped instead
-    # (ADVICE r4: a mis-inferred round must not clobber a real record).
+    # record.
     here = os.path.dirname(os.path.abspath(__file__))
-    import re
-
-    env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
-    env_pinned = bool(env_round and env_round.isdigit())
-    if env_pinned:
-        n = int(env_round)
-    else:
-        rounds = [
-            int(m.group(1))
-            for f in os.listdir(here)
-            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
-        ]
-        n = (max(rounds) + 1) if rounds else 0
     local = dict(
         out,
         n_queries=len(timings),
@@ -296,15 +333,18 @@ def main() -> None:
         # per-trigger state-fold wall times from draw 1 (verdict r11
         # #8) — keyed by query, each entry {op, epoch, sec}
         local["fold_timings"] = fold_timings
-    target = os.path.join(here, f"BENCH_LOCAL_r{n:02d}.json")
-    # A VALIDATED env-pinned round number is an intentional request
-    # and may refresh its own artifact; the inferred-round path
-    # (including a malformed env value that fell back to inference)
-    # keeps the never-overwrite guard (a mis-inferred round must
-    # not clobber a real record — ADVICE r4 / VERDICT r5 #2).  The
+    # Target selection (see _select_local_target): env-pinned rounds
+    # may refresh their own artifact; inferred rounds never overwrite
+    # but fall back to a suffixed sibling on collision instead of
+    # silently dropping the per-query map (VERDICT r14 #1).  The
     # decision is made ONCE so the post-10x refresh below can rewrite
     # the same file this run created.
-    can_write = env_pinned or not os.path.exists(target)
+    n, target = _select_local_target(
+        here,
+        os.environ.get("SPARK_GRAFT_BENCH_ROUND"),
+        spark.sparkContext.defaultParallelism,
+    )
+    can_write = target is not None
     wrote_local = False
 
     def write_local() -> bool:
@@ -316,6 +356,8 @@ def main() -> None:
             return True
         except OSError:
             return False  # read-only checkout must not void the bench
+
+    queries_in = os.path.basename(target) if target else None
 
     # write the medians artifact BEFORE the minutes-long 10x kernel
     # run: a driver-side timeout during that run must lose only the
@@ -484,9 +526,11 @@ def main() -> None:
         "n_queries": len(timings),
         "total_of_medians": local["total_of_medians"],
         # only point at the artifact when THIS run actually wrote it —
-        # on a read-only checkout (or a skipped inferred-round write)
-        # the pointer would lead to nothing or to a stale record
-        "queries_in": f"BENCH_LOCAL_r{n:02d}.json" if wrote_local else None,
+        # on a read-only checkout the pointer would lead to nothing or
+        # to a stale record (collisions now fall back to a suffixed
+        # sibling instead of skipping, so this is non-null whenever
+        # the filesystem cooperates)
+        "queries_in": queries_in if wrote_local else None,
     }
     if errors:
         compact["n_errors"] = len(errors)
