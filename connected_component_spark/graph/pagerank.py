@@ -20,6 +20,34 @@ Dangling nodes: the symmetric-edge contract (callers pass an
 undirected graph, both directions present) means every node has
 out-degree ≥ 1, so no dangling-mass redistribution term is needed;
 `pagerank` asserts the contract by construction (it symmetrizes).
+
+Static-side co-partitioning — the cluster-scale cost model (r14/r15,
+closing the question `scripts/copart_probe.py` settled mechanically):
+the per-round join of the static `linked` frame against the evolving
+rank can avoid re-shuffling `linked` every round by staging it as
+``repartition(P, "src").persist()`` — InMemoryRelation preserves the
+hash partitioning, and the probe showed the round plan then reads
+``InMemoryTableScan`` with NO Exchange above it, while the
+``localCheckpoint`` leaf reports unknown partitioning and re-pays
+``Exchange hashpartitioning(src)`` each round.  The persist recipe
+still LOSES at fixture scale (probe: 3.9–3.0 s vs 2.9–1.8 s per
+6-round loop) because a columnar-cache scan + decode of the whole
+edge list per round costs more than the tens-of-MB exchange it
+elides.  Crossover condition — switch to the persist recipe when ALL
+of: (1) rank outgrows `autoBroadcastJoinThreshold` (below that the
+rank side broadcasts and the static side is never shuffled anyway —
+the shape these queries run at fixture scale); (2) per-round
+exchange cost exceeds the cache-scan cost, i.e. roughly
+``edge_bytes / network_BW_per_node > edge_bytes / mem_scan_BW`` plus
+shuffle-block overhead — true on real clusters (network ≪ memory
+bandwidth), false on one host where "shuffle" is a memcpy; and
+(3) the edge list fits the cluster's storage memory at
+MEMORY_AND_DISK without evicting hotter state (else the per-round
+disk re-read erases the win).  On any multi-node run satisfying (1)
+this is the first lever to pull; single-host benches keep the
+localCheckpoint shape.  Decision: mechanism proven, cost model
+recorded, NOT landed — condition (2) is structurally false in the
+bench environment, so a landing would be unverifiable here.
 """
 
 from __future__ import annotations

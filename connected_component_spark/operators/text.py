@@ -643,6 +643,9 @@ def bm25_topk(
     DECIMAL so partial-aggregation order cannot move the total, and
     the final score is rounded at 6.  Ranking orders by the ROUNDED
     score with doc_id as the deterministic tie-break.
+
+    ``materialize``: see :func:`bm25_scores` (single-tokenize-pass
+    pin; corpus-scale fault-tolerance caveat there).
     """
     from pyspark.sql import Window
 
@@ -707,7 +710,21 @@ def bm25_scores(
     dedupe these subtrees — measured on the declared retrieval
     queries).  Default off: the durable-index path
     (streaming/bm25.py) and callers needing a fully lazy plan keep
-    the composable shape."""
+    the composable shape.
+
+    CLUSTER-SCALE CAVEAT (r15): unlike the rank-list checkpoints in
+    the query layer (O(k) rows at any scale), this pins a
+    CORPUS-SIZED frame — the exploded token stream is larger than the
+    input text.  ``localCheckpoint`` stores blocks on executor local
+    storage with NO fault tolerance and truncates lineage, so losing
+    one executor (spot kill, dynamic-allocation scale-in) fails the
+    query instead of recomputing the lost partitions.  The trade (one
+    materialization vs 3 corpus-scan recomputes) is still usually
+    right, but at 100 TB prefer either replicated/recoverable storage
+    for the pin — ``persist(StorageLevel.DISK_ONLY)`` keeps lineage
+    so lost blocks recompute — or a reliable ``checkpoint()`` dir;
+    this flag deliberately stays the cheap local form because the
+    declared queries run it on a single-host bench."""
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     if materialize:
         tok = tok.localCheckpoint(eager=False)
@@ -855,6 +872,9 @@ def tfidf_topk(
     BM25's 12,9 — tf·idf² products are not bounded by k1+1), norms
     take one sqrt of the exact sum, and the final cosine is rounded at
     6 before ranking with doc_id tie-break.
+
+    ``materialize``: see :func:`tfidf_scores` (single-tokenize-pass
+    pin; corpus-scale fault-tolerance caveat there).
     """
     scores = tfidf_scores(
         docs, queries, max_queries=max_queries, materialize=materialize
@@ -878,7 +898,12 @@ def tfidf_scores(
     tf) index it feeds: ``tf`` is referenced by the df table, the
     candidate-id set, the doc norms, and the posting-list probe —
     four re-executions of the tokenize subtree per call otherwise
-    (r14, measured; AQE stage reuse does not dedupe them)."""
+    (r14, measured; AQE stage reuse does not dedupe them).  Both
+    pinned frames are CORPUS-SIZED; the cluster-scale fault-tolerance
+    caveat on :func:`bm25_scores` applies verbatim (localCheckpoint
+    blocks are unrecoverable on executor loss — prefer
+    ``persist(DISK_ONLY)``/reliable checkpoint when pinning
+    corpus-scale frames on a real cluster)."""
     if max_queries is not None:
         if queries.limit(max_queries + 1).count() > max_queries:
             raise ValueError(
@@ -1163,7 +1188,10 @@ def bm25_hard_negatives(
     table and cluster lookup are BROADCAST, so ``anchors`` must be a
     bounded batch — "mine negatives for every doc" must chunk.
     ``max_queries`` (enforced in bm25_scores, which sees the anchor
-    batch first) raises above the bound; ``None`` disables it."""
+    batch first) raises above the bound; ``None`` disables it.
+
+    ``materialize``: see :func:`bm25_scores` (single-tokenize-pass
+    pin; corpus-scale fault-tolerance caveat there)."""
     from pyspark.sql import Window
 
     scores = bm25_scores(

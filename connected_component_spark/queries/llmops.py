@@ -3821,7 +3821,9 @@ def pipeline_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_id") < _RELATED_ANCHOR_CAP)
     )
     # Each retriever's bounded top-k ranking is MATERIALIZED once
-    # (eager localCheckpoint of a ≤|anchors|·k frame) before fusion
+    # (lazy localCheckpoint of a ≤|anchors|·k frame — the query's one
+    # action materializes it on first touch and both plan references
+    # bind the same RDD) before fusion
     # and evaluation reference it: rrf_fuse + retrieval_eval_report
     # fan each ranking (and the bm-derived truth) out into ~10 plan
     # references, and without the barrier every reference re-executes
@@ -4226,7 +4228,12 @@ def ann_bow_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # references across exact/ivf1/ivf2) — materialize its two-agg
     # build once instead of re-tokenizing the corpus per reference
     # (r14, the measured duplicated-subtree pathology of the eval
-    # composites; guide §2.4/§5)
+    # composites; guide §2.4/§5).  NOTE this frame is CORPUS-SIZED
+    # (one dense vector per doc), unlike the O(k) rank-list
+    # checkpoints: localCheckpoint blocks are unrecoverable on
+    # executor loss, so a real-cluster port of this report should pin
+    # with persist(DISK_ONLY)/reliable checkpoint instead — see the
+    # cluster-scale caveat on operators/text.py:bm25_scores (r15).
     bow = eg.hashed_bow_embeddings(docs, _BOW_DIM).localCheckpoint(
         eager=False
     )

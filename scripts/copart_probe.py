@@ -23,7 +23,9 @@ def loop(linked, rounds=6, tag=""):
                    .select(F.col("dst").alias("node"),
                            (F.lit(0.15/n) + F.lit(0.85)*F.col("mass")).alias("rank")))
         rank = contrib.localCheckpoint(eager=True)
-        if i == 2:
+        # capture a warmed mid-loop round's executed plan (falls back
+        # to the last round when rounds < 3 — advice r14)
+        if i == 2 or (plan is None and i == rounds - 1):
             plan = contrib._jdf.queryExecution().executedPlan().toString()
     wall = time.time() - t0
     nex = plan.count("Exchange hashpartitioning")
