@@ -450,6 +450,23 @@ _AUTO_SALT_SHARE = 32
 _PROBE_SAMPLE_MOD = 8
 _PROBE_SPREAD = 1024
 
+#: probe cadence (r15): when a probed round's hot key reads below
+#: MIN_HOT // COOL_DIV, the NEXT round's probe is skipped (never two
+#: skips in a row).  The probed fingerprint costs ~3x the plain one
+#: (keyed (p, k) hash-agg vs an unkeyed two-scalar aggregation —
+#: measured 0.62 s vs 0.21 s per round on a 320k-pair chain graph,
+#: ~17% of cc_generated_chains' whole wall), so never-flipping runs
+#: (every declared CC row) halve the tax.  Flip-latency cost: at most
+#: ONE round — and only for a graph whose hot key jumps from
+#: < MIN_HOT/64 past MIN_HOT within a single round.  That round is
+#: cheap by construction: at the flip threshold the hot reducer holds
+#: only MIN_HOT rows, orders of magnitude below straggler pain, and
+#: the measured hub trajectory (126 -> 1,444 -> 45,979 -> 578,208)
+#: blows through the threshold region in one round regardless — on
+#: the benched hub topology the cadence produces the IDENTICAL flip
+#: round (the skipped round's probe read was below threshold anyway).
+_PROBE_COOL_DIV = 64
+
 
 def connected_components(
     edges: DataFrame,
@@ -596,6 +613,7 @@ def connected_components(
             salted_from = 1 if active_salts is not None else None
             prev_fp: tuple[int, int] | None = None
             prev_count = n0  # the small-set probe bypass's gate
+            probe_cool = False  # cadence: skip this round's probe
             shuffle_before = (
                 _shuffle_write_bytes_total(spark) if shuffle_telemetry else None
             )
@@ -623,6 +641,9 @@ def connected_components(
                     auto_salt
                     and active_salts is None
                     and prev_count >= _AUTO_SALT_MIN_HOT // 3
+                    # cadence (r15): the last probe read a stone-cold
+                    # max — skip exactly one round (see _PROBE_COOL_DIV)
+                    and not probe_cool
                 )
                 profile: dict | None = None
                 if probe_skew:
@@ -636,8 +657,13 @@ def connected_components(
                     # the round's shuffle-byte delta; honest — it IS
                     # part of the round's action now.)
                     fp, profile = _set_fingerprint_with_skew(pairs)
+                    probe_cool = (
+                        profile["max"]
+                        < _AUTO_SALT_MIN_HOT // _PROBE_COOL_DIV
+                    )
                 else:
                     fp = _set_fingerprint(pairs)
+                    probe_cool = False  # never skip twice in a row
                 prev_count = fp[0]
                 if barrier:
                     _retire_prev_cache(pairs)

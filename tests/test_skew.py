@@ -205,3 +205,46 @@ def test_auto_star_salts_flips_on_hub_and_not_on_flat(spark, monkeypatch):
     )
     res = cc.connected_components(flat, star_salts="auto")
     assert res.converged and res.salted_from_round is None
+
+
+def test_auto_probe_cadence_skips_alternate_cold_rounds(spark, monkeypatch):
+    """r15 probe cadence: on a flat graph whose probed max reads far
+    below the flip point, the fused skew probe runs at most every
+    OTHER round (never twice skipped in a row), the plain fingerprint
+    covers the skipped rounds, and the result is unchanged."""
+    import connected_component_spark.graph.cc as cc
+
+    calls = {"probe": 0, "plain": 0}
+    real_probe = cc._set_fingerprint_with_skew
+    real_plain = cc._set_fingerprint
+
+    def probe(pairs):
+        calls["probe"] += 1
+        return real_probe(pairs)
+
+    def plain(pairs):
+        calls["plain"] += 1
+        return real_plain(pairs)
+
+    monkeypatch.setattr(cc, "_set_fingerprint_with_skew", probe)
+    monkeypatch.setattr(cc, "_set_fingerprint", plain)
+    # open the small-set bypass gate (pair count >= MIN_HOT // 3 =
+    # 2,133 <= ~16k flat edges) while keeping the COOL threshold
+    # (MIN_HOT // _PROBE_COOL_DIV = 100) far above the flat graph's
+    # probed max (path-graph degrees <= 4, sampled-rescaled <= ~32),
+    # so every probed round reads cold
+    monkeypatch.setattr(cc, "_AUTO_SALT_MIN_HOT", 6400)
+
+    flat = spark.range(20000).where(F.col("id") % 5 != 4).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    res = cc.connected_components(flat, star_salts="auto")
+    assert res.converged and res.salted_from_round is None
+    # alternating cadence: probes cover ceil(n/2) rounds, plain the rest
+    assert calls["probe"] == (res.iterations + 1) // 2
+    assert calls["plain"] == res.iterations - calls["probe"]
+    # rosters identical to the fused run
+    fused = cc.connected_components(flat, star_salts=None)
+    a = {(r.node, r.component) for r in res.assignments.collect()}
+    b = {(r.node, r.component) for r in fused.assignments.collect()}
+    assert a == b
