@@ -69,31 +69,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queries whose code path changed this round — re-verify first.
 #: Maintained per round alongside the change itself.
 _CHANGED_THIS_ROUND = (
-    # r14: the BM25 fold rewrite (single write_many wave for
-    # tf+dl+tstat off one checkpointed batch leaf, window-derived dl
-    # in tstat, candidate-bounded dl in the pruned serve) changes the
-    # execution path of every durable-BM25 row:
-    "text_bm25_incremental_topk",
-    "text_bm25_restart_topk",
-    "text_bm25_maxscore_topk",
-    "stream_bm25_ingest",
-    # — the dedup fold's parallelized shingle write:
-    "stream_incremental_dedup",
-    # — the shared LazyBindings mixin re-routes every durable
-    #   operator's committed-view refresh (dedup/winnow/bm25/ann):
-    "stream_winnow_dedup",
-    "stream_winnow_restart",
-    "ann_ivf_incremental_topk",
-    "ann_ivf_restart_topk",
-    "stream_ann_ingest",
-    # — star_salts="auto" became the CC kernel default (the fused
-    #   in-action skew probe), changing every declared CC row's
-    #   execution path:
+    # r15: the auto-salt probe CADENCE (skip one probe after a
+    # stone-cold reading, graph/cc.py) changes the per-round action of
+    # every declared row that runs the CC kernel:
     "cc_generated_chains",
     "cc_user_copresence",
     "cc_copresence_rosters",
     # ...including every row whose clustering step runs the kernel
-    #   through components_with_isolates / the staged minhash table:
+    #   through components_with_isolates:
     "dedup_minhash_clusters",
     "dedup_ngram_clusters",
     "dedup_embedding_clusters",
@@ -104,25 +87,15 @@ _CHANGED_THIS_ROUND = (
     "pipeline_leakage_safe_split",
     "pipeline_corpus_curation",
     "pipeline_hard_negatives",
-    # — r14 optimization round: duplicated-subtree materialization in
-    #   the lexical scorers (tok/tf checkpoint) and the retrieval-eval
-    #   composites (bounded-ranking checkpoint) changes these queries'
-    #   physical execution paths (results oracle-verified identical):
-    "text_bm25_topk",
-    "text_tfidf_topk",
-    "text_hybrid_rrf_topk",
-    "pipeline_related_docs_rrf",
-    "pipeline_retrieval_eval",
-    "pipeline_retrieval_eval_bow",
-    "ann_bow_recall_report",
-    # — r14 optimization: the prefix/bitmap jaccard barriers went lazy
-    #   (shared-RDD checkpoint instead of a blocking construction job):
-    "dedup_wordgram_pairs",
-    "dedup_ngram_pairs",
-    "dedup_ngram_pairs_prefix",
-    # — r14 optimization: the k-core peel's per-round checkpoint went
-    #   lazy (one action per round instead of eager-ckpt + count):
-    "graph_kcore",
+    # — r15 optimization: the capped-band valve's bucket sizes moved
+    #   from groupBy+join-back to a window count over the checkpointed
+    #   band table (operators/dedup.py:banded_pairs):
+    "dedup_capped_band_pairs",
+    # — r15 optimization: the recall report's shared corpus-side
+    #   frames (IVF storage assignment, PQ code table) are computed
+    #   once behind lazy checkpoints (queries/llmops.py,
+    #   operators/similarity.py, operators/quantize.py):
+    "ann_recall_report",
 )
 
 #: interleave ratio for the changed/stable merge: this many changed

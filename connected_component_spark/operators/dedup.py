@@ -518,10 +518,16 @@ def banded_pairs(
     # re-evaluates per reference (review r7; the same discipline as
     # the candidate checkpoint in incremental_dedup)
     banded = banded.localCheckpoint(eager=False)
-    sizes = banded.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("_bsz")
-    )
-    with_size = banded.join(sizes, ["band", "bucket"])
+    # bucket sizes via a window count over the checkpointed band table
+    # (r15) instead of the previous groupBy + join-back: the window's
+    # one (band, bucket) exchange then SATISFIES the downstream
+    # distribution requirements — the small-branch self-join and the
+    # chain window both cluster on (band, bucket), so they plan with
+    # zero additional Exchanges, where the agg+join shape re-shuffled
+    # the band table for the join and again for the self-join.  Row
+    # values are identical (_bsz is the same per-bucket count).
+    sizes_w = Window.partitionBy("band", "bucket")
+    with_size = banded.withColumn("_bsz", F.count(F.lit(1)).over(sizes_w))
     small = with_size.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     big = with_size.where(F.col("_bsz") > max_bucket_size).drop("_bsz")
     ls, rs = small.alias("l"), small.alias("r")

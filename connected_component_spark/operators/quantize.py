@@ -270,6 +270,7 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: per query, the
     k nearest corpus vectors by the PQ approximation
@@ -286,10 +287,17 @@ def pq_topk(
     Scale shape: corpus encodes map-side; each per-(query, subspace,
     code) distance table is Q·k rows and BROADCAST; the scan is one
     pass over the codes with m broadcast hash joins and a per-query
-    top-k window — no corpus self-join, no global sort."""
+    top-k window — no corpus self-join, no global sort.
+
+    ``codes`` (r15, physical only): a precomputed
+    ``pq_encode(emb, books, id_col, vec_col)`` frame — callers running
+    several PQ legs over the same (corpus, books) encode once (see
+    ivf_topk's ``storage`` contract); results unchanged by
+    construction."""
     if not books:
         raise ValueError("pq_topk needs at least one codebook")
-    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
     cand = codes.withColumnRenamed(id_col, "neighbor_id").crossJoin(
         F.broadcast(queries.select(F.col(id_col).alias("query_id")))
     )
@@ -306,6 +314,8 @@ def ivfpq_topk(
     centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    storage: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ — the standard large-scale ANN index architecture
     (FAISS's IVFPQ): coarse IVF cells prune the scan to ~n/√n
@@ -320,7 +330,14 @@ def ivfpq_topk(
     pass for the corpus, one bounded pass for the queries, and the
     candidate generation becomes an equi-join on the cell key instead
     of a cross join — the 100 TB serving plan (raw vectors appear
-    ONLY in the bounded query-side distance tables)."""
+    ONLY in the bounded query-side distance tables).
+
+    ``storage``/``codes`` (r15, physical only): precomputed
+    ``ivf_cell_assignments(emb, centroids, id_col, vec_col, 1)`` /
+    ``pq_encode(emb, books, id_col, vec_col)`` frames — callers
+    running several IVF/PQ legs over the same corpus compute each
+    once (see ivf_topk's ``storage`` contract); results unchanged by
+    construction."""
     from connected_component_spark.operators.similarity import (
         ivf_cell_assignments,
     )
@@ -334,7 +351,8 @@ def ivfpq_topk(
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if centroids is None:
         centroids = emb.where(F.col(id_col) % centroid_stride == 0)
-    storage = ivf_cell_assignments(emb, centroids, id_col, vec_col, 1)
+    if storage is None:
+        storage = ivf_cell_assignments(emb, centroids, id_col, vec_col, 1)
     # probe-pruned serving: here the prune IS the ``pairs`` inner join
     # below — probe ⋈ storage on the cell key drops every
     # unprobed-cell row before the PQ codes are joined in, so the
@@ -354,7 +372,8 @@ def ivfpq_topk(
         )
         .select("query_id", "neighbor_id")
     )
-    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
     cand = pairs.join(
         codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
     )

@@ -704,6 +704,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     nprobe: int = 1,
     centroids: DataFrame | None = None,
+    storage: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF partitioning: corpus vectors
     live in their nearest centroid cell; each query probes its
@@ -744,6 +745,16 @@ def ivf_topk(
     hold non-deterministic batches freeze them first — the durable
     index (streaming/annindex.py:topk) collects the probe once, the
     BM25 serve localCheckpoints the raw batch.
+
+    ``storage`` (r15, physical only): a precomputed
+    ``ivf_cell_assignments(corpus, centroids, id_col, vec_col, 1)``
+    frame.  Callers running SEVERAL IVF legs over the same (corpus,
+    centroids) — e.g. a recall report with an IVF and an IVFPQ leg —
+    compute the storage assignment once (typically behind a lazy
+    ``localCheckpoint``) instead of re-running the corpus × centroids
+    cross join + per-vector window per leg.  The caller asserts the
+    frame equals that exact expression; results are unchanged by
+    construction.
     """
     if centroids is None:
         centroids = corpus.where(F.col(id_col) % centroid_stride == 0)
@@ -751,7 +762,8 @@ def ivf_topk(
     # probe assignment: an independent bounded-batch pass over the
     # query vectors (O(|q|·k), broadcast centroids — queries need not
     # exist in the corpus)
-    storage = ivf_cell_assignments(corpus, centroids, id_col, vec_col, 1)
+    if storage is None:
+        storage = ivf_cell_assignments(corpus, centroids, id_col, vec_col, 1)
     # probe-pruned serving (r12, the incremental index's serve shape
     # applied to the batch operator): the storage assignment is
     # SEMI-JOINED against the bounded probed-cell set ahead of the

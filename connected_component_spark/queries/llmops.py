@@ -2820,21 +2820,42 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit_l")
     )
-    ivf = sim.ivf_topk(queries, emb, k=5, centroid_stride=_IVF_STRIDE).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit_i")
+    # r15 (the ann_bow_recall_report pattern, verdict r14 #4): the
+    # stride-IVF and IVFPQ legs share one (corpus, stride-centroid)
+    # space, and the PQ and IVFPQ legs share one codebook — compute
+    # the corpus-side storage assignment (a corpus × centroids cross
+    # join + per-vector window) and the PQ code table (a map-side
+    # argmin pass) ONCE behind lazy localCheckpoints instead of once
+    # per leg (guide §2.4/§5; measured: two assignment subtrees was
+    # the report's largest duplicated work).  Corpus-sized pins —
+    # the cluster-scale fault-tolerance caveat on bm25_scores applies.
+    strided = emb.where(F.col("vec_id") % _IVF_STRIDE == 0)
+    storage = sim.ivf_cell_assignments(emb, strided).localCheckpoint(
+        eager=False
     )
+    books = _pq_books(spark, sf_dir)
+    codes = qz.pq_encode(emb, books).localCheckpoint(eager=False)
+    ivf = sim.ivf_topk(
+        queries, emb, k=5, centroids=strided, storage=storage
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit_i"))
     ivf_km = sim.ivf_topk(
         queries, emb, k=5, centroids=_ivf_kmeans_centroids(spark, sf_dir)
     ).select("query_id", "neighbor_id", F.lit(1).alias("hit_k"))
     # r9: the quantized indexes join the verified recall record —
     # PQ's compression/recall tradeoff (coarse on this isotropic
     # fixture, see SURVEY) is measured, not claimed
-    books = _pq_books(spark, sf_dir)
-    pq = qz.pq_topk(queries, emb, books, k=5).select(
+    pq = qz.pq_topk(queries, emb, books, k=5, codes=codes).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit_p")
     )
     ivfpq = qz.ivfpq_topk(
-        queries, emb, books, k=5, centroid_stride=_IVF_STRIDE, nprobe=1
+        queries,
+        emb,
+        books,
+        k=5,
+        centroids=strided,
+        nprobe=1,
+        storage=storage,
+        codes=codes,
     ).select("query_id", "neighbor_id", F.lit(1).alias("hit_q"))
     joined = (
         exact.join(lsh, ["query_id", "neighbor_id"], "left")

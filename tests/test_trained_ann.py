@@ -168,3 +168,50 @@ def test_trained_cells_beat_stride_on_clustered_corpus(spark, n):
         k=5,
     )
     assert _recall(chain_tr, truth) >= _recall(chain_st, truth) + 0.05
+
+
+def test_precomputed_storage_and_codes_are_result_identical(spark):
+    """r15 shared-subtree params: handing ivf_topk / pq_topk /
+    ivfpq_topk their precomputed ``storage`` / ``codes`` frames (the
+    exact expressions the operators would build themselves, as
+    ann_recall_report does behind lazy localCheckpoints) must be a
+    PHYSICAL-only change — row-identical output on every operator."""
+    from connected_component_spark.operators.quantize import (
+        pq_encode,
+        pq_topk,
+    )
+    from connected_component_spark.operators.similarity import (
+        ivf_cell_assignments,
+    )
+
+    corpus, stride, q, _truth, _trained = _setup(spark, 400)
+    strided = corpus.where(F.col("vec_id") % stride == 0)
+    storage = ivf_cell_assignments(corpus, strided).localCheckpoint(
+        eager=False
+    )
+    books = pq_codebooks(corpus, dim=_DIM, m=6, k=64, iterations=1)
+    codes = pq_encode(corpus, books).localCheckpoint(eager=False)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(
+        ivf_topk(q, corpus, k=5, centroids=strided, storage=storage)
+    ) == rows(ivf_topk(q, corpus, k=5, centroid_stride=stride))
+    assert rows(pq_topk(q, corpus, books, k=5, codes=codes)) == rows(
+        pq_topk(q, corpus, books, k=5)
+    )
+    assert rows(
+        ivfpq_topk(
+            q,
+            corpus,
+            books,
+            k=5,
+            centroids=strided,
+            nprobe=1,
+            storage=storage,
+            codes=codes,
+        )
+    ) == rows(
+        ivfpq_topk(q, corpus, books, k=5, centroid_stride=stride, nprobe=1)
+    )
